@@ -1,0 +1,177 @@
+"""Minimal pure-numpy PNG codec (8-bit RGB, color type 2).
+
+The sandbox has no PIL, so the engine carries its own codec for the image
+payload column (`bytes: binary`, fmt='png'). The reference decodes with
+``PIL.Image.open(BytesIO(data))`` (images/image.py:28) and encodes with
+``img.save`` (images/image.py:48) — this module provides the same
+round-trip contract for the subset the engine generates: 8-bit RGB,
+non-interlaced, filters 0(None)/1(Sub)/2(Up) fast-path plus 3(Average)/
+4(Paeth) slow-path on decode.
+
+Designed to be called on BATCHES inside Arrow/pandas UDFs — encode/decode
+one image is vectorized numpy; per-image loops live in the UDF, not here.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, *, filter_type: int = 0, level: int = 6) -> bytes:
+    """Encode an (H, W, 3) uint8 array to PNG bytes.
+
+    filter_type 0 (None) or 2 (Up) — Up usually compresses our synthetic
+    XOR-pattern tiles better; both are exactly invertible.
+    """
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError(f"expected (H,W,3) uint8, got {arr.shape} {arr.dtype}")
+    h, w, _ = arr.shape
+    if filter_type == 0:
+        raw = np.concatenate(
+            [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * 3)], axis=1
+        ).tobytes()
+    elif filter_type == 2:
+        flat = arr.reshape(h, w * 3)
+        delta = flat.copy()
+        delta[1:] = flat[1:] - flat[:-1]  # uint8 wraps mod 256
+        raw = np.concatenate(
+            [np.full((h, 1), 2, dtype=np.uint8), delta], axis=1
+        ).tobytes()
+    else:
+        raise ValueError(f"unsupported encode filter {filter_type}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, level))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes to an (H, W, 3) uint8 array.
+
+    Supports 8-bit RGB (color 2) and RGBA (color 6, alpha dropped to match
+    the reference's forced-RGB mosaic canvas, images/mosaic.py:20),
+    non-interlaced, all 5 filter types.
+    """
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    color = bitdepth = None
+    idat = []
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bitdepth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if bitdepth != 8 or color not in (2, 6) or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG: depth={bitdepth} color={color} interlace={interlace}"
+                )
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    channels = 3 if color == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for r in range(h):
+        ft = filters[r]
+        cur = rows[r, 1:].copy()
+        prev = out[r - 1] if r > 0 else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            out[r] = cur
+        elif ft == 1:  # Sub: cumulative along the row per byte-phase
+            px = cur.reshape(-1, bpp)
+            out[r] = np.cumsum(px.astype(np.uint64), axis=0).astype(np.uint8).reshape(-1)
+        elif ft == 2:  # Up
+            out[r] = cur + prev
+        elif ft == 3:  # Average (serial in x)
+            row = out[r]
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth (serial in x)
+            row = out[r]
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                row[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter {ft}")
+    img = out.reshape(h, w, channels)
+    return np.ascontiguousarray(img[:, :, :3])
+
+
+# ---------------------------------------------------------------------------
+# phash: deterministic 64-bit average-hash of decoded pixels (image table's
+# `phash:int64` column per BASELINE.json input_hint).
+# ---------------------------------------------------------------------------
+
+def phash64(arr: np.ndarray) -> int:
+    """Average-hash: grayscale -> 8x8 block means -> threshold by mean ->
+    64-bit int (signed, to fit Spark LongType)."""
+    g = arr.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    bh, bw = h // 8, w // 8
+    blocks = g[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).astype(np.uint64).reshape(-1)
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | b
+    return int(val.astype(np.int64))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic tile pixels (FIXTURES.md §2): for cell (z,x,y,src)
+# P[r,c] = ((x*256+c) ^ (y*256+r) ^ (z*K_src)) & 0xFF per channel with
+# per-channel offsets. Decodable/checkable with no stored reference data.
+# ---------------------------------------------------------------------------
+
+def synth_tile_pixels(x: int, y: int, z: int, src: int = 0,
+                      w: int = 256, h: int = 256) -> np.ndarray:
+    cols = (np.int64(x) * w + np.arange(w, dtype=np.int64))[None, :]
+    rows = (np.int64(y) * h + np.arange(h, dtype=np.int64))[:, None]
+    base = (cols ^ rows ^ np.int64(z * (src * 131 + 7))) & 0xFF
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    out[:, :, 0] = base.astype(np.uint8)
+    out[:, :, 1] = ((base + 85) & 0xFF).astype(np.uint8)
+    out[:, :, 2] = ((base + 170) & 0xFF).astype(np.uint8)
+    return out

@@ -1,0 +1,21 @@
+from tilegrab_spark.operators.tiles import (
+    enumerate_tiles,
+    enumerate_tiles_for_geoms,
+    refine_by_shape,
+    tiles_for,
+)
+from tilegrab_spark.operators.image_join import join_images, anti_join_committed
+from tilegrab_spark.operators.mosaic import mosaic, MOSAIC_SCHEMA
+from tilegrab_spark.operators.knn import knn_join
+
+__all__ = [
+    "enumerate_tiles",
+    "enumerate_tiles_for_geoms",
+    "refine_by_shape",
+    "tiles_for",
+    "join_images",
+    "anti_join_committed",
+    "mosaic",
+    "MOSAIC_SCHEMA",
+    "knn_join",
+]

@@ -1,0 +1,127 @@
+"""kNN via cell-ring expansion (north rule; absent in the reference —
+SURVEY.md §2.4 J-kNN). The XYZ quadtree key plays H3: ``grid_disk`` of
+radius R around each query cell is a pure Catalyst double-``sequence``
+explode; candidates come from an equi-join against the image table on the
+cell key; ranking is a ``row_number`` window by Web-Mercator center
+distance (P3 space).
+
+Exactness: a cell at Chebyshev ring ρ>R from the query cell has center
+distance > (R+0.5)·tile_size from any point inside the query cell, so a
+query is FINAL once its k-th best candidate distance ≤ (R+0.5)·tile_size.
+Unsatisfied queries double R and retry — a driver loop of a few rounds,
+each round fully distributed (the standard iterative-algorithm shape).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tilegrab_spark.functions.cells import cell_encode_cols
+from tilegrab_spark.kernels.geo import WEB_MERCATOR_EXTENT, WGS84_RADIUS
+
+
+def _mercator_cols(lon, lat):
+    x = F.radians(lon) * WGS84_RADIUS
+    y = F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(lat) / 2.0)) * WGS84_RADIUS
+    return x, y
+
+
+def _candidates(q: DataFrame, images_df: DataFrame, zoom: int, radius: int) -> DataFrame:
+    """grid_disk(radius) around each query cell, joined to image cells."""
+    n_cells = 1 << zoom
+    disk = (
+        q.withColumn("_dx", F.explode(F.sequence(F.lit(-radius), F.lit(radius))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-radius), F.lit(radius))))
+        .withColumn("x", F.col("qx") + F.col("_dx"))
+        .withColumn("y", F.col("qy") + F.col("_dy"))
+        .filter(
+            (F.col("x") >= 0) & (F.col("x") < n_cells)
+            & (F.col("y") >= 0) & (F.col("y") < n_cells)
+        )
+        .withColumn("z", F.lit(zoom))
+        .drop("_dx", "_dy")
+    )
+    cand = F.broadcast(disk).join(images_df, on=["z", "x", "y"], how="inner")
+    ts = 2.0 * WEB_MERCATOR_EXTENT / (1 << zoom)
+    cx = -WEB_MERCATOR_EXTENT + (F.col("x") + 0.5) * F.lit(ts)
+    cy = WEB_MERCATOR_EXTENT - (F.col("y") + 0.5) * F.lit(ts)
+    return cand.withColumn(
+        "dist",
+        F.sqrt(
+            F.pow(cx - F.col("qmx"), F.lit(2.0)) + F.pow(cy - F.col("qmy"), F.lit(2.0))
+        ),
+    )
+
+
+def knn_join(
+    queries_df: DataFrame,
+    images_df: DataFrame,
+    zoom: int,
+    k: int,
+    *,
+    init_radius: int | None = None,
+    max_radius: int = 1024,
+) -> DataFrame:
+    """For each query point, the k nearest image rows at ``zoom``.
+
+    queries_df: ``(query_id, lon, lat)``. Returns query columns + image
+    columns + ``dist`` (meters, Web-Mercator) + ``rank`` 1..k.
+
+    The query side is broadcast per round (query sets are small relative
+    to the image table); the image table is only ever touched by pruned
+    cell-key joins — never a full shuffle.
+    """
+    spark = queries_df.sparkSession
+    qx, qy = cell_encode_cols(F.col("lon"), F.col("lat"), zoom)
+    qmx, qmy = _mercator_cols(F.col("lon"), F.col("lat"))
+    q = (
+        queries_df.withColumn("qx", qx)
+        .withColumn("qy", qy)
+        .withColumn("qmx", qmx)
+        .withColumn("qmy", qmy)
+    )
+
+    ts = 2.0 * WEB_MERCATOR_EXTENT / (1 << zoom)
+    radius = init_radius or max(1, int(math.ceil(math.sqrt(k) / 2)))
+    results = []
+    remaining = q
+    while True:
+        cand = _candidates(remaining, images_df, zoom, radius)
+        w = Window.partitionBy("query_id").orderBy("dist", "image_id")
+        ranked = cand.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+        # final iff k-th candidate exists within the safe radius
+        safe = (radius + 0.5) * ts
+        stats = ranked.groupBy("query_id").agg(
+            F.count("*").alias("_cnt"), F.max("dist").alias("_kth")
+        )
+        done_ids = stats.filter(
+            (F.col("_cnt") >= k) & (F.col("_kth") <= F.lit(safe))
+        ).select("query_id")
+        done = ranked.join(F.broadcast(done_ids), on="query_id", how="left_semi")
+        results.append(done.persist())
+        done.count()
+        remaining = remaining.join(
+            F.broadcast(done_ids), on="query_id", how="left_anti"
+        )
+        if radius >= max_radius or remaining.isEmpty():
+            # emit best-effort rows for anything left at max radius
+            if radius >= max_radius and not remaining.isEmpty():
+                leftover = _candidates(remaining, images_df, zoom, radius)
+                wl = Window.partitionBy("query_id").orderBy("dist", "image_id")
+                results.append(
+                    leftover.withColumn("rank", F.row_number().over(wl)).filter(
+                        F.col("rank") <= k
+                    )
+                )
+            break
+        radius = min(radius * 2, max_radius)
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.drop("qx", "qy", "qmx", "qmy")

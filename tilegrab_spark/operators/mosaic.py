@@ -1,0 +1,168 @@
+"""A2/W1: the mosaic-stitch reducer — ``groupBy(mosaic key).applyInPandas``.
+
+Reference semantics re-expressed:
+- ``mosaic()`` (images/mosaic.py:7-27): canvas spans the min/max tile
+  extent of the *present* images, each tile pasted at
+  ``((x-minx)*tw, (y-miny)*th)``, RGB, missing tiles black, overlap =
+  last-paste-wins. Here the extent is an A1 aggregation
+  (``groupBy.agg(min/max)``) broadcast-joined back, and paste order is
+  made deterministic by sorting (y, x, image_id) before pasting.
+- ``group_image()`` (images/grouping.py:9-29): re-chunk the mosaic into
+  gw×gh-tile groups, dropping all-zero groups (F7) and incomplete
+  trailing windows (``sliding_window_view`` yields full windows only).
+  Scalable form (SURVEY.md §2.6 form b): the group key
+  ``(floor((x-ax)/gw), floor((y-ay)/gh))`` is computed BEFORE the
+  shuffle, so no executor ever holds more than one gw×gh group — the
+  giant canvas never exists. At 100 TB this is the difference between a
+  working job and an OOM.
+
+Output rows carry the EPSG:3857 georeference of their extent (S7's
+``rasterio.transform.from_bounds`` inputs, exporter.py:47-74) as plain
+columns — the GeoTIFF sink is metadata, not a special operator.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tilegrab_spark.kernels import geo, png
+
+MOSAIC_SCHEMA = (
+    "geom_id string, z int, gx int, gy int, "
+    "tminx long, tminy long, tmaxx long, tmaxy long, "
+    "w int, h int, n_tiles int, bytes binary, "
+    "merc_xmin double, merc_ymin double, merc_xmax double, merc_ymax double"
+)
+
+
+def _stitch_group(
+    key, pdf: pd.DataFrame, *, tile_w: int, tile_h: int,
+    group_w: int | None, group_h: int | None, drop_empty: bool,
+) -> pd.DataFrame:
+    geom_id, z, gx, gy, ax, ay = key
+    z, gx, gy, ax, ay = int(z), int(gx), int(gy), int(ax), int(ay)
+    if group_w is None:
+        # parity mode: canvas = min..max extent of present tiles
+        # (images/mosaic.py:11-18)
+        tminx, tmaxx = int(pdf["x"].min()), int(pdf["x"].max())
+        tminy, tmaxy = int(pdf["y"].min()), int(pdf["y"].max())
+    else:
+        tminx = ax + gx * group_w
+        tminy = ay + gy * group_h
+        tmaxx = tminx + group_w - 1
+        tmaxy = tminy + group_h - 1
+    w = (tmaxx - tminx + 1) * tile_w
+    h = (tmaxy - tminy + 1) * tile_h
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)  # RGB, black = missing
+    n = 0
+    # deterministic last-paste-wins order (reference order is iteration
+    # order, mosaic.py:22-25; we pin it)
+    pdf = pdf.sort_values(["y", "x", "image_id"], kind="mergesort")
+    for x, y, data, fmt in zip(pdf["x"], pdf["y"], pdf["bytes"], pdf["fmt"]):
+        if data is None:
+            continue
+        arr = png.decode_png(bytes(data)) if fmt == "png" else _raw_decode(bytes(data), tile_w, tile_h)
+        px = (int(x) - tminx) * tile_w
+        py = (int(y) - tminy) * tile_h
+        canvas[py : py + arr.shape[0], px : px + arr.shape[1]] = arr[
+            : h - py, : w - px
+        ]
+        n += 1
+    if drop_empty and not canvas.any():  # F7 all-zero drop (grouping.py:26-29)
+        return pd.DataFrame(columns=_SCHEMA_COLS)
+    mx0, my0, mx1, my1 = geo.tile_extent_mercator(tminx, tminy, tmaxx, tmaxy, z)
+    return pd.DataFrame(
+        [
+            {
+                "geom_id": geom_id,
+                "z": z,
+                "gx": gx,
+                "gy": gy,
+                "tminx": tminx,
+                "tminy": tminy,
+                "tmaxx": tmaxx,
+                "tmaxy": tmaxy,
+                "w": w,
+                "h": h,
+                "n_tiles": n,
+                "bytes": png.encode_png(canvas, filter_type=2),
+                "merc_xmin": mx0,
+                "merc_ymin": my0,
+                "merc_xmax": mx1,
+                "merc_ymax": my1,
+            }
+        ]
+    )
+
+
+_SCHEMA_COLS = [s.split()[0] for s in MOSAIC_SCHEMA.split(", ")]
+
+
+def _raw_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def mosaic(
+    joined: DataFrame,
+    *,
+    group_w: int | None = None,
+    group_h: int | None = None,
+    tile_w: int = 256,
+    tile_h: int = 256,
+    drop_empty: bool = False,
+    full_groups_only: bool = True,
+) -> DataFrame:
+    """Stitch joined (tile, image) rows into mosaics.
+
+    ``group_w/group_h`` None → one mosaic per (geom_id, z) (parity with
+    images/mosaic.py). Set → W1 re-chunking into gw×gh-tile mosaics keyed
+    before the shuffle (scale mode). ``full_groups_only`` drops trailing
+    partial windows for grouping parity (sliding_window_view semantics);
+    ``drop_empty`` is F7.
+    """
+    ext = joined.groupBy("geom_id", "z").agg(
+        F.min("x").alias("_ax"),
+        F.min("y").alias("_ay"),
+        F.max("x").alias("_mx"),
+        F.max("y").alias("_my"),
+    )
+    df = joined.join(F.broadcast(ext), on=["geom_id", "z"])
+    if group_w is not None:
+        group_h = group_h or group_w
+        df = df.withColumn(
+            "gx", F.floor((F.col("x") - F.col("_ax")) / group_w).cast("int")
+        ).withColumn(
+            "gy", F.floor((F.col("y") - F.col("_ay")) / group_h).cast("int")
+        )
+        if full_groups_only:
+            nx = F.col("_mx") - F.col("_ax") + 1
+            ny = F.col("_my") - F.col("_ay") + 1
+            df = df.filter(
+                ((F.col("gx") + 1) * group_w <= nx)
+                & ((F.col("gy") + 1) * group_h <= ny)
+            )
+    else:
+        df = df.withColumn("gx", F.lit(0)).withColumn("gy", F.lit(0))
+
+    cols = ["geom_id", "z", "gx", "gy", "_ax", "_ay", "x", "y", "bytes", "fmt", "image_id"]
+    df = df.select(*cols)
+
+    def apply_fn(key, pdf):
+        return _stitch_group(
+            key,
+            pdf,
+            tile_w=tile_w,
+            tile_h=tile_h,
+            group_w=group_w,
+            group_h=group_h,
+            drop_empty=drop_empty,
+        )
+
+    return df.groupBy("geom_id", "z", "gx", "gy", "_ax", "_ay").applyInPandas(
+        apply_fn, schema=MOSAIC_SCHEMA
+    )

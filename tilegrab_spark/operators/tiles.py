@@ -1,0 +1,179 @@
+"""Tile enumeration + spatial semi/anti join (F1/F4/F2/F3/J2/J3/L1).
+
+The reference materializes ``List[Tile]`` eagerly in a driver loop
+(tiles/collection.py:119-152). Here enumeration is a lazy DataFrame:
+
+- one geometry: ``spark.range(n_tiles)`` mapped to (x, y) in the
+  reference's x-major, y-minor generation order (collection.py:141-143) —
+  order matters for ``safe_limit`` parity (L1, collection.py:56-59);
+- many geometries: bbox corners -> Catalyst cell-encode -> ``sequence`` +
+  two ``explode``s, fully distributed, no driver loop at all.
+
+The exact tile∩geometry refine (F2, collection.py:144-150) is the only
+Python in the plan: an Arrow-batched pandas UDF running the vectorized
+box-vs-ring kernel against the *broadcast* geometry set — the north
+rule's "point-in-polygon on prepared geometry broadcast". Inversion (F3)
+is the same predicate negated (anti-join semantics).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tilegrab_spark.functions.cells import (
+    cell_encode_cols,
+    tile_bounds_cols,
+    cell_id_col,
+)
+from tilegrab_spark.kernels import geo
+from tilegrab_spark.sources.geometries import GeometrySet
+
+DEFAULT_SAFE_LIMIT = 250  # reference: tiles/collection.py:38
+
+
+def enumerate_tiles(
+    spark: SparkSession,
+    geom: GeometrySet,
+    zoom: int,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Tiles covering ``geom``'s bbox at ``zoom`` (F1+F4), in the
+    reference's generation order (x-major, y-minor) encoded as the range
+    index so downstream ``limit`` keeps the same prefix (L1 parity).
+
+    Columns: geom_id, z, x, y, cell_id, min_lon, min_lat, max_lon, max_lat.
+    """
+    x0, x1, y0, y1 = geom.tile_range(zoom)
+    nx, ny = x1 - x0 + 1, y1 - y0 + 1
+    rng = spark.range(nx * ny, numPartitions=num_partitions)
+    df = (
+        rng.withColumn("x", F.lit(x0) + (F.col("id") / ny).cast("long"))
+        .withColumn("y", F.lit(y0) + F.pmod(F.col("id"), F.lit(ny)).cast("long"))
+        .withColumn("z", F.lit(zoom))
+        .withColumn("geom_id", F.lit(geom.geom_id))
+    )
+    return _with_derived(df).drop("id")
+
+
+def enumerate_tiles_for_geoms(geoms_df: DataFrame, zoom: int) -> DataFrame:
+    """Distributed enumeration for MANY geometries: input is a DataFrame
+    ``(geom_id, minx, miny, maxx, maxy)`` (one row per geometry); output is
+    the union of each geometry's bbox tile set. Pure Catalyst —
+    cell-encode on the bbox corners (with the reference's Mercator clamp
+    F4 and LL_EPSILON shrink) then ``explode(sequence(...))`` twice.
+    """
+    clamp_needed = (F.col("miny") < -geo.MERCATOR_LAT_LIMIT) | (
+        F.col("maxy") > geo.MERCATOR_LAT_LIMIT
+    )
+
+    def cl(c: Column, lo: float, hi: float) -> Column:
+        return F.when(clamp_needed, F.greatest(F.lit(lo), F.least(F.lit(hi), c))).otherwise(c)
+
+    w = cl(F.col("minx"), -180.0, 180.0)
+    s = cl(F.col("miny"), -geo.MERCATOR_LAT_LIMIT, geo.MERCATOR_LAT_LIMIT)
+    e = cl(F.col("maxx"), -180.0, 180.0)
+    n = cl(F.col("maxy"), -geo.MERCATOR_LAT_LIMIT, geo.MERCATOR_LAT_LIMIT)
+
+    ulx, uly = cell_encode_cols(w, n, zoom)
+    lrx, lry = cell_encode_cols(e - F.lit(geo.LL_EPSILON), s + F.lit(geo.LL_EPSILON), zoom)
+
+    df = (
+        geoms_df.withColumn("_x0", ulx)
+        .withColumn("_x1", lrx)
+        .withColumn("_y0", uly)
+        .withColumn("_y1", lry)
+        .withColumn("x", F.explode(F.sequence("_x0", "_x1")))
+        .withColumn("y", F.explode(F.sequence("_y0", "_y1")))
+        .withColumn("z", F.lit(zoom))
+        .select("geom_id", "z", "x", "y")
+    )
+    return _with_derived(df)
+
+
+def _with_derived(df: DataFrame) -> DataFrame:
+    mnl, mnt, mxl, mxt = tile_bounds_cols(F.col("x"), F.col("y"), F.col("z"))
+    return (
+        df.withColumn("cell_id", cell_id_col("z", "x", "y"))
+        .withColumn("min_lon", mnl)
+        .withColumn("min_lat", mnt)
+        .withColumn("max_lon", mxl)
+        .withColumn("max_lat", mxt)
+    )
+
+
+def refine_by_shape(
+    tiles_df: DataFrame,
+    geoms: list[GeometrySet] | GeometrySet,
+    *,
+    invert: bool = False,
+) -> DataFrame:
+    """Exact tile-box ∩ geometry filter (F2/F3 ≙ J2 semi / J3 anti join).
+
+    ``shapely box.intersects(geometry).any()`` at collection.py:145
+    becomes a vectorized Arrow UDF over the four bound columns against the
+    broadcast geometry rings — executors get the (small) geometry once.
+    """
+    if isinstance(geoms, GeometrySet):
+        geoms = [geoms]
+    spark = tiles_df.sparkSession
+    payload = {
+        g.geom_id: [[r.tolist() for r in poly] for poly in g.polygons] for g in geoms
+    }
+    bc = spark.sparkContext.broadcast(payload)
+
+    @F.pandas_udf("boolean")
+    def intersects(
+        geom_id: pd.Series,
+        mnl: pd.Series,
+        mnt: pd.Series,
+        mxl: pd.Series,
+        mxt: pd.Series,
+    ) -> pd.Series:
+        import numpy as np
+
+        polys_by_id = bc.value
+        out = pd.Series(False, index=geom_id.index)
+        for gid, idx in geom_id.groupby(geom_id).groups.items():
+            polys = polys_by_id.get(gid)
+            if not polys:
+                continue
+            hit = geo.boxes_intersect_polygons(
+                mnl[idx].to_numpy(np.float64),
+                mnt[idx].to_numpy(np.float64),
+                mxl[idx].to_numpy(np.float64),
+                mxt[idx].to_numpy(np.float64),
+                polys,
+            )
+            out[idx] = hit
+        return out
+
+    pred = intersects("geom_id", "min_lon", "min_lat", "max_lon", "max_lat")
+    return tiles_df.filter(~pred if invert else pred)
+
+
+def tiles_for(
+    spark: SparkSession,
+    geom: GeometrySet,
+    zoom: int,
+    *,
+    by: str = "shape",
+    invert: bool = False,
+    safe_limit: int | None = DEFAULT_SAFE_LIMIT,
+) -> DataFrame:
+    """Full tile-selection query ≙ ``TilesByBBox`` / ``TilesByShape``
+    (tiles/selectors.py:10-36 + collection.py:37-61): enumerate, optionally
+    refine by exact shape (inverted = anti), truncate to ``safe_limit`` in
+    generation order.
+    """
+    df = enumerate_tiles(spark, geom, zoom)
+    if by == "shape":
+        df = refine_by_shape(df, geom, invert=invert)
+    elif by != "bbox":
+        raise ValueError(f"by must be 'shape' or 'bbox', got {by!r}")
+    if safe_limit is not None:
+        # generation order = x-major, y-minor (collection.py:141-143)
+        df = df.orderBy("x", "y").limit(safe_limit)
+    return df
