@@ -1,0 +1,75 @@
+"""kNN via cell-ring/disk expansion vs a brute-force oracle."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tilegrab_spark.kernels.geo import WEB_MERCATOR_EXTENT
+from tilegrab_spark.operators.knn import knn_join
+from tilegrab_spark.sources.images import cell_id_col
+
+
+def _centers(xs, ys, zoom):
+    ts = 2 * WEB_MERCATOR_EXTENT / (1 << zoom)
+    cx = -WEB_MERCATOR_EXTENT + (np.asarray(xs) + 0.5) * ts
+    cy = WEB_MERCATOR_EXTENT - (np.asarray(ys) + 0.5) * ts
+    return cx, cy
+
+
+def _merc(lon, lat):
+    R = 6378137.0
+    return math.radians(lon) * R, math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)) * R
+
+
+def test_knn_matches_bruteforce(spark):
+    zoom = 10
+    rng = np.random.default_rng(7)
+    # sparse image cells scattered around a region + one dense clump
+    xs = rng.integers(500, 540, 60).tolist() + [520] * 5
+    ys = rng.integers(300, 340, 60).tolist() + [310] * 5
+    ids = [f"{zoom}_{x}_{y}_{i}" for i, (x, y) in enumerate(zip(xs, ys))]
+    images = spark.createDataFrame(
+        list(zip([zoom] * len(xs), xs, ys, ids)), "z int, x long, y long, image_id string"
+    )
+    # query points: tile centers of a few cells (some empty, some occupied)
+    from tilegrab_spark.kernels.geo import tile_bounds
+
+    qcells = [(505, 305), (530, 335), (520, 310), (500, 340)]
+    qrows = []
+    for i, (qx, qy) in enumerate(qcells):
+        mnl, mnt, mxl, mxt = tile_bounds(qx, qy, zoom)
+        qrows.append((f"q{i}", float((mnl + mxl) / 2), float((mnt + mxt) / 2)))
+    queries = spark.createDataFrame(qrows, "query_id string, lon double, lat double")
+
+    k = 5
+    got = knn_join(queries, images, zoom, k).collect()
+
+    # brute-force oracle
+    cx, cy = _centers(xs, ys, zoom)
+    for i, (qid, lon, lat) in enumerate(qrows):
+        qmx, qmy = _merc(lon, lat)
+        d = np.hypot(cx - qmx, cy - qmy)
+        order = sorted(range(len(xs)), key=lambda j: (d[j], ids[j]))[:k]
+        want = [(round(float(d[j]), 6), ids[j]) for j in order]
+        mine = sorted(
+            (round(float(r.dist), 6), r.image_id) for r in got if r.query_id == qid
+        )
+        assert mine == sorted(want), (qid, mine, want)
+
+
+def test_knn_k_larger_than_candidates(spark):
+    zoom = 6
+    images = spark.createDataFrame(
+        [(zoom, 10, 10, "a"), (zoom, 12, 12, "b")], "z int, x long, y long, image_id string"
+    )
+    from tilegrab_spark.kernels.geo import tile_bounds
+
+    mnl, mnt, mxl, mxt = tile_bounds(10, 10, zoom)
+    queries = spark.createDataFrame(
+        [("q0", float((mnl + mxl) / 2), float((mnt + mxt) / 2))],
+        "query_id string, lon double, lat double",
+    )
+    got = knn_join(queries, images, zoom, k=10, max_radius=8)
+    # best effort: returns what exists within max radius
+    assert got.count() == 2

@@ -1,0 +1,108 @@
+"""Tile-selection operator parity (F1-F4, J2/J3, L1, set algebra §2.8)."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_RING, T_BBOX_Z16, T_SHAPE_Z15, T_SHAPE_Z16
+from tilegrab_spark.operators.tiles import (
+    enumerate_tiles,
+    enumerate_tiles_for_geoms,
+    refine_by_shape,
+    tiles_for,
+)
+from tilegrab_spark.sources.geometries import geometries_df, geometry_from_rings
+
+
+def xyset(df):
+    return set((r.x, r.y) for r in df.select("x", "y").collect())
+
+
+def test_bbox_enumeration_golden(spark, t_geom):
+    assert xyset(enumerate_tiles(spark, t_geom, 16)) == set(T_BBOX_Z16)
+    assert enumerate_tiles(spark, t_geom, 12).count() == 2
+    assert enumerate_tiles(spark, t_geom, 14).count() == 4
+
+
+def test_shape_refine_golden(spark, t_geom):
+    assert xyset(tiles_for(spark, t_geom, 16, by="shape")) == set(T_SHAPE_Z16)
+    assert xyset(tiles_for(spark, t_geom, 15, by="shape")) == set(T_SHAPE_Z15)
+
+
+def test_set_algebra(spark, t_geom):
+    # shape ∪ invert = bbox; shape ∩ invert = ∅ (SURVEY.md §2.8)
+    bbox = tiles_for(spark, t_geom, 16, by="bbox")
+    shape = tiles_for(spark, t_geom, 16, by="shape")
+    invert = tiles_for(spark, t_geom, 16, by="shape", invert=True)
+    assert xyset(shape) | xyset(invert) == xyset(bbox)
+    assert xyset(shape) & xyset(invert) == set()
+    # also via relational set ops
+    assert bbox.select("x", "y").exceptAll(shape.select("x", "y")).count() == 9
+    assert shape.select("x", "y").intersect(invert.select("x", "y")).count() == 0
+
+
+def test_safe_limit_generation_order(spark, t_geom):
+    # truncation keeps the x-major, y-minor prefix (collection.py:56-59,141-143)
+    lim = tiles_for(spark, t_geom, 16, by="bbox", safe_limit=5)
+    assert sorted(xyset(lim)) == [
+        (47439, 31441),
+        (47439, 31442),
+        (47439, 31443),
+        (47439, 31444),
+        (47440, 31441),
+    ]
+
+
+def test_sf_polygon(spark, sf_geom):
+    # the reference's own unit-test polygon (tests/test_tiles.py:19-21)
+    shape = tiles_for(spark, sf_geom, 12, by="shape", safe_limit=None)
+    bbox = tiles_for(spark, sf_geom, 12, by="bbox", safe_limit=None)
+    assert 0 < shape.count() <= bbox.count()
+    # every shape tile's box intersects the ring's bbox
+    rows = shape.collect()
+    lons = [p[0] for p in SF_RING]
+    lats = [p[1] for p in SF_RING]
+    for r in rows:
+        assert r.max_lon >= min(lons) and r.min_lon <= max(lons)
+        assert r.max_lat >= min(lats) and r.min_lat <= max(lats)
+
+
+def test_multi_geom_enumeration_matches_single(spark, t_geom, sf_geom):
+    gdf = geometries_df(spark, [t_geom, sf_geom])
+    bboxes = gdf.groupBy("geom_id").agg(
+        F.min("minx").alias("minx"),
+        F.min("miny").alias("miny"),
+        F.max("maxx").alias("maxx"),
+        F.max("maxy").alias("maxy"),
+    )
+    multi = enumerate_tiles_for_geoms(bboxes, 14)
+    for g in (t_geom, sf_geom):
+        single = enumerate_tiles(spark, g, 14)
+        got = set(
+            (r.x, r.y)
+            for r in multi.filter(F.col("geom_id") == g.geom_id).collect()
+        )
+        assert got == xyset(single), g.geom_id
+
+
+def test_refine_multiple_geoms_one_pass(spark, t_geom, sf_geom):
+    gdf = geometries_df(spark, [t_geom, sf_geom]).groupBy("geom_id").agg(
+        F.min("minx").alias("minx"),
+        F.min("miny").alias("miny"),
+        F.max("maxx").alias("maxx"),
+        F.max("maxy").alias("maxy"),
+    )
+    tiles = enumerate_tiles_for_geoms(gdf, 15)
+    refined = refine_by_shape(tiles, [t_geom, sf_geom])
+    t_tiles = set(
+        (r.x, r.y) for r in refined.filter(F.col("geom_id") == "T").collect()
+    )
+    assert t_tiles == set(T_SHAPE_Z15)
+
+
+def test_mercator_clamp_and_zero_tiles(spark):
+    g = geometry_from_rings(
+        "edge", [[(-179.9, 84.0), (-179.9, 88.0), (-178.0, 88.0), (-178.0, 84.0)]]
+    )
+    t = tiles_for(spark, g, 2, by="bbox", safe_limit=None)
+    rows = t.collect()
+    # x=0/y=0 accepted (reference Q4 crash); lat clamped to 85.051129
+    assert any(r.x == 0 and r.y == 0 for r in rows)
