@@ -1,38 +1,693 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship spatial aggregation on sf0.001.
+``queries()``    — one entry per implemented operator (SURVEY.md §2 +
+                   training-data ops), each (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents for every
+                   SQL-expressible query (same column names/aliases).
+
+Float determinism policy (the driver value-hashes results): sums go
+through DECIMAL casts (order-independent, bit-identical across engines);
+trig-derived doubles are only ever *floored into integers* (tile
+indices) with the reference's EPSILON nudge, or kept out of oracle-
+checked outputs (ranks/ids instead of raw distances).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(c, p: int = 4):
+    return F.sum(c.cast(f"decimal(25,{p})")).cast("double")
+
+
+# T.geojson 4326 bbox (reference golden, FIXTURES.md §4.1) — constants in
+# both engines for the tile-enumeration queries.
+T_BBOX = (80.59111369868114, 7.253238366601672, 80.60679900129578, 7.267703227740267)
+EPS = 1e-14
+LL_EPS = 1e-11
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial cell aggregation over sf0.001 — derive lon/lat
+    from lineitem keys, Catalyst cell-encode at z=8 (P1), count + extent
+    stats per cell (A1/A3), rank dense cells (window)."""
+    from tilegrab_spark.functions.cells import cell_encode_cols, cell_id_col
+
+    li = _t(spark, "/root/testdata/sf0.001", "lineitem")
+    lon = (F.pmod(F.col("l_orderkey") * 7, F.lit(360000)) / 1000.0) - 180.0
+    lat = (F.pmod(F.col("l_partkey") * 13, F.lit(170000)) / 1000.0) - 85.0
+    x, y = cell_encode_cols(lon, lat, 8)
+    cells = li.withColumn("x", x).withColumn("y", y).withColumn("z", F.lit(8))
+    agg = (
+        cells.groupBy("z", "x", "y")
+        .agg(
+            F.count("*").alias("n_rows"),
+            _dsum(F.col("l_extendedprice")).alias("sum_price"),
+            F.min("l_orderkey").alias("min_order"),
+            F.max("l_orderkey").alias("max_order"),
+        )
+        .withColumn("cell_id", cell_id_col("z", "x", "y"))
+    )
+    w = Window.orderBy(F.desc("n_rows"), F.col("cell_id"))
+    return agg.withColumn("density_rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+def _q1_pricing(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    keep = li.filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        keep.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _equi_join(spark, sf):
+    li, part = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_size") < 10)), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "l_linenumber", "p_partkey", "p_brand", "l_quantity")
+    )
+
+
+_EQUI_SQL = """
+SELECT l_orderkey, l_linenumber, p_partkey, p_brand, l_quantity
+FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size < 10
+"""
+
+
+def _semi_join(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    big = o.filter(F.col("o_totalprice") > 100000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+"""
+
+
+def _anti_join(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def _extent_agg(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.min("l_orderkey").alias("min_order"),
+            F.max("l_orderkey").alias("max_order"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+_EXTENT_SQL = """
+SELECT l_returnflag, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+       MIN(l_orderkey) AS min_order, MAX(l_orderkey) AS max_order, COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _limit_topk(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_LIMIT_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def _set_except(spark, sf):
+    p = _t(spark, sf, "part")
+    small = p.filter(F.col("p_size") < 25).select("p_partkey")
+    b13 = p.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    return small.exceptAll(b13)
+
+
+_SET_SQL = """
+SELECT p_partkey FROM part WHERE p_size < 25
+EXCEPT ALL
+SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'
+"""
+
+
+def _window_topn(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+
+def _regexp_proj(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("src_num", F.regexp_extract("source", r"src(\d+)", 1).cast("int"))
+        .groupBy("src_num")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+_REGEXP_SQL = r"""
+SELECT CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS src_num,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+def _url_render(spark, sf):
+    o = _t(spark, sf, "orders")
+    z = F.pmod(F.col("o_orderkey"), F.lit(20)).cast("int")
+    x = F.pmod(F.col("o_custkey"), F.lit(1024)).cast("long")
+    y = F.pmod(F.col("o_orderkey") * 3, F.lit(1024)).cast("long")
+    return o.select(
+        F.col("o_orderkey"),
+        F.format_string("https://tile.openstreetmap.org/%d/%d/%d.png", z, x, y).alias("url"),
+    )
+
+
+_URL_SQL = """
+SELECT o_orderkey,
+  printf('https://tile.openstreetmap.org/%d/%d/%d.png',
+         (o_orderkey % 20), (o_custkey % 1024), ((o_orderkey * 3) % 1024)) AS url
+FROM orders
+"""
+
+
+def _status_routing(spark, sf):
+    e = _t(spark, sf, "events")
+    status = (
+        F.when(F.col("value") >= 0.9, F.lit("SUCCESS"))
+        .when(F.col("value") >= 0.5, F.lit("SKIP"))
+        .when(F.col("value") >= 0.1, F.lit("EMPTY"))
+        .otherwise(F.lit("FAILED"))
+    )
+    return (
+        e.withColumn("status", status)
+        .groupBy("event_type", "status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_STATUS_SQL = """
+SELECT event_type,
+  CASE WHEN value >= 0.9 THEN 'SUCCESS' WHEN value >= 0.5 THEN 'SKIP'
+       WHEN value >= 0.1 THEN 'EMPTY' ELSE 'FAILED' END AS status,
+  COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def _resume_anti(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    committed = li.filter(F.pmod(F.col("l_orderkey"), F.lit(10)) < 3).select(
+        "l_orderkey", "l_linenumber"
+    )
+    return li.join(
+        committed, on=["l_orderkey", "l_linenumber"], how="left_anti"
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+_RESUME_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE (l_orderkey % 10) >= 3
+"""
+
+
+# --- tile math (P1/F1/cell-id) with SQL oracles on the same formulas ---
+
+def _tile_encode(spark, sf):
+    from tilegrab_spark.functions.cells import cell_encode_cols
+
+    li = _t(spark, sf, "lineitem")
+    lon = (F.pmod(F.col("l_orderkey") * 7, F.lit(360000)) / 1000.0) - 180.0
+    lat = (F.pmod(F.col("l_partkey") * 13, F.lit(170000)) / 1000.0) - 85.0
+    x, y = cell_encode_cols(lon, lat, 12)
+    return li.select(
+        "l_orderkey", "l_linenumber", x.alias("xtile"), y.alias("ytile")
+    )
+
+
+_ENCODE_SQL = f"""
+WITH pts AS (
+  SELECT l_orderkey, l_linenumber,
+    ((l_orderkey * 7) % 360000) / 1000.0 - 180.0 AS lon,
+    ((l_partkey * 13) % 170000) / 1000.0 - 85.0 AS lat
+  FROM lineitem),
+enc AS (
+  SELECT l_orderkey, l_linenumber,
+    lon / 360.0 + 0.5 AS xf,
+    0.5 - 0.25 * ln((1.0 + sin(radians(lat))) / (1.0 - sin(radians(lat)))) / pi() AS yf
+  FROM pts)
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN xf <= 0 THEN 0 WHEN xf >= 1 THEN 4095
+       ELSE CAST(floor((xf + {EPS}) * 4096.0) AS BIGINT) END AS xtile,
+  CASE WHEN yf <= 0 THEN 0 WHEN yf >= 1 THEN 4095
+       ELSE CAST(floor((yf + {EPS}) * 4096.0) AS BIGINT) END AS ytile
+FROM enc
+"""
+
+
+def _cell_pack(spark, sf):
+    from tilegrab_spark.functions.cells import cell_id_col
+
+    li = _t(spark, sf, "lineitem")
+    d = li.select(
+        F.lit(12).alias("z"),
+        F.pmod(F.col("l_orderkey"), F.lit(4096)).alias("x"),
+        F.pmod(F.col("l_partkey"), F.lit(4096)).alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return d.select("l_orderkey", "l_linenumber", cell_id_col("z", "x", "y").alias("cell_id"))
+
+
+_PACK_SQL = """
+SELECT l_orderkey, l_linenumber,
+  (12::BIGINT << 58) | ((l_orderkey % 4096)::BIGINT << 29) | (l_partkey % 4096)::BIGINT AS cell_id
+FROM lineitem
+"""
+
+
+def _bbox_enum(spark, sf):
+    from tilegrab_spark.operators.tiles import enumerate_tiles
+    from tilegrab_spark.sources.geometries import GeometrySet
+    import numpy as np
+
+    minx, miny, maxx, maxy = T_BBOX
+    ring = np.array(
+        [[minx, miny], [minx, maxy], [maxx, maxy], [maxx, miny], [minx, miny]]
+    )
+    geom = GeometrySet(geom_id="T", polygons=[[ring]])
+    return enumerate_tiles(spark, geom, 16).select("z", "x", "y", "cell_id")
+
+
+_BBOX_SQL = f"""
+WITH corners AS (
+  SELECT
+    CAST(floor(({T_BBOX[0]} / 360.0 + 0.5 + {EPS}) * 65536.0) AS BIGINT) AS x0,
+    CAST(floor((({T_BBOX[2]} - {LL_EPS}) / 360.0 + 0.5 + {EPS}) * 65536.0) AS BIGINT) AS x1,
+    CAST(floor((0.5 - 0.25 * ln((1.0 + sin(radians({T_BBOX[3]}))) / (1.0 - sin(radians({T_BBOX[3]})))) / pi() + {EPS}) * 65536.0) AS BIGINT) AS y0,
+    CAST(floor((0.5 - 0.25 * ln((1.0 + sin(radians({T_BBOX[1]} + {LL_EPS}))) / (1.0 - sin(radians({T_BBOX[1]} + {LL_EPS})))) / pi() + {EPS}) * 65536.0) AS BIGINT) AS y1
+)
+SELECT 16 AS z, x0 + dxs.generate_series AS x, y0 + dys.generate_series AS y,
+  (16::BIGINT << 58) | ((x0 + dxs.generate_series) << 29) | (y0 + dys.generate_series) AS cell_id
+FROM corners, generate_series(0, 255) dxs, generate_series(0, 255) dys
+WHERE x0 + dxs.generate_series <= x1 AND y0 + dys.generate_series <= y1
+"""
+
+
+# --- training-data ops over documents/embeddings ---
+
+def _dedup_exact(spark, sf):
+    from tilegrab_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf, "documents")
+    return exact_dedup(d).select("doc_id", "lang", "source", "n_chars")
+
+
+_DEDUP_SQL = """
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
+def _dup_groups(spark, sf):
+    from tilegrab_spark.operators.dedup import duplicate_groups
+
+    return duplicate_groups(_t(spark, sf, "documents"))
+
+
+_DUPG_SQL = """
+SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def _word_jaccard(spark, sf):
+    from tilegrab_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(d, k=1, threshold=0.6)
+
+
+_JACCARD_SQL = r"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+words AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS w
+  FROM docs),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+  CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.6
+"""
+
+
+def _token_counts(spark, sf):
+    from tilegrab_spark.operators.text import with_token_counts
+
+    d = _t(spark, sf, "documents")
+    out = with_token_counts(d)
+    return out.select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
+
+
+_TOKENS_SQL = r"""
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def _quality(spark, sf):
+    from tilegrab_spark.operators.text import with_quality_score
+
+    d = _t(spark, sf, "documents")
+    return with_quality_score(d).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "punct_ratio",
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+        "quality",
+    )
+
+
+_QUALITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tokens,
+    length(regexp_replace(text, '[^\.,;:!\?"'']', '', 'g')) AS n_punct,
+    len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+        ['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on','as','at','by'])) AS n_stop
+  FROM documents)
+SELECT doc_id, n_tokens,
+  CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+  CASE WHEN n_tokens > 0 THEN n_stop ELSE 0 END AS n_stopwords,
+  (CASE WHEN n_tokens >= 5 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN n_tokens > 0 AND (CAST(n_chars AS DOUBLE)/n_tokens) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) <= 0.2 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN (CASE WHEN n_tokens > 0 THEN n_stop ELSE 0 END) >= 1 THEN 0.25 ELSE 0.0 END) AS quality
+FROM base
+"""
+
+
+def _cosine_topk_ranks(spark, sf):
+    from tilegrab_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(q, emb, k=10).select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_COSINE_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.v) AS cosine
+  FROM q CROSS JOIN emb e)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+
+def _knn_cells(spark, sf):
+    """kNN via cell-ring expansion on cells derived from lineitem keys;
+    oracle = brute-force window over the same derived cells."""
+    from tilegrab_spark.operators.knn import knn_join
+    from tilegrab_spark.kernels.geo import tile_bounds
+
+    li = _t(spark, sf, "lineitem")
+    images = (
+        li.select(
+            F.lit(10).alias("z"),
+            F.pmod(F.col("l_orderkey"), F.lit(64)).cast("long").alias("x"),
+            F.pmod(F.col("l_partkey"), F.lit(64)).cast("long").alias("y"),
+        )
+        .distinct()
+        .withColumn("image_id", F.format_string("10_%d_%d", "x", "y"))
+    )
+    qcells = [(5, 5), (30, 40), (60, 60)]
+    rows = []
+    for i, (qx, qy) in enumerate(qcells):
+        mnl, mnt, mxl, mxt = tile_bounds(qx, qy, 10)
+        # 0.3/0.7 offsets: asymmetric -> no exact distance ties on the grid
+        rows.append(
+            (f"q{i}", float(mnl + 0.3 * (mxl - mnl)), float(mnt + 0.7 * (mxt - mnt)))
+        )
+    queries = spark.createDataFrame(rows, "query_id string, lon double, lat double")
+    return knn_join(queries, images, 10, k=5).select(
+        "query_id", "image_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _knn_sql() -> str:
+    from tilegrab_spark.kernels.geo import WEB_MERCATOR_EXTENT, tile_bounds
+    import math
+
+    R = 6378137.0
+    qcells = [(5, 5), (30, 40), (60, 60)]
+    vals = []
+    for i, (qx, qy) in enumerate(qcells):
+        mnl, mnt, mxl, mxt = tile_bounds(qx, qy, 10)
+        lon = float(mnl + 0.3 * (mxl - mnl))
+        lat = float(mnt + 0.7 * (mxt - mnt))
+        qmx = math.radians(lon) * R
+        qmy = math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)) * R
+        vals.append(f"('q{i}', {qmx!r}, {qmy!r})")
+    ext = WEB_MERCATOR_EXTENT
+    ts = 2 * ext / 1024
+    return f"""
+WITH cells AS (
+  SELECT DISTINCT (l_orderkey % 64) AS x, (l_partkey % 64) AS y FROM lineitem),
+images AS (
+  SELECT x, y, printf('10_%d_%d', x, y) AS image_id,
+         {-ext} + (x + 0.5) * {ts!r} AS cx, {ext!r} - (y + 0.5) * {ts!r} AS cy
+  FROM cells),
+queries(query_id, qmx, qmy) AS (VALUES {", ".join(vals)}),
+scored AS (
+  SELECT q.query_id, i.image_id,
+         sqrt((i.cx - q.qmx)^2 + (i.cy - q.qmy)^2) AS dist
+  FROM queries q CROSS JOIN images i)
+SELECT query_id, image_id, rank FROM (
+  SELECT query_id, image_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, image_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+# --- non-SQL-expressible ops (rows-only checks) ---
+
+def _minhash_pairs(spark, sf):
+    from tilegrab_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return minhash_lsh_pairs(d, threshold=0.5)
+
+
+def _simhash(spark, sf):
+    from tilegrab_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return simhash_pairs(d, max_hamming=8)
+
+
+def _ivf_ann(spark, sf):
+    from tilegrab_spark.operators.similarity import (
+        ann_topk_ivf,
+        assign_lists,
+        train_centroids,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    cents = train_centroids(emb, n_centroids=8, iters=3)
+    wl = assign_lists(emb, cents)
+    q = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ann_topk_ivf(q, wl, cents, k=5, n_probe=3).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+def _lang_id(spark, sf):
+    from tilegrab_spark.operators.text import with_lang_id
+
+    return with_lang_id(_t(spark, sf, "documents")).select("doc_id", "lang_pred")
+
+
+def _fingerprints(spark, sf):
+    from tilegrab_spark.operators.text import with_fingerprint
+
+    return with_fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
+
+
+def _mosaic_meta(spark, sf):
+    """The flagship image pipeline on a small deterministic table
+    (synthesized under /tmp per call): select-join-stitch, metadata out."""
+    import tempfile
+
+    from tilegrab_spark.operators.image_join import join_images
+    from tilegrab_spark.operators.mosaic import mosaic
+    from tilegrab_spark.operators.tiles import tiles_for
+    from tilegrab_spark.sources.geometries import geometry_from_geojson
+    from tilegrab_spark.sources.images import (
+        read_image_table,
+        write_synthetic_image_table,
+    )
+
+    geom = geometry_from_geojson("/root/reference/tests/data/T.geojson", "T")
+    tiles = tiles_for(spark, geom, 16, by="shape")
+    path = tempfile.mkdtemp() + "/images"
+    cells = [(16, x, y, 0) for x in range(47439, 47443) for y in range(31441, 31445)]
+    write_synthetic_image_table(spark, path, cells, n_buckets=4)
+    joined = join_images(tiles, read_image_table(spark, path).drop("cell_id"))
+    return mosaic(joined, group_w=2, group_h=2, full_groups_only=False).select(
+        "geom_id", "z", "gx", "gy", "tminx", "tminy", "w", "h", "n_tiles"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q1_pricing,
+        "equi_join_j1": _equi_join,
+        "semi_join_j2": _semi_join,
+        "anti_join_j3": _anti_join,
+        "extent_agg_a1": _extent_agg,
+        "limit_l1": _limit_topk,
+        "set_except": _set_except,
+        "window_row_number": _window_topn,
+        "regexp_projection_p6": _regexp_proj,
+        "url_render_s4": _url_render,
+        "status_routing_a5": _status_routing,
+        "resume_anti_f5": _resume_anti,
+        "tile_encode_p1": _tile_encode,
+        "cell_pack": _cell_pack,
+        "bbox_enum_f1": _bbox_enum,
+        "dedup_exact": _dedup_exact,
+        "duplicate_groups": _dup_groups,
+        "word_jaccard_pairs": _word_jaccard,
+        "token_counts": _token_counts,
+        "quality_score": _quality,
+        "cosine_topk": _cosine_topk_ranks,
+        "knn_cell_ring": _knn_cells,
+        # rows-only (non-SQL-expressible: LSH banding/UDF kernels/iterative)
+        "minhash_lsh_pairs": _minhash_pairs,
+        "simhash_pairs": _simhash,
+        "ivf_ann_topk": _ivf_ann,
+        "lang_id": _lang_id,
+        "doc_fingerprint": _fingerprints,
+        "mosaic_pipeline": _mosaic_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "equi_join_j1": _EQUI_SQL,
+        "semi_join_j2": _SEMI_SQL,
+        "anti_join_j3": _ANTI_SQL,
+        "extent_agg_a1": _EXTENT_SQL,
+        "limit_l1": _LIMIT_SQL,
+        "set_except": _SET_SQL,
+        "window_row_number": _WINDOW_SQL,
+        "regexp_projection_p6": _REGEXP_SQL,
+        "url_render_s4": _URL_SQL,
+        "status_routing_a5": _STATUS_SQL,
+        "resume_anti_f5": _RESUME_SQL,
+        "tile_encode_p1": _ENCODE_SQL,
+        "cell_pack": _PACK_SQL,
+        "bbox_enum_f1": _BBOX_SQL,
+        "dedup_exact": _DEDUP_SQL,
+        "duplicate_groups": _DUPG_SQL,
+        "word_jaccard_pairs": _JACCARD_SQL,
+        "token_counts": _TOKENS_SQL,
+        "quality_score": _QUALITY_SQL,
+        "cosine_topk": _COSINE_SQL,
+        "knn_cell_ring": _knn_sql(),
+    }

@@ -1,0 +1,131 @@
+"""Dedup operators vs brute-force oracles on small corpora."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilegrab_spark.operators import dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over a lazy dog"),  # near dup
+    (3, "pack my box with five dozen liquor jugs"),
+    (4, "pack my box with five dozen liquor jugs today"),  # near dup of 3
+    (5, "sphinx of black quartz judge my vow"),
+    (6, "completely different text about spark dataframes and shuffles"),
+    (7, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _shingles(text, k=3):
+    toks = text.lower().split()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _jaccard(a, b, k=3):
+    sa, sb = _shingles(a, k), _shingles(b, k)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(docs_df):
+    out = dedup.exact_dedup(docs_df)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 2, 3, 4, 5, 6]  # 1 and 7 dropped, min-id kept
+    groups = dedup.duplicate_groups(docs_df).collect()
+    assert len(groups) == 1 and groups[0].n_dups == 3 and groups[0].keep_id == 0
+
+
+def test_ngram_jaccard_pairs_vs_oracle(docs_df):
+    thr = 0.3
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs_df, threshold=thr).collect()
+    }
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        j = _jaccard(ta, tb)
+        if j >= thr:
+            want[(ia, ib)] = j
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k])
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs_df):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(docs_df, threshold=0.3).collect()
+    }
+    # exact dups always collide in every band
+    assert (0, 1) in pairs and (0, 7) in pairs and (1, 7) in pairs
+    assert pairs[(0, 1)] == 1.0
+    # verified jaccard is EXACT (matches the brute-force value)
+    for (a, b), j in pairs.items():
+        assert j == pytest.approx(_jaccard(DOCS[a][1], DOCS[b][1]))
+    # nothing below threshold leaks through
+    assert all(j >= 0.3 for j in pairs.values())
+
+
+def test_lsh_dedup_keeps_min_id(docs_df):
+    kept = sorted(r.doc_id for r in dedup.lsh_dedup(docs_df, threshold=0.9).collect())
+    assert 0 in kept and 1 not in kept and 7 not in kept
+
+
+def test_simhash_pairs(docs_df):
+    sp = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_pairs(docs_df, max_hamming=3).collect()}
+    # exact dups at hamming 0
+    assert sp.get((0, 1)) == 0 and sp.get((0, 7)) == 0
+    # simhash is deterministic across invocations
+    sp2 = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_pairs(docs_df, max_hamming=3).collect()
+    }
+    assert sp == sp2
+
+
+def test_simhash_blocking_is_exhaustive_for_small_distance(spark):
+    # pairs at hamming<=3 MUST be found (pigeonhole guarantee): build texts
+    # whose simhashes differ by few bits by perturbing one word
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [(0, base), (1, base + " mu")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hs = {r.doc_id: r.simhash for r in dedup.with_simhash(df).collect()}
+    d = bin((hs[0] ^ hs[1]) & ((1 << 64) - 1)).count("1")
+    found = dedup.simhash_pairs(df, max_hamming=max(d, 1)).count()
+    assert found == 1
+
+
+def test_embedding_cosine_pairs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8)
+    rows = [
+        (0, [float(v) for v in base]),
+        (1, [float(v) for v in base * 2.0]),        # same direction => cos 1
+        (2, [float(v) for v in base + rng.standard_normal(8) * 0.05]),
+        (3, [float(v) for v in rng.standard_normal(8)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_cosine_pairs(df, threshold=0.95).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in got
+    assert not any(3 in p for p in got)
+    # LSH-bucketed variant finds the same high-cosine pairs
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(df, threshold=0.95, n_probe_bits=2).collect()
+    }
+    assert (0, 1) in lsh

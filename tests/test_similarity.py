@@ -1,0 +1,66 @@
+"""ANN/similarity search vs numpy brute-force oracle on real testdata."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tilegrab_spark.operators import similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    return pdf["vec_id"].to_numpy(), X
+
+
+def test_cosine_topk_exact_vs_oracle(spark, emb, emb_np):
+    ids, X = emb_np
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 10
+    got = similarity.cosine_topk(queries, emb, k=k).collect()
+    for qid in [r.query_id for r in queries.collect()]:
+        qv = X[np.where(ids == qid)[0][0]]
+        sims = X @ qv
+        order = sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))[:k]
+        # numpy pairwise summation vs Spark's sequential aggregate differ
+        # by ~1e-9 on float32 inputs — compare at 1e-6
+        want = [(int(ids[j]), pytest.approx(float(sims[j]), abs=1e-6)) for j in order]
+        mine = sorted(
+            [(r.vec_id, r.cosine) for r in got if r.query_id == qid],
+            key=lambda t: -t[1],
+        )
+        assert [m[0] for m in mine] == [w[0] for w in want]
+        for m, w in zip(mine, want):
+            assert m[1] == w[1]
+
+
+def test_ivf_ann_recall(spark, emb, emb_np):
+    ids, X = emb_np
+    cents = similarity.train_centroids(emb, n_centroids=8, iters=4)
+    assert cents.shape == (8, 64)
+    with_lists = similarity.assign_lists(emb, cents).persist()
+    assert with_lists.select("list_id").distinct().count() <= 8
+    queries = emb.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
+    k = 5
+    approx = similarity.ann_topk_ivf(queries, with_lists, cents, k=k, n_probe=4)
+    exact = similarity.cosine_topk(queries, emb, k=k)
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.6, recall
+    # full probe = exact
+    full = similarity.ann_topk_ivf(queries, with_lists, cents, k=k, n_probe=8)
+    f = {(r.query_id, r.vec_id) for r in full.collect()}
+    assert f == e
+    with_lists.unpersist()

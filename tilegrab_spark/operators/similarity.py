@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+- ``cosine_topk``: exact brute-force top-k — broadcast the (small) query
+  side against the corpus, dot products as native higher-order functions
+  (``zip_with`` + ``aggregate``: JVM-side, no Python), ``row_number``
+  window for the top-k. The baseline and the correctness oracle.
+- ``ann_topk_ivf``: the scale path — IVF-style coarse quantization.
+  Centroids come from a deterministic k-means (a few distributed
+  Arrow-UDF Lloyd iterations); corpus rows are assigned to their nearest
+  centroid (inverted lists = a partitioning of the table); a query only
+  scans its ``n_probe`` nearest lists. At 10^12 rows the inverted lists
+  are the pruned partitions of the embedding table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _normalized(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, v: a + v * v))
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.transform(vec_col, lambda v: v / norm).alias(f"{out_id}_v"),
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    q_id: str = "query_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cosine, rank<=k).
+
+    Broadcast-nested-loop join of normalized queries x corpus with the
+    dot product as a native expression; Catalyst keeps it in codegen.
+    """
+    q = _normalized(queries, q_id, q_vec, "query_id")
+    c = _normalized(corpus, c_id, c_vec, "vec_id")
+    dot = F.aggregate(
+        F.zip_with("query_id_v", "vec_id_v", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = F.broadcast(q).crossJoin(c).withColumn("cosine", dot)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+def train_centroids(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    sample: int = 4096,
+) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (centroid count
+    is tiny; training on a bounded sample is the standard IVF recipe —
+    the full corpus is only ever *assigned*, never iterated)."""
+    pdf = corpus.select(vec_col).limit(sample).toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        sim = X @ cent.T
+        assign = sim.argmax(axis=1)
+        for j in range(len(cent)):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                cent[j] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def assign_lists(
+    corpus: DataFrame, centroids: np.ndarray, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Add ``list_id`` = nearest centroid — one vectorized Arrow pass."""
+    bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        C = bc.value
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series((X @ C.T).argmax(axis=1).astype(np.int32))
+
+    return corpus.withColumn("list_id", nearest(F.col(vec_col)))
+
+
+def ann_topk_ivf(
+    queries: DataFrame,
+    corpus_with_lists: DataFrame,
+    centroids: np.ndarray,
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+    q_id: str = "query_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: each query scans only its n_probe nearest
+    inverted lists. corpus_with_lists = assign_lists(corpus, centroids)
+    (persist/write it once, reuse across query batches)."""
+    bc = queries.sparkSession.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf("array<int>")
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        C = bc.value
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(X @ C.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q = _normalized(queries, q_id, q_vec, "query_id").withColumn(
+        "list_id",
+        F.explode(probe_lists(F.col("query_id_v").cast("array<float>"))),
+    )
+    cnorm = F.sqrt(F.aggregate(c_vec, F.lit(0.0), lambda a, v: a + v * v))
+    c = corpus_with_lists.select(
+        F.col(c_id).alias("vec_id"),
+        F.transform(c_vec, lambda v: v / cnorm).alias("vec_id_v"),
+        "list_id",
+    )
+    dot = F.aggregate(
+        F.zip_with("query_id_v", "vec_id_v", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = F.broadcast(q).join(c, on="list_id").withColumn("cosine", dot)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

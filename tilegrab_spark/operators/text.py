@@ -1,0 +1,156 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting. Everything that
+can be a native expression is one (whole-stage codegen); only language-ID
+scoring (a table lookup per character n-gram) uses an Arrow UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + a BPE-ish regex) — pure Catalyst.
+# ---------------------------------------------------------------------------
+
+# word pieces, numbers, or single non-space symbols (GPT-2-ish shape)
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_RE), 0))
+    return df.withColumn(
+        "ws_tokens", F.when(F.length(F.trim(t)) == 0, 0).otherwise(ws)
+    ).withColumn("bpe_tokens", bpe)
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring — pure Catalyst.
+# ---------------------------------------------------------------------------
+
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that with for on as at by".split()
+)
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """length / punctuation-ratio / stopword-ratio / mean-word-length
+    heuristics composed into a [0,1] quality score (C4/Gopher-style
+    filters, expressed natively)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    n_tokens = F.when(F.length(F.trim(t)) == 0, 0).otherwise(F.size(toks))
+    n_punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?\"']", ""))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_hit = F.when(n_tokens > 0, n_stop).otherwise(0)
+    mean_wlen = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(0.0)
+    score = (
+        F.when(n_tokens >= 5, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 12), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop_hit >= 1, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("n_stopwords", stop_hit)
+        .withColumn("mean_word_len", mean_wlen)
+        .withColumn("quality", score)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID — character-n-gram profiles, Arrow UDF scoring.
+# ---------------------------------------------------------------------------
+
+# Tiny trigram/charclass profiles for a 5-language heuristic. Built from
+# public orthography facts (characteristic letters/digraphs), not corpora.
+_LANG_MARKERS = {
+    "en": ["the ", " and ", "ing ", " of ", "tion"],
+    "es": ["ción", " el ", " de la ", "¿", "ñ", " los "],
+    "de": ["der ", " und ", "sch", "ß", " die ", "ung "],
+    "fr": [" le ", " les ", "é", "è", " est ", "aux "],
+    "zh": [],  # CJK handled by unicode-range ratio
+}
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK unicode-range ratio decides zh;
+    otherwise argmax of per-language marker-ngram hit rates (en fallback).
+    Vectorized pandas str ops — one Arrow batch, no per-row Python loop
+    beyond pandas' own."""
+
+    @F.pandas_udf("string")
+    def lang_id(texts: pd.Series) -> pd.Series:
+        s = texts.fillna("")
+        low = s.str.lower()
+        n = s.str.len().clip(lower=1)
+        cjk = s.str.count(r"[一-鿿]") / n
+        scores = {}
+        for lang, marks in _LANG_MARKERS.items():
+            if not marks:
+                continue
+            acc = None
+            for m in marks:
+                c = low.str.count(m if m not in ".?¿" else "\\" + m)
+                acc = c if acc is None else acc + c
+            scores[lang] = acc / n
+        sc = pd.DataFrame(scores)
+        best = sc.idxmax(axis=1).where(sc.max(axis=1) > 0, "en")
+        return best.where(cjk < 0.2, "zh")
+
+    return df.withColumn("lang_pred", lang_id(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting — rolling (Rabin-Karp) hash winnowing.
+# ---------------------------------------------------------------------------
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", *, window: int = 16, keep: int = 8
+) -> DataFrame:
+    """Winnowed rolling-hash fingerprint: Rabin-Karp over bytes, keep the
+    ``keep`` smallest window hashes (set-similarity-preserving doc
+    signature). Vectorized numpy inside an Arrow UDF."""
+    B = np.uint64(1000003)
+    MOD_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)  # implicit mod 2^64
+
+    @F.pandas_udf("array<long>")
+    def fingerprint(texts: pd.Series) -> pd.Series:
+        np.seterr(over="ignore")  # uint64 wraparound IS the mod-2^64 hash
+        out = []
+        bw = np.uint64(1)
+        for _ in range(window - 1):
+            bw = (bw * B) & MOD_MASK
+        for t in texts:
+            if not t:
+                out.append([])
+                continue
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if len(b) < window:
+                h = np.uint64(0)
+                for v in b:
+                    h = (h * B + v) & MOD_MASK
+                out.append([int(h.astype(np.int64))])
+                continue
+            # rolling hash via cumulative powers — vectorized
+            h = np.zeros(len(b) - window + 1, dtype=np.uint64)
+            cur = np.uint64(0)
+            for v in b[:window]:
+                cur = (cur * B + v) & MOD_MASK
+            h[0] = cur
+            for i in range(1, len(h)):
+                cur = ((cur - b[i - 1] * bw) * B + b[i + window - 1]) & MOD_MASK
+                h[i] = cur
+            sel = np.sort(np.unique(h))[:keep]
+            out.append([int(v) for v in sel.astype(np.int64)])
+        return pd.Series(out)
+
+    return df.withColumn("fingerprint", fingerprint(F.col(text_col)))
