@@ -1,0 +1,193 @@
+"""Benchmark harness — prints ONE JSON line on stdout.
+
+Headline metrics follow BASELINE.json: join rows/sec (J1 cell-key join,
+salted, vs a skewed image table) and tiles merged/sec (A2/W1 mosaic
+stitch), plus the relational + training-data query suite on the driver's
+sf tables. Input image table is generated once (deterministic, FIXTURES
+§2 pixels) and cached under /tmp keyed by its spec.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_SCALE (image-table edge in tiles, default 192 -> 36,864 cells).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def ensure_images(spark, path: str, edge: int, zoom: int):
+    """Image table: edge x edge cells at `zoom`, srcs {0,1}, plus a 2000-dup
+    hot cell (dense-urban skew) — generated distributed, cached."""
+    import glob
+
+    if glob.glob(f"{path}/_SUCCESS"):
+        return
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.sources.images import cell_id_col, IMAGE_SCHEMA, _gen_batch
+
+    x0, y0 = 23000, 15000
+    n = edge * edge
+    spec = (
+        spark.range(n * 2)
+        .withColumn("src", (F.col("id") % 2).cast("int"))
+        .withColumn("cell", (F.col("id") / 2).cast("long"))
+        .withColumn("x", F.lit(x0) + (F.col("cell") / edge).cast("long"))
+        .withColumn("y", F.lit(y0) + F.pmod(F.col("cell"), F.lit(edge)).cast("long"))
+        .withColumn("z", F.lit(zoom))
+        .select("z", "x", "y", "src")
+    )
+    hot = (
+        spark.range(2000)
+        .withColumn("z", F.lit(zoom))
+        .withColumn("x", F.lit(x0 + 5))
+        .withColumn("y", F.lit(y0 + 5))
+        .withColumn("src", (F.col("id") + 100).cast("int"))
+        .select("z", "x", "y", "src")
+    )
+    cells = spec.unionByName(hot)
+    from tilegrab_spark.sources.images import write_synthetic_image_table
+
+    t0 = time.time()
+    write_synthetic_image_table(spark, path, cells, n_buckets=32)
+    log(f"generated image table {path} in {time.time()-t0:.1f}s")
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    edge = int(os.environ.get("BENCH_SCALE", "192"))
+    zoom = 15
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark import get_spark
+
+    spark = get_spark(
+        app_name="tilegrab-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 32),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    img_path = f"/tmp/tilegrab_bench/images_e{edge}_z{zoom}"
+    ensure_images(spark, img_path, edge, zoom)
+
+    from tilegrab_spark.functions.cells import tile_bounds_cols
+    from tilegrab_spark.kernels import geo
+    from tilegrab_spark.operators.image_join import join_images
+    from tilegrab_spark.operators.knn import knn_join
+    from tilegrab_spark.operators.mosaic import mosaic
+    from tilegrab_spark.operators.tiles import enumerate_tiles, refine_by_shape
+    from tilegrab_spark.sources.geometries import geometry_from_rings
+    from tilegrab_spark.sources.images import read_image_table
+
+    # geometry covering ~60% of the bench tile grid (diamond) in 4326
+    x0, y0 = 23000, 15000
+    mnl0, mnt0, _, _ = geo.tile_bounds(x0, y0 + edge, zoom)
+    _, _, mxl0, mxt0 = geo.tile_bounds(x0 + edge, y0, zoom)
+    cx, cy = (mnl0 + mxl0) / 2, (mnt0 + mxt0) / 2
+    ring = [
+        (mnl0, cy), (cx, mxt0), (mxl0, cy), (cx, mnt0), (mnl0, cy),
+    ]
+    geom = geometry_from_rings("bench", [ring])
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        c = fn()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        counts[name] = c
+        log(f"{name}: {dt:.2f}s ({c} rows)")
+        return c
+
+    images = read_image_table(spark, img_path)
+
+    # 1. tile selection: enumerate full grid + PIP refine (J2)
+    tiles = enumerate_tiles(spark, geom, zoom)
+    shape_tiles = refine_by_shape(tiles, geom).persist()
+    timed("tile_select", lambda: shape_tiles.count())
+
+    # 2. J1 join (broadcast tile set vs skewed image table) — count payload
+    def q_join():
+        j = join_images(shape_tiles, images.drop("cell_id"))
+        return j.select(F.count("*"), F.sum(F.length("bytes"))).collect()[0][0]
+
+    timed("cell_join", q_join)
+
+    # 3. A2/W1 mosaic stitch in 4x4-tile groups over src=0
+    def q_mosaic():
+        j = join_images(
+            shape_tiles, images.filter(F.col("image_id").endswith("_0")).drop("cell_id")
+        )
+        m = mosaic(j, group_w=4, group_h=4, full_groups_only=False, anchor=(x0, y0))
+        return m.select(F.sum("n_tiles")).collect()[0][0]
+
+    merged = timed("mosaic_stitch", q_mosaic)
+
+    # 4. kNN cell-ring expansion: 64 queries over the image grid
+    def q_knn():
+        qs = []
+        for i in range(64):
+            qx, qy = x0 + (i * 37) % edge, y0 + (i * 53) % edge
+            b = geo.tile_bounds(qx, qy, zoom)
+            qs.append((f"q{i}", float(b[0] + 0.3 * (b[2] - b[0])), float(b[1] + 0.7 * (b[3] - b[1]))))
+        qdf = spark.createDataFrame(qs, "query_id string, lon double, lat double")
+        cells = images.select("z", "x", "y", "image_id")
+        return knn_join(qdf, cells, zoom, k=8).count()
+
+    timed("knn_cell_ring", q_knn)
+
+    # 5. relational + training-data suite on the driver's sf tables
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in (
+        "q1_pricing_summary",
+        "equi_join_j1",
+        "window_row_number",
+        "tile_encode_p1",
+        "dedup_exact",
+        "word_jaccard_pairs",
+        "cosine_topk",
+        "token_counts",
+        "quality_score",
+    ):
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    join_tp = round(counts["cell_join"] / timings["cell_join"], 1)
+    merge_tp = round((merged or 0) / timings["mosaic_stitch"], 1)
+    result = {
+        "metric": "tiles merged/sec + join rows/sec (suite total secs)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "rows": counts,
+        "throughput": {
+            "join_rows_per_sec": join_tp,
+            "tiles_merged_per_sec": merge_tp,
+        },
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

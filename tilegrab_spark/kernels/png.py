@@ -97,8 +97,17 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = w * channels
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters = rows[:, 0]
-    out = np.zeros((h, stride), dtype=np.uint8)
     bpp = channels
+    # fast paths: homogeneous filter images decode without a row loop
+    if (filters == 0).all():
+        img = rows[:, 1:].reshape(h, w, channels)
+        return np.ascontiguousarray(img[:, :, :3])
+    if (filters == 2).all():
+        # Up filter everywhere == vertical prefix-sum mod 256
+        img = np.add.accumulate(rows[:, 1:], axis=0, dtype=np.uint8)
+        img = img.reshape(h, w, channels)
+        return np.ascontiguousarray(img[:, :, :3])
+    out = np.zeros((h, stride), dtype=np.uint8)
     for r in range(h):
         ft = filters[r]
         cur = rows[r, 1:].copy()

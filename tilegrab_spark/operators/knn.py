@@ -89,35 +89,34 @@ def knn_join(
     results = []
     remaining = q
     while True:
-        cand = _candidates(remaining, images_df, zoom, radius)
         w = Window.partitionBy("query_id").orderBy("dist", "image_id")
-        ranked = cand.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
+        ranked = (
+            _candidates(remaining, images_df, zoom, radius)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .persist()
         )
-        # final iff k-th candidate exists within the safe radius
+        # one driver round-trip per round: per-query (count, k-th distance)
+        stats = {
+            r.query_id: (r._cnt, r._kth)
+            for r in ranked.groupBy("query_id")
+            .agg(F.count("*").alias("_cnt"), F.max("dist").alias("_kth"))
+            .collect()
+        }
+        # final iff the k-th candidate lies within the safe radius: any
+        # unexplored cell (ring > radius) is farther than (radius+0.5)*ts
         safe = (radius + 0.5) * ts
-        stats = ranked.groupBy("query_id").agg(
-            F.count("*").alias("_cnt"), F.max("dist").alias("_kth")
-        )
-        done_ids = stats.filter(
-            (F.col("_cnt") >= k) & (F.col("_kth") <= F.lit(safe))
-        ).select("query_id")
-        done = ranked.join(F.broadcast(done_ids), on="query_id", how="left_semi")
-        results.append(done.persist())
-        done.count()
-        remaining = remaining.join(
-            F.broadcast(done_ids), on="query_id", how="left_anti"
-        )
-        if radius >= max_radius or remaining.isEmpty():
-            # emit best-effort rows for anything left at max radius
-            if radius >= max_radius and not remaining.isEmpty():
-                leftover = _candidates(remaining, images_df, zoom, radius)
-                wl = Window.partitionBy("query_id").orderBy("dist", "image_id")
-                results.append(
-                    leftover.withColumn("rank", F.row_number().over(wl)).filter(
-                        F.col("rank") <= k
-                    )
-                )
+        done_ids = [
+            qid for qid, (cnt, kth) in stats.items() if cnt >= k and kth <= safe
+        ]
+        at_limit = radius >= max_radius
+        if at_limit:
+            results.append(ranked)  # best-effort for whatever is left
+            break
+        results.append(ranked.filter(F.col("query_id").isin(done_ids)))
+        remaining = remaining.filter(~F.col("query_id").isin(done_ids))
+        n_left = remaining.count()
+        if n_left == 0:
             break
         radius = min(radius * 2, max_radius)
 

@@ -43,6 +43,7 @@ MOSAIC_SCHEMA = (
 def _stitch_group(
     key, pdf: pd.DataFrame, *, tile_w: int, tile_h: int,
     group_w: int | None, group_h: int | None, drop_empty: bool,
+    png_level: int,
 ) -> pd.DataFrame:
     geom_id, z, gx, gy, ax, ay = key
     z, gx, gy, ax, ay = int(z), int(gx), int(gy), int(ax), int(ay)
@@ -90,7 +91,7 @@ def _stitch_group(
                 "w": w,
                 "h": h,
                 "n_tiles": n,
-                "bytes": png.encode_png(canvas, filter_type=2),
+                "bytes": png.encode_png(canvas, filter_type=2, level=png_level),
                 "merc_xmin": mx0,
                 "merc_ymin": my0,
                 "merc_xmax": mx1,
@@ -116,6 +117,8 @@ def mosaic(
     tile_h: int = 256,
     drop_empty: bool = False,
     full_groups_only: bool = True,
+    png_level: int = 3,
+    anchor: tuple | None = None,
 ) -> DataFrame:
     """Stitch joined (tile, image) rows into mosaics.
 
@@ -124,14 +127,25 @@ def mosaic(
     before the shuffle (scale mode). ``full_groups_only`` drops trailing
     partial windows for grouping parity (sliding_window_view semantics);
     ``drop_empty`` is F7.
+
+    ``anchor=(ax, ay)``: explicit grid origin (e.g. the enumeration's bbox
+    corner, known driver-side). Skips the data-extent aggregation —
+    at scale that aggregation is a second pass over the join, so passing
+    the anchor halves the work. ``full_groups_only`` needs data extents
+    and therefore still runs the aggregation.
     """
-    ext = joined.groupBy("geom_id", "z").agg(
-        F.min("x").alias("_ax"),
-        F.min("y").alias("_ay"),
-        F.max("x").alias("_mx"),
-        F.max("y").alias("_my"),
-    )
-    df = joined.join(F.broadcast(ext), on=["geom_id", "z"])
+    if anchor is not None and not full_groups_only:
+        df = joined.withColumn("_ax", F.lit(int(anchor[0])).cast("long")).withColumn(
+            "_ay", F.lit(int(anchor[1])).cast("long")
+        )
+    else:
+        ext = joined.groupBy("geom_id", "z").agg(
+            F.min("x").alias("_ax"),
+            F.min("y").alias("_ay"),
+            F.max("x").alias("_mx"),
+            F.max("y").alias("_my"),
+        )
+        df = joined.join(F.broadcast(ext), on=["geom_id", "z"])
     if group_w is not None:
         group_h = group_h or group_w
         df = df.withColumn(
@@ -161,6 +175,7 @@ def mosaic(
             group_w=group_w,
             group_h=group_h,
             drop_empty=drop_empty,
+            png_level=png_level,
         )
 
     return df.groupBy("geom_id", "z", "gx", "gy", "_ax", "_ay").applyInPandas(
