@@ -18,6 +18,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -82,6 +84,14 @@ def main():
 
     img_path = f"/tmp/tilegrab_bench/images_e{edge}_z{zoom}"
     ensure_images(spark, img_path, edge, zoom)
+
+    # warmup: spin up JVM codegen + Python workers so the first timed
+    # stage doesn't pay session fixed costs
+    @F.pandas_udf("long")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v
+    spark.range(1_000_000).select(F.sum(F.col("id"))).collect()
+    spark.range(10_000).select(F.sum(_warm(F.col("id")))).collect()
 
     from tilegrab_spark.functions.cells import tile_bounds_cols
     from tilegrab_spark.kernels import geo

@@ -1,0 +1,129 @@
+"""Scaling-efficiency evidence (north rule: throughput efficiency >=0.8
+from N to 4N executors; sandbox proxy per the driver instruction — the
+same job on the same input at two local parallelism levels).
+
+Runs bench.py as a subprocess at several core counts (largest first so
+the cached image table is generated at full parallelism), computes
+per-stage and combined throughput scaling efficiencies for the scalable
+stages, and writes BENCH_SCALING.json. A hardware-calibration pass
+(pure-kernel multiprocessing, no Spark) separates Spark's scaling from
+the box's own per-core throughput falloff when saturated — a single-node
+artifact that adding real 4N executor MACHINES does not have.
+
+Usage: python bench_scaling.py [edge]   (default BENCH_SCALE=288)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+# north-rule metrics: join rows/sec + tiles merged/sec. tile_select and
+# knn are reported but not in the headline efficiency (fixed driver/job
+# overheads dominate them at sandbox scale).
+HEADLINE = ("cell_join", "mosaic_stitch")
+SCALABLE = ("tile_select", "cell_join", "mosaic_stitch", "knn_cell_ring")
+
+
+def run_bench(cpus: int, edge: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["BENCH_SCALE"] = str(edge)
+    env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    t0 = time.time()
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=3600,
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"bench failed at cpus={cpus}")
+    line = out.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    d["wall_total"] = round(time.time() - t0, 1)
+    return d
+
+
+def _cal_work(n: int) -> int:
+    from tilegrab_spark.kernels import png
+
+    data = png.encode_png(png.synth_tile_pixels(23000, 15000, 15, 0), filter_type=2)
+    for _ in range(n):
+        png.decode_png(data)
+    return n
+
+
+def kernel_calibration() -> dict:
+    """Pure-kernel (no Spark) multiprocess decode throughput at each core
+    count — the box's own scaling ceiling."""
+    from multiprocessing import Pool
+
+    work = _cal_work
+    out = {}
+    N = 16000
+    for procs in (2, 8, 32):
+        t0 = time.time()
+        with Pool(procs) as p:
+            p.map(work, [N // procs] * procs)
+        out[procs] = round(N / (time.time() - t0), 0)
+    return out
+
+
+def main():
+    edge = int(sys.argv[1]) if len(sys.argv) > 1 else 448
+    levels = [32, 8, 2]  # largest first: generates the cached image table
+    results = {}
+    for cpus in levels:
+        print(f"=== bench at local[{cpus}] ===", file=sys.stderr, flush=True)
+        results[cpus] = run_bench(cpus, edge)
+
+    def scalable_secs(d):
+        return sum(d["queries"][k] for k in HEADLINE)
+
+    def stage_eff(lo, hi, stage=None):
+        tlo = results[lo]["queries"][stage] if stage else scalable_secs(results[lo])
+        thi = results[hi]["queries"][stage] if stage else scalable_secs(results[hi])
+        speedup = tlo / thi
+        return round(speedup / (hi / lo), 3)
+
+    report = {
+        "edge": edge,
+        "image_rows": results[32]["rows"]["cell_join"],
+        "levels": {
+            str(c): {
+                "scalable_secs": round(scalable_secs(d), 2),
+                "queries": {k: d["queries"][k] for k in SCALABLE},
+                "throughput": d["throughput"],
+            }
+            for c, d in results.items()
+        },
+        "efficiency": {
+            "2_to_8": {
+                "combined": stage_eff(2, 8),
+                **{s: stage_eff(2, 8, s) for s in SCALABLE},
+            },
+            "8_to_32": {
+                "combined": stage_eff(8, 32),
+                **{s: stage_eff(8, 32, s) for s in SCALABLE},
+            },
+        },
+        "hardware_calibration_decodes_per_sec": kernel_calibration(),
+    }
+    cal = report["hardware_calibration_decodes_per_sec"]
+    report["hardware_ceiling_efficiency"] = {
+        "2_to_8": round(cal[8] / cal[2] / 4, 3),
+        "8_to_32": round(cal[32] / cal[8] / 4, 3),
+    }
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_SCALING.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

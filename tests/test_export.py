@@ -1,0 +1,58 @@
+"""File export sinks + GeoJSON projection (S5/S6/S7/P4 parity)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from tests.conftest import T_SHAPE_Z16
+from tilegrab_spark.functions.cells import tile_bounds_cols, tile_geojson_col
+from tilegrab_spark.kernels import png
+from tilegrab_spark.operators.image_join import join_images
+from tilegrab_spark.operators.mosaic import mosaic
+from tilegrab_spark.operators.tiles import tiles_for
+from tilegrab_spark.sources.export import export_mosaics, export_tiles
+from tilegrab_spark.sources.images import read_image_table
+
+
+def test_export_mosaics_with_georeference(spark, t_geom, image_table, tmp_path):
+    tiles = tiles_for(spark, t_geom, 16, by="shape")
+    images = read_image_table(spark, image_table).filter(
+        ~F.col("image_id").rlike("_1[0-9][0-9]$")
+    )
+    m = mosaic(join_images(tiles, images.drop("cell_id")))
+    files = export_mosaics(m, tmp_path / "out", georeference=True)
+    names = sorted(f.name for f in files)
+    assert names == ["1_mosaic.geo.json", "1_mosaic.pgw", "1_mosaic.png"]
+    img = png.decode_png((tmp_path / "out" / "1_mosaic.png").read_bytes())
+    assert img.shape == (1024, 1024, 3)
+    meta = json.loads((tmp_path / "out" / "1_mosaic.geo.json").read_text())
+    assert meta["crs"] == "EPSG:3857"
+    assert meta["bounds"][0] == 8971261.135774568  # FIXTURES §4.4 golden
+    # world file: pixel size = extent / pixels
+    pgw = (tmp_path / "out" / "1_mosaic.pgw").read_text().splitlines()
+    assert float(pgw[0]) > 0 and float(pgw[3]) < 0
+
+
+def test_export_tiles_reference_naming(spark, t_geom, image_table, tmp_path):
+    tiles = tiles_for(spark, t_geom, 16, by="shape")
+    images = read_image_table(spark, image_table).filter(
+        ~F.col("image_id").rlike("_1[0-9][0-9]$")
+    )
+    j = join_images(tiles, images.drop("cell_id"))
+    n = export_tiles(j, tmp_path / "tiles")
+    present = [t for t in T_SHAPE_Z16 if t != (47441, 31442)]
+    assert n == len(present)
+    for x, y in present:
+        assert (tmp_path / "tiles" / f"16_{x}_{y}.png").exists()
+
+
+def test_tile_geojson_col(spark):
+    df = spark.createDataFrame([(16, 47439, 31441)], "z int, x long, y long")
+    mnl, mnt, mxl, mxt = tile_bounds_cols(F.col("x"), F.col("y"), F.col("z"))
+    row = df.withColumn("gj", tile_geojson_col(mnl, mnt, mxl, mxt)).collect()[0]
+    gj = json.loads(row.gj)
+    assert gj["type"] == "Polygon"
+    ring = gj["coordinates"][0]
+    assert len(ring) == 5 and ring[0] == ring[-1]
+    # matches the reference's 5-point ring order (tile.py:83-92)
+    assert ring[0][0] == ring[1][0] and ring[1][1] == ring[2][1]

@@ -83,6 +83,24 @@ def tile_mercator_bounds_cols(x: Column, y: Column, zoom: Column | int):
     return xmin, ymin, xmax, ymax
 
 
+def tile_geojson_col(min_lon, min_lat, max_lon, max_lat) -> Column:
+    """P4: tile bounds as a GeoJSON Polygon string (reference
+    tiles/tile.py:79-93) — ``to_json`` over a struct, no UDF."""
+    ring = F.array(
+        F.array(min_lon, min_lat),
+        F.array(min_lon, max_lat),
+        F.array(max_lon, max_lat),
+        F.array(max_lon, min_lat),
+        F.array(min_lon, min_lat),
+    )
+    return F.to_json(
+        F.struct(
+            F.lit("Polygon").alias("type"),
+            F.array(ring).alias("coordinates"),
+        )
+    )
+
+
 def with_tile_bounds(df: DataFrame, zoom_col: str = "z") -> DataFrame:
     mnl, mnt, mxl, mxt = tile_bounds_cols(F.col("x"), F.col("y"), F.col(zoom_col))
     return (

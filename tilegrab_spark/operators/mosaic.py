@@ -119,6 +119,7 @@ def mosaic(
     full_groups_only: bool = True,
     png_level: int = 3,
     anchor: tuple | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Stitch joined (tile, image) rows into mosaics.
 
@@ -165,6 +166,16 @@ def mosaic(
 
     cols = ["geom_id", "z", "gx", "gy", "_ax", "_ay", "x", "y", "bytes", "fmt", "image_id"]
     df = df.select(*cols)
+
+    # The stitch is CPU-bound Python, not bytes-bound: AQE's partition
+    # coalescing (sized for shuffle BYTES) would collapse this stage to a
+    # handful of Python workers (measured 5 workers / 3x slower on the
+    # bench). Pin the stage's parallelism with an explicit repartition on
+    # the group keys — groupBy reuses the compatible hash partitioning, so
+    # this adds no extra shuffle, and AQE leaves user repartitions alone.
+    spark = joined.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism * 2
+    df = df.repartition(nparts, "geom_id", "z", "gx", "gy")
 
     def apply_fn(key, pdf):
         return _stitch_group(

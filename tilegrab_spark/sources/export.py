@@ -1,0 +1,77 @@
+"""File-system export sinks (S5/S6/S7 parity, reference
+images/exporter.py:14-76 and images/image.py:45-56).
+
+The engine's durable sink is the parquet/Iceberg mosaic table
+(Engine.write); these helpers materialize table rows as individual image
+files the way the reference's CLI does — ``{index}_mosaic.png`` under the
+output dir, ``{z}_{x}_{y}.png`` for per-tile saves, and a GeoTIFF-style
+sidecar carrying the EPSG:3857 transform (rasterio isn't in this
+container, so the georeference is written as world-file + JSON metadata —
+the same (bounds, size) inputs rasterio's ``from_bounds`` takes)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+
+def export_mosaics(
+    mosaics: DataFrame,
+    out_dir: str | Path,
+    *,
+    fmt: str = "png",
+    georeference: bool = False,
+) -> list[Path]:
+    """Write each mosaic row as ``{i}_mosaic.png`` (grouped outputs follow
+    the reference's 1-based index naming, exporter.py:31-36). Streams rows
+    with toLocalIterator — never collects all canvases at once."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    if fmt not in ("png", "jpg"):
+        raise ValueError(f"unsupported export fmt {fmt!r}")
+    written = []
+    rows = mosaics.orderBy("geom_id", "z", "gx", "gy").toLocalIterator()
+    for i, r in enumerate(rows, start=1):
+        p = out / f"{i}_mosaic.png"
+        p.write_bytes(bytes(r.bytes))
+        written.append(p)
+        if georeference:
+            # world file (.pgw): pixel size + top-left center, EPSG:3857
+            px = (r.merc_xmax - r.merc_xmin) / r.w
+            py = (r.merc_ymax - r.merc_ymin) / r.h
+            wf = out / f"{i}_mosaic.pgw"
+            wf.write_text(
+                f"{px}\n0.0\n0.0\n{-py}\n{r.merc_xmin + px / 2}\n{r.merc_ymax - py / 2}\n"
+            )
+            meta = out / f"{i}_mosaic.geo.json"
+            meta.write_text(
+                json.dumps(
+                    {
+                        "crs": "EPSG:3857",
+                        "bounds": [r.merc_xmin, r.merc_ymin, r.merc_xmax, r.merc_ymax],
+                        "width": r.w,
+                        "height": r.h,
+                        "transform_from_bounds": [
+                            r.merc_xmin, r.merc_ymin, r.merc_xmax, r.merc_ymax, r.w, r.h,
+                        ],
+                    }
+                )
+            )
+            written += [wf, meta]
+    return written
+
+
+def export_tiles(joined: DataFrame, out_dir: str | Path) -> int:
+    """Per-tile save: ``{z}_{x}_{y}.png`` (TileImage.save naming,
+    images/image.py:54-56). Returns count written."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    n = 0
+    for r in joined.select("z", "x", "y", "bytes", "fmt").toLocalIterator():
+        if r.bytes is None:
+            continue
+        (out / f"{r.z}_{r.x}_{r.y}.{r.fmt}").write_bytes(bytes(r.bytes))
+        n += 1
+    return n
