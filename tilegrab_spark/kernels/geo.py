@@ -183,7 +183,7 @@ def _point_in_rings(px, py, rings):
         pyc = py[:, None]
         pxc = px[:, None]
         cond = (y1 > pyc) != (y2 > pyc)
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             xint = x1 + (pyc - y1) * (x2 - x1) / (y2 - y1)
         crosses = cond & (pxc < xint)
         inside ^= (crosses.sum(axis=1) % 2).astype(bool)
@@ -219,7 +219,7 @@ def _segments_intersect_boxes(bx0, by0, bx1, by1, segs):
         zero = p == 0
         # p==0: segment parallel to this boundary; reject if q<0 (outside)
         ok &= ~(zero & (q < 0))
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             r = np.where(zero, 0.0, q / np.where(zero, 1.0, p))
         t0 = np.where(p < 0, np.maximum(t0, r), t0)  # entering
         t1 = np.where(p > 0, np.minimum(t1, r), t1)  # leaving

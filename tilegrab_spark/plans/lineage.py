@@ -109,6 +109,23 @@ class MetricsStore:
             F.broadcast(self.committed_cells(stage)), on="cell_id", how="left_anti"
         )
 
+    def latest(self) -> DataFrame:
+        """Upsert view (J4): one row per (stage, cell_id) — the newest
+        committed record wins. The intended ``upsert_by_tile_index``
+        semantics (progress.py:150-164) expressed over the append-only
+        log with a row_number window instead of in-place mutation."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("stage", "cell_id").orderBy(
+            F.desc("committed_at"), F.desc("run_id"), F.desc("partition_id")
+        )
+        return (
+            self.read()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def summary(self) -> DataFrame:
         """A4 success-rate rollup ('Download completed: %d/%d',
         runner.py:146-150)."""
