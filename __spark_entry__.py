@@ -607,6 +607,36 @@ def _fingerprints(spark, sf):
     return with_fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
 
 
+def _cc_islands(spark, sf):
+    """Distributed connected components on chain edges (consecutive
+    doc_ids sharing a lang). Oracle: gaps-and-islands window SQL — the
+    closed form of the same components."""
+    from tilegrab_spark.operators.components import connected_components
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    a, b = d.alias("a"), d.alias("b")
+    edges = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & (F.col("a.lang") == F.col("b.lang")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    return connected_components(edges)
+
+
+_CC_SQL = """
+WITH m AS (
+  SELECT doc_id, lang,
+    CASE WHEN lag(lang) OVER (ORDER BY doc_id) = lang THEN 0 ELSE 1 END AS brk
+  FROM documents),
+i AS (SELECT doc_id, SUM(brk) OVER (ORDER BY doc_id) AS island FROM m),
+c AS (SELECT doc_id,
+        MIN(doc_id) OVER (PARTITION BY island) AS component,
+        COUNT(*) OVER (PARTITION BY island) AS sz
+      FROM i)
+SELECT doc_id AS node, component FROM c WHERE sz > 1
+"""
+
+
 def _mosaic_meta(spark, sf):
     """The flagship image pipeline on a small deterministic table
     (synthesized under /tmp per call): select-join-stitch, metadata out."""
@@ -656,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _quality,
         "cosine_topk": _cosine_topk_ranks,
         "knn_cell_ring": _knn_cells,
+        "connected_components": _cc_islands,
         # rows-only (non-SQL-expressible: LSH banding/UDF kernels/iterative)
         "minhash_lsh_pairs": _minhash_pairs,
         "simhash_pairs": _simhash,
@@ -690,4 +721,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_SQL,
         "cosine_topk": _COSINE_SQL,
         "knn_cell_ring": _knn_sql(),
+        "connected_components": _CC_SQL,
     }

@@ -1,0 +1,79 @@
+"""Connected components vs a pure-python union-find oracle, and the
+stateful streaming rollup."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tilegrab_spark.operators.components import (
+    connected_components,
+    dedup_by_components,
+)
+
+
+def _uf_oracle(pairs):
+    parent = {}
+
+    def find(a):
+        parent.setdefault(a, a)
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    rng = np.random.default_rng(11)
+    # several chains + a star + isolated pairs
+    pairs = [(i, i + 1) for i in range(0, 20, 1)]          # one long chain 0..20
+    pairs += [(100, 100 + i) for i in range(1, 8)]          # star at 100
+    pairs += [(1000 + 2 * i, 1001 + 2 * i) for i in range(10)]  # pairs
+    pairs += [(int(a), int(b)) for a, b in rng.integers(2000, 2050, (30, 2)) if a != b]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    want = _uf_oracle(pairs)
+    assert got == want
+
+
+def test_dedup_by_components_transitive(spark):
+    # A~B, B~C: transitive closure must drop B AND C
+    docs = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c"), (9, "z")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in dedup_by_components(docs, pairs).collect())
+    assert kept == [1, 9]
+
+
+def test_stream_cell_stats_stateful(spark, tmp_path):
+    from tilegrab_spark.sources.images import write_synthetic_image_table
+    from tilegrab_spark.streaming.stateful import stream_cell_stats
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "stats")
+    write_synthetic_image_table(
+        spark, landing, [(16, 1, 1, 0), (16, 1, 1, 1), (16, 2, 2, 0)], n_buckets=2
+    )
+    q = stream_cell_stats(spark, landing, ckpt, out_dir)
+    q.awaitTermination(120)
+    out = {(r.x, r.y): r for r in spark.read.parquet(out_dir).collect()}
+    assert out[(1, 1)].n_images == 2 and out[(2, 2)].n_images == 1
+    assert out[(1, 1)].total_bytes > 0
+
+    # second drop: GroupState recovers from the checkpoint across a
+    # restarted query; only the updated cell is emitted, with the running
+    # count continuing from prior state
+    write_synthetic_image_table(
+        spark, landing, [(16, 1, 1, 2)], n_buckets=2, mode="append"
+    )
+    q2 = stream_cell_stats(spark, landing, ckpt, out_dir)
+    q2.awaitTermination(120)
+    df = spark.read.parquet(out_dir)
+    latest_batch = df.agg(F.max("batch_id")).collect()[0][0]
+    out2 = {(r.x, r.y): r for r in df.filter(F.col("batch_id") == latest_batch).collect()}
+    assert list(out2) == [(1, 1)]
+    assert out2[(1, 1)].n_images == 3

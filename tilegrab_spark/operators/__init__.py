@@ -7,6 +7,7 @@ from tilegrab_spark.operators.tiles import (
 from tilegrab_spark.operators.image_join import join_images, anti_join_committed
 from tilegrab_spark.operators.mosaic import mosaic, MOSAIC_SCHEMA
 from tilegrab_spark.operators.knn import knn_join
+from tilegrab_spark.operators.components import connected_components, dedup_by_components
 
 __all__ = [
     "enumerate_tiles",
@@ -18,4 +19,6 @@ __all__ = [
     "mosaic",
     "MOSAIC_SCHEMA",
     "knn_join",
+    "connected_components",
+    "dedup_by_components",
 ]

@@ -1,0 +1,84 @@
+"""Connected components over a pair/edge list — the clustering step that
+turns near-duplicate PAIRS (minhash/simhash/jaccard output) into
+duplicate GROUPS. Iterative label propagation ("small-star" style): every
+node repeatedly adopts the minimum label in its neighborhood until no
+label changes. Each iteration is two shuffles; convergence is checked
+with a cheap aggregate — the standard Spark shape for iterative graph
+algorithms (driver loop, distributed rounds).
+
+At 10^12-row scale the pair list is the (much smaller) output of LSH
+banding, so the iteration cost is bounded by true-duplicate density, not
+corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``;
+    ``component`` = min node id of its connected component."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        # every node proposes min(own label, neighbors' labels)
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "component")
+        )
+        # localCheckpoint truncates the plan lineage — without it each
+        # round's plan embeds all previous rounds and the driver OOMs on
+        # exponential plan growth (the standard iterative-algorithm trap)
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (min id) per duplicate CLUSTER — the
+    transitive-closure version of lsh_dedup (A~B, B~C drops both B and C
+    even if A~C was never emitted as a pair)."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
