@@ -88,6 +88,9 @@ def knn_join(
     radius = init_radius or max(1, int(math.ceil(math.sqrt(k) / 2)))
     results = []
     remaining = q
+    # the image side is re-joined every round: cache it once (columns
+    # here are already pruned by the caller's projection)
+    images_df = images_df.persist()
     while True:
         w = Window.partitionBy("query_id").orderBy("dist", "image_id")
         ranked = (

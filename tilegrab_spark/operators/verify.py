@@ -1,0 +1,71 @@
+"""Per-row image-invariant verification (BASELINE.json input_hint:
+"decoded-pixel allclose (PSNR>=40dB for lossy) + caption equality").
+
+``verify_images`` recomputes, per row, the decoded pixels' phash and the
+deterministic expected pixels for synthetic ids, and emits a verdict
+row: phash match, pixel PSNR vs expectation, caption equality. One
+Arrow-batched pass (mapInPandas), bytes never leave executors.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from tilegrab_spark.kernels import png
+
+VERIFY_SCHEMA = (
+    "image_id string, decode_ok boolean, phash_match boolean, "
+    "psnr double, caption_match boolean"
+)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    mse = float(((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean())
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def verify_images(df: DataFrame, *, synthetic_oracle: bool = True, min_psnr: float = 40.0) -> DataFrame:
+    """Verdicts per image row. With ``synthetic_oracle`` the expected
+    pixels/caption derive from the image_id's deterministic formula
+    (FIXTURES.md §2) — the sandbox stand-in for comparing against a
+    reference fetch. psnr is +inf (reported as 999.0) for exact matches;
+    a lossy codec would be gated at ``min_psnr``.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tilegrab_spark.sources.images import expected_pixels, synth_caption
+
+        for pdf in batches:
+            out = []
+            for iid, data, w, h, fmt, caption, ph in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"],
+                pdf["caption"], pdf["phash"],
+            ):
+                row = {"image_id": iid, "decode_ok": False, "phash_match": False,
+                       "psnr": 0.0, "caption_match": False}
+                try:
+                    arr = png.decode_png(bytes(data))
+                    row["decode_ok"] = True
+                    row["phash_match"] = png.phash64(arr) == int(ph)
+                    if synthetic_oracle:
+                        want = expected_pixels(iid, int(w), int(h))
+                        p = psnr(arr, want)
+                        row["psnr"] = 999.0 if p == float("inf") else float(p)
+                        z, x, y, src = (int(v) for v in iid.split("_"))
+                        row["caption_match"] = caption == synth_caption(
+                            z, x, y, src, int(want.sum())
+                        )
+                except (ValueError, NotImplementedError):
+                    pass
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    return df.select(*cols).mapInPandas(kernel, schema=VERIFY_SCHEMA)
