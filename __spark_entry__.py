@@ -111,6 +111,34 @@ FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size < 10
 """
 
 
+def _q3_shipping(spark, sf):
+    """TPC-H Q3 shape: 3-way join + grouped decimal aggregate + top-k."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(20)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 20
+"""
+
+
 def _semi_join(spark, sf):
     c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
     big = o.filter(F.col("o_totalprice") > 100000)
@@ -665,6 +693,7 @@ def _mosaic_meta(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
+        "q3_shipping_priority": _q3_shipping,
         "equi_join_j1": _equi_join,
         "semi_join_j2": _semi_join,
         "anti_join_j3": _anti_join,
@@ -700,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": _Q1_SQL,
+        "q3_shipping_priority": _Q3_SQL,
         "equi_join_j1": _EQUI_SQL,
         "semi_join_j2": _SEMI_SQL,
         "anti_join_j3": _ANTI_SQL,

@@ -55,3 +55,25 @@ def test_metrics_latest_upsert_view(spark, tmp_path):
     work = spark.createDataFrame([(1,), (2,)], "cell_id long")
     remaining = ms.resume_filter(work, "fetch")
     assert [r.cell_id for r in remaining.collect()] == [2]
+
+
+def test_skew_aware_join_matches_plain(spark):
+    from tilegrab_spark.operators.image_join import (
+        identify_hot_cells,
+        join_images_skew_aware,
+    )
+
+    rows = [(10, 5, 5, f"10_5_5_{i}") for i in range(500)]
+    rows += [(10, 100 + i, 100 + i, f"10_{100+i}_{100+i}_0") for i in range(50)]
+    images = spark.createDataFrame(rows, "z int, x long, y long, image_id string")
+    tiles = spark.createDataFrame(
+        [(10, 5, 5), (10, 7, 7), *[(10, 100 + i, 100 + i) for i in range(30)]],
+        "z int, x long, y long",
+    )
+    hot = identify_hot_cells(images, threshold=100)
+    assert [(r.x, r.y) for r in hot.collect()] == [(5, 5)]
+    skew = join_images_skew_aware(tiles, images, hot_threshold=100, salt=4)
+    plain = join_images(tiles, images)
+    a = sorted((r.x, r.y, r.image_id) for r in skew.collect())
+    b = sorted((r.x, r.y, r.image_id) for r in plain.collect())
+    assert a == b and len(a) == 500 + 30

@@ -51,6 +51,60 @@ def join_images(
     return joined.drop("_salt") if salt > 1 else joined
 
 
+def identify_hot_cells(images_df: DataFrame, *, threshold: int = 10_000) -> DataFrame:
+    """Cheap pre-pass (SURVEY.md §4): per-cell row counts over the image
+    table, keeping cells above ``threshold`` — the dense-urban keys that
+    need explicit salting. Scans only the join-key columns (parquet
+    prunes everything else); at 10^12 rows this is a map-side-combined
+    count, and the result is tiny (broadcastable) by construction."""
+    return (
+        images_df.groupBy(*JOIN_KEY)
+        .count()
+        .filter(F.col("count") >= threshold)
+        .select(*JOIN_KEY, F.col("count").alias("n_rows"))
+    )
+
+
+def join_images_skew_aware(
+    tiles_df: DataFrame,
+    images_df: DataFrame,
+    *,
+    how: str = "inner",
+    hot_threshold: int = 10_000,
+    salt: int = 16,
+    hot_cells: DataFrame | None = None,
+) -> DataFrame:
+    """Hybrid skew join: hot cells (from ``identify_hot_cells`` or a
+    provided stats table) go through the salted path — tiles exploded
+    over 0..salt-1, images salted by xxhash64 — while the cold majority
+    takes the plain broadcast join. No salt-explosion cost on the 99.9%
+    of cells that don't need it; the union is the complete J1 result.
+
+    ``how`` must be 'inner' (left-semantics would double-count unmatched
+    tiles across the two branches).
+
+    When to use: only when a key's row count overwhelms a single reducer
+    (memory/stragglers). Measured at sandbox scale the pre-pass + dual
+    join costs MORE than plain + AQE skew-split (3.4s vs 1.5s on a
+    2000-dup key) — this is the 10^12-scale escape hatch, not a default.
+    Reuse a precomputed ``hot_cells`` stats table across queries to
+    amortize the pre-pass."""
+    if how != "inner":
+        raise ValueError("skew-aware join supports how='inner' only")
+    hot = F.broadcast(
+        (hot_cells if hot_cells is not None else identify_hot_cells(images_df, threshold=hot_threshold))
+        .select(*JOIN_KEY)
+    )
+    tiles_hot = tiles_df.join(hot, on=JOIN_KEY, how="left_semi")
+    tiles_cold = tiles_df.join(hot, on=JOIN_KEY, how="left_anti")
+    images_hot = images_df.join(hot, on=JOIN_KEY, how="left_semi")
+    hot_joined = join_images(
+        tiles_hot, images_hot, how="inner", broadcast_tiles=False, salt=salt
+    )
+    cold_joined = join_images(tiles_cold, images_df, how="inner", broadcast_tiles=True)
+    return hot_joined.unionByName(cold_joined)
+
+
 def first_match_per_tile(joined: DataFrame) -> DataFrame:
     """Parity mode for loader.py:34 (``break`` after first file match):
     keep one deterministic image row per (geom_id, z, x, y)."""
