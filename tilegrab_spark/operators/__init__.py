@@ -8,6 +8,8 @@ from tilegrab_spark.operators.image_join import join_images, anti_join_committed
 from tilegrab_spark.operators.mosaic import mosaic, MOSAIC_SCHEMA
 from tilegrab_spark.operators.knn import knn_join
 from tilegrab_spark.operators.components import connected_components, dedup_by_components
+from tilegrab_spark.operators.pyramid import build_parent_level, build_pyramid
+from tilegrab_spark.operators.verify import verify_images
 
 __all__ = [
     "enumerate_tiles",
@@ -21,4 +23,7 @@ __all__ = [
     "knn_join",
     "connected_components",
     "dedup_by_components",
+    "build_parent_level",
+    "build_pyramid",
+    "verify_images",
 ]
