@@ -154,15 +154,18 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
 
 
 def _anti_join(spark, sf):
+    # customers with NO high-value order — non-trivial on the driver
+    # corpus (plain customer-without-orders is 0 rows at every sf)
     c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+    big = o.filter(F.col("o_totalprice") > 300000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_acctbal"
     )
 
 
 _ANTI_SQL = """
 SELECT c_custkey, c_name, c_acctbal FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
 """
 
 

@@ -64,3 +64,24 @@ def test_ivf_ann_recall(spark, emb, emb_np):
     f = {(r.query_id, r.vec_id) for r in full.collect()}
     assert f == e
     with_lists.unpersist()
+
+
+def test_persisted_ivf_index(spark, emb, tmp_path):
+    from tilegrab_spark.operators import similarity as S
+
+    path = str(tmp_path / "ivf")
+    cents = S.build_ivf_index(emb, path, n_centroids=8, iters=3)
+    # centroids round-trip through the side table
+    loaded = S.load_ivf_centroids(spark, path)
+    assert np.allclose(cents, loaded)
+    queries = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = S.search_ivf_index(spark, path, queries, k=5, n_probe=8)
+    # full probe over the persisted index == exact brute force
+    exact = S.cosine_topk(queries, emb, k=5)
+    assert {(r.query_id, r.vec_id) for r in got.collect()} == {
+        (r.query_id, r.vec_id) for r in exact.collect()
+    }
+    # pruning is real: a 1-probe search's scan carries a partition filter
+    one = S.search_ivf_index(spark, path, queries.limit(1), k=5, n_probe=1)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan

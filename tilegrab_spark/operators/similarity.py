@@ -107,6 +107,67 @@ def assign_lists(
     return corpus.withColumn("list_id", nearest(F.col(vec_col)))
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **train_kw,
+) -> np.ndarray:
+    """Materialize the IVF index as a ``list_id``-partitioned parquet
+    table (+ a `_centroids` side table). At 10^12 rows the inverted lists
+    ARE the physical partitions — a query's n_probe lists prune to
+    n_probe/n_centroids of the data on disk."""
+    cents = train_centroids(corpus, vec_col=vec_col, n_centroids=n_centroids, **train_kw)
+    assigned = assign_lists(corpus, cents, id_col=id_col, vec_col=vec_col)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/lists")
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
+        "list_id int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    return cents
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    pdf = spark.read.parquet(f"{path}/_centroids").orderBy("list_id").toPandas()
+    return np.array([np.asarray(v, dtype=np.float64) for v in pdf["centroid"]])
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+    q_id: str = "query_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Search the on-disk index: the union of all probed lists for this
+    query batch becomes a partition filter (`list_id IN (...)`) — the
+    scan touches only those directories. Queries are broadcast-small by
+    assumption (same as ann_topk_ivf)."""
+    cents = load_ivf_centroids(spark, path)
+    qpdf = queries.select(q_id, q_vec).toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in qpdf[q_vec]])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(X @ cents.T), axis=1)[:, :n_probe]
+    probed = sorted({int(v) for row in order for v in row})
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("list_id").isin(probed)  # -> parquet PartitionFilters
+    )
+    return ann_topk_ivf(
+        queries, lists, cents, k=k, n_probe=n_probe,
+        q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec,
+    )
+
+
 def ann_topk_ivf(
     queries: DataFrame,
     corpus_with_lists: DataFrame,
