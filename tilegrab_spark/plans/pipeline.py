@@ -79,6 +79,28 @@ class Engine:
     def mosaic(self, joined: DataFrame, **kw) -> DataFrame:
         return mosaic_op(joined, **kw)
 
+    # --- auxiliary operators ---
+    def knn(self, queries_df: DataFrame, images: DataFrame | str, zoom: int, k: int, **kw) -> DataFrame:
+        from tilegrab_spark.operators.knn import knn_join
+
+        if isinstance(images, str):
+            images = read_image_table(self.spark, images)
+        return knn_join(queries_df, images.select("z", "x", "y", "image_id"), zoom, k, **kw)
+
+    def build_pyramid(self, images: DataFrame | str, table_path: str, *, z_max: int, z_min: int, **kw) -> None:
+        from tilegrab_spark.operators.pyramid import build_pyramid
+
+        if isinstance(images, str):
+            images = read_image_table(self.spark, images)
+        build_pyramid(images, table_path, z_max=z_max, z_min=z_min, **kw)
+
+    def verify(self, images: DataFrame | str, **kw) -> DataFrame:
+        from tilegrab_spark.operators.verify import verify_images
+
+        if isinstance(images, str):
+            images = read_image_table(self.spark, images, parse_key=False)
+        return verify_images(images, **kw)
+
     # --- sinks (S5-S8) ---
     def write(
         self,
