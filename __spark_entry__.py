@@ -529,6 +529,79 @@ SELECT query_id, vec_id, rank FROM (
 """
 
 
+def _embedding_pairs(spark, sf):
+    """Embedding cosine near-dup pairs (exact blocked self-join).
+    Threshold margin on the driver corpus is >=8.5e-4 — far above
+    cross-engine float noise, so the ids-only output is hash-stable."""
+    from tilegrab_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_cosine_pairs(emb, threshold=0.5).select("id_a", "id_b")
+
+
+_EMB_PAIRS_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.5
+"""
+
+
+def _clean_corpus(spark, sf):
+    """Composite training-data pipeline: quality filter -> exact dedup ->
+    join embeddings -> per-lang rollup. One query exercising filters,
+    dedup, a dimension join and aggregation together."""
+    from tilegrab_spark.operators.dedup import exact_dedup
+    from tilegrab_spark.operators.text import with_quality_score, with_token_counts
+
+    d = with_token_counts(with_quality_score(_t(spark, sf, "documents")))
+    good = d.filter(F.col("quality") >= 0.75)
+    deduped = exact_dedup(good)
+    emb = _t(spark, sf, "embeddings")
+    joined = deduped.join(emb, deduped.doc_id == emb.vec_id, "inner")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("ws_tokens").cast("long")).alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CLEAN_SQL = r"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+    (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+')) END) >= 5 THEN 0.25 ELSE 0.0 END
+     + CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+')) END) > 0
+             AND (CAST(length(text) AS DOUBLE) / (CASE WHEN length(trim(text)) = 0 THEN 1
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+')) END)) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END
+     + CASE WHEN (CASE WHEN length(text) > 0 THEN
+            CAST(length(regexp_replace(text, '[^\.,;:!\?"'']', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) <= 0.2 THEN 0.25 ELSE 0.0 END
+     + CASE WHEN len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+          ['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on','as','at','by'])) >= 1
+            AND (CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(lower(trim(text)), '\s+')) END) > 0 THEN 0.25 ELSE 0.0 END) AS quality
+  FROM documents),
+good AS (SELECT * FROM scored WHERE quality >= 0.75),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM good
+  ) WHERE rn = 1),
+joined AS (SELECT d.* FROM deduped d JOIN embeddings e ON d.doc_id = e.vec_id)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS min_doc
+FROM joined GROUP BY lang ORDER BY lang
+"""
+
+
 def _knn_cells(spark, sf):
     """kNN via cell-ring expansion on cells derived from lineitem keys;
     oracle = brute-force window over the same derived cells."""
@@ -719,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _cosine_topk_ranks,
         "knn_cell_ring": _knn_cells,
         "connected_components": _cc_islands,
+        "embedding_cosine_pairs": _embedding_pairs,
+        "clean_corpus_pipeline": _clean_corpus,
         # rows-only (non-SQL-expressible: LSH banding/UDF kernels/iterative)
         "minhash_lsh_pairs": _minhash_pairs,
         "simhash_pairs": _simhash,
@@ -755,4 +830,6 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_SQL,
         "knn_cell_ring": _knn_sql(),
         "connected_components": _CC_SQL,
+        "embedding_cosine_pairs": _EMB_PAIRS_SQL,
+        "clean_corpus_pipeline": _CLEAN_SQL,
     }
