@@ -59,17 +59,18 @@ def build_parent_level(
     nparts = num_partitions or spark.sparkContext.defaultParallelism * 2
     df = df.repartition(nparts, "px", "py")
 
-    def rollup(key, pdf):
-        px, py = int(key[0]), int(key[1])
+    import pyarrow as pa
+    from typing import Tuple
+
+    def _rollup_core(px, py, xs, ys, datas):
         canvas = np.zeros((tile_h * 2, tile_w * 2, 3), dtype=np.uint8)
         n = 0
-        pdf = pdf.sort_values(["y", "x"], kind="mergesort")
-        for x, y, data, fmt in zip(pdf["x"], pdf["y"], pdf["bytes"], pdf["fmt"]):
-            if data is None:
+        for i in sorted(range(len(xs)), key=lambda i: (ys[i], xs[i])):
+            if datas[i] is None:
                 continue
-            arr = png.decode_png(bytes(data))
-            ox = (int(x) & 1) * tile_w
-            oy = (int(y) & 1) * tile_h
+            arr = png.decode_png(bytes(datas[i]))
+            ox = (int(xs[i]) & 1) * tile_w
+            oy = (int(ys[i]) & 1) * tile_h
             canvas[oy : oy + tile_h, ox : ox + tile_w] = arr[:tile_h, :tile_w]
             n += 1
         small = (
@@ -77,24 +78,40 @@ def build_parent_level(
         )
         data = png.encode_png(small, filter_type=2, level=png_level)
         cell = (pz << 58) | (px << 29) | py
-        return pd.DataFrame(
-            [
-                {
-                    "image_id": f"{pz}_{px}_{py}_{src}",
-                    "bytes": data,
-                    "w": tile_w,
-                    "h": tile_h,
-                    "fmt": "png",
-                    "caption": f"tile {pz}/{px}/{py} src={src} rollup n={n}",
-                    "phash": png.phash64(small),
-                    "zoom": pz,
-                    "bucket": int(cell % n_buckets),
-                    "n_children": n,
-                }
-            ]
-        )
+        return {
+            "image_id": f"{pz}_{px}_{py}_{src}",
+            "bytes": data,
+            "w": tile_w,
+            "h": tile_h,
+            "fmt": "png",
+            "caption": f"tile {pz}/{px}/{py} src={src} rollup n={n}",
+            "phash": png.phash64(small),
+            "zoom": pz,
+            "bucket": int(cell % n_buckets),
+            "n_children": n,
+        }
 
-    return df.groupBy("px", "py").applyInPandas(rollup, schema=PARENT_SCHEMA)
+    _schema = pa.schema(
+        [
+            ("image_id", pa.string()), ("bytes", pa.binary()),
+            ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
+            ("caption", pa.string()), ("phash", pa.int64()),
+            ("zoom", pa.int32()), ("bucket", pa.int32()),
+            ("n_children", pa.int32()),
+        ]
+    )
+
+    def rollup(key: Tuple, tbl: "pa.Table") -> "pa.Table":
+        px, py = (int(v.as_py() if hasattr(v, "as_py") else v) for v in key)
+        row = _rollup_core(
+            px, py,
+            tbl.column("x").to_pylist(),
+            tbl.column("y").to_pylist(),
+            tbl.column("bytes").to_pylist(),
+        )
+        return pa.Table.from_pylist([row], schema=_schema)
+
+    return df.groupBy("px", "py").applyInArrow(rollup, schema=PARENT_SCHEMA)
 
 
 def build_pyramid(
