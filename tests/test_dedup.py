@@ -129,3 +129,20 @@ def test_embedding_cosine_pairs(spark):
         for r in dedup.embedding_cosine_pairs(df, threshold=0.95, n_probe_bits=2).collect()
     }
     assert (0, 1) in lsh
+
+
+def test_ngram_jaccard_max_df_exact_on_kept_pairs(docs_df):
+    # with max_df blocking, every kept pair's jaccard is the exact value
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs_df, k=1, threshold=0.3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs_df, k=1, threshold=0.3, max_df=4).collect()
+    }
+    assert set(capped) <= set(full)
+    for p, j in capped.items():
+        assert j == pytest.approx(full[p])
+    # exact dup groups always share rare shingles here -> still found
+    assert (0, 1) in capped

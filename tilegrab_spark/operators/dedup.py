@@ -257,16 +257,50 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard >= threshold pairs via inverted-index blocking:
     explode shingles → self-join on shingle (pairs share >=1 shingle) →
     count common → jaccard from per-doc set sizes. Fully relational
-    (SQL-expressible — this one has a DuckDB oracle)."""
+    (SQL-expressible — this one has a DuckDB oracle).
+
+    Scale note: a shingle appearing in d documents generates O(d^2)
+    candidate pairs — with k>=3 word shingles this is sparse by
+    construction, but degenerate vocabularies (or k=1) can blow up.
+    ``max_df`` drops shingles whose document frequency exceeds it from
+    the BLOCKING index only; jaccard is still computed on the full
+    shingle sets, so kept pairs are exact — pairs that share ONLY
+    ultra-common shingles may be missed (the standard stop-shingle
+    tradeoff, stated rather than silent)."""
     sh = with_shingles(df, text_col, k).select(
         F.col(id_col).alias("_id"), "shingles"
     )
     sizes = sh.select("_id", F.size("shingles").alias("_n"))
     inv = sh.select("_id", F.explode("shingles").alias("s"))
+    if max_df is not None:
+        # block only on sub-max_df shingles, then RE-VERIFY candidates
+        # with exact set intersection over the full shingle sets (the
+        # blocked index alone would undercount `common`)
+        rare = inv.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
+        blocked = inv.join(rare, on="s", how="left_semi")
+        l, r = blocked.alias("l"), blocked.alias("r")
+        cand = (
+            l.join(r, on=[F.col("l.s") == F.col("r.s"), F.col("l._id") < F.col("r._id")])
+            .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sha = sh.select(F.col("_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        shb = sh.select(F.col("_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        return (
+            cand.join(sha, "id_a")
+            .join(shb, "id_b")
+            .withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
     l, r = inv.alias("l"), inv.alias("r")
     common = (
         l.join(r, on=[F.col("l.s") == F.col("r.s"), F.col("l._id") < F.col("r._id")])
