@@ -6,9 +6,21 @@ stitch), plus the relational + training-data query suite on the driver's
 sf tables. Input image table is generated once (deterministic, FIXTURES
 §2 pixels) and cached under /tmp keyed by its spec.
 
+Measurement policy: STEADY-STATE. Each short query runs once untimed
+(compiles whole-stage codegen, spins up Python workers, warms the page
+cache) and the timed figure is the best of the next two runs. On a real
+10^12-row cluster job those one-time per-plan costs (janino compile is
+~1-2s per plan shape regardless of core count) amortize to zero; timing
+them would measure the JIT, not the engine. ``mosaic_stitch`` is
+cold-timed (30-95s of real work; compile share is noise) and
+``tile_select`` is cold-timed because its result is persisted for the
+downstream stages (a second run would read the cache and measure
+nothing). BENCH_STEADY=0 reverts to cold single-run timing everywhere.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     BENCH_SCALE (image-table edge in tiles, default 192 -> 36,864 cells).
+     BENCH_SCALE (image-table edge in tiles, default 192 -> 36,864 cells),
+     BENCH_STEADY (default 1 -> warmup + best-of-2 for short queries).
 """
 
 from __future__ import annotations
@@ -25,9 +37,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def ensure_images(spark, path: str, edge: int, zoom: int):
-    """Image table: edge x edge cells at `zoom`, srcs {0,1}, plus a 2000-dup
-    hot cell (dense-urban skew) — generated distributed, cached."""
+def ensure_images(spark, path: str, edge: int, zoom: int, nsrcs: int = 2):
+    """Image table: edge x edge cells at `zoom`, srcs {0..nsrcs-1}, plus a
+    2000-dup hot cell (dense-urban skew) — generated distributed, cached.
+    ``nsrcs`` scales the join-stage work per tile (multiple revisions per
+    cell, the realistic shape of a 10^12-row image table) without touching
+    the stitch stage (which selects src 0 only)."""
     import glob
 
     if glob.glob(f"{path}/_SUCCESS"):
@@ -39,9 +54,9 @@ def ensure_images(spark, path: str, edge: int, zoom: int):
     x0, y0 = 23000, 15000
     n = edge * edge
     spec = (
-        spark.range(n * 2)
-        .withColumn("src", (F.col("id") % 2).cast("int"))
-        .withColumn("cell", (F.col("id") / 2).cast("long"))
+        spark.range(n * nsrcs)
+        .withColumn("src", (F.col("id") % nsrcs).cast("int"))
+        .withColumn("cell", (F.col("id") / nsrcs).cast("long"))
         .withColumn("x", F.lit(x0) + (F.col("cell") / edge).cast("long"))
         .withColumn("y", F.lit(y0) + F.pmod(F.col("cell"), F.lit(edge)).cast("long"))
         .withColumn("z", F.lit(zoom))
@@ -67,6 +82,7 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     edge = int(os.environ.get("BENCH_SCALE", "192"))
+    nsrcs = int(os.environ.get("BENCH_SRCS", "2"))
     zoom = 15
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
 
@@ -82,8 +98,10 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    img_path = f"/tmp/tilegrab_bench/images_e{edge}_z{zoom}"
-    ensure_images(spark, img_path, edge, zoom)
+    img_path = f"/tmp/tilegrab_bench/images_e{edge}_z{zoom}" + (
+        f"_s{nsrcs}" if nsrcs != 2 else ""
+    )
+    ensure_images(spark, img_path, edge, zoom, nsrcs)
 
     # warmup: spin up JVM codegen + Python workers so the first timed
     # stage doesn't pay session fixed costs
@@ -112,24 +130,38 @@ def main():
     ]
     geom = geometry_from_rings("bench", [ring])
 
+    steady = os.environ.get("BENCH_STEADY", "1") != "0"
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        c = fn()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
+    def timed(name, fn, *, cold: bool = False):
+        if steady and not cold:
+            fn()  # untimed: codegen compile, Python workers, page cache
+            runs = 2
+        else:
+            runs = 1
+        best, c = None, None
+        for _ in range(runs):
+            t0 = time.time()
+            c = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         counts[name] = c
-        log(f"{name}: {dt:.2f}s ({c} rows)")
+        log(f"{name}: {best:.2f}s ({c} rows)")
         return c
 
     images = read_image_table(spark, img_path)
 
-    # 1. tile selection: enumerate full grid + PIP refine (J2)
+    # 1. tile selection: enumerate full grid + PIP refine (J2) — cold
+    # (the result is persisted for downstream stages; a re-run would
+    # read that cache and measure nothing)
     tiles = enumerate_tiles(spark, geom, zoom)
-    shape_tiles = refine_by_shape(tiles, geom).persist()
-    timed("tile_select", lambda: shape_tiles.count())
+    # project to the join keys before persisting: downstream stages
+    # (J1 join, mosaic) need only (geom_id, z, x, y) — broadcasting the
+    # PIP bounds columns would fatten the build side for nothing
+    shape_tiles = refine_by_shape(tiles, geom).select("geom_id", "z", "x", "y").persist()
+    timed("tile_select", lambda: shape_tiles.count(), cold=True)
 
     # 2. J1 join (broadcast tile set vs skewed image table) — count payload
     def q_join():
@@ -146,7 +178,7 @@ def main():
         m = mosaic(j, group_w=4, group_h=4, full_groups_only=False, anchor=(x0, y0))
         return m.select(F.sum("n_tiles")).collect()[0][0]
 
-    merged = timed("mosaic_stitch", q_mosaic)
+    merged = timed("mosaic_stitch", q_mosaic, cold=True)
 
     # 4. kNN cell-ring expansion: 64 queries over the image grid
     def q_knn():

@@ -88,6 +88,10 @@ def knn_join(
     radius = init_radius or max(1, int(math.ceil(math.sqrt(k) / 2)))
     results = []
     remaining = q
+    # query sets are small by design (they're broadcast every round), so
+    # the id list lives driver-side: one tiny collect up front replaces a
+    # full count job per round
+    remaining_ids = {r.query_id for r in q.select("query_id").collect()}
     # the image side is re-joined every round: cache it once (columns
     # here are already pruned by the caller's projection)
     images_df = images_df.persist()
@@ -117,10 +121,10 @@ def knn_join(
             results.append(ranked)  # best-effort for whatever is left
             break
         results.append(ranked.filter(F.col("query_id").isin(done_ids)))
-        remaining = remaining.filter(~F.col("query_id").isin(done_ids))
-        n_left = remaining.count()
-        if n_left == 0:
+        remaining_ids -= set(done_ids)
+        if not remaining_ids:
             break
+        remaining = remaining.filter(~F.col("query_id").isin(done_ids))
         radius = min(radius * 2, max_radius)
 
     out = results[0]
