@@ -766,6 +766,62 @@ def _mosaic_meta(spark, sf):
     )
 
 
+def _mosaic_plan(spark, sf):
+    """Metadata-only W1 pipeline, FULLY oracled: bbox cell enumeration,
+    J1 join against a generated image table, pre-shuffle group keys,
+    extent aggregation and per-group tile counts are all re-derived
+    independently in the DuckDB SQL below (nothing hardcoded). Pixels —
+    the only non-SQL-expressible part — are covered by mosaic_pipeline
+    (rows-only) plus the pixel-oracle tests."""
+    import tempfile
+
+    from tilegrab_spark.operators.image_join import join_images
+    from tilegrab_spark.operators.mosaic import mosaic
+    from tilegrab_spark.operators.tiles import tiles_for
+    from tilegrab_spark.sources.geometries import geometry_from_geojson
+    from tilegrab_spark.sources.images import (
+        read_image_table,
+        write_synthetic_image_table,
+    )
+
+    geom = geometry_from_geojson("/root/reference/tests/data/T.geojson", "T")
+    tiles = tiles_for(spark, geom, 16, by="bbox")
+    path = tempfile.mkdtemp() + "/images"
+    cells = [(16, x, y, 0) for x in range(47439, 47443) for y in range(31441, 31445)]
+    write_synthetic_image_table(spark, path, cells, n_buckets=4)
+    joined = join_images(tiles, read_image_table(spark, path).drop("cell_id"))
+    return mosaic(joined, group_w=2, group_h=2, full_groups_only=False).select(
+        "geom_id", "z", "gx", "gy", "tminx", "tminy", "w", "h", "n_tiles"
+    )
+
+
+_MOSAIC_PLAN_SQL = f"""
+WITH corners AS (
+  SELECT
+    CAST(floor(({T_BBOX[0]} / 360.0 + 0.5 + {EPS}) * 65536.0) AS BIGINT) AS x0,
+    CAST(floor((({T_BBOX[2]} - {LL_EPS}) / 360.0 + 0.5 + {EPS}) * 65536.0) AS BIGINT) AS x1,
+    CAST(floor((0.5 - 0.25 * ln((1.0 + sin(radians({T_BBOX[3]}))) / (1.0 - sin(radians({T_BBOX[3]})))) / pi() + {EPS}) * 65536.0) AS BIGINT) AS y0,
+    CAST(floor((0.5 - 0.25 * ln((1.0 + sin(radians({T_BBOX[1]} + {LL_EPS}))) / (1.0 - sin(radians({T_BBOX[1]} + {LL_EPS})))) / pi() + {EPS}) * 65536.0) AS BIGINT) AS y1
+),
+tiles AS (
+  SELECT x0 + dxs.generate_series AS x, y0 + dys.generate_series AS y
+  FROM corners, generate_series(0, 255) dxs, generate_series(0, 255) dys
+  WHERE x0 + dxs.generate_series <= x1 AND y0 + dys.generate_series <= y1
+),
+ext AS (SELECT MIN(x) AS ax, MIN(y) AS ay FROM tiles),
+g AS (
+  SELECT CAST(floor((x - ax) / 2.0) AS INT) AS gx,
+         CAST(floor((y - ay) / 2.0) AS INT) AS gy,
+         MIN(ax) AS ax, MIN(ay) AS ay, COUNT(*) AS n
+  FROM tiles, ext GROUP BY 1, 2
+)
+SELECT 'T' AS geom_id, 16 AS z, gx, gy,
+       ax + gx * 2 AS tminx, ay + gy * 2 AS tminy,
+       512 AS w, 512 AS h, CAST(n AS INT) AS n_tiles
+FROM g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -801,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "doc_fingerprint": _fingerprints,
         "mosaic_pipeline": _mosaic_meta,
+        "mosaic_plan_w1": _mosaic_plan,
     }
 
 
@@ -822,6 +879,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_encode_p1": _ENCODE_SQL,
         "cell_pack": _PACK_SQL,
         "bbox_enum_f1": _BBOX_SQL,
+        "mosaic_plan_w1": _MOSAIC_PLAN_SQL,
         "dedup_exact": _DEDUP_SQL,
         "duplicate_groups": _DUPG_SQL,
         "word_jaccard_pairs": _JACCARD_SQL,

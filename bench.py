@@ -134,12 +134,14 @@ def main():
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
-    def timed(name, fn, *, cold: bool = False):
+    def timed(name, fn, *, cold: bool = False, repeats: int = 1):
         if steady and not cold:
             fn()  # untimed: codegen compile, Python workers, page cache
             runs = 2
         else:
-            runs = 1
+            # long cold stages: best-of-`repeats` tames the box's ±10-15%
+            # run-to-run swing (turbo/thermal) without an untimed warmup
+            runs = repeats if steady else 1
         best, c = None, None
         for _ in range(runs):
             t0 = time.time()
@@ -178,7 +180,7 @@ def main():
         m = mosaic(j, group_w=4, group_h=4, full_groups_only=False, anchor=(x0, y0))
         return m.select(F.sum("n_tiles")).collect()[0][0]
 
-    merged = timed("mosaic_stitch", q_mosaic, cold=True)
+    merged = timed("mosaic_stitch", q_mosaic, cold=True, repeats=2)
 
     # 4. kNN cell-ring expansion: 64 queries over the image grid
     def q_knn():

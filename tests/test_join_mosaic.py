@@ -111,6 +111,39 @@ def test_grouping_w1_parity(spark, t_geom, image_table):
         assert (png.decode_png(bytes(r.bytes)) == expected[k]).all()
 
 
+def test_grouping_w2_overlap_sliding_oracle(spark, t_geom, image_table):
+    """W2 opt-in overlap (the reference PARSES --group-overlap but never
+    applies it, cli.py:101-103 vs :235-239 — this is the intended
+    semantics): windows every (gw-overlap) tiles, adjacent mosaics share
+    `overlap` tile rows/cols. Oracle = numpy sliding windows over the
+    full canvas with the same stride."""
+    tiles = tiles_for(spark, t_geom, 16, by="bbox")
+    images = read_image_table(spark, image_table).filter(~F.col("image_id").rlike("_1[0-9][0-9]$"))
+    joined = join_images(tiles, images.drop("cell_id"), how="left")
+    gw = gh = 2
+    got = {
+        (r.gx, r.gy): r
+        for r in mosaic(
+            joined, group_w=gw, group_h=gh, group_overlap=1
+        ).collect()
+    }
+
+    present = [t for t in T_BBOX_Z16 if t != GAP]
+    canvas = oracle_canvas(present, 47439, 31441, 4, 4)
+    k, s = gw * 256, (gw - 1) * 256  # kernel, stride in px
+    expected = {}
+    for i in range(0, canvas.shape[0] - k + 1, s):
+        for j in range(0, canvas.shape[1] - k + 1, s):
+            expected[(j // s, i // s)] = canvas[i : i + k, j : j + k]
+    assert set(got) == set(expected)  # 3x3 overlapping windows
+    for key, r in got.items():
+        assert (r.w, r.h) == (k, k)
+        # absolute tile extent follows the stride grid
+        assert r.tminx == 47439 + key[0] * (gw - 1)
+        assert r.tminy == 31441 + key[1] * (gw - 1)
+        assert (png.decode_png(bytes(r.bytes)) == expected[key]).all()
+
+
 def test_grouping_2x2_all_groups_full(spark, t_geom, image_table):
     tiles = tiles_for(spark, t_geom, 16, by="bbox")
     images = read_image_table(spark, image_table).filter(~F.col("image_id").rlike("_1[0-9][0-9]$"))

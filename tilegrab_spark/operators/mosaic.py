@@ -43,10 +43,13 @@ MOSAIC_SCHEMA = (
 def _stitch_core(
     key, xs, ys, datas, fmts, ids, *, tile_w: int, tile_h: int,
     group_w: int | None, group_h: int | None, drop_empty: bool,
-    png_level: int,
+    png_level: int, stride_w: int | None = None, stride_h: int | None = None,
 ) -> dict | None:
     """Engine-agnostic stitch kernel over plain sequences; returns one
-    output row dict, or None for an all-zero dropped group (F7)."""
+    output row dict, or None for an all-zero dropped group (F7).
+
+    ``stride_w/stride_h`` place window origins at multiples of the stride
+    (overlapping re-chunking, W2); default = group size (disjoint W1)."""
     geom_id, z, gx, gy, ax, ay = key
     z, gx, gy, ax, ay = int(z), int(gx), int(gy), int(ax), int(ay)
     if group_w is None:
@@ -55,8 +58,8 @@ def _stitch_core(
         tminx, tmaxx = int(min(xs)), int(max(xs))
         tminy, tmaxy = int(min(ys)), int(max(ys))
     else:
-        tminx = ax + gx * group_w
-        tminy = ay + gy * group_h
+        tminx = ax + gx * (stride_w or group_w)
+        tminy = ay + gy * (stride_h or group_h)
         tmaxx = tminx + group_w - 1
         tmaxy = tminy + group_h - 1
     w = (tmaxx - tminx + 1) * tile_w
@@ -103,13 +106,14 @@ def _stitch_core(
 def _stitch_group(
     key, pdf: pd.DataFrame, *, tile_w: int, tile_h: int,
     group_w: int | None, group_h: int | None, drop_empty: bool,
-    png_level: int,
+    png_level: int, stride_w: int | None = None, stride_h: int | None = None,
 ) -> pd.DataFrame:
     row = _stitch_core(
         key, pdf["x"].tolist(), pdf["y"].tolist(), pdf["bytes"].tolist(),
         pdf["fmt"].tolist(), pdf["image_id"].tolist(),
         tile_w=tile_w, tile_h=tile_h, group_w=group_w, group_h=group_h,
         drop_empty=drop_empty, png_level=png_level,
+        stride_w=stride_w, stride_h=stride_h,
     )
     if row is None:
         return pd.DataFrame(columns=_SCHEMA_COLS)
@@ -151,6 +155,7 @@ def mosaic(
     anchor: tuple | None = None,
     num_partitions: int | None = None,
     engine: str = "arrow",
+    group_overlap: int = 0,
 ) -> DataFrame:
     """Stitch joined (tile, image) rows into mosaics.
 
@@ -159,6 +164,15 @@ def mosaic(
     before the shuffle (scale mode). ``full_groups_only`` drops trailing
     partial windows for grouping parity (sliding_window_view semantics);
     ``drop_empty`` is F7.
+
+    ``group_overlap`` (W2): the reference parses ``--group-overlap`` but
+    never applies it (cli.py:101-103 vs :235-239 — SURVEY §8 Q3; parity
+    default is therefore 0). Opt-in here implements the INTENDED
+    semantics: window origins every ``group_w - group_overlap`` tiles,
+    so adjacent mosaics share ``group_overlap`` tile columns/rows.
+    Scalable form: each tile row explodes over the (few) windows that
+    cover it BEFORE the shuffle — ``sequence``+``explode`` in Catalyst,
+    amplification factor ≈ (gw/(gw-ov))², and still no giant canvas.
 
     ``anchor=(ax, ay)``: explicit grid origin (e.g. the enumeration's bbox
     corner, known driver-side). Skips the data-extent aggregation —
@@ -178,20 +192,50 @@ def mosaic(
             F.max("y").alias("_my"),
         )
         df = joined.join(F.broadcast(ext), on=["geom_id", "z"])
+    stride_w = stride_h = None
     if group_w is not None:
         group_h = group_h or group_w
-        df = df.withColumn(
-            "gx", F.floor((F.col("x") - F.col("_ax")) / group_w).cast("int")
-        ).withColumn(
-            "gy", F.floor((F.col("y") - F.col("_ay")) / group_h).cast("int")
-        )
-        if full_groups_only:
-            nx = F.col("_mx") - F.col("_ax") + 1
-            ny = F.col("_my") - F.col("_ay") + 1
-            df = df.filter(
-                ((F.col("gx") + 1) * group_w <= nx)
-                & ((F.col("gy") + 1) * group_h <= ny)
+        if group_overlap:
+            if group_overlap >= min(group_w, group_h):
+                raise ValueError("group_overlap must be < group size")
+            stride_w = group_w - group_overlap
+            stride_h = group_h - group_overlap
+            dx = F.col("x") - F.col("_ax")
+            dy = F.col("y") - F.col("_ay")
+            # windows covering dx: origins g*s with g*s <= dx <= g*s+gw-1
+            gx_lo = F.greatest(-F.floor((F.lit(group_w - 1) - dx) / stride_w), F.lit(0))
+            gy_lo = F.greatest(-F.floor((F.lit(group_h - 1) - dy) / stride_h), F.lit(0))
+            df = df.withColumn(
+                "gx",
+                F.explode(
+                    F.sequence(gx_lo.cast("int"), F.floor(dx / stride_w).cast("int"))
+                ),
+            ).withColumn(
+                "gy",
+                F.explode(
+                    F.sequence(gy_lo.cast("int"), F.floor(dy / stride_h).cast("int"))
+                ),
             )
+            if full_groups_only:
+                nx = F.col("_mx") - F.col("_ax") + 1
+                ny = F.col("_my") - F.col("_ay") + 1
+                df = df.filter(
+                    (F.col("gx") * stride_w + group_w <= nx)
+                    & (F.col("gy") * stride_h + group_h <= ny)
+                )
+        else:
+            df = df.withColumn(
+                "gx", F.floor((F.col("x") - F.col("_ax")) / group_w).cast("int")
+            ).withColumn(
+                "gy", F.floor((F.col("y") - F.col("_ay")) / group_h).cast("int")
+            )
+            if full_groups_only:
+                nx = F.col("_mx") - F.col("_ax") + 1
+                ny = F.col("_my") - F.col("_ay") + 1
+                df = df.filter(
+                    ((F.col("gx") + 1) * group_w <= nx)
+                    & ((F.col("gy") + 1) * group_h <= ny)
+                )
     else:
         df = df.withColumn("gx", F.lit(0)).withColumn("gy", F.lit(0))
 
@@ -227,6 +271,7 @@ def mosaic(
                 tbl.column("image_id").to_pylist(),
                 tile_w=tile_w, tile_h=tile_h, group_w=group_w,
                 group_h=group_h, drop_empty=drop_empty, png_level=png_level,
+                stride_w=stride_w, stride_h=stride_h,
             )
             rows = [] if row is None else [row]
             return pa.Table.from_pylist(rows, schema=_ARROW_SCHEMA)
@@ -243,6 +288,8 @@ def mosaic(
             group_h=group_h,
             drop_empty=drop_empty,
             png_level=png_level,
+            stride_w=stride_w,
+            stride_h=stride_h,
         )
 
     return grouped.applyInPandas(apply_fn, schema=MOSAIC_SCHEMA)
