@@ -766,6 +766,32 @@ def _mosaic_meta(spark, sf):
     )
 
 
+def _hamming_near_dup(spark, sf):
+    """Exact int64-hamming near-dup pairs (the pigeonhole blocked join
+    behind SimHash text dedup and phash image dedup —
+    operators/dedup.py::hamming_near_dup_pairs / phash_near_dup_pairs).
+    The driver tables carry no phash column, so the surrogate key is
+    n_chars cast to int64 — the operator is hash-generic, and DuckDB
+    re-derives the full pair set independently with xor+bit_count."""
+    from tilegrab_spark.operators.dedup import hamming_near_dup_pairs
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("h64")
+    )
+    return hamming_near_dup_pairs(
+        d, hash_col="h64", id_col="doc_id", max_hamming=1
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+_HAMMING_SQL = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.n_chars::BIGINT, b.n_chars::BIGINT)) AS INTEGER) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id
+ AND bit_count(xor(a.n_chars::BIGINT, b.n_chars::BIGINT)) <= 1
+"""
+
+
 def _mosaic_plan(spark, sf):
     """Metadata-only W1 pipeline, FULLY oracled: bbox cell enumeration,
     J1 join against a generated image table, pre-shuffle group keys,
@@ -858,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _fingerprints,
         "mosaic_pipeline": _mosaic_meta,
         "mosaic_plan_w1": _mosaic_plan,
+        "near_dup_hamming": _hamming_near_dup,
     }
 
 
@@ -880,6 +907,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_pack": _PACK_SQL,
         "bbox_enum_f1": _BBOX_SQL,
         "mosaic_plan_w1": _MOSAIC_PLAN_SQL,
+        "near_dup_hamming": _HAMMING_SQL,
         "dedup_exact": _DEDUP_SQL,
         "duplicate_groups": _DUPG_SQL,
         "word_jaccard_pairs": _JACCARD_SQL,

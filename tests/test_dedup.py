@@ -104,6 +104,72 @@ def test_simhash_blocking_is_exhaustive_for_small_distance(spark):
     assert found == 1
 
 
+def test_hamming_near_dup_exact_vs_bruteforce(spark):
+    """Generic int64-hamming pairs: exact recovery vs a numpy popcount
+    brute force, including sign-bit (bit 63) and uncovered-top-bit edge
+    cases of the pigeonhole banding."""
+    import numpy as np
+
+    vals = [
+        0,
+        1,                      # d(0,1)=1
+        3,                      # d(1,3)=1
+        1 << 63,                # sign bit only: d(0, 1<<63)=1
+        (1 << 63) | 1,          # d(1<<63, ...|1)=1
+        (1 << 62) | (1 << 21),  # straddles band boundaries
+        (1 << 62) | (1 << 21) | (1 << 42),
+        0x5555555555555555,     # far from everything
+    ]
+    rows = [(i, np.int64(np.uint64(v)).item()) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    for k in (1, 2, 3):
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in dedup.hamming_near_dup_pairs(
+                df, hash_col="h", id_col="id", max_hamming=k
+            ).collect()
+        }
+        want = {}
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                d = bin((vals[i] ^ vals[j]) & ((1 << 64) - 1)).count("1")
+                if d <= k:
+                    want[(i, j)] = d
+        assert got == want, (k, got, want)
+
+
+def test_phash_near_dup_pairs_images(spark):
+    """Image-payload near-dup: a tile and its lightly perturbed re-render
+    land within a few phash bits and MUST pair; unrelated tiles must not."""
+    import numpy as np
+
+    from tilegrab_spark.kernels import png
+
+    # structured scenes (the synthetic XOR tiles have uniform 8x8 block
+    # means, so their phashes all collapse to one value — a real phash
+    # test needs real structure): vertical ramp vs horizontal ramp
+    ramp = np.linspace(0, 255, 256, dtype=np.uint8)
+    a = np.repeat(ramp[:, None, None], 256, axis=1).repeat(3, axis=2)
+    b = a.copy()
+    b[:40, :40] = 255  # local corruption: phash moves by a few bits at most
+    c = np.repeat(ramp[None, :, None], 256, axis=0).repeat(3, axis=2)
+    rows = [
+        ("img_a", png.phash64(a)),
+        ("img_b", png.phash64(b)),
+        ("img_c", png.phash64(c)),
+    ]
+    d_ab = bin((rows[0][1] ^ rows[1][1]) & ((1 << 64) - 1)).count("1")
+    d_ac = bin((rows[0][1] ^ rows[2][1]) & ((1 << 64) - 1)).count("1")
+    assert d_ab < d_ac  # sanity: perturbation is nearer than a new scene
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.phash_near_dup_pairs(df, max_hamming=max(d_ab, 1)).collect()
+    }
+    assert got.get(("img_a", "img_b")) == d_ab
+    assert ("img_a", "img_c") not in got
+
+
 def test_embedding_cosine_pairs(spark):
     import numpy as np
 

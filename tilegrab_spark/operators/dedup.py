@@ -201,26 +201,27 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("simhash", simhash(F.col(text_col)))
 
 
-def simhash_pairs(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+def hamming_near_dup_pairs(
+    df: DataFrame, *, hash_col: str, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming, found by the
-    pigeonhole block trick: split 64 bits into (max_hamming+1) blocks —
-    any pair within distance k agrees exactly on >=1 block — bucket-join
-    on (block_idx, block_value), then exact popcount filter. Blocked join,
-    no cross product."""
+    """EXACT near-dup pairs with hamming(hash) <= max_hamming over any
+    int64 hash column, found by the pigeonhole block trick: split 64 bits
+    into (max_hamming+1) blocks — any pair within distance k differs in
+    <= k blocks, so it agrees exactly on >=1 block — bucket-join on
+    (block_idx, block_value), then exact popcount filter. Blocked join,
+    no cross product; completeness is a theorem, not a probability."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    sh = with_simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    sh = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
     mask = (1 << width) - 1
     vals = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+            F.shiftrightunsigned(F.col("_h"), i * width).bitwiseAND(F.lit(mask))
             for i in range(nblocks)
         ]
     )
     blocks = sh.select(
-        "_id", "simhash", F.posexplode(vals).alias("blk", "blk_val")
+        "_id", "_h", F.posexplode(vals).alias("blk", "blk_val")
     )
     l, r = blocks.alias("l"), blocks.alias("r")
     cand = (
@@ -235,8 +236,8 @@ def simhash_pairs(
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
+            F.col("l._h").alias("sh_a"),
+            F.col("r._h").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -244,6 +245,37 @@ def simhash_pairs(
     return cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def simhash_pairs(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup text pairs by SimHash (see hamming_near_dup_pairs for the
+    exact pigeonhole blocking)."""
+    sh = with_simhash(df, text_col)
+    return hamming_near_dup_pairs(
+        sh, hash_col="simhash", id_col=id_col, max_hamming=max_hamming
+    )
+
+
+def phash_near_dup_pairs(
+    images_df: DataFrame,
+    *,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Image near-dup pairs by perceptual hash — the image table carries
+    ``phash:int64`` (BASELINE.json input_hint; computed by
+    kernels/png.py::phash64 at ingest). Two re-encodes / slight crops of
+    the same scene land within a few phash bits; this finds every pair
+    with hamming(phash) <= max_hamming via the exact pigeonhole blocked
+    join — the image-payload analogue of SimHash text dedup, and the only
+    join shape that survives 10^12 rows (no cross product, candidates
+    bucketed by 64/(k+1)-bit blocks)."""
+    return hamming_near_dup_pairs(
+        images_df, hash_col=phash_col, id_col=id_col, max_hamming=max_hamming
+    )
 
 
 # ---------------------------------------------------------------------------
