@@ -111,6 +111,33 @@ def test_grouping_w1_parity(spark, t_geom, image_table):
         assert (png.decode_png(bytes(r.bytes)) == expected[k]).all()
 
 
+def test_mosaic_corrupt_payload_skip_and_count(spark, t_geom, image_table):
+    """A corrupt payload must not kill the stage (at 10^12 rows a bad
+    byte is a certainty): the tile renders black (missing-tile
+    semantics) and is counted in n_bad for metrics-driven re-fetch."""
+    victim = "16_47439_31441_0"
+    tiles = tiles_for(spark, t_geom, 16, by="shape")
+    images = (
+        read_image_table(spark, image_table)
+        .filter(~F.col("image_id").rlike("_1[0-9][0-9]$"))
+        .withColumn(
+            "bytes",
+            F.when(
+                F.col("image_id") == victim, F.lit(b"\x89PNGgarbage")
+            ).otherwise(F.col("bytes")),
+        )
+    )
+    joined = join_images(tiles, images.drop("cell_id"))
+    r = mosaic(joined).collect()[0]
+    present = [t for t in T_SHAPE_Z16 if t != GAP]
+    assert r.n_bad == 1
+    assert r.n_tiles == len(present) - 1
+    got = png.decode_png(bytes(r.bytes))
+    # the corrupted tile's area is black; the rest matches the oracle
+    want = oracle_canvas([t for t in present if t != (47439, 31441)], 47439, 31441, 4, 4)
+    assert (got == want).all()
+
+
 def test_grouping_w2_overlap_sliding_oracle(spark, t_geom, image_table):
     """W2 opt-in overlap (the reference PARSES --group-overlap but never
     applies it, cli.py:101-103 vs :235-239 — this is the intended

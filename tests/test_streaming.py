@@ -1,8 +1,14 @@
 """Streaming ingest: parquet drops land in the partitioned image table
-exactly once across restarts (checkpointed availableNow)."""
+exactly once across restarts (checkpointed availableNow). Incremental
+mosaics: per-batch partial stitch + batch-ordered overlay compaction."""
 
+import numpy as np
+import pandas as pd
+
+from tilegrab_spark.kernels import png
 from tilegrab_spark.sources.images import read_image_table, write_synthetic_image_table
 from tilegrab_spark.streaming.ingest import stream_image_ingest
+from tilegrab_spark.streaming.mosaic_stream import compact_mosaics, stream_mosaic
 
 
 def test_stream_ingest_exactly_once(spark, tmp_path):
@@ -32,3 +38,61 @@ def test_stream_ingest_exactly_once(spark, tmp_path):
     q3 = stream_image_ingest(spark, landing, table, ckpt, n_buckets=2)
     q3.awaitTermination(120)
     assert read_image_table(spark, table).count() == 3
+
+
+def test_stream_mosaic_incremental_overlay(spark, tmp_path):
+    """Each micro-batch stitches ONLY its own rows into partial mosaics;
+    compaction overlays partials in batch order (later batch wins where
+    it has pixels). Oracle: numpy canvas built the same way."""
+    from tilegrab_spark.sources.images import IMAGE_SCHEMA, _gen_batch
+
+    z, x0, y0 = 15, 23000, 15000
+    landing = str(tmp_path / "landing")
+    partials = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+    tiles_df = spark.createDataFrame(
+        [("g", z, x0 + i, y0 + j) for i in range(2) for j in range(2)],
+        "geom_id string, z int, x long, y long",
+    )
+
+    def land(cells):
+        pdf = _gen_batch(
+            pd.DataFrame([{"z": z, "x": x, "y": y, "src": s, "bucket": 0} for x, y, s in cells]),
+            256, 256,
+        )
+        spark.createDataFrame(pdf, IMAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    def run():
+        q = stream_mosaic(
+            spark, landing, tiles_df, partials, ckpt,
+            group_w=2, group_h=2, anchor=(x0, y0),
+        )
+        q.awaitTermination(180)
+
+    # batch 1: two tiles
+    land([(x0, y0, 0), (x0 + 1, y0, 0)])
+    run()
+    # batch 2: re-render of (x0,y0) from src 1 (wins) + a NEW tile
+    land([(x0, y0, 1), (x0, y0 + 1, 0)])
+    run()
+
+    rows = compact_mosaics(spark, partials).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.w, r.h) == (512, 512)
+    assert r.n_tiles == 4  # total pastes across batches
+
+    want = np.zeros((512, 512, 3), np.uint8)
+    for (x, y, s) in [(x0 + 1, y0, 0), (x0, y0 + 1, 0), (x0, y0, 1)]:
+        px, py = (x - x0) * 256, (y - y0) * 256
+        want[py : py + 256, px : px + 256] = png.synth_tile_pixels(x, y, z, s)
+    got = png.decode_png(bytes(r.bytes))
+    assert (got == want).all()
+
+    # restart with no new data: no new batch directories, same canvas
+    run()
+    rows2 = compact_mosaics(spark, partials).collect()
+    assert len(rows2) == 1
+    assert (png.decode_png(bytes(rows2[0].bytes)) == want).all()

@@ -35,7 +35,7 @@ from tilegrab_spark.kernels import geo, png
 MOSAIC_SCHEMA = (
     "geom_id string, z int, gx int, gy int, "
     "tminx long, tminy long, tmaxx long, tmaxy long, "
-    "w int, h int, n_tiles int, bytes binary, "
+    "w int, h int, n_tiles int, n_bad int, bytes binary, "
     "merc_xmin double, merc_ymin double, merc_xmax double, merc_ymax double"
 )
 
@@ -66,6 +66,7 @@ def _stitch_core(
     h = (tmaxy - tminy + 1) * tile_h
     canvas = np.zeros((h, w, 3), dtype=np.uint8)  # RGB, black = missing
     n = 0
+    n_bad = 0
     # deterministic last-paste-wins order (reference order is iteration
     # order, mosaic.py:22-25; we pin it)
     for i in sorted(range(len(xs)), key=lambda i: (ys[i], xs[i], ids[i])):
@@ -73,7 +74,16 @@ def _stitch_core(
         if data is None:
             continue
         data = bytes(data)
-        arr = png.decode_png(data) if fmts[i] == "png" else _raw_decode(data, tile_w, tile_h)
+        try:
+            arr = png.decode_png(data) if fmts[i] == "png" else _raw_decode(data, tile_w, tile_h)
+        except Exception:
+            # at 10^12 rows a corrupt payload is a statistical certainty;
+            # one bad tile must not kill the stage — it renders black
+            # (missing-tile semantics) and is COUNTED, so the lineage/
+            # metrics layer can route the cell for re-fetch (A5/X3 shape:
+            # status columns instead of exceptions)
+            n_bad += 1
+            continue
         px = (int(xs[i]) - tminx) * tile_w
         py = (int(ys[i]) - tminy) * tile_h
         canvas[py : py + arr.shape[0], px : px + arr.shape[1]] = arr[
@@ -95,6 +105,7 @@ def _stitch_core(
         "w": w,
         "h": h,
         "n_tiles": n,
+        "n_bad": n_bad,
         "bytes": png.encode_png(canvas, filter_type=2, level=png_level),
         "merc_xmin": mx0,
         "merc_ymin": my0,
