@@ -73,3 +73,53 @@ def test_knn_k_larger_than_candidates(spark):
     got = knn_join(queries, images, zoom, k=10, max_radius=8)
     # best effort: returns what exists within max radius
     assert got.count() == 2
+
+
+def test_knn_density_hint_fewer_rounds_same_result(spark):
+    """rows_per_cell sizes the initial ring: a sparse table (density
+    ~1/25) finalizes in one round with the hint vs several without —
+    and the result set is identical (exactness is radius-independent)."""
+    import tilegrab_spark.operators.knn as knn_mod
+    from tilegrab_spark.kernels.geo import tile_bounds
+
+    zoom = 10
+    # one image every 5x5 cells: density 1/25
+    cells = [(500 + 5 * i, 300 + 5 * j) for i in range(12) for j in range(12)]
+    ids = [f"{zoom}_{x}_{y}_0" for x, y in cells]
+    images = spark.createDataFrame(
+        [(zoom, x, y, i) for (x, y), i in zip(cells, ids)],
+        "z int, x long, y long, image_id string",
+    )
+    mnl, mnt, mxl, mxt = tile_bounds(527, 327, zoom)
+    queries = spark.createDataFrame(
+        [("q0", float((mnl + mxl) / 2), float((mnt + mxt) / 2))],
+        "query_id string, lon double, lat double",
+    )
+
+    rounds = []
+    orig = knn_mod._candidates
+
+    def traced(q, im, z, radius):
+        rounds.append(radius)
+        return orig(q, im, z, radius)
+
+    knn_mod._candidates = traced
+    try:
+        base = sorted(
+            (r.image_id, round(float(r.dist), 6))
+            for r in knn_join(queries, images, zoom, k=4).collect()
+        )
+        base_rounds = len(rounds)
+        rounds.clear()
+        hinted = sorted(
+            (r.image_id, round(float(r.dist), 6))
+            for r in knn_join(
+                queries, images, zoom, k=4, rows_per_cell=1 / 25
+            ).collect()
+        )
+        hint_rounds = len(rounds)
+    finally:
+        knn_mod._candidates = orig
+    assert hinted == base
+    assert hint_rounds < base_rounds
+    assert hint_rounds == 1

@@ -64,6 +64,7 @@ def knn_join(
     *,
     init_radius: int | None = None,
     max_radius: int = 1024,
+    rows_per_cell: float | None = None,
 ) -> DataFrame:
     """For each query point, the k nearest image rows at ``zoom``.
 
@@ -73,6 +74,13 @@ def knn_join(
     The query side is broadcast per round (query sets are small relative
     to the image table); the image table is only ever touched by pruned
     cell-key joins — never a full shuffle.
+
+    ``rows_per_cell``: average image-row density (rows per cell at
+    ``zoom``), e.g. from the lineage/metrics table or a prior count —
+    sizes the initial ring so the expected round-1 candidate count is
+    ~2k and most queries finalize in ONE distributed round instead of
+    doubling through several. Exactness is unaffected (the safe-radius
+    test still gates finality); a bad hint only changes round count.
     """
     spark = queries_df.sparkSession
     qx, qy = cell_encode_cols(F.col("lon"), F.col("lat"), zoom)
@@ -85,7 +93,13 @@ def knn_join(
     )
 
     ts = 2.0 * WEB_MERCATOR_EXTENT / (1 << zoom)
-    radius = init_radius or max(1, int(math.ceil(math.sqrt(k) / 2)))
+    if init_radius is not None:
+        radius = init_radius
+    elif rows_per_cell and rows_per_cell > 0:
+        # (2r+1)^2 * density >= 2k  =>  round-1 usually suffices
+        radius = max(1, int(math.ceil((math.sqrt(2.0 * k / rows_per_cell) - 1) / 2)))
+    else:
+        radius = max(1, int(math.ceil(math.sqrt(k) / 2)))
     results = []
     remaining = q
     # query sets are small by design (they're broadcast every round), so
