@@ -127,12 +127,51 @@ def read_image_table(spark: SparkSession, path: str, *, parse_key: bool = True) 
     return df
 
 
+def write_bucketed_image_table(
+    df: DataFrame,
+    table_name: str,
+    *,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist image rows as a Hive-BUCKETED table on the packed cell key
+    (``bucketBy(n, cell_id) sortBy(cell_id)``) — the co-located-join
+    layout (SURVEY.md §4): two tables bucketed the same way join with
+    ZERO Exchange (Spark reads bucket i of both sides into the same
+    task), so repeated cell-key joins — tiles↔images, images↔captions,
+    progress lookups — never reshuffle the 100 TB side. This is the
+    sandbox stand-in for an Iceberg table with a ``bucket(N, cell_id)``
+    partition transform; directory-partitioned ``(zoom, bucket)``
+    parquet (write_synthetic_image_table) remains the scan-pruning
+    layout for tile-range queries.
+    """
+    d = df
+    if "cell_id" not in d.columns:
+        d = d.withColumn(
+            "cell_id",
+            cell_id_col(
+                F.regexp_extract("image_id", TILE_ID_RE, 1).cast("int"),
+                F.regexp_extract("image_id", TILE_ID_RE, 2).cast("long"),
+                F.regexp_extract("image_id", TILE_ID_RE, 3).cast("long"),
+            ),
+        )
+    (
+        d.write.mode(mode)
+        .bucketBy(n_buckets, "cell_id")
+        .sortBy("cell_id")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def cell_id_col(z="z", x="x", y="y"):
-    """Packed cell id as a Catalyst expression: z<<58 | x<<29 | y."""
+    """Packed cell id as a Catalyst expression: z<<58 | x<<29 | y.
+    Accepts column names or Column expressions."""
+    zc, xc, yc = (F.col(c) if isinstance(c, str) else c for c in (z, x, y))
     return (
-        F.shiftleft(F.col(z).cast("long"), 58)
-        .bitwiseOR(F.shiftleft(F.col(x).cast("long"), 29))
-        .bitwiseOR(F.col(y).cast("long"))
+        F.shiftleft(zc.cast("long"), 58)
+        .bitwiseOR(F.shiftleft(xc.cast("long"), 29))
+        .bitwiseOR(yc.cast("long"))
     )
 
 
