@@ -56,3 +56,41 @@ def test_tile_geojson_col(spark):
     assert len(ring) == 5 and ring[0] == ring[-1]
     # matches the reference's 5-point ring order (tile.py:83-92)
     assert ring[0][0] == ring[1][0] and ring[1][1] == ring[2][1]
+
+
+def test_geotiff_kernel_roundtrip():
+    import numpy as np
+
+    from tilegrab_spark.kernels import geotiff
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    bounds = (100.0, -250.0, 1060.0, 390.0)  # sx=10, sy=10
+    data = geotiff.encode_geotiff(arr, bounds)
+    got, got_bounds, epsg = geotiff.read_geotiff(data)
+    assert (got == arr).all()
+    assert got_bounds == bounds
+    assert epsg == 3857
+    assert data[:2] == b"II"  # little-endian TIFF magic
+
+
+def test_export_mosaics_real_geotiff(spark, t_geom, image_table, tmp_path):
+    """S7: fmt='tiff' writes a REAL georeferenced GeoTIFF (exporter.py:
+    47-74 parity): pixels identical to the mosaic canvas, EPSG:3857
+    bounds = the FIXTURES §4.4 mercator golden, standard tags."""
+    tiles = tiles_for(spark, t_geom, 16, by="shape")
+    images = read_image_table(spark, image_table).filter(
+        ~F.col("image_id").rlike("_1[0-9][0-9]$")
+    )
+    m = mosaic(join_images(tiles, images.drop("cell_id")))
+    files = export_mosaics(m, tmp_path / "out", fmt="tiff")
+    assert [f.name for f in files] == ["1_mosaic.tif"]
+
+    from tilegrab_spark.kernels import geotiff
+
+    arr, bounds, epsg = geotiff.read_geotiff(files[0].read_bytes())
+    row = m.collect()[0]
+    assert (arr == png.decode_png(bytes(row.bytes))).all()
+    assert epsg == 3857
+    assert bounds[0] == 8971261.135774568  # FIXTURES §4.4 golden
+    assert abs(bounds[3] - 811455.4922754318) < 1e-6

@@ -120,6 +120,11 @@ def main(argv=None) -> int:
     if not args.tiff:
         mosaics = mosaics.drop("merc_xmin", "merc_ymin", "merc_xmax", "merc_ymax")
     eng.write(mosaics, str(args.out / "mosaics"), stage="mosaic")
+    if args.tiff:
+        # real georeferenced .tif files next to the table (exporter.py:47-74)
+        from tilegrab_spark.sources.export import export_mosaics
+
+        export_mosaics(mosaics, args.out / "tiff", fmt="tiff")
     if not args.quiet:
         print(f"mosaics written to {args.out / 'mosaics'}")
     return 0

@@ -4,10 +4,11 @@ images/exporter.py:14-76 and images/image.py:45-56).
 The engine's durable sink is the parquet/Iceberg mosaic table
 (Engine.write); these helpers materialize table rows as individual image
 files the way the reference's CLI does — ``{index}_mosaic.png`` under the
-output dir, ``{z}_{x}_{y}.png`` for per-tile saves, and a GeoTIFF-style
-sidecar carrying the EPSG:3857 transform (rasterio isn't in this
-container, so the georeference is written as world-file + JSON metadata —
-the same (bounds, size) inputs rasterio's ``from_bounds`` takes)."""
+output dir, ``{z}_{x}_{y}.png`` for per-tile saves, and for
+``fmt='tiff'`` a REAL GeoTIFF (kernels/geotiff.py — same bytes
+rasterio's GTiff driver + ``from_bounds`` would emit for EPSG:3857:
+ModelPixelScale/ModelTiepoint/GeoKeyDirectory tags; exporter.py:47-74),
+plus optional world-file + JSON sidecars."""
 
 from __future__ import annotations
 
@@ -24,18 +25,30 @@ def export_mosaics(
     fmt: str = "png",
     georeference: bool = False,
 ) -> list[Path]:
-    """Write each mosaic row as ``{i}_mosaic.png`` (grouped outputs follow
-    the reference's 1-based index naming, exporter.py:31-36). Streams rows
-    with toLocalIterator — never collects all canvases at once."""
+    """Write each mosaic row as ``{i}_mosaic.{png|tif}`` (grouped outputs
+    follow the reference's 1-based index naming, exporter.py:31-36).
+    Streams rows with toLocalIterator — never collects all canvases at
+    once."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    if fmt not in ("png", "jpg"):
+    if fmt not in ("png", "jpg", "tiff"):
         raise ValueError(f"unsupported export fmt {fmt!r}")
     written = []
     rows = mosaics.orderBy("geom_id", "z", "gx", "gy").toLocalIterator()
     for i, r in enumerate(rows, start=1):
-        p = out / f"{i}_mosaic.png"
-        p.write_bytes(bytes(r.bytes))
+        if fmt == "tiff":
+            from tilegrab_spark.kernels import geotiff, png
+
+            p = out / f"{i}_mosaic.tif"
+            p.write_bytes(
+                geotiff.encode_geotiff(
+                    png.decode_png(bytes(r.bytes)),
+                    (r.merc_xmin, r.merc_ymin, r.merc_xmax, r.merc_ymax),
+                )
+            )
+        else:
+            p = out / f"{i}_mosaic.png"
+            p.write_bytes(bytes(r.bytes))
         written.append(p)
         if georeference:
             # world file (.pgw): pixel size + top-left center, EPSG:3857
