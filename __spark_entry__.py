@@ -705,6 +705,48 @@ def _lang_id(spark, sf):
     return with_lang_id(_t(spark, sf, "documents")).select("doc_id", "lang_pred")
 
 
+def _lang_id_sql() -> str:
+    """DuckDB re-derivation of the lang-ID heuristic, generated from the
+    SAME marker table the Arrow UDF uses (operators/text.py) so the two
+    can't drift: marker hit counts via replace-length arithmetic, CJK
+    ratio via regexp_replace, first-max-wins argmax (pandas idxmax
+    order), en fallback when all scores are zero."""
+    from tilegrab_spark.operators.text import _LANG_MARKERS
+
+    def cnt(m: str) -> str:
+        esc = m.replace("'", "''")
+        return f"(length(low) - length(replace(low, '{esc}', ''))) / {len(m)}"
+
+    score = {
+        lang: "+".join(cnt(m) for m in marks)
+        for lang, marks in _LANG_MARKERS.items()
+        if marks
+    }
+    return f"""
+WITH base AS (
+  SELECT doc_id, lower(text) AS low,
+         greatest(length(text), 1)::DOUBLE AS n,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g'))::DOUBLE AS cjk_n
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         ({score['en']})::DOUBLE / n AS s_en, ({score['es']})::DOUBLE / n AS s_es,
+         ({score['de']})::DOUBLE / n AS s_de, ({score['fr']})::DOUBLE / n AS s_fr,
+         cjk_n / n AS cjk
+  FROM base
+)
+SELECT doc_id,
+  CASE WHEN cjk >= 0.2 THEN 'zh'
+       WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'en'
+       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       WHEN s_de >= s_fr THEN 'de'
+       ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+
 def _fingerprints(spark, sf):
     from tilegrab_spark.operators.text import with_fingerprint
 
@@ -908,6 +950,7 @@ def oracle_sql() -> dict[str, str]:
         "bbox_enum_f1": _BBOX_SQL,
         "mosaic_plan_w1": _MOSAIC_PLAN_SQL,
         "near_dup_hamming": _HAMMING_SQL,
+        "lang_id": _lang_id_sql(),
         "dedup_exact": _DEDUP_SQL,
         "duplicate_groups": _DUPG_SQL,
         "word_jaccard_pairs": _JACCARD_SQL,
