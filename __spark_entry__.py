@@ -683,6 +683,46 @@ def _simhash(spark, sf):
     return simhash_pairs(d, max_hamming=8)
 
 
+# The oracle re-derives SimHash itself (md5-low-64 token hash — the
+# _stable_hash64 contract — per-bit majority vote) and then finds pairs
+# EXHAUSTIVELY; matching it proves both the hash math and that the
+# pigeonhole blocking in hamming_near_dup_pairs missed nothing.
+_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents WHERE doc_id < 200)
+  WHERE w <> ''
+),
+th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM toks),
+bits AS (
+  SELECT doc_id, g.generate_series AS b,
+         SUM(((h >> g.generate_series::UBIGINT) & 1)::BIGINT) AS ones, COUNT(*) AS n
+  FROM th, generate_series(0, 63) g
+  GROUP BY doc_id, g.generate_series
+),
+sh AS (
+  -- left join so token-less docs keep simhash 0 (the UDF's empty case)
+  SELECT d.doc_id,
+         COALESCE(SUM(CASE WHEN ones * 2 >= n THEN (1::HUGEINT << b)
+                           ELSE 0::HUGEINT END), 0::HUGEINT) AS u
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+  LEFT JOIN bits ON d.doc_id = bits.doc_id
+  GROUP BY d.doc_id
+),
+sg AS (
+  SELECT doc_id,
+    (u - CASE WHEN u >= 9223372036854775808::HUGEINT
+              THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS simhash
+  FROM sh
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
 def _ivf_ann(spark, sf):
     from tilegrab_spark.operators.similarity import (
         ann_topk_ivf,
@@ -951,6 +991,7 @@ def oracle_sql() -> dict[str, str]:
         "mosaic_plan_w1": _MOSAIC_PLAN_SQL,
         "near_dup_hamming": _HAMMING_SQL,
         "lang_id": _lang_id_sql(),
+        "simhash_pairs": _SIMHASH_SQL,
         "dedup_exact": _DEDUP_SQL,
         "duplicate_groups": _DUPG_SQL,
         "word_jaccard_pairs": _JACCARD_SQL,

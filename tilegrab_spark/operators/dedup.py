@@ -47,10 +47,13 @@ _MERSENNE = (1 << 61) - 1
 
 def _stable_hash64(s: str) -> int:
     """Process-independent 64-bit string hash (Python's builtin hash() is
-    salted per interpreter — unusable across executors)."""
+    salted per interpreter — unusable across executors). md5-low-8-bytes
+    so independent engines can re-derive it (DuckDB:
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT`` — the SimHash oracle in
+    __spark_entry__.py depends on this exact choice)."""
     import hashlib
 
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
 
 
 def _perm_params(num_hashes: int, seed: int = 42):
