@@ -27,7 +27,7 @@ def parse_args(argv=None) -> argparse.Namespace:
         prog="tilegrab-spark", description="Select, join and mosaic map tiles on Spark"
     )
     src = p.add_argument_group("Source options (Extent)")
-    src.add_argument("--source", type=str, required=True, help="vector polygon source (GeoJSON)")
+    src.add_argument("--source", type=str, required=True, help="vector polygon source (GeoJSON / .shp / .gpkg)")
     src.add_argument("--invert", action="store_true", help="select NON-overlapping tiles within bbox (with --shape)")
     ext = src.add_mutually_exclusive_group(required=True)
     ext.add_argument("--shape", action="store_true", help="use actual shape to derive tiles")
@@ -69,7 +69,7 @@ def parse_args(argv=None) -> argparse.Namespace:
 def main(argv=None) -> int:
     args = parse_args(argv)
     from tilegrab_spark import Engine, get_spark
-    from tilegrab_spark.sources.geometries import geometry_from_geojson
+    from tilegrab_spark.sources.vector_files import geometry_from_file
     from tilegrab_spark.sources.tile_sources import url_column
 
     from pyspark.sql import functions as F
@@ -81,7 +81,7 @@ def main(argv=None) -> int:
     if not args.debug:
         spark.sparkContext.setLogLevel("ERROR" if args.quiet else "WARN")
 
-    geom = geometry_from_geojson(args.source)
+    geom = geometry_from_file(args.source)
     eng = Engine(spark, metrics_path=str(args.out / "metrics"))
     tiles = eng.tiles_for(
         geom,
