@@ -848,6 +848,37 @@ def _mosaic_meta(spark, sf):
     )
 
 
+def _sessionize(spark, sf):
+    """Gaps-and-islands sessionization of the events table (30-min gap):
+    lag + flag + running sum, rolled up per session. Epoch-microsecond
+    ints keep the cross-engine value hash exact."""
+    from tilegrab_spark.operators.sessions import session_summary
+
+    return session_summary(_t(spark, sf, "events"), gap_minutes=30.0)
+
+
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, value, ts_us,
+         (SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1)::INTEGER AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       (SUM(value::DECIMAL(25,6)))::DOUBLE AS sum_value
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
 def _hamming_near_dup(spark, sf):
     """Exact int64-hamming near-dup pairs (the pigeonhole blocked join
     behind SimHash text dedup and phash image dedup —
@@ -967,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_pipeline": _mosaic_meta,
         "mosaic_plan_w1": _mosaic_plan,
         "near_dup_hamming": _hamming_near_dup,
+        "sessionize_events": _sessionize,
     }
 
 
@@ -992,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_hamming": _HAMMING_SQL,
         "lang_id": _lang_id_sql(),
         "simhash_pairs": _SIMHASH_SQL,
+        "sessionize_events": _SESSION_SQL,
         "dedup_exact": _DEDUP_SQL,
         "duplicate_groups": _DUPG_SQL,
         "word_jaccard_pairs": _JACCARD_SQL,
