@@ -848,6 +848,53 @@ def _mosaic_meta(spark, sf):
     )
 
 
+def _minhash_sigs(spark, sf):
+    """MinHash signatures (the math under minhash_lsh_pairs), exploded to
+    (doc_id, i, v) scalars for unambiguous cross-engine hashing. The
+    oracle re-derives shingling, the md5-low-63-bit shingle hash, and
+    all 16 (a*h+b) mod (2^61-1) permutations with HUGEINT arithmetic —
+    permutation constants are inlined from the SAME _perm_params(seed=42)
+    the UDF uses."""
+    from tilegrab_spark.operators.dedup import with_minhash, with_shingles
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    m = with_minhash(with_shingles(d), num_hashes=16)
+    return m.select("doc_id", F.posexplode("minhash").alias("i", "v"))
+
+
+def _minhash_sql() -> str:
+    from tilegrab_spark.operators.dedup import _MERSENNE, _perm_params
+
+    a, b = _perm_params(16)
+    av = ",".join(str(int(v)) for v in a)
+    bv = ",".join(str(int(v)) for v in b)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS t
+  FROM documents WHERE doc_id < 100
+),
+sh AS (
+  SELECT doc_id, CASE WHEN len(t) >= 3
+    THEN list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])
+    ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+),
+hh AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(s), 1, 16))::UBIGINT
+          & 9223372036854775807::UBIGINT)::HUGEINT AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+),
+perms AS (
+  SELECT unnest([{av}]) AS a, unnest([{bv}]) AS b,
+         (generate_subscripts([{av}], 1) - 1)::INTEGER AS i
+)
+SELECT doc_id, i, MIN((a::HUGEINT * h + b::HUGEINT) % {_MERSENNE})::BIGINT AS v
+FROM perms, hh GROUP BY doc_id, i
+"""
+
+
 def _sessionize(spark, sf):
     """Gaps-and-islands sessionization of the events table (30-min gap):
     lag + flag + running sum, rolled up per session. Epoch-microsecond
@@ -999,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_plan_w1": _mosaic_plan,
         "near_dup_hamming": _hamming_near_dup,
         "sessionize_events": _sessionize,
+        "minhash_signatures": _minhash_sigs,
     }
 
 
@@ -1025,6 +1073,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "simhash_pairs": _SIMHASH_SQL,
         "sessionize_events": _SESSION_SQL,
+        "minhash_signatures": _minhash_sql(),
         "dedup_exact": _DEDUP_SQL,
         "duplicate_groups": _DUPG_SQL,
         "word_jaccard_pairs": _JACCARD_SQL,
