@@ -788,9 +788,62 @@ FROM s
 
 
 def _fingerprints(spark, sf):
+    """Winnowed Rabin-Karp fingerprints, exploded to (doc_id, i, v)
+    scalars. The oracle re-derives the whole thing in SQL: UTF-8 bytes
+    via hex-of-blob, every 16-byte rolling window as a sum of
+    byte*B^k products in HUGEINT (powers of B mod 2^64 inlined from the
+    same constants), unsigned-order winnowing to the 8 smallest."""
     from tilegrab_spark.operators.text import with_fingerprint
 
-    return with_fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
+    return with_fingerprint(_t(spark, sf, "documents")).select(
+        "doc_id", F.posexplode("fingerprint").alias("i", "v")
+    )
+
+
+def _fingerprint_sql() -> str:
+    B, M = 1000003, 1 << 64
+    pw = ",".join(str(pow(B, k, M)) for k in range(16))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+bytes AS (
+  -- fixed series bound (this DuckDB lacks lateral generate_series):
+  -- 8192 covers the synthetic docs with a wide margin
+  SELECT doc_id, n, g.generate_series AS pos,
+         ('0x' || substr(hx, 2*g.generate_series - 1, 2))::INTEGER AS b
+  FROM docs, generate_series(1, 8192) g WHERE g.generate_series <= n
+),
+pw(p, k) AS (SELECT unnest([{pw}]), generate_subscripts([{pw}], 1) - 1),
+win AS (
+  SELECT b.doc_id, b.pos - 15 + p.k AS j,
+         SUM(b.b::HUGEINT * p.p::HUGEINT) AS acc
+  FROM bytes b JOIN pw p
+    ON b.pos - 15 + p.k >= 1 AND b.pos - 15 + p.k <= b.n - 15
+  WHERE b.n >= 16
+  GROUP BY b.doc_id, b.pos - 15 + p.k
+  HAVING COUNT(*) = 16
+),
+short AS (
+  SELECT b.doc_id, 1 AS j, SUM(b.b::HUGEINT * p.p::HUGEINT) AS acc
+  FROM bytes b JOIN pw p ON p.k = b.n - b.pos
+  WHERE b.n < 16 AND b.n > 0
+  GROUP BY b.doc_id
+),
+hashes AS (
+  SELECT doc_id, (acc % 18446744073709551616::HUGEINT) AS hu FROM win
+  UNION ALL SELECT doc_id, (acc % 18446744073709551616::HUGEINT) FROM short
+),
+sig AS (
+  SELECT doc_id,
+         (hu - CASE WHEN hu >= 9223372036854775808::HUGEINT
+                    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT AS v,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hu) AS rk
+  FROM (SELECT DISTINCT doc_id, hu FROM hashes)
+)
+SELECT doc_id, (rk - 1)::INTEGER AS i, v FROM sig WHERE rk <= 8
+"""
 
 
 def _cc_islands(spark, sf):
@@ -1074,6 +1127,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _SIMHASH_SQL,
         "sessionize_events": _SESSION_SQL,
         "minhash_signatures": _minhash_sql(),
+        "doc_fingerprint": _fingerprint_sql(),
         "dedup_exact": _DEDUP_SQL,
         "duplicate_groups": _DUPG_SQL,
         "word_jaccard_pairs": _JACCARD_SQL,
