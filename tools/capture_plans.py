@@ -1,0 +1,104 @@
+"""Regenerate the PLAN blocks in PLANS.md from the current code (keeps
+the prose header above the first ``---`` intact). Run from the repo
+root: ``python tools/capture_plans.py``. Uses the cached e192 bench
+table (generated on demand if absent)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue().strip()
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    import bench
+    from tilegrab_spark import get_spark
+    from tilegrab_spark.operators.dedup import hamming_near_dup_pairs
+    from tilegrab_spark.operators.image_join import join_images
+    from tilegrab_spark.operators.mosaic import mosaic
+    from tilegrab_spark.operators.tiles import enumerate_tiles, refine_by_shape
+    from tilegrab_spark.sources.geometries import geometry_from_geojson
+    from tilegrab_spark.sources.images import read_image_table
+
+    spark = get_spark(master="local[4]", shuffle_partitions=8,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    img_path = "/tmp/tilegrab_bench/images_e192_z15"
+    bench.ensure_images(spark, img_path, 192, 15)
+
+    geom = geometry_from_geojson("/root/reference/tests/data/T.geojson", "T")
+    images = read_image_table(spark, img_path)
+    tiles = refine_by_shape(enumerate_tiles(spark, geom, 15), geom)
+
+    plans = [
+        (
+            "PLAN 1: image scan with key projection + zoom partition filter",
+            plan_of(images.filter(F.col("zoom") == 15).select("image_id", "x", "y")),
+        ),
+        (
+            "PLAN 2: tile enumeration + PIP refine (narrow, no shuffle)",
+            plan_of(tiles.select("x", "y")),
+        ),
+        (
+            "PLAN 3: broadcast tile join (no shuffle of image table)",
+            plan_of(
+                join_images(tiles.select("z", "x", "y"), images.drop("cell_id")).select(
+                    "image_id", "x", "y", "caption"
+                )
+            ),
+        ),
+        (
+            "PLAN 4: mosaic stitch (single pinned-partition shuffle, Arrow grouped map)",
+            plan_of(
+                mosaic(
+                    join_images(
+                        tiles.select("geom_id", "z", "x", "y"), images.drop("cell_id")
+                    ),
+                    group_w=4,
+                    group_h=4,
+                    full_groups_only=False,
+                    anchor=(23719, 16260),
+                )
+            ),
+        ),
+        (
+            "PLAN 5: hamming near-dup blocked self-join (SimHash/phash dedup)",
+            plan_of(
+                hamming_near_dup_pairs(
+                    spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+                        "doc_id", F.col("n_chars").cast("long").alias("h64")
+                    ),
+                    hash_col="h64",
+                    id_col="doc_id",
+                    max_hamming=1,
+                )
+            ),
+        ),
+    ]
+
+    md_path = REPO / "PLANS.md"
+    text = md_path.read_text()
+    header = text.split("\n---\n")[0]
+    body = "\n\n```\n" + "\n```\n\n```\n".join(
+        f"==================== {title} ====================\n{p}" for title, p in plans
+    ) + "\n```\n"
+    md_path.write_text(header + "\n---\n" + body)
+    print(f"wrote {md_path} with {len(plans)} plans")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
