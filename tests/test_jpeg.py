@@ -1,0 +1,115 @@
+"""Baseline JPEG codec (kernels/jpeg.py) — the lossy payload path of the
+input_hint ("decoded-pixel allclose, PSNR>=40dB for lossy"): round-trip
+fidelity, odd sizes, and the Spark integration points (verify_images,
+mosaic stitch) on fmt='jpg' rows."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tilegrab_spark.kernels import jpeg, png
+
+
+def _natural(h=96, w=96):
+    """Smooth photographic-like content (JPEG's design target)."""
+    x = np.linspace(0, 4 * np.pi, w)
+    y = np.linspace(0, 4 * np.pi, h)
+    g = np.sin(x)[None, :] * np.cos(y)[:, None] * 100 + 128
+    arr = np.stack([g, np.roll(g, 7, 0), np.roll(g, 13, 1)], axis=-1)
+    return arr.clip(0, 255).astype(np.uint8)
+
+
+def test_roundtrip_psnr_gate():
+    arr = _natural()
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=90))
+    assert dec.shape == arr.shape
+    assert jpeg.psnr(arr, dec) >= 40.0
+    # synthetic tiles (hard high-frequency content) still clear the gate
+    tile = png.synth_tile_pixels(23000, 15000, 15, 0, 64, 64)
+    dec2 = jpeg.decode_jpeg(jpeg.encode_jpeg(tile, quality=95))
+    assert jpeg.psnr(tile, dec2) >= 40.0
+
+
+def test_constant_and_odd_sizes():
+    flat = np.full((50, 70, 3), 130, np.uint8)  # non-multiple-of-8 dims
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(flat, quality=85))
+    assert dec.shape == (50, 70, 3)
+    assert jpeg.psnr(flat, dec) >= 50.0
+    one = np.full((8, 8, 3), 255, np.uint8)
+    assert jpeg.psnr(one, jpeg.decode_jpeg(jpeg.encode_jpeg(one))) >= 50.0
+
+
+def test_quality_tradeoff_monotone():
+    arr = _natural()
+    sizes = [len(jpeg.encode_jpeg(arr, quality=q)) for q in (50, 75, 95)]
+    assert sizes[0] < sizes[1] < sizes[2]
+    p50 = jpeg.psnr(arr, jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=50)))
+    p95 = jpeg.psnr(arr, jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=95)))
+    assert p95 > p50
+
+
+def test_verify_images_lossy_rows(spark):
+    """verify_images on fmt='jpg': decode works, PSNR vs the synthetic
+    oracle clears 40dB, phash of DECODED pixels matches, caption ok."""
+    from tilegrab_spark.operators.verify import verify_images
+    from tilegrab_spark.sources.images import expected_pixels, synth_caption
+
+    rows = []
+    for x, y in ((47439, 31441), (47440, 31442)):
+        iid = f"16_{x}_{y}_0"
+        arr = expected_pixels(iid, 64, 64)
+        data = jpeg.encode_jpeg(arr, quality=95)
+        dec = jpeg.decode_jpeg(data)
+        rows.append(
+            {
+                "image_id": iid,
+                "bytes": data,
+                "w": 64,
+                "h": 64,
+                "fmt": "jpg",
+                "caption": synth_caption(16, x, y, 0, int(arr.sum())),
+                "phash": png.phash64(dec),
+            }
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    got = {r.image_id: r for r in verify_images(df).collect()}
+    for iid, r in got.items():
+        assert r.decode_ok and r.caption_match, iid
+        assert r.psnr >= 40.0, (iid, r.psnr)
+        assert r.phash_match, iid
+
+
+def test_mosaic_stitches_jpeg_tiles(spark):
+    """A joined set of fmt='jpg' tiles stitches into a canvas within
+    40dB of the lossless oracle canvas."""
+    from tests.conftest import oracle_canvas
+    from tilegrab_spark.operators.mosaic import mosaic
+
+    z, x0, y0 = 16, 47439, 31441
+    rows = []
+    for i in range(2):
+        for j in range(2):
+            arr = png.synth_tile_pixels(x0 + i, y0 + j, z, 0)
+            rows.append(
+                {
+                    "geom_id": "g",
+                    "z": z,
+                    "x": x0 + i,
+                    "y": y0 + j,
+                    "bytes": jpeg.encode_jpeg(arr, quality=95),
+                    "fmt": "jpg",
+                    "image_id": f"{z}_{x0+i}_{y0+j}_0",
+                }
+            )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "geom_id string, z int, x long, y long, bytes binary, fmt string, image_id string",
+    )
+    r = mosaic(df).collect()[0]
+    assert r.n_tiles == 4 and r.n_bad == 0
+    got = png.decode_png(bytes(r.bytes))
+    want = oracle_canvas([(x0 + i, y0 + j) for i in range(2) for j in range(2)], x0, y0, 2, 2)
+    assert jpeg.psnr(got, want) >= 40.0

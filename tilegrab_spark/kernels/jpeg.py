@@ -1,0 +1,459 @@
+"""Minimal pure-numpy baseline JPEG codec (8-bit, YCbCr 4:4:4,
+standard Annex-K huffman tables) — the LOSSY payload path of the image
+table (BASELINE.json input_hint: "decoded-pixel allclose, PSNR>=40dB
+for lossy"). The reference decodes via PIL (images/image.py:28); this
+sandbox has no PIL/libjpeg, so the engine carries its own codec for the
+``fmt='jpg'`` column, exactly like png.py does for the lossless path.
+
+Scope: baseline sequential DCT, no subsampling (4:4:4 keeps the pixel
+pipeline exact and the code small), restart-marker-free single scan.
+Quality >= ~90 comfortably clears 40 dB PSNR on photographic-like
+content. DCT/IDCT are closed-form 8x8 matrix products (float64) —
+vectorized over all blocks at once; only the entropy coder is a Python
+loop (bounded by symbol count, not pixels).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ITU-T T.81 Annex K quantization tables (luminance, chrominance)
+_QY = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64).reshape(8, 8)
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64).reshape(8, 8)
+
+# zigzag order: _ZZ[i] = (row, col) of the i-th coefficient
+_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# Annex K huffman table specs: (bits[1..16], values)
+_HT = {
+    ("dc", 0): (
+        [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+        list(range(12)),
+    ),
+    ("dc", 1): (
+        [0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+        list(range(12)),
+    ),
+    ("ac", 0): (
+        [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+        [
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+            0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+            0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+            0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+            0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+            0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+            0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+            0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+            0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+            0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+            0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+            0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+            0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+            0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+        ],
+    ),
+    ("ac", 1): (
+        [0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+        [
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+            0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+            0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+            0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+            0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+            0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+            0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+            0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+            0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+            0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+            0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+            0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+            0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+            0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+            0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+        ],
+    ),
+}
+
+
+def _huff_codes(bits, values):
+    """(value -> (code, length)) per T.81 C.2."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _huff_lut(bits, values):
+    """Decoder map: (length, code) -> value."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            out[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_ENC = {k: _huff_codes(b, v) for k, (b, v) in _HT.items()}
+_DEC = {k: _huff_lut(b, v) for k, (b, v) in _HT.items()}
+
+_DCT = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _DCT[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(1 / 8) if _k == 0 else np.sqrt(2 / 8)
+        )
+
+
+def _quant_tables(quality: int):
+    quality = max(1, min(100, quality))
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    qy = np.clip(np.floor((_QY * scale + 50) / 100), 1, 255)
+    qc = np.clip(np.floor((_QC * scale + 50) / 100), 1, 255)
+    return qy, qc
+
+
+def _rgb_to_ycc(arr):
+    r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def _ycc_to_rgb(y, cb, cr):
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+
+
+def _magnitude(v: int):
+    """(category, value-bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def _encode_component(bw, blocks_zz, dc_tab, ac_tab, prev_dc):
+    enc_dc = _ENC[("dc", dc_tab)]
+    enc_ac = _ENC[("ac", ac_tab)]
+    for zz in blocks_zz:
+        diff = int(zz[0]) - prev_dc
+        prev_dc = int(zz[0])
+        cat, bits = _magnitude(diff)
+        code, ln = enc_dc[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(bits, cat)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            cat, bits = _magnitude(v)
+            code, ln = enc_ac[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(bits, cat)
+            run = 0
+        if last < 63:
+            code, ln = enc_ac[0x00]  # EOB
+            bw.write(code, ln)
+    return prev_dc
+
+
+def _blocks_of(plane, q):
+    """Pad to 8-multiples, DCT+quantize all blocks, return zigzagged int
+    coefficients in raster block order: (n_blocks, 64)."""
+    h, w = plane.shape
+    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.empty((H, W))
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    b = padded.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = np.einsum("ij,abjk,lk->abil", _DCT, b, _DCT)
+    qz = np.round(coef / q).astype(np.int32)
+    flat = qz.reshape(-1, 64)
+    return flat[:, _ZZ]
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError(f"expected (H,W,3) uint8, got {arr.shape} {arr.dtype}")
+    h, w, _ = arr.shape
+    qy, qc = _quant_tables(quality)
+    y, cb, cr = _rgb_to_ycc(arr)
+    comps = [
+        (_blocks_of(y, qy), 0, 0),
+        (_blocks_of(cb, qc), 1, 1),
+        (_blocks_of(cr, qc), 1, 1),
+    ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in ((0, qy), (1, qc)):
+        zz = q.reshape(-1)[_ZZ].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz.tobytes()
+    # SOF0: 3 components, no subsampling (1x1 each)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += struct.pack("BBB", cid, 0x11, tq)
+    for (cls, tid), (bits, values) in _HT.items():
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 19 + len(values), ((0 if cls == "dc" else 1) << 4) | tid
+        )
+        out += bytes(bits[1:17]) + bytes(values)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += struct.pack("BB", cid, tabs)
+    out += b"\x00\x3f\x00"
+
+    bw = _BitWriter()
+    # interleaved MCU order = one 8x8 block per component per MCU (4:4:4)
+    n_blocks = comps[0][0].shape[0]
+    prev = [0, 0, 0]
+    for bi in range(n_blocks):
+        for ci, (blocks, dc_t, ac_t) in enumerate(comps):
+            prev[ci] = _encode_component(
+                bw, blocks[bi : bi + 1], dc_t, ac_t, prev[ci]
+            )
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        while self.n <= 24 and self.pos < len(self.data):
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    # marker: stop feeding (EOI or restart)
+                    self.pos -= 1
+                    byte = None
+            if byte is None:
+                break
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+            if self.n == 0:
+                return 0
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("bad huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt = {}
+    ht = {}
+    h = w = None
+    comps = []
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                tid = seg[p] & 0x0F
+                if seg[p] >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                tab = np.zeros(64)
+                tab[_ZZ] = np.frombuffer(seg, np.uint8, 64, p + 1)
+                qt[tid] = tab.reshape(8, 8)
+                p += 65
+        elif marker == 0xC0:
+            _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            for i in range(nc):
+                cid, samp, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
+                if samp != 0x11:
+                    raise ValueError("subsampling unsupported (4:4:4 only)")
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                cls_id = seg[p]
+                bits = [0] + list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                values = list(seg[p + 17 : p + 17 + nv])
+                ht[("dc" if cls_id >> 4 == 0 else "ac", cls_id & 0x0F)] = _huff_lut(
+                    bits, values
+                )
+                p += 17 + nv
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan_tabs = []
+            for i in range(ns):
+                _cid, tabs = struct.unpack_from("BB", seg, 1 + 2 * i)
+                scan_tabs.append((tabs >> 4, tabs & 0x0F))
+            scan = (pos + seglen, scan_tabs)
+            break
+        pos += seglen
+    if scan is None or h is None:
+        raise ValueError("truncated JPEG")
+
+    start, scan_tabs = scan
+    br = _BitReader(data[start:])
+    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    n_blocks = (H // 8) * (W // 8)
+    planes = [np.zeros((n_blocks, 64)) for _ in comps]
+    prev = [0] * len(comps)
+    for bi in range(n_blocks):
+        for ci, (_cid, tq) in enumerate(comps):
+            dct, act = scan_tabs[ci]
+            dc_tab = ht[("dc", dct)]
+            ac_tab = ht[("ac", act)]
+            zz = np.zeros(64)
+            cat = _huff_decode(br, dc_tab)
+            prev[ci] += _extend(br.bits(cat), cat)
+            zz[0] = prev[ci]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(br, ac_tab)
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                k += rs >> 4
+                cat = rs & 0x0F
+                if k > 63:
+                    break
+                zz[k] = _extend(br.bits(cat), cat)
+                k += 1
+            coef = np.zeros(64)
+            coef[_ZZ] = zz
+            planes[ci][bi] = coef * qt[tq].reshape(-1)
+
+    out_planes = []
+    for p in planes:
+        blocks = p.reshape(H // 8, W // 8, 8, 8)
+        pix = np.einsum("ji,abjk,kl->abil", _DCT, blocks, _DCT) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(H, W)
+        out_planes.append(plane[:h, :w])
+    return _ycc_to_rgb(*out_planes)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0 * 255.0 / mse))

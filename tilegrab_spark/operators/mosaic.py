@@ -75,7 +75,14 @@ def _stitch_core(
             continue
         data = bytes(data)
         try:
-            arr = png.decode_png(data) if fmts[i] == "png" else _raw_decode(data, tile_w, tile_h)
+            if fmts[i] == "png":
+                arr = png.decode_png(data)
+            elif fmts[i] in ("jpg", "jpeg"):
+                from tilegrab_spark.kernels import jpeg
+
+                arr = jpeg.decode_jpeg(data)
+            else:
+                arr = _raw_decode(data, tile_w, tile_h)
         except Exception:
             # at 10^12 rows a corrupt payload is a statistical certainty;
             # one bad tile must not kill the stage — it renders black

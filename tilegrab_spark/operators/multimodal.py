@@ -26,15 +26,20 @@ THUMB_SCHEMA = "image_id string, tw int, th int, thumb binary"
 
 
 def decode_payload(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
-    """Decode a binary payload to (H,W,3) uint8. PNG and raw are real;
-    foreign codecs are explicitly stubbed."""
+    """Decode a binary payload to (H,W,3) uint8. PNG, baseline JPEG
+    (kernels/jpeg.py) and raw are real; codecs the engine doesn't carry
+    (webp) are explicitly stubbed."""
     if fmt == "png":
         return png.decode_png(data)
+    if fmt in ("jpg", "jpeg"):
+        from tilegrab_spark.kernels import jpeg
+
+        return jpeg.decode_jpeg(data)
     if fmt == "raw":
         return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
-    if fmt in ("jpg", "jpeg", "webp"):
+    if fmt == "webp":
         raise NotImplementedError(
-            f"{fmt} decode requires an image codec not present in this "
+            "webp decode requires an image codec not present in this "
             "container; plug a decoder into decode_payload()"
         )
     raise ValueError(f"unknown image fmt {fmt!r}")

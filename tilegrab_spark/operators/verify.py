@@ -51,17 +51,32 @@ def verify_images(df: DataFrame, *, synthetic_oracle: bool = True, min_psnr: flo
                 row = {"image_id": iid, "decode_ok": False, "phash_match": False,
                        "psnr": 0.0, "caption_match": False}
                 try:
-                    arr = png.decode_png(bytes(data))
+                    if fmt in ("jpg", "jpeg"):
+                        from tilegrab_spark.kernels import jpeg
+
+                        arr = jpeg.decode_jpeg(bytes(data))
+                        lossy = True
+                    else:
+                        arr = png.decode_png(bytes(data))
+                        lossy = False
                     row["decode_ok"] = True
-                    row["phash_match"] = png.phash64(arr) == int(ph)
                     if synthetic_oracle:
                         want = expected_pixels(iid, int(w), int(h))
                         p = psnr(arr, want)
                         row["psnr"] = 999.0 if p == float("inf") else float(p)
+                        # lossy rows: phash must match the DECODED pixels
+                        # (bit-exact pixel phash is a lossless-only
+                        # invariant); the PSNR >= min_psnr gate carries
+                        # the pixel-fidelity check instead
+                        row["phash_match"] = png.phash64(arr) == int(ph) and (
+                            not lossy or row["psnr"] >= min_psnr
+                        )
                         z, x, y, src = (int(v) for v in iid.split("_"))
                         row["caption_match"] = caption == synth_caption(
                             z, x, y, src, int(want.sum())
                         )
+                    else:
+                        row["phash_match"] = png.phash64(arr) == int(ph)
                 except (ValueError, NotImplementedError):
                     pass
                 out.append(row)
