@@ -94,3 +94,21 @@ def test_export_mosaics_real_geotiff(spark, t_geom, image_table, tmp_path):
     assert epsg == 3857
     assert bounds[0] == 8971261.135774568  # FIXTURES §4.4 golden
     assert abs(bounds[3] - 811455.4922754318) < 1e-6
+
+
+def test_export_mosaics_jpg(spark, t_geom, image_table, tmp_path):
+    """--jpg parity (exporter.py:37-45): lossy export through the
+    baseline JPEG codec, within the 40dB PSNR gate of the PNG canvas."""
+    from tilegrab_spark.kernels import jpeg
+
+    tiles = tiles_for(spark, t_geom, 16, by="shape")
+    images = read_image_table(spark, image_table).filter(
+        ~F.col("image_id").rlike("_1[0-9][0-9]$")
+    )
+    m = mosaic(join_images(tiles, images.drop("cell_id")))
+    files = export_mosaics(m, tmp_path / "out", fmt="jpg")
+    assert [f.name for f in files] == ["1_mosaic.jpg"]
+    got = jpeg.decode_jpeg(files[0].read_bytes())
+    want = png.decode_png(bytes(m.collect()[0].bytes))
+    assert got.shape == want.shape
+    assert jpeg.psnr(got, want) >= 40.0

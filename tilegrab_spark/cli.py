@@ -44,7 +44,7 @@ def parse_args(argv=None) -> argparse.Namespace:
 
     out = p.add_argument_group("Mosaic export formats")
     og = out.add_mutually_exclusive_group(required=False)
-    og.add_argument("--jpg", action="store_true", help="(alias of --png here; lossless codec only)")
+    og.add_argument("--jpg", action="store_true", help="JPEG mosaic files (baseline codec, quality 90)")
     og.add_argument("--png", action="store_true", help="PNG mosaic; no geo-reference")
     og.add_argument("--tiff", action="store_true", help="mosaic with EPSG:3857 geo-reference columns")
 
@@ -120,11 +120,15 @@ def main(argv=None) -> int:
     if not args.tiff:
         mosaics = mosaics.drop("merc_xmin", "merc_ymin", "merc_xmax", "merc_ymax")
     eng.write(mosaics, str(args.out / "mosaics"), stage="mosaic")
-    if args.tiff:
-        # real georeferenced .tif files next to the table (exporter.py:47-74)
+    if args.tiff or args.jpg:
+        # real image files next to the table (exporter.py:37-74):
+        # georeferenced .tif or lossy .jpg per the format flag
         from tilegrab_spark.sources.export import export_mosaics
 
-        export_mosaics(mosaics, args.out / "tiff", fmt="tiff")
+        if args.tiff:
+            export_mosaics(mosaics, args.out / "tiff", fmt="tiff")
+        else:
+            export_mosaics(mosaics, args.out / "jpg", fmt="jpg")
     if not args.quiet:
         print(f"mosaics written to {args.out / 'mosaics'}")
     return 0

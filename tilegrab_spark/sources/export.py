@@ -46,6 +46,14 @@ def export_mosaics(
                     (r.merc_xmin, r.merc_ymin, r.merc_xmax, r.merc_ymax),
                 )
             )
+        elif fmt == "jpg":
+            # lossy export (exporter.py:37-45 jpg branch): transcode the
+            # canvas through the baseline JPEG encoder at quality 90
+            # (clears the 40dB PSNR gate on bench content)
+            from tilegrab_spark.kernels import jpeg, png
+
+            p = out / f"{i}_mosaic.jpg"
+            p.write_bytes(jpeg.encode_jpeg(png.decode_png(bytes(r.bytes)), quality=90))
         else:
             p = out / f"{i}_mosaic.png"
             p.write_bytes(bytes(r.bytes))
