@@ -113,3 +113,24 @@ def test_mosaic_stitches_jpeg_tiles(spark):
     got = png.decode_png(bytes(r.bytes))
     want = oracle_canvas([(x0 + i, y0 + j) for i in range(2) for j in range(2)], x0, y0, 2, 2)
     assert jpeg.psnr(got, want) >= 40.0
+
+
+def test_420_subsampling_roundtrip():
+    """4:2:0 (the wild-world default) round-trips through our own
+    encoder+decoder above the 40dB gate, with a smaller file than 4:4:4;
+    odd (non-multiple-of-16) dimensions pad and crop correctly."""
+    arr = _natural(104, 120)  # not multiples of 16
+    d444 = jpeg.encode_jpeg(arr, quality=90, subsampling="444")
+    d420 = jpeg.encode_jpeg(arr, quality=90, subsampling="420")
+    assert len(d420) < len(d444)
+    dec = jpeg.decode_jpeg(d420)
+    assert dec.shape == arr.shape
+    assert jpeg.psnr(arr, dec) >= 40.0
+    # tiny image smaller than one MCU (smooth ramp: _natural at this size
+    # would be near-Nyquist content, which is a content problem, not a
+    # codec one)
+    ramp = np.linspace(60, 200, 12, dtype=np.uint8)
+    small = np.repeat(ramp[None, :, None], 10, axis=0).repeat(3, axis=2)
+    ds = jpeg.decode_jpeg(jpeg.encode_jpeg(small, quality=90, subsampling="420"))
+    assert ds.shape == small.shape
+    assert jpeg.psnr(small, ds) >= 35.0

@@ -233,11 +233,16 @@ def _encode_component(bw, blocks_zz, dc_tab, ac_tab, prev_dc):
     return prev_dc
 
 
-def _blocks_of(plane, q):
-    """Pad to 8-multiples, DCT+quantize all blocks, return zigzagged int
-    coefficients in raster block order: (n_blocks, 64)."""
+def _blocks_of(plane, q, *, pad_to: int = 8, target_blocks: tuple | None = None):
+    """Pad to ``pad_to``-multiples (or to an explicit block grid),
+    DCT+quantize all blocks, return zigzagged int coefficients in raster
+    block order: (n_blocks, 64)."""
     h, w = plane.shape
-    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    if target_blocks is not None:
+        H, W = target_blocks[0] * 8, target_blocks[1] * 8
+    else:
+        H = (h + pad_to - 1) // pad_to * pad_to
+        W = (w + pad_to - 1) // pad_to * pad_to
     padded = np.empty((H, W))
     padded[:h, :w] = plane
     padded[h:, :w] = plane[h - 1 : h, :]
@@ -249,27 +254,51 @@ def _blocks_of(plane, q):
     return flat[:, _ZZ]
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+def _downsample2(plane):
+    """2x2 box-mean chroma downsample (pads odd edges by replication)."""
+    h, w = plane.shape
+    H, W = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+    p = np.empty((H, W))
+    p[:h, :w] = plane
+    p[h:, :w] = plane[h - 1 : h, :]
+    p[:, w:] = p[:, w - 1 : w]
+    return p.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90, *, subsampling: str = "444") -> bytes:
+    """Encode (H,W,3) uint8 to baseline JPEG. ``subsampling``: "444"
+    (exact chroma, default for the engine's own payloads) or "420"
+    (2x2 chroma downsample — the wild-world default; MCUs interleave
+    four Y blocks + Cb + Cr)."""
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError(f"expected (H,W,3) uint8, got {arr.shape} {arr.dtype}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     h, w, _ = arr.shape
     qy, qc = _quant_tables(quality)
     y, cb, cr = _rgb_to_ycc(arr)
-    comps = [
-        (_blocks_of(y, qy), 0, 0),
-        (_blocks_of(cb, qc), 1, 1),
-        (_blocks_of(cr, qc), 1, 1),
-    ]
+    if subsampling == "420":
+        cb, cr = _downsample2(cb), _downsample2(cr)
+        y_samp = 0x22
+        # Y padded to 16-multiples so the MCU grid is uniform
+        mcu_h, mcu_w = (h + 15) // 16, (w + 15) // 16
+        yb = _blocks_of(y, qy, pad_to=16)
+        cbb = _blocks_of(cb, qc, pad_to=8, target_blocks=(mcu_h, mcu_w))
+        crb = _blocks_of(cr, qc, pad_to=8, target_blocks=(mcu_h, mcu_w))
+    else:
+        y_samp = 0x11
+        yb = _blocks_of(y, qy)
+        cbb = _blocks_of(cb, qc)
+        crb = _blocks_of(cr, qc)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tid, q in ((0, qy), (1, qc)):
         zz = q.reshape(-1)[_ZZ].astype(np.uint8)
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz.tobytes()
-    # SOF0: 3 components, no subsampling (1x1 each)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += struct.pack("BBB", cid, 0x11, tq)
+    for cid, samp, tq in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += struct.pack("BBB", cid, samp, tq)
     for (cls, tid), (bits, values) in _HT.items():
         out += b"\xff\xc4" + struct.pack(
             ">HB", 19 + len(values), ((0 if cls == "dc" else 1) << 4) | tid
@@ -281,14 +310,29 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     out += b"\x00\x3f\x00"
 
     bw = _BitWriter()
-    # interleaved MCU order = one 8x8 block per component per MCU (4:4:4)
-    n_blocks = comps[0][0].shape[0]
     prev = [0, 0, 0]
-    for bi in range(n_blocks):
-        for ci, (blocks, dc_t, ac_t) in enumerate(comps):
-            prev[ci] = _encode_component(
-                bw, blocks[bi : bi + 1], dc_t, ac_t, prev[ci]
-            )
+    if subsampling == "444":
+        for bi in range(yb.shape[0]):
+            for ci, (blocks, dc_t, ac_t) in enumerate(
+                ((yb, 0, 0), (cbb, 1, 1), (crb, 1, 1))
+            ):
+                prev[ci] = _encode_component(
+                    bw, blocks[bi : bi + 1], dc_t, ac_t, prev[ci]
+                )
+    else:
+        # MCU = Y(2x2 raster) + Cb + Cr; yb is raster over a 2*mcu grid
+        yw = 2 * mcu_w
+        for my in range(mcu_h):
+            for mx in range(mcu_w):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        bi = (2 * my + dy) * yw + (2 * mx + dx)
+                        prev[0] = _encode_component(
+                            bw, yb[bi : bi + 1], 0, 0, prev[0]
+                        )
+                ci = my * mcu_w + mx
+                prev[1] = _encode_component(bw, cbb[ci : ci + 1], 1, 1, prev[1])
+                prev[2] = _encode_component(bw, crb[ci : ci + 1], 1, 1, prev[2])
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
@@ -382,9 +426,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             for i in range(nc):
                 cid, samp, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
-                if samp != 0x11:
-                    raise ValueError("subsampling unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                comps.append((cid, tq, samp >> 4, samp & 0x0F))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xC4:
@@ -412,44 +454,89 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     start, scan_tabs = scan
     br = _BitReader(data[start:])
-    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    n_blocks = (H // 8) * (W // 8)
-    planes = [np.zeros((n_blocks, 64)) for _ in comps]
+    maxh = max(c[2] for c in comps)
+    maxv = max(c[3] for c in comps)
+    mcu_w = (w + 8 * maxh - 1) // (8 * maxh)
+    mcu_h = (h + 8 * maxv - 1) // (8 * maxv)
+    # per component: raster block grid sized to the MCU lattice
+    grids = []
+    for _cid, _tq, sh, sv in comps:
+        grids.append(np.zeros((mcu_h * sv, mcu_w * sh, 64)))
     prev = [0] * len(comps)
-    for bi in range(n_blocks):
-        for ci, (_cid, tq) in enumerate(comps):
-            dct, act = scan_tabs[ci]
-            dc_tab = ht[("dc", dct)]
-            ac_tab = ht[("ac", act)]
-            zz = np.zeros(64)
-            cat = _huff_decode(br, dc_tab)
-            prev[ci] += _extend(br.bits(cat), cat)
-            zz[0] = prev[ci]
-            k = 1
-            while k < 64:
-                rs = _huff_decode(br, ac_tab)
-                if rs == 0x00:
-                    break
-                if rs == 0xF0:
-                    k += 16
-                    continue
-                k += rs >> 4
-                cat = rs & 0x0F
-                if k > 63:
-                    break
-                zz[k] = _extend(br.bits(cat), cat)
-                k += 1
-            coef = np.zeros(64)
-            coef[_ZZ] = zz
-            planes[ci][bi] = coef * qt[tq].reshape(-1)
+
+    def read_block(ci):
+        dct, act = scan_tabs[ci]
+        dc_tab = ht[("dc", dct)]
+        ac_tab = ht[("ac", act)]
+        zz = np.zeros(64)
+        cat = _huff_decode(br, dc_tab)
+        prev[ci] += _extend(br.bits(cat), cat)
+        zz[0] = prev[ci]
+        k = 1
+        while k < 64:
+            rs = _huff_decode(br, ac_tab)
+            if rs == 0x00:
+                break
+            if rs == 0xF0:
+                k += 16
+                continue
+            k += rs >> 4
+            cat = rs & 0x0F
+            if k > 63:
+                break
+            zz[k] = _extend(br.bits(cat), cat)
+            k += 1
+        coef = np.zeros(64)
+        coef[_ZZ] = zz
+        return coef
+
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            for ci, (_cid, tq, sh, sv) in enumerate(comps):
+                for dy in range(sv):
+                    for dx in range(sh):
+                        grids[ci][my * sv + dy, mx * sh + dx] = (
+                            read_block(ci) * qt[tq].reshape(-1)
+                        )
 
     out_planes = []
-    for p in planes:
-        blocks = p.reshape(H // 8, W // 8, 8, 8)
+    for (_cid, _tq, sh, sv), g in zip(comps, grids):
+        bh, bw_, _ = g.shape
+        blocks = g.reshape(bh, bw_, 8, 8)
         pix = np.einsum("ji,abjk,kl->abil", _DCT, blocks, _DCT) + 128.0
-        plane = pix.transpose(0, 2, 1, 3).reshape(H, W)
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        # upsample subsampled chroma to the full lattice: bilinear
+        # (9-3-3-1 weights, the JFIF "fancy upsampling") for the 2x case,
+        # replication otherwise
+        fy, fx = maxv // sv, maxh // sh
+        if fy == 2 and fx == 2:
+            plane = _upsample2_bilinear(plane)
+        elif fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         out_planes.append(plane[:h, :w])
     return _ycc_to_rgb(*out_planes)
+
+
+def _upsample2_bilinear(p: np.ndarray) -> np.ndarray:
+    """2x bilinear upsample with edge replication: each output sample is
+    the 9/16-3/16-3/16-1/16 blend of the four nearest chroma samples."""
+    pad = np.pad(p, 1, mode="edge")
+    c = pad[1:-1, 1:-1]
+    up = pad[:-2, 1:-1]
+    dn = pad[2:, 1:-1]
+    lf = pad[1:-1, :-2]
+    rt = pad[1:-1, 2:]
+    ul = pad[:-2, :-2]
+    ur = pad[:-2, 2:]
+    dl = pad[2:, :-2]
+    dr = pad[2:, 2:]
+    h2, w2 = p.shape[0] * 2, p.shape[1] * 2
+    out = np.empty((h2, w2))
+    out[0::2, 0::2] = (9 * c + 3 * up + 3 * lf + ul) / 16
+    out[0::2, 1::2] = (9 * c + 3 * up + 3 * rt + ur) / 16
+    out[1::2, 0::2] = (9 * c + 3 * dn + 3 * lf + dl) / 16
+    out[1::2, 1::2] = (9 * c + 3 * dn + 3 * rt + dr) / 16
+    return out
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
