@@ -101,3 +101,85 @@ def test_grid_ring_properties(x, y, r, zoom):
         assert (ring >= 0).all() and (ring < n).all()
         # no duplicates
         assert len({(int(a), int(b)) for a, b in ring}) == len(ring)
+
+
+@given(
+    st.integers(1, 40), st.integers(1, 40),
+    st.floats(-2e7, 2e7, allow_nan=False), st.floats(-2e7, 2e7, allow_nan=False),
+    st.floats(0.1, 1e6, allow_nan=False), st.floats(0.1, 1e6, allow_nan=False),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_geotiff_roundtrip_lossless(h, w, xmin, ymin, dx, dy, seed):
+    """encode_geotiff/read_geotiff is exact for any pixels and bounds."""
+    from tilegrab_spark.kernels import geotiff
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    bounds = (xmin, ymin, xmin + dx, ymin + dy)
+    got, got_bounds, epsg = geotiff.read_geotiff(geotiff.encode_geotiff(arr, bounds))
+    assert (got == arr).all()
+    assert epsg == 3857
+    np.testing.assert_allclose(got_bounds, bounds, rtol=0, atol=1e-6 * max(1.0, dx, dy))
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 3), st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_wkb_polygon_parse_roundtrip(seed, n_polys, multi):
+    """_parse_wkb_polygons inverts a hand-built WKB Polygon/MultiPolygon
+    for arbitrary rings (both assembled little-endian)."""
+    import struct
+
+    from tilegrab_spark.sources.vector_files import _parse_wkb_polygons
+
+    rng = np.random.default_rng(seed)
+
+    def poly_wkb(rings):
+        out = struct.pack("<BII", 1, 3, len(rings))
+        for r in rings:
+            out += struct.pack("<I", len(r)) + r.astype("<f8").tobytes()
+        return out
+
+    polys = []
+    for _ in range(n_polys if multi else 1):
+        nrings = int(rng.integers(1, 3))
+        rings = [
+            rng.uniform(-180, 180, (int(rng.integers(4, 9)), 2)) for _ in range(nrings)
+        ]
+        polys.append(rings)
+    if multi:
+        blob = struct.pack("<BII", 1, 6, len(polys)) + b"".join(
+            poly_wkb(r) for r in polys
+        )
+    else:
+        blob = poly_wkb(polys[0])
+    got = _parse_wkb_polygons(blob)
+    assert len(got) == len(polys)
+    for gp, wp in zip(got, polys):
+        assert len(gp) == len(wp)
+        for gr, wr in zip(gp, wp):
+            np.testing.assert_array_equal(gr, wr)
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 3))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_smooth_content_psnr(seed, octaves):
+    """Smooth random fields round-trip above 40dB at quality 95 — the
+    lossy gate holds across the content space, not just fixtures."""
+    from tilegrab_spark.kernels import jpeg
+
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(16, 49))
+    w = int(rng.integers(16, 49))
+    # random low-frequency field: sum of a few smooth cosines
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = np.zeros((h, w))
+    for _ in range(octaves):
+        fx, fy = rng.uniform(0, 2 * np.pi / 16, 2)
+        ph = rng.uniform(0, 2 * np.pi)
+        g += np.cos(fx * xx + fy * yy + ph)
+    g = (g - g.min()) / max(g.max() - g.min(), 1e-9) * 200 + 20
+    arr = np.stack([g, np.roll(g, 1, 0), np.roll(g, 1, 1)], axis=-1).astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=95))
+    assert dec.shape == arr.shape
+    assert jpeg.psnr(arr, dec) >= 40.0
