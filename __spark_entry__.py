@@ -795,7 +795,14 @@ def _fingerprints(spark, sf):
     same constants), unsigned-order winnowing to the 8 smallest."""
     from tilegrab_spark.operators.text import with_fingerprint
 
-    return with_fingerprint(_t(spark, sf, "documents")).select(
+    # both engines fingerprint the same 4096-CHAR prefix (substr semantics
+    # are char-based in Spark and DuckDB alike), which bounds the oracle's
+    # byte expansion at 4*4096 regardless of corpus — no silent divergence
+    # on long documents
+    d = _t(spark, sf, "documents").withColumn(
+        "text", F.substring("text", 1, 4096)
+    )
+    return with_fingerprint(d).select(
         "doc_id", F.posexplode("fingerprint").alias("i", "v")
     )
 
@@ -805,15 +812,16 @@ def _fingerprint_sql() -> str:
     pw = ",".join(str(pow(B, k, M)) for k in range(16))
     return f"""
 WITH docs AS (
-  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  -- same 4096-char prefix as the Spark side; 16384 bytes = the UTF-8
+  -- worst case, so the fixed series bound below can never truncate
+  SELECT doc_id, hex(encode(substr(text, 1, 4096))) AS hx,
+         octet_length(encode(substr(text, 1, 4096))) AS n
   FROM documents
 ),
 bytes AS (
-  -- fixed series bound (this DuckDB lacks lateral generate_series):
-  -- 8192 covers the synthetic docs with a wide margin
   SELECT doc_id, n, g.generate_series AS pos,
          ('0x' || substr(hx, 2*g.generate_series - 1, 2))::INTEGER AS b
-  FROM docs, generate_series(1, 8192) g WHERE g.generate_series <= n
+  FROM docs, generate_series(1, 16384) g WHERE g.generate_series <= n
 ),
 pw(p, k) AS (SELECT unnest([{pw}]), generate_subscripts([{pw}], 1) - 1),
 win AS (

@@ -212,3 +212,12 @@ def test_ngram_jaccard_max_df_exact_on_kept_pairs(docs_df):
         assert j == pytest.approx(full[p])
     # exact dup groups always share rare shingles here -> still found
     assert (0, 1) in capped
+
+
+def test_simhash_whitespace_only_is_zero(spark):
+    """Whitespace-only text has no tokens => simhash 0, same as empty —
+    matching the SQL oracle's token-less case (NOT all-ones)."""
+    df = spark.createDataFrame([(0, "   "), (1, ""), (2, "\t\n")],
+                               "doc_id long, text string")
+    hs = {r.doc_id: r.simhash for r in dedup.with_simhash(df).collect()}
+    assert hs == {0: 0, 1: 0, 2: 0}

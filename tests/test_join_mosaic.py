@@ -184,3 +184,21 @@ def test_grouping_2x2_all_groups_full(spark, t_geom, image_table):
 
         e = geo.tile_extent_mercator(r.tminx, r.tminy, r.tmaxx, r.tmaxy, 16)
         assert np.allclose(e, (r.merc_xmin, r.merc_ymin, r.merc_xmax, r.merc_ymax))
+
+
+def test_drop_empty_keeps_all_corrupt_groups(spark):
+    """drop_empty must NOT swallow a group whose emptiness comes from
+    corrupt payloads — n_bad is what routes those cells for re-fetch."""
+    import pandas as pd
+
+    rows = [
+        {"geom_id": "g", "z": 16, "x": 1, "y": 1,
+         "bytes": b"\x89PNGgarbage", "fmt": "png", "image_id": "16_1_1_0"},
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "geom_id string, z int, x long, y long, bytes binary, fmt string, image_id string",
+    )
+    r = mosaic(df, drop_empty=True).collect()
+    assert len(r) == 1
+    assert r[0].n_bad == 1 and r[0].n_tiles == 0

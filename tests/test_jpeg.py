@@ -134,3 +134,25 @@ def test_420_subsampling_roundtrip():
     ds = jpeg.decode_jpeg(jpeg.encode_jpeg(small, quality=90, subsampling="420"))
     assert ds.shape == small.shape
     assert jpeg.psnr(small, ds) >= 35.0
+
+
+def test_corrupt_jpeg_raises_valueerror_and_verify_survives(spark):
+    """Malformed JPEG bytes raise ValueError (never IndexError /
+    struct.error), so verify_images emits decode_ok=False instead of
+    crashing the task."""
+    import pytest
+
+    from tilegrab_spark.operators.verify import verify_images
+
+    for bad in (b"\xff\xd8", b"\xff\xd8\xff", b"\xff\xd8\xff\xc0\x00"):
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(bad)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [{"image_id": "16_1_1_0", "bytes": b"\xff\xd8\xff\xc0\x00",
+              "w": 8, "h": 8, "fmt": "jpg", "caption": "x", "phash": 0}]
+        ),
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    r = verify_images(df).collect()[0]
+    assert not r.decode_ok and not r.phash_match

@@ -140,3 +140,21 @@ def test_geopackage_undefined_srs_fails(tmp_path):
     _write_gpkg(gpkg, _t_ring(), 0)
     with pytest.raises(ValueError, match="undefined srs"):
         geometry_from_geopackage(gpkg)
+
+
+def test_wkb_polygon_z_parses_xy(tmp_path, spark):
+    """PolygonZ (ISO 1003 and EWKB 0x80000003) parses the XY ordinates
+    correctly and drops Z — not interleaving Z into coordinates."""
+    import struct as st
+
+    from tilegrab_spark.sources.vector_files import _parse_wkb_polygons
+
+    ring3d = [(0.0, 0.0, 5.0), (1.0, 0.0, 5.0), (0.0, 1.0, 5.0), (0.0, 0.0, 5.0)]
+    for gtype in (1003, 0x80000003):
+        blob = st.pack("<BII", 1, gtype, 1) + st.pack("<I", len(ring3d))
+        for p in ring3d:
+            blob += st.pack("<3d", *p)
+        polys = _parse_wkb_polygons(blob)
+        np.testing.assert_array_equal(
+            polys[0][0], np.array([(0, 0), (1, 0), (0, 1), (0, 0)], dtype=float)
+        )

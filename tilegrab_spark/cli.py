@@ -122,13 +122,16 @@ def main(argv=None) -> int:
     eng.write(mosaics, str(args.out / "mosaics"), stage="mosaic")
     if args.tiff or args.jpg:
         # real image files next to the table (exporter.py:37-74):
-        # georeferenced .tif or lossy .jpg per the format flag
+        # georeferenced .tif or lossy .jpg per the format flag. Export
+        # reads the parquet just written — re-iterating the lazy
+        # `mosaics` plan would re-execute the whole join+stitch
         from tilegrab_spark.sources.export import export_mosaics
 
+        written = spark.read.parquet(str(args.out / "mosaics"))
         if args.tiff:
-            export_mosaics(mosaics, args.out / "tiff", fmt="tiff")
+            export_mosaics(written, args.out / "tiff", fmt="tiff")
         else:
-            export_mosaics(mosaics, args.out / "jpg", fmt="jpg")
+            export_mosaics(written, args.out / "jpg", fmt="jpg")
     if not args.quiet:
         print(f"mosaics written to {args.out / 'mosaics'}")
     return 0

@@ -395,6 +395,16 @@ def _extend(v: int, cat: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode baseline JPEG bytes to (H,W,3) uint8. Malformed or
+    truncated streams raise ValueError (never IndexError/struct.error —
+    callers like verify_images route decode failures by ValueError)."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"malformed JPEG stream: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2

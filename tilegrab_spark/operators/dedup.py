@@ -66,7 +66,7 @@ def _perm_params(num_hashes: int, seed: int = 42):
 def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Word k-shingles as an array column — native split + transform
     (higher-order functions, no UDF)."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     shingle = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
@@ -195,6 +195,8 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
             if not t:
                 continue
             toks = t.lower().split()
+            if not toks:  # whitespace-only: no tokens => 0, like empty
+                continue
             hs = np.array([_stable_hash64(w) for w in toks], dtype=np.uint64)
             bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
             v = (bits.sum(axis=0) * 2 >= len(toks)).astype(np.uint64)

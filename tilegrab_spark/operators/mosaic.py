@@ -97,7 +97,10 @@ def _stitch_core(
             : h - py, : w - px
         ]
         n += 1
-    if drop_empty and not canvas.any():  # F7 all-zero drop (grouping.py:26-29)
+    if drop_empty and not canvas.any() and n_bad == 0:
+        # F7 all-zero drop (grouping.py:26-29) — but NEVER drop a group
+        # whose emptiness came from corrupt payloads: the n_bad count is
+        # what routes those cells for re-fetch
         return None
     mx0, my0, mx1, my1 = geo.tile_extent_mercator(tminx, tminy, tmaxx, tmaxy, z)
     return {

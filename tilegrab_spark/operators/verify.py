@@ -16,19 +16,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from tilegrab_spark.kernels import png
+from tilegrab_spark.kernels.jpeg import psnr  # single PSNR definition
 
 VERIFY_SCHEMA = (
     "image_id string, decode_ok boolean, phash_match boolean, "
     "psnr double, caption_match boolean"
 )
-
-
-def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    """Peak signal-to-noise ratio in dB; inf for identical images."""
-    mse = float(((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean())
-    if mse == 0:
-        return float("inf")
-    return 10.0 * np.log10(255.0**2 / mse)
 
 
 def verify_images(df: DataFrame, *, synthetic_oracle: bool = True, min_psnr: float = 40.0) -> DataFrame:

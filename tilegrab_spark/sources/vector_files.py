@@ -105,9 +105,28 @@ def geometry_from_shapefile(path: str | Path, geom_id: str | None = None) -> Geo
     )
 
 
+def _wkb_dims(gtype: int) -> tuple[int, int]:
+    """(base_type, n_dims) handling both ISO WKB (type + 1000*Z + 2000*M)
+    and EWKB dimension flags (0x80000000 = Z, 0x40000000 = M). Z/M
+    coordinates are parsed correctly and dropped (the engine is 2D)."""
+    dims = 2
+    if gtype & 0x80000000:
+        dims += 1
+    if gtype & 0x40000000:
+        dims += 1
+    gtype &= 0x0FFFFFFF
+    iso = gtype // 1000  # 0=2D, 1=Z, 2=M, 3=ZM
+    if iso == 1 or iso == 3:
+        dims += 1
+    if iso == 2 or iso == 3:
+        dims += 1
+    return gtype % 1000, dims
+
+
 def _parse_wkb_polygons(blob: bytes, offset: int = 0) -> list:
-    """Parse WKB Polygon / MultiPolygon (2D, either endianness) into a
-    list of polygons (each = list of (N,2) rings)."""
+    """Parse WKB Polygon / MultiPolygon (2D/Z/M/ZM, ISO or EWKB flags,
+    either endianness) into a list of polygons (each = list of (N,2)
+    rings; Z/M ordinates dropped)."""
 
     def _rd(fmt, off, little):
         return struct.unpack_from(("<" if little else ">") + fmt, blob, off)
@@ -115,7 +134,8 @@ def _parse_wkb_polygons(blob: bytes, offset: int = 0) -> list:
     def _polygon(off):
         little = blob[off] == 1
         (gtype,) = _rd("I", off + 1, little)
-        if gtype % 1000 != 3:
+        base, dims = _wkb_dims(gtype)
+        if base != 3:
             raise ValueError(f"WKB: expected Polygon, got type {gtype}")
         (n_rings,) = _rd("I", off + 5, little)
         off += 9
@@ -124,15 +144,15 @@ def _parse_wkb_polygons(blob: bytes, offset: int = 0) -> list:
             (n_pts,) = _rd("I", off, little)
             off += 4
             coords = np.frombuffer(
-                blob, ("<f8" if little else ">f8"), n_pts * 2, off
-            ).reshape(-1, 2).astype(np.float64)
-            rings.append(coords)
-            off += n_pts * 16
+                blob, ("<f8" if little else ">f8"), n_pts * dims, off
+            ).reshape(-1, dims)[:, :2].astype(np.float64)
+            rings.append(np.ascontiguousarray(coords))
+            off += n_pts * 8 * dims
         return rings, off
 
     little = blob[offset] == 1
     (gtype,) = _rd("I", offset + 1, little)
-    base = gtype % 1000
+    base, _dims = _wkb_dims(gtype)
     if base == 3:
         rings, _ = _polygon(offset)
         return [rings]
