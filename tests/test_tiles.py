@@ -106,3 +106,40 @@ def test_mercator_clamp_and_zero_tiles(spark):
     rows = t.collect()
     # x=0/y=0 accepted (reference Q4 crash); lat clamped to 85.051129
     assert any(r.x == 0 and r.y == 0 for r in rows)
+
+
+def test_coverage_footprints_geojson(spark, t_geom, image_table):
+    """Raster→vector: the footprint MultiPolygon contains exactly the
+    present tiles' 4326 bounds (verified ring-by-ring against the golden
+    tile set and the geo kernel's bounds)."""
+    import json
+
+    from tests.conftest import T_SHAPE_Z16
+    from tilegrab_spark.kernels import geo
+    from tilegrab_spark.operators.footprint import coverage_footprints
+    from tilegrab_spark.operators.image_join import join_images
+    from tilegrab_spark.sources.images import read_image_table
+
+    tiles = tiles_for(spark, t_geom, 16, by="shape")
+    images = read_image_table(spark, image_table)
+    joined = join_images(tiles, images.drop("cell_id"))
+    fp = coverage_footprints(joined.select("geom_id", "z", "x", "y").distinct()).collect()
+    assert len(fp) == 1
+    r = fp[0]
+    assert r.n_tiles == len(T_SHAPE_Z16)
+    assert (r.tminx, r.tminy, r.tmaxx, r.tmaxy) == (47439, 31441, 47442, 31444)
+    gj = json.loads(r.footprint)
+    assert gj["type"] == "MultiPolygon"
+    assert len(gj["coordinates"]) == len(T_SHAPE_Z16)
+    # each polygon's first ring must equal its tile's bounds box
+    def rnd(ring):
+        return tuple((round(p[0], 9), round(p[1], 9)) for p in ring)
+
+    got_rings = {rnd(poly[0]) for poly in gj["coordinates"]}
+    want_rings = set()
+    for x, y in T_SHAPE_Z16:
+        mnl, mnt, mxl, mxt = geo.tile_bounds(x, y, 16)
+        want_rings.add(
+            rnd(((mnl, mnt), (mnl, mxt), (mxl, mxt), (mxl, mnt), (mnl, mnt)))
+        )
+    assert got_rings == want_rings
