@@ -101,6 +101,12 @@ class Engine:
             images = read_image_table(self.spark, images, parse_key=False)
         return verify_images(images, **kw)
 
+    def footprints(self, joined: DataFrame, **kw) -> DataFrame:
+        """Raster→vector: per-group coverage GeoJSON of present tiles."""
+        from tilegrab_spark.operators.footprint import coverage_footprints
+
+        return coverage_footprints(joined, **kw)
+
     # --- sinks (S5-S8) ---
     def write(
         self,
