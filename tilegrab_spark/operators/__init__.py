@@ -10,6 +10,7 @@ from tilegrab_spark.operators.knn import knn_join
 from tilegrab_spark.operators.components import connected_components, dedup_by_components
 from tilegrab_spark.operators.pyramid import build_parent_level, build_pyramid
 from tilegrab_spark.operators.footprint import coverage_footprints
+from tilegrab_spark.operators.sessions import session_summary, sessionize
 from tilegrab_spark.operators.verify import verify_images
 
 __all__ = [
@@ -28,4 +29,6 @@ __all__ = [
     "build_pyramid",
     "verify_images",
     "coverage_footprints",
+    "sessionize",
+    "session_summary",
 ]
