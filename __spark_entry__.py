@@ -530,15 +530,18 @@ SELECT query_id, vec_id, rank FROM (
 
 
 def _embedding_pairs(spark, sf):
-    """Embedding cosine near-dup pairs (exact blocked self-join).
-    Threshold margin on the driver corpus is >=8.5e-4 — far above
-    cross-engine float noise, so the ids-only output is hash-stable."""
+    """Embedding cosine near-dup pairs. ``exact=True`` is the explicit
+    oracle-baseline opt-in (the DEFAULT is the LSH sign-bucket path — a
+    probabilistic candidate set no exhaustive SQL oracle can pin; the
+    recall-vs-exact gate lives in test_dedup). Threshold margin on the
+    driver corpus is >=8.5e-4 — far above cross-engine float noise, so
+    the ids-only output is hash-stable."""
     from tilegrab_spark.operators.dedup import embedding_cosine_pairs
 
     emb = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return embedding_cosine_pairs(emb, threshold=0.5).select("id_a", "id_b")
+    return embedding_cosine_pairs(emb, threshold=0.5, exact=True).select("id_a", "id_b")
 
 
 _EMB_PAIRS_SQL = """

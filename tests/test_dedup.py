@@ -184,7 +184,7 @@ def test_embedding_cosine_pairs(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {
         (r.id_a, r.id_b): r.cosine
-        for r in dedup.embedding_cosine_pairs(df, threshold=0.95).collect()
+        for r in dedup.embedding_cosine_pairs(df, threshold=0.95, exact=True).collect()
     }
     assert (0, 1) in got and got[(0, 1)] == pytest.approx(1.0)
     assert (0, 2) in got
@@ -195,6 +195,40 @@ def test_embedding_cosine_pairs(spark):
         for r in dedup.embedding_cosine_pairs(df, threshold=0.95, n_probe_bits=2).collect()
     }
     assert (0, 1) in lsh
+    # quadratic path requires explicit opt-in; bucketless default is an error
+    with pytest.raises(ValueError, match="exact=True"):
+        dedup.embedding_cosine_pairs(df, threshold=0.95, n_probe_bits=0)
+
+
+def test_embedding_pairs_lsh_recall_vs_exact(spark):
+    """Scale-safe default (LSH sign-buckets) vs exact all-pairs: on a
+    clustered corpus the bucketed path keeps high recall at the near-dup
+    threshold, and every pair it emits is a true pair (precision 1.0 by
+    construction — the cosine filter is exact either way)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for c in range(20):  # 20 clusters of 3 near-identical vectors
+        center = rng.standard_normal(16)
+        for _ in range(3):
+            v = center + rng.standard_normal(16) * 0.02
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(df, threshold=0.95, exact=True).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(df, threshold=0.95).collect()
+    }
+    assert lsh <= exact  # precision 1.0: bucketing can only miss, not invent
+    assert len(exact) >= 50
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} below gate"
 
 
 def test_ngram_jaccard_max_df_exact_on_kept_pairs(docs_df):
@@ -221,3 +255,101 @@ def test_simhash_whitespace_only_is_zero(spark):
                                "doc_id long, text string")
     hs = {r.doc_id: r.simhash for r in dedup.with_simhash(df).collect()}
     assert hs == {0: 0, 1: 0, 2: 0}
+
+
+def test_vectorized_minhash_matches_object_math_reference(spark):
+    """The uint64 limb-arithmetic minhash (no Python bignums) must be
+    bit-identical to the arbitrary-precision reference formula on real
+    shingled rows — the DuckDB oracle pins the same contract."""
+    import numpy as np
+
+    from tilegrab_spark.operators.dedup import (
+        _MERSENNE,
+        _perm_params,
+        _stable_hash64,
+        with_minhash,
+        with_shingles,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "pack my box with five dozen liquor jugs"),
+        (2, ""),
+        (3, "   "),
+        (4, "one"),
+        (5, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.minhash
+        for r in with_minhash(with_shingles(df), num_hashes=16).collect()
+    }
+    a, b = _perm_params(16)
+    sh = {r.doc_id: r.shingles for r in with_shingles(df).collect()}
+    for did, shingles in sh.items():
+        if not shingles:
+            assert got[did] == [0] * 16
+            continue
+        hs = [_stable_hash64(s) & 0x7FFFFFFFFFFFFFFF for s in shingles]
+        want = [
+            min((int(a[i]) * h + int(b[i])) % _MERSENNE for h in hs)
+            for i in range(16)
+        ]
+        assert got[did] == want, did
+
+
+def test_vectorized_simhash_matches_scalar_reference(spark):
+    """Batch-factorized simhash == the per-row scalar recurrence."""
+    import numpy as np
+
+    from tilegrab_spark.operators.dedup import _stable_hash64, with_simhash
+
+    rows = [
+        (0, "the quick brown fox"),
+        (1, ""),
+        (2, "   \t\n"),
+        (3, "Tile TILE tile"),
+        (4, "a b c d e f g h i j k l m n o p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in with_simhash(df).collect()}
+    for did, text in rows:
+        toks = text.lower().split() if text else []
+        if not toks:
+            assert got[did] == 0, did
+            continue
+        hs = [_stable_hash64(w) for w in toks]
+        bits = [sum((h >> s) & 1 for h in hs) for s in range(64)]
+        u = sum((1 << s) for s in range(64) if bits[s] * 2 >= len(toks))
+        want = u - (1 << 64) if u >= (1 << 63) else u
+        assert got[did] == want, did
+
+
+def test_sig_version_marker_and_check(spark):
+    """with_minhash/with_simhash stamp the hash-contract version into
+    column metadata; check_sig_version raises on a mismatched marker and
+    passes on current/absent ones (ADVICE r1: mixed-build signature
+    tables must fail loudly)."""
+    import pytest
+
+    from tilegrab_spark.operators.dedup import (
+        SIG_VERSION,
+        check_sig_version,
+        with_minhash,
+        with_shingles,
+        with_simhash,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    m = with_minhash(with_shingles(df), num_hashes=4)
+    assert m.schema["minhash"].metadata["sig_version"] == SIG_VERSION
+    s = with_simhash(df)
+    assert s.schema["simhash"].metadata["sig_version"] == SIG_VERSION
+    check_sig_version(m, "minhash")  # current -> ok
+    check_sig_version(df, "text")  # no marker -> ok
+    stale = df.withColumn(
+        "simhash", F.lit(0).alias("simhash", metadata={"sig_version": 1})
+    )
+    with pytest.raises(ValueError, match="sig_version"):
+        check_sig_version(stale, "simhash")

@@ -156,3 +156,76 @@ def test_corrupt_jpeg_raises_valueerror_and_verify_survives(spark):
     )
     r = verify_images(df).collect()[0]
     assert not r.decode_ok and not r.phash_match
+
+
+def test_restart_interval_roundtrip():
+    """DRI + RSTn markers (what most wild-world encoders emit by
+    default): our encoder can emit them and our decoder consumes them —
+    the decode is bit-identical to the same image without restarts."""
+    arr = _natural(80, 96)
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=90))
+    for sub in ("444", "420"):
+        for ri in (1, 3, 7):
+            data = jpeg.encode_jpeg(arr, quality=90, subsampling=sub, restart_interval=ri)
+            assert b"\xff\xdd" in data  # DRI present
+            dec = jpeg.decode_jpeg(data)
+            assert dec.shape == arr.shape
+            assert jpeg.psnr(arr, dec) >= 40.0
+    # restart path must not change pixels at all vs the no-restart stream
+    d_ri = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=90, restart_interval=2))
+    assert np.array_equal(d_ri, plain)
+
+
+def test_truncated_entropy_stream_raises():
+    """A stream cut mid-scan raises ValueError (bit() underflow) instead
+    of silently decoding the remaining MCUs from zero bits."""
+    import pytest
+
+    arr = _natural(96, 96)
+    data = jpeg.encode_jpeg(arr, quality=90)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(data[: int(len(data) * 0.7)])
+    # with restart markers too
+    data_ri = jpeg.encode_jpeg(arr, quality=90, restart_interval=2)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(data_ri[: int(len(data_ri) * 0.7)])
+
+
+def test_progressive_jpeg_routes_to_n_bad(spark):
+    """Progressive (SOF2) payloads raise ValueError and route into the
+    mosaic's n_bad count + verify's decode_ok=False — never rendered
+    silently black into exported artifacts (VERDICT r1 item 7)."""
+    import pytest
+
+    from tests.conftest import oracle_canvas
+    from tilegrab_spark.operators.mosaic import mosaic
+
+    arr = _natural(64, 64)
+    data = bytearray(jpeg.encode_jpeg(arr, quality=90))
+    sof0 = data.find(b"\xff\xc0")
+    data[sof0 + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    prog = bytes(data)
+    with pytest.raises(ValueError, match="SOF0"):
+        jpeg.decode_jpeg(prog)
+
+    z, x0, y0 = 16, 47439, 31441
+    rows = []
+    for i, (dx, dy) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+        good = png.synth_tile_pixels(x0 + dx, y0 + dy, z, 0)
+        rows.append(
+            {
+                "geom_id": "g", "z": z, "x": x0 + dx, "y": y0 + dy,
+                "bytes": prog if i == 3 else jpeg.encode_jpeg(good, quality=95),
+                "fmt": "jpg", "image_id": f"{z}_{x0+dx}_{y0+dy}_0",
+            }
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "geom_id string, z int, x long, y long, bytes binary, fmt string, image_id string",
+    )
+    r = mosaic(df).collect()[0]
+    assert r.n_tiles == 3 and r.n_bad == 1  # progressive tile counted bad
+    got = png.decode_png(bytes(r.bytes))
+    want = oracle_canvas([(x0, y0), (x0 + 1, y0), (x0, y0 + 1)], x0, y0, 2, 2)
+    # the three good tiles still land; the bad quadrant stays zeroed
+    assert jpeg.psnr(got[:256, :256], want[:256, :256]) >= 40.0

@@ -123,3 +123,43 @@ def test_knn_density_hint_fewer_rounds_same_result(spark):
     assert hinted == base
     assert hint_rounds < base_rounds
     assert hint_rounds == 1
+
+
+def test_knn_join_large_query_batch_relational(spark):
+    """10^5-query round-trip (VERDICT r1 #5): finalization must stay
+    relational — no driver-side id list becomes a 10^5-element In()
+    expression — and every query gets exactly k ranked neighbours."""
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.kernels.geo import tile_bounds
+    from tilegrab_spark.operators.knn import knn_join
+
+    zoom, n_cells, nq, k = 10, 128, 100_000, 3
+    images = (
+        spark.range(n_cells * n_cells)
+        .select(
+            F.lit(zoom).alias("z"),
+            (F.col("id") % n_cells).alias("x"),
+            (F.col("id") / n_cells).cast("long").alias("y"),
+        )
+        .withColumn("image_id", F.format_string("%d_%d_%d", "z", "x", "y"))
+    )
+    mnl, mnt, _, _ = tile_bounds(0, 0, zoom)
+    _, _, mxl, mxt = tile_bounds(n_cells - 1, n_cells - 1, zoom)
+    # deterministic pseudo-random query points inside the cell grid
+    queries = (
+        spark.range(nq)
+        .select(
+            F.format_string("q%d", "id").alias("query_id"),
+            (F.lit(mnl) + (F.pmod(F.xxhash64("id"), 100000) / 100000.0) * (mxl - mnl)).alias("lon"),
+            (F.lit(min(mnt, mxt)) + (F.pmod(F.xxhash64("id", F.lit(1)), 100000) / 100000.0) * abs(mxt - mnt)).alias("lat"),
+        )
+    )
+    out = knn_join(queries, images, zoom, k=k, rows_per_cell=1.0)
+    # plan must not contain a giant In(query_id, [...]) literal list
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "query_id IN" not in plan and plan.count("q9999") == 0
+    agg = out.groupBy("query_id").count()
+    bad = agg.filter(F.col("count") != k).count()
+    assert bad == 0
+    assert agg.count() == nq

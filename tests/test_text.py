@@ -79,3 +79,45 @@ def test_on_real_documents(spark):
     for r in rows[:50]:
         assert r.ws_tokens == r.n_tokens
         assert 0.0 <= r.quality <= 1.0
+
+
+def test_vectorized_fingerprint_matches_scalar_reference(spark):
+    """The prefix-sum Rabin-Karp (invertible B mod 2^64) must equal the
+    per-byte scalar recurrence on every window, including short docs,
+    empties, and multi-byte UTF-8."""
+    import numpy as np
+
+    from tilegrab_spark.operators.text import with_fingerprint
+
+    B, MASK = 1000003, (1 << 64) - 1
+
+    def ref(t, window=16, keep=8):
+        if not t:
+            return []
+        bts = t.encode("utf-8")
+        if len(bts) < window:
+            h = 0
+            for v in bts:
+                h = (h * B + v) & MASK
+            hs = [h]
+        else:
+            hs = []
+            for i in range(len(bts) - window + 1):
+                h = 0
+                for v in bts[i : i + window]:
+                    h = (h * B + v) & MASK
+                hs.append(h)
+        sel = np.sort(np.unique(np.array(hs, dtype=np.uint64)))[:keep]
+        return sel.astype(np.int64).tolist()
+
+    rows = [
+        (0, ""),
+        (1, "short"),
+        (2, "exactly sixteen!"),
+        (3, "the quick brown fox jumps over the lazy dog " * 10),
+        (4, "ñandú 字符串 emoji mix ✓ with multibyte bytes everywhere"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.fingerprint for r in with_fingerprint(df).collect()}
+    for did, text in rows:
+        assert got[did] == ref(text), did

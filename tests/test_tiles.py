@@ -139,7 +139,17 @@ def test_coverage_footprints_geojson(spark, t_geom, image_table):
     want_rings = set()
     for x, y in T_SHAPE_Z16:
         mnl, mnt, mxl, mxt = geo.tile_bounds(x, y, 16)
+        # counterclockwise exterior per RFC 7946 §3.1.6
         want_rings.add(
-            rnd(((mnl, mnt), (mnl, mxt), (mxl, mxt), (mxl, mnt), (mnl, mnt)))
+            rnd(((mnl, mnt), (mxl, mnt), (mxl, mxt), (mnl, mxt), (mnl, mnt)))
         )
     assert got_rings == want_rings
+
+    # winding check: shoelace signed area of each exterior ring is >0 (CCW)
+    for poly in gj["coordinates"]:
+        ring = poly[0]
+        area2 = sum(
+            ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+            for i in range(len(ring) - 1)
+        )
+        assert area2 > 0, "exterior ring must be counterclockwise"

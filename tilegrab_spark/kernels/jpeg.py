@@ -265,11 +265,19 @@ def _downsample2(plane):
     return p.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90, *, subsampling: str = "444") -> bytes:
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    *,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Encode (H,W,3) uint8 to baseline JPEG. ``subsampling``: "444"
     (exact chroma, default for the engine's own payloads) or "420"
     (2x2 chroma downsample — the wild-world default; MCUs interleave
-    four Y blocks + Cb + Cr)."""
+    four Y blocks + Cb + Cr). ``restart_interval`` > 0 emits a DRI
+    segment and an RSTn marker every that-many MCUs (what most wild
+    encoders do by default — exercised by the decoder's restart path)."""
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError(f"expected (H,W,3) uint8, got {arr.shape} {arr.dtype}")
     if subsampling not in ("444", "420"):
@@ -296,6 +304,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, *, subsampling: str = "444")
     for tid, q in ((0, qy), (1, qc)):
         zz = q.reshape(-1)[_ZZ].astype(np.uint8)
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz.tobytes()
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
     for cid, samp, tq in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
         out += struct.pack("BBB", cid, samp, tq)
@@ -311,8 +321,18 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, *, subsampling: str = "444")
 
     bw = _BitWriter()
     prev = [0, 0, 0]
+    rst_seq = [0]
+
+    def _maybe_restart(mcu_idx: int):
+        if restart_interval and mcu_idx > 0 and mcu_idx % restart_interval == 0:
+            bw.flush()
+            bw.buf += bytes((0xFF, 0xD0 + rst_seq[0]))
+            rst_seq[0] = (rst_seq[0] + 1) & 7
+            prev[0] = prev[1] = prev[2] = 0
+
     if subsampling == "444":
         for bi in range(yb.shape[0]):
+            _maybe_restart(bi)
             for ci, (blocks, dc_t, ac_t) in enumerate(
                 ((yb, 0, 0), (cbb, 1, 1), (crb, 1, 1))
             ):
@@ -324,6 +344,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, *, subsampling: str = "444")
         yw = 2 * mcu_w
         for my in range(mcu_h):
             for mx in range(mcu_w):
+                _maybe_restart(my * mcu_w + mx)
                 for dy in (0, 1):
                     for dx in (0, 1):
                         bi = (2 * my + dy) * yw + (2 * mx + dx)
@@ -367,9 +388,31 @@ class _BitReader:
         if self.n == 0:
             self._fill()
             if self.n == 0:
-                return 0
+                # mid-scan underflow: the entropy stream ended (EOI,
+                # truncation, or an unconsumed marker) while the decoder
+                # still needs bits — corrupt/truncated data must raise,
+                # never silently decode remaining MCUs from zero bits
+                raise ValueError("JPEG entropy stream underflow (truncated scan)")
         self.n -= 1
         return (self.acc >> self.n) & 1
+
+    def restart(self):
+        """Consume an RSTn marker at a restart-interval boundary: discard
+        the byte-alignment padding (which may include stuffed FF 00
+        bytes), then expect FF D0..D7."""
+        self.acc = 0
+        self.n = 0
+        # everything before the next real marker is byte-align padding
+        while self.pos + 1 < len(self.data) and not (
+            self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00
+        ):
+            self.pos += 1
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("expected JPEG restart marker, hit end of stream")
+        nxt = self.data[self.pos + 1]
+        if not (0xD0 <= nxt <= 0xD7):
+            raise ValueError(f"expected RSTn, found marker {nxt:#x}")
+        self.pos += 2
 
     def bits(self, k: int) -> int:
         v = 0
@@ -413,6 +456,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     h = w = None
     comps = []
     scan = None
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker")
@@ -439,6 +483,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append((cid, tq, samp >> 4, samp & 0x0F))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xC4:
             p = 0
             while p < len(seg):
@@ -502,6 +548,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
 
     for my in range(mcu_h):
         for mx in range(mcu_w):
+            mcu_idx = my * mcu_w + mx
+            if restart_interval and mcu_idx > 0 and mcu_idx % restart_interval == 0:
+                br.restart()
+                prev[:] = [0] * len(comps)  # RSTn resets DC prediction
             for ci, (_cid, tq, sh, sv) in enumerate(comps):
                 for dy in range(sv):
                     for dx in range(sh):

@@ -44,6 +44,31 @@ def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 _MERSENNE = (1 << 61) - 1
 
+# Hash-contract version for persisted signature tables. v2 = md5-low-8-bytes
+# _stable_hash64 (v1, early round-1 builds, was blake2b-low-8 — signatures
+# from the two are incompatible). with_minhash/with_simhash stamp this into
+# the output column metadata so a mixed-build signature table can be
+# detected with check_sig_version() instead of silently producing wrong
+# near-dup pairs.
+SIG_VERSION = 2
+_SIG_META = {"sig_version": SIG_VERSION, "sig_hash": "md5-low-8"}
+
+
+def check_sig_version(df: DataFrame, col: str) -> DataFrame:
+    """Raise if ``col`` carries a signature-version marker that doesn't
+    match this build's hash contract. Columns with no marker (pre-v2
+    tables, or metadata stripped by a non-parquet round-trip) pass with
+    no check — recompute such tables to be safe."""
+    meta = df.schema[col].metadata or {}
+    v = meta.get("sig_version")
+    if v is not None and int(v) != SIG_VERSION:
+        raise ValueError(
+            f"{col!r} was computed under sig_version={v}, this build is "
+            f"sig_version={SIG_VERSION} ({_SIG_META['sig_hash']}) — "
+            "recompute the signature table; mixing versions yields wrong pairs"
+        )
+    return df
+
 
 def _stable_hash64(s: str) -> int:
     """Process-independent 64-bit string hash (Python's builtin hash() is
@@ -54,6 +79,50 @@ def _stable_hash64(s: str) -> int:
     import hashlib
 
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
+def _stable_hash64_batch(strings) -> np.ndarray:
+    """Vectorized _stable_hash64 over a sequence of strings: one md5 call
+    per string (the contract), but the 8-byte extraction is a single
+    ``np.frombuffer`` over the joined digests instead of per-item
+    ``int.from_bytes`` — and callers hash only the batch's UNIQUE strings
+    (pd.factorize), which on natural text cuts the md5 count by ~10x."""
+    import hashlib
+
+    md5 = hashlib.md5
+    joined = b"".join(md5(s.encode()).digest()[:8] for s in strings)
+    return np.frombuffer(joined, dtype=">u8").astype(np.uint64)
+
+
+def _permute_mod_mersenne(uh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(U, H) matrix of (a_j * h_i + b_j) mod (2^61 - 1), exact, entirely
+    in uint64: the 128-bit product a*h is built from 32-bit limbs and
+    reduced with the Mersenne fold 2^61 ≡ 1 (and 2^64 ≡ 8). Matches the
+    arbitrary-precision reference bit-for-bit (test_dedup parity test);
+    the DuckDB HUGEINT oracle pins the same semantics end-to-end.
+
+    uh: (U,) uint64 < 2^63. a, b: (H,) uint64 < 2^61 - 1.
+    """
+    M = np.uint64(_MERSENNE)
+    lo32 = np.uint64(0xFFFFFFFF)
+    s32, s61 = np.uint64(32), np.uint64(61)
+
+    def fold(x):  # x < 2^64  ->  x mod-congruent value < 2^61 + 8
+        return (x >> s61) + (x & M)
+
+    h = uh[:, None]
+    av = a[None, :]
+    a0, a1 = av & lo32, av >> s32
+    h0, h1 = h & lo32, h >> s32
+    p0 = a0 * h0                      # < 2^64
+    pm = a1 * h0 + a0 * h1            # < 2^29*2^32 + 2^32*2^31 < 2^64
+    p2 = a1 * h1                      # < 2^60
+    # a*h = p2*2^64 + pm*2^32 + p0 ; 2^64 ≡ 8 (mod M)
+    t2 = fold(p2 * np.uint64(8))
+    tm = fold(fold((pm & lo32) << s32) + (pm >> s32) * np.uint64(8))
+    t0 = fold(p0)
+    s = fold(fold(t2 + tm + t0 + b[None, :]))
+    return np.where(s >= M, s - M, s)
 
 
 def _perm_params(num_hashes: int, seed: int = 42):
@@ -83,28 +152,49 @@ def with_minhash(
 ) -> DataFrame:
     """MinHash signature as an array<long> via a vectorized Arrow UDF:
     per row, sig[i] = min over shingles of (a_i * h(s) + b_i) mod M.
-    One numpy matmul-style broadcast per batch — no per-row Python."""
+
+    Batch-vectorized end to end: the batch's shingles are factorized so
+    each UNIQUE shingle is md5-hashed once (natural-text corpora repeat
+    shingles heavily across rows), all permutations are computed in one
+    uint64 limb-arithmetic pass (_permute_mod_mersenne — no Python-object
+    bignums), and per-row minima come from ``np.minimum.reduceat`` over
+    row boundaries. No per-shingle interpreted Python anywhere."""
     a, b = _perm_params(num_hashes, seed)
+    a_u = a.astype(np.uint64)
+    b_u = b.astype(np.uint64)
 
     @F.pandas_udf("array<long>")
     def minhash(shingles: pd.Series) -> pd.Series:
-        out = []
-        for sh in shingles:
-            if sh is None or len(sh) == 0:
-                out.append([0] * num_hashes)
-                continue
-            hs = np.array(
-                [_stable_hash64(s) & 0x7FFFFFFFFFFFFFFF for s in sh], dtype=np.int64
-            )
-            # (H, S) = a[:,None]*hs[None,:] + b  mod M, min over S
-            m = (
-                (a[:, None].astype(object) * hs[None, :].astype(object) + b[:, None].astype(object))
-                % _MERSENNE
-            )
-            out.append(np.min(m, axis=1).astype(np.int64).tolist())
+        lens = np.array(
+            [0 if sh is None else len(sh) for sh in shingles], dtype=np.int64
+        )
+        out = [None] * len(shingles)
+        if lens.sum() == 0:
+            return pd.Series([[0] * num_hashes for _ in range(len(shingles))])
+        flat = [s for sh in shingles if sh is not None for s in sh]
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        uh = _stable_hash64_batch(uniques) & np.uint64(0x7FFFFFFFFFFFFFFF)
+        pv = _permute_mod_mersenne(uh, a_u, b_u)  # (U, H)
+        nz = lens > 0
+        starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+        # per-permutation reduceat: (T,) gather + segmented min — bounded
+        # memory (one T-length column at a time, not a (T, H) matrix)
+        mins = np.empty((nz.sum(), num_hashes), dtype=np.int64)
+        for j in range(num_hashes):
+            mins[:, j] = np.minimum.reduceat(pv[codes, j], starts).astype(np.int64)
+        zero_sig = [0] * num_hashes
+        mi = 0
+        for i, n in enumerate(lens):
+            if n == 0:
+                out[i] = zero_sig
+            else:
+                out[i] = mins[mi].tolist()
+                mi += 1
         return pd.Series(out)
 
-    return df.withColumn("minhash", minhash(F.col(shingle_col)))
+    return df.withColumn(
+        "minhash", minhash(F.col(shingle_col)).alias("minhash", metadata=_SIG_META)
+    )
 
 
 def minhash_lsh_pairs(
@@ -129,6 +219,12 @@ def minhash_lsh_pairs(
     sig = with_minhash(with_shingles(df, text_col, shingle_k), num_hashes=num_hashes)
     sig = sig.select(F.col(id_col).alias("_id"), "minhash", "shingles")
 
+    # the x-bands explode and its self-join carry ONLY (_id, band,
+    # band_hash) — 3 scalar columns. Shipping the shingle arrays through
+    # here would multiply shuffle bytes by the band count (16x); instead
+    # the (much smaller) candidate-pair set joins the shingle sets back
+    # afterwards for the exact-Jaccard verify — same shape as the max_df
+    # branch of ngram_jaccard_pairs.
     banded = sig.withColumn(
         "band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
     ).withColumn(
@@ -139,7 +235,7 @@ def minhash_lsh_pairs(
             .cast("array<string>")
             .cast("string"),
         ),
-    ).select("_id", "band", "band_hash", "shingles")
+    ).select("_id", "band", "band_hash")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -152,18 +248,22 @@ def minhash_lsh_pairs(
                 F.col("l._id") < F.col("r._id"),
             ],
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # the verify branch needs only the shingle sets — native re-shingle,
+    # no minhash UDF on this side
+    sets = with_shingles(df, text_col, shingle_k).select(
+        F.col(id_col).alias("_id"), "shingles"
+    )
+    sha = sets.select(F.col("_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    shb = sets.select(F.col("_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.withColumn("jaccard", inter / union)
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -184,26 +284,44 @@ def lsh_dedup(df: DataFrame, *, id_col: str = "doc_id", **kw) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over word tokens — vectorized Arrow UDF (bit-count
-    accumulation in one numpy pass per batch)."""
+    """64-bit SimHash over word tokens — batch-vectorized Arrow UDF:
+    tokens are factorized across the whole batch so each unique token is
+    md5-hashed once, per-row bit-count sums come from segmented
+    ``np.add.reduceat``, and the majority vote + bit-pack is one numpy
+    pass. No per-token interpreted Python."""
 
     @F.pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
         shifts = np.arange(64, dtype=np.uint64)
+        toks_per_row = [t.lower().split() if t else [] for t in texts]
+        lens = np.array([len(t) for t in toks_per_row], dtype=np.int64)
         out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            toks = t.lower().split()
-            if not toks:  # whitespace-only: no tokens => 0, like empty
-                continue
-            hs = np.array([_stable_hash64(w) for w in toks], dtype=np.uint64)
-            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            v = (bits.sum(axis=0) * 2 >= len(toks)).astype(np.uint64)
-            out[i] = (v << shifts).sum(dtype=np.uint64).astype(np.int64)
+        if lens.sum() == 0:  # all empty/whitespace-only => simhash 0
+            return pd.Series(out)
+        flat = [w for toks in toks_per_row for w in toks]
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        uh = _stable_hash64_batch(uniques)
+        ubits = ((uh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        nz = lens > 0
+        starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+        R, U = int(nz.sum()), len(uniques)
+        if R * U <= 1 << 26:
+            # small vocabulary: per-row token histogram + one matmul
+            # beats 64 segmented reductions
+            row_ids = np.repeat(np.arange(R), lens[nz])
+            hist = np.bincount(row_ids * U + codes, minlength=R * U).reshape(R, U)
+            counts = hist @ ubits
+        else:
+            counts = np.empty((R, 64), dtype=np.int64)
+            for bpos in range(64):
+                counts[:, bpos] = np.add.reduceat(ubits[codes, bpos], starts)
+        v = (counts * 2 >= lens[nz][:, None]).astype(np.uint64)
+        out[nz] = (v << shifts[None, :]).sum(axis=1, dtype=np.uint64).astype(np.int64)
         return pd.Series(out)
 
-    return df.withColumn("simhash", simhash(F.col(text_col)))
+    return df.withColumn(
+        "simhash", simhash(F.col(text_col)).alias("simhash", metadata=_SIG_META)
+    )
 
 
 def hamming_near_dup_pairs(
@@ -369,13 +487,28 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_probe_bits: int = 0,
+    n_probe_bits: int = 8,
+    exact: bool = False,
     seed: int = 7,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold. n_probe_bits=0 → exact blocked
-    self-join (quadratic candidates, fine <=10^5 rows per shard);
-    n_probe_bits>0 → random-hyperplane LSH buckets first (scale path:
-    candidates only within matching sign-buckets)."""
+    """Pairs with cosine >= threshold.
+
+    Default (``exact=False``): random-hyperplane LSH sign-buckets first —
+    candidates only within matching buckets, the only join shape that
+    survives a 10^12-row corpus. Recall is probabilistic (two vectors at
+    angle θ collide with prob (1-θ/π)^n_probe_bits); near-dup thresholds
+    ~0.95 keep it high, and it rises as n_probe_bits falls.
+
+    ``exact=True``: the quadratic self-join on only id_a < id_b — every
+    candidate pair is scored. This is the ORACLE BASELINE, an explicit
+    opt-in: it is a cross product with a filter, fine for <=10^5 rows per
+    shard and catastrophic beyond. Defaults must be what users can run at
+    scale, so quadratic is never the default (VERDICT r1 #4)."""
+    if not exact and n_probe_bits <= 0:
+        raise ValueError(
+            "n_probe_bits must be > 0 (LSH bucketing); pass exact=True to "
+            "opt in to the quadratic all-pairs path"
+        )
     norm = F.sqrt(
         F.aggregate(vec_col, F.lit(0.0), lambda acc, v: acc + v * v)
     )
@@ -383,7 +516,7 @@ def embedding_cosine_pairs(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda v: v / norm).alias("_v"),
     )
-    if n_probe_bits > 0:
+    if not exact:
         base = _with_hyperplane_bucket(base, "_v", n_probe_bits, seed)
         l, r = base.alias("l"), base.alias("r")
         on = [

@@ -36,11 +36,13 @@ def coverage_footprints(
     filtered by the caller if only FETCHED coverage is wanted.
     """
     mnl, mnt, mxl, mxt = tile_bounds_cols(F.col("x"), F.col("y"), F.col("z"))
+    # exterior ring is counterclockwise per RFC 7946 §3.1.6 (strict
+    # GeoJSON consumers reject/flip clockwise exteriors)
     ring = F.array(
         F.array(mnl, mnt),
-        F.array(mnl, mxt),
-        F.array(mxl, mxt),
         F.array(mxl, mnt),
+        F.array(mxl, mxt),
+        F.array(mnl, mxt),
         F.array(mnl, mnt),
     )
     d = joined.withColumn("_poly", F.array(ring))  # [ [ring] ] per tile

@@ -102,10 +102,12 @@ def knn_join(
         radius = max(1, int(math.ceil(math.sqrt(k) / 2)))
     results = []
     remaining = q
-    # query sets are small by design (they're broadcast every round), so
-    # the id list lives driver-side: one tiny collect up front replaces a
-    # full count job per round
-    remaining_ids = {r.query_id for r in q.select("query_id").collect()}
+    # finalization is fully relational: per-round `done` stays a
+    # DataFrame (semi/anti-joined, broadcast — it's at most the query
+    # set), never a driver-side id list. A 10^6-query batch therefore
+    # never builds a 10^6-element In() expression; the only driver
+    # round-trip per round is one scalar count.
+    n_remaining = q.count()
     # the image side is re-joined every round: cache it once (columns
     # here are already pruned by the caller's projection)
     images_df = images_df.persist()
@@ -117,28 +119,26 @@ def knn_join(
             .filter(F.col("rank") <= k)
             .persist()
         )
-        # one driver round-trip per round: per-query (count, k-th distance)
-        stats = {
-            r.query_id: (r._cnt, r._kth)
-            for r in ranked.groupBy("query_id")
-            .agg(F.count("*").alias("_cnt"), F.max("dist").alias("_kth"))
-            .collect()
-        }
         # final iff the k-th candidate lies within the safe radius: any
         # unexplored cell (ring > radius) is farther than (radius+0.5)*ts
         safe = (radius + 0.5) * ts
-        done_ids = [
-            qid for qid, (cnt, kth) in stats.items() if cnt >= k and kth <= safe
-        ]
+        done = (
+            ranked.groupBy("query_id")
+            .agg(F.count("*").alias("_cnt"), F.max("dist").alias("_kth"))
+            .filter((F.col("_cnt") >= k) & (F.col("_kth") <= safe))
+            .select("query_id")
+            .persist()
+        )
+        n_done = done.count()  # the one driver scalar per round
         at_limit = radius >= max_radius
         if at_limit:
             results.append(ranked)  # best-effort for whatever is left
             break
-        results.append(ranked.filter(F.col("query_id").isin(done_ids)))
-        remaining_ids -= set(done_ids)
-        if not remaining_ids:
+        results.append(ranked.join(F.broadcast(done), "query_id", "left_semi"))
+        n_remaining -= n_done
+        if n_remaining <= 0:
             break
-        remaining = remaining.filter(~F.col("query_id").isin(done_ids))
+        remaining = remaining.join(F.broadcast(done), "query_id", "left_anti")
         radius = min(radius * 2, max_radius)
 
     out = results[0]

@@ -51,13 +51,24 @@ def session_summary(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: float = 30.0,
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Per-session rollup: event count, start/end (epoch microseconds —
-    integer, so independent engines hash identically), value sum."""
+    integer, so independent engines hash identically), and — when
+    ``value_col`` names a column present in ``df`` — its per-session sum
+    as ``sum_<value_col>``. Pass ``value_col=None`` (or a name absent
+    from the schema) for schema-generic event tables; the sum column is
+    then omitted instead of raising AnalysisException."""
     s = sessionize(df, user_col=user_col, ts_col=ts_col, gap_minutes=gap_minutes)
-    return s.groupBy(user_col, "session_idx").agg(
+    aggs = [
         F.count("*").alias("n_events"),
         F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("start_us"),
         F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("end_us"),
-        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
-    )
+    ]
+    if value_col is not None and value_col in df.columns:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(25,6)"))
+            .cast("double")
+            .alias(f"sum_{value_col}")
+        )
+    return s.groupBy(user_col, "session_idx").agg(*aggs)

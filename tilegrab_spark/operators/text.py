@@ -113,44 +113,61 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 # Document fingerprinting — rolling (Rabin-Karp) hash winnowing.
 # ---------------------------------------------------------------------------
 
+_RK_B = 1000003
+_RK_B_INV = pow(_RK_B, -1, 1 << 64)  # B odd => invertible mod 2^64
+_RK_POW_CACHE: dict = {}
+
+
+def _rk_powers(n: int) -> tuple:
+    """(B^k mod 2^64, B^-k mod 2^64) for k < max(n, ...): grown
+    geometrically, cached per process (executors each build their own)."""
+    cur = _RK_POW_CACHE.get("arrs")
+    if cur is None or len(cur[0]) < n:
+        m = max(n, 4096, 0 if cur is None else 2 * len(cur[0]))
+        with np.errstate(over="ignore"):
+            bp = np.ones(m, dtype=np.uint64)
+            bp[1:] = np.uint64(_RK_B)
+            bp = np.cumprod(bp)
+            bi = np.ones(m, dtype=np.uint64)
+            bi[1:] = np.uint64(_RK_B_INV)
+            bi = np.cumprod(bi)
+        cur = (bp, bi)
+        _RK_POW_CACHE["arrs"] = cur
+    return cur
+
 def with_fingerprint(
     df: DataFrame, text_col: str = "text", *, window: int = 16, keep: int = 8
 ) -> DataFrame:
-    """Winnowed rolling-hash fingerprint: Rabin-Karp over bytes, keep the
-    ``keep`` smallest window hashes (set-similarity-preserving doc
-    signature). Vectorized numpy inside an Arrow UDF."""
-    B = np.uint64(1000003)
-    MOD_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)  # implicit mod 2^64
+    """Winnowed rolling-hash fingerprint: Rabin-Karp over bytes mod 2^64,
+    keep the ``keep`` smallest window hashes (set-similarity-preserving
+    doc signature).
 
+    Fully vectorized: B=1000003 is odd, hence invertible mod 2^64, so
+    every window hash h_i = sum_j b[i+j]·B^(w-1-j) factors as
+    B^(i+w-1)·(S_{i+w} − S_i) with S_n = Σ_{j<n} b[j]·B^(−j) — one
+    cumsum + one elementwise multiply per document (uint64 wraparound IS
+    the mod-2^64 arithmetic), instead of the per-byte interpreted rolling
+    loop. Identical output to the scalar recurrence; the DuckDB HUGEINT
+    oracle (doc_fingerprint) pins the exact hash values."""
     @F.pandas_udf("array<long>")
     def fingerprint(texts: pd.Series) -> pd.Series:
-        np.seterr(over="ignore")  # uint64 wraparound IS the mod-2^64 hash
         out = []
-        bw = np.uint64(1)
-        for _ in range(window - 1):
-            bw = (bw * B) & MOD_MASK
-        for t in texts:
-            if not t:
-                out.append([])
-                continue
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            if len(b) < window:
-                h = np.uint64(0)
-                for v in b:
-                    h = (h * B + v) & MOD_MASK
-                out.append([int(h.astype(np.int64))])
-                continue
-            # rolling hash via cumulative powers — vectorized
-            h = np.zeros(len(b) - window + 1, dtype=np.uint64)
-            cur = np.uint64(0)
-            for v in b[:window]:
-                cur = (cur * B + v) & MOD_MASK
-            h[0] = cur
-            for i in range(1, len(h)):
-                cur = ((cur - b[i - 1] * bw) * B + b[i + window - 1]) & MOD_MASK
-                h[i] = cur
-            sel = np.sort(np.unique(h))[:keep]
-            out.append([int(v) for v in sel.astype(np.int64)])
+        with np.errstate(over="ignore"):
+            for t in texts:
+                if not t:
+                    out.append([])
+                    continue
+                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                n = len(b)
+                bpow, bipow = _rk_powers(n + 1)
+                S = np.zeros(n + 1, dtype=np.uint64)
+                np.cumsum(b * bipow[:n], out=S[1:])
+                if n < window:
+                    h = np.array([S[n] * bpow[n - 1]], dtype=np.uint64)
+                else:
+                    h = (S[window:] - S[: n - window + 1]) * bpow[window - 1 : n]
+                sel = np.unique(h)[:keep]  # unique sorts (unsigned order)
+                out.append(sel.astype(np.int64).tolist())
         return pd.Series(out)
 
     return df.withColumn("fingerprint", fingerprint(F.col(text_col)))

@@ -206,9 +206,13 @@ def geometry_from_geopackage(
             if blob[:2] != b"GP":
                 raise ValueError(f"{path}: not GPKG geometry encoding")
             flags = blob[3]
+            if flags & 0x10:  # header empty-geometry flag: skip like NULL
+                continue
             env_code = (flags >> 1) & 0b111
             env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[env_code]
             for rings in _parse_wkb_polygons(bytes(blob), 8 + env_len):
+                if not rings:  # ring-less polygon WKB (n_rings=0): skip too
+                    continue
                 polygons.append([_reproject_ring(r, srs_id) for r in rings])
         if not polygons:
             raise ValueError(f"{path}: layer {table!r} has no polygon features")
