@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -673,10 +674,73 @@ SELECT query_id, image_id, rank FROM (
 # --- non-SQL-expressible ops (rows-only checks) ---
 
 def _minhash_pairs(spark, sf):
+    """LSH near-dup pairs, FULLY oracled: the SQL below re-derives the
+    whole pipeline — shingles, all 64 permutations (HUGEINT), the 16
+    band SLICES, pairs sharing >=1 identical band, exact Jaccard >= 0.5.
+    Spark buckets on xxhash64(band, slice) rather than the raw slice
+    (8-byte shuffle keys); since candidates are verified by EXACT
+    Jaccard, the final pair set is hash-function-independent — identical
+    to the oracle's share-a-band-slice derivation (a band-hash collision
+    could only ever ADD a candidate, which the exact filter then keeps
+    iff it's a true pair anyway)."""
     from tilegrab_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     return minhash_lsh_pairs(d, threshold=0.5)
+
+
+def _minhash_lsh_sql() -> str:
+    from tilegrab_spark.operators.dedup import _MERSENNE, _perm_params
+
+    a, b = _perm_params(64)
+    av = ",".join(str(int(v)) for v in a)
+    bv = ",".join(str(int(v)) for v in b)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS t
+  FROM documents WHERE doc_id < 200
+),
+sh AS (
+  SELECT doc_id, CASE WHEN len(t) >= 3
+    THEN list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])
+    ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks
+),
+hh AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(s), 1, 16))::UBIGINT
+          & 9223372036854775807::UBIGINT)::HUGEINT AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+),
+perms AS (
+  SELECT unnest([{av}]) AS a, unnest([{bv}]) AS b,
+         (generate_subscripts([{av}], 1) - 1)::INTEGER AS i
+),
+persig AS (
+  SELECT doc_id, i, MIN((a::HUGEINT * h + b::HUGEINT) % {_MERSENNE})::BIGINT AS v
+  FROM perms, hh GROUP BY doc_id, i
+),
+sigs AS (SELECT doc_id, list(v ORDER BY i) AS sig FROM persig GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, bs.generate_series AS band,
+         list_slice(sig, bs.generate_series * 4 + 1, bs.generate_series * 4 + 4) AS bslice
+  FROM sigs, generate_series(0, 15) bs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bslice = b.bslice AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+         / len(list_distinct(sa.shingles || sb.shingles))::DOUBLE AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+        / len(list_distinct(sa.shingles || sb.shingles))::DOUBLE >= 0.5
+"""
 
 
 def _simhash(spark, sf):
@@ -727,19 +791,42 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
 
 
 def _ivf_ann(spark, sf):
+    """IVF ANN at FULL probe width (n_probe = n_centroids): probing every
+    inverted list makes the approximate path provably identical to exact
+    top-k, so the DuckDB exact-cosine oracle pins the whole machinery —
+    k-means assignment, probe routing, per-list scan, ranking. The
+    recall-gated PARTIAL-probe behaviour (the actual scale path) is
+    asserted in tests/test_similarity.py."""
     from tilegrab_spark.operators.similarity import (
         ann_topk_ivf,
         assign_lists,
         train_centroids,
     )
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     cents = train_centroids(emb, n_centroids=8, iters=3)
     wl = assign_lists(emb, cents)
-    q = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ann_topk_ivf(q, wl, cents, k=5, n_probe=3).select(
-        "query_id", "vec_id", "rank"
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
+    return ann_topk_ivf(q, wl, cents, k=5, n_probe=8).select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_IVF_FULLPROBE_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 4),
+scored AS (
+  SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.v) AS cosine
+  FROM q CROSS JOIN emb e)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
 
 
 def _lang_id(spark, sf):
@@ -887,9 +974,24 @@ SELECT doc_id AS node, component FROM c WHERE sz > 1
 """
 
 
+# The reference's own golden shape-refined tile set for T.geojson at z=16
+# (FIXTURES.md §4 / reference tests) — the one non-SQL-expressible input
+# (point-in-polygon refine) to the mosaic oracle below.
+_T_SHAPE_Z16 = [
+    (47439, 31441), (47440, 31441), (47440, 31442), (47440, 31443),
+    (47440, 31444), (47441, 31441), (47442, 31441),
+]
+
+
 def _mosaic_meta(spark, sf):
     """The flagship image pipeline on a small deterministic table
-    (synthesized under /tmp per call): select-join-stitch, metadata out."""
+    (synthesized under /tmp per call): select-join-stitch. FULLY oracled:
+    group metadata is re-derived in SQL from the golden tile set, and
+    ``pixel_md5`` — the md5 of the DECODED mosaic pixel buffer — is
+    matched against an independent numpy reference paste (the sequential
+    decode→paste loop in the exact shape of the reference's
+    images/mosaic.py:7-27) computed inside _mosaic_pixels_sql()."""
+    import hashlib
     import tempfile
 
     from tilegrab_spark.operators.image_join import join_images
@@ -907,9 +1009,62 @@ def _mosaic_meta(spark, sf):
     cells = [(16, x, y, 0) for x in range(47439, 47443) for y in range(31441, 31445)]
     write_synthetic_image_table(spark, path, cells, n_buckets=4)
     joined = join_images(tiles, read_image_table(spark, path).drop("cell_id"))
+
+    @F.pandas_udf("string")
+    def pix_md5(bs: pd.Series) -> pd.Series:
+        from tilegrab_spark.kernels.png import decode_png
+
+        return pd.Series(
+            [hashlib.md5(decode_png(bytes(b)).tobytes()).hexdigest() for b in bs]
+        )
+
     return mosaic(joined, group_w=2, group_h=2, full_groups_only=False).select(
-        "geom_id", "z", "gx", "gy", "tminx", "tminy", "w", "h", "n_tiles"
+        "geom_id", "z", "gx", "gy", "tminx", "tminy", "w", "h", "n_tiles",
+        pix_md5(F.col("bytes")).alias("pixel_md5"),
     )
+
+
+def _mosaic_pixels_sql() -> str:
+    """Group metadata derived in SQL from the golden tile VALUES; pixel
+    md5s computed here by an INDEPENDENT row-at-a-time numpy paste over
+    the same deterministic synthetic pixels (kernels/png.py::
+    synth_tile_pixels — the fixture contract, FIXTURES.md §2)."""
+    import hashlib
+
+    import numpy as np
+
+    from tilegrab_spark.kernels.png import synth_tile_pixels
+
+    ax = min(x for x, _ in _T_SHAPE_Z16)
+    ay = min(y for _, y in _T_SHAPE_Z16)
+    groups: dict = {}
+    for x, y in _T_SHAPE_Z16:
+        groups.setdefault(((x - ax) // 2, (y - ay) // 2), []).append((x, y))
+    md5_vals = []
+    for (gx, gy), tl in sorted(groups.items()):
+        canvas = np.zeros((512, 512, 3), np.uint8)
+        for x, y in tl:
+            ox, oy = (x - (ax + gx * 2)) * 256, (y - (ay + gy * 2)) * 256
+            canvas[oy : oy + 256, ox : ox + 256] = synth_tile_pixels(x, y, 16, 0)
+        md5_vals.append(
+            f"({gx}, {gy}, '{hashlib.md5(canvas.tobytes()).hexdigest()}')"
+        )
+    tile_vals = ", ".join(f"({x}, {y})" for x, y in _T_SHAPE_Z16)
+    return f"""
+WITH tiles(x, y) AS (VALUES {tile_vals}),
+ext AS (SELECT MIN(x) AS ax, MIN(y) AS ay FROM tiles),
+g AS (
+  SELECT CAST(floor((x - ax) / 2.0) AS INT) AS gx,
+         CAST(floor((y - ay) / 2.0) AS INT) AS gy,
+         MIN(ax) AS ax, MIN(ay) AS ay, COUNT(*) AS n
+  FROM tiles, ext GROUP BY 1, 2
+),
+px(gx, gy, pixel_md5) AS (VALUES {", ".join(md5_vals)})
+SELECT 'T' AS geom_id, 16 AS z, g.gx, g.gy,
+       (ax + g.gx * 2)::BIGINT AS tminx, (ay + g.gy * 2)::BIGINT AS tminy,
+       512 AS w, 512 AS h, CAST(n AS INT) AS n_tiles, px.pixel_md5
+FROM g JOIN px ON g.gx = px.gx AND g.gy = px.gy
+"""
 
 
 def _minhash_sigs(spark, sf):
@@ -1100,7 +1255,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _cc_islands,
         "embedding_cosine_pairs": _embedding_pairs,
         "clean_corpus_pipeline": _clean_corpus,
-        # rows-only (non-SQL-expressible: LSH banding/UDF kernels/iterative)
         "minhash_lsh_pairs": _minhash_pairs,
         "simhash_pairs": _simhash,
         "ivf_ann_topk": _ivf_ann,
@@ -1149,4 +1303,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _CC_SQL,
         "embedding_cosine_pairs": _EMB_PAIRS_SQL,
         "clean_corpus_pipeline": _CLEAN_SQL,
+        "minhash_lsh_pairs": _minhash_lsh_sql(),
+        "ivf_ann_topk": _IVF_FULLPROBE_SQL,
+        "mosaic_pipeline": _mosaic_pixels_sql(),
     }

@@ -213,6 +213,44 @@ def main():
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
+    # 6. LLM-pipeline stages at FULL document-table scale (the round-2
+    # vectorized kernels; aggregates force the UDF columns so Catalyst
+    # can't prune the work a bare count() would skip)
+    from tilegrab_spark.operators.components import connected_components
+    from tilegrab_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+    from tilegrab_spark.operators.text import with_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def q_fingerprint():
+        return with_fingerprint(docs).select(
+            F.count("*"), F.max(F.element_at("fingerprint", 1))
+        ).collect()[0][0]
+
+    timed("doc_fingerprint_full", q_fingerprint)
+
+    def q_lsh():
+        return minhash_lsh_pairs(docs, threshold=0.5).count()
+
+    timed("minhash_lsh_full", q_lsh)
+
+    def q_simhash():
+        return simhash_pairs(docs, max_hamming=3).count()
+
+    timed("simhash_pairs_full", q_simhash)
+
+    def q_cc():
+        d = docs.select("doc_id", "lang")
+        a, b = d.alias("a"), d.alias("b")
+        edges = a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("a.lang") == F.col("b.lang")),
+        ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        return connected_components(edges).count()
+
+    timed("connected_components", q_cc)
+
     total = round(sum(timings.values()), 3)
     join_tp = round(counts["cell_join"] / timings["cell_join"], 1)
     merge_tp = round((merged or 0) / timings["mosaic_stitch"], 1)

@@ -202,3 +202,64 @@ def test_drop_empty_keeps_all_corrupt_groups(spark):
     r = mosaic(df, drop_empty=True).collect()
     assert len(r) == 1
     assert r[0].n_bad == 1 and r[0].n_tiles == 0
+
+
+def test_mosaic_stitches_palette_png_tile(spark):
+    """A palette-PNG tile (the common OSM tile encoding) stitches
+    byte-equal to the RGB-expanded oracle canvas."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from tests.conftest import oracle_canvas
+    from tilegrab_spark.kernels import png
+    from tilegrab_spark.kernels.png import _PNG_SIG, _chunk
+    from tilegrab_spark.operators.mosaic import mosaic
+
+    z, x0, y0 = 16, 47439, 31441
+
+    def palette_encode(arr):
+        """Encode (H,W,3) with <=256 distinct colors as color-type-3 PNG."""
+        h, w, _ = arr.shape
+        flat = arr.reshape(-1, 3)
+        colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+        assert len(colors) <= 256
+        idx = inverse.astype(np.uint8).reshape(h, w)
+        rows = b"".join(b"\x00" + idx[r].tobytes() for r in range(h))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        return (
+            _PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", colors.astype(np.uint8).tobytes())
+            + _chunk(b"IDAT", zlib.compress(rows))
+            + _chunk(b"IEND", b"")
+        )
+
+    rows = []
+    for i, (dx, dy) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+        arr = png.synth_tile_pixels(x0 + dx, y0 + dy, z, 0, 64, 64)
+        # quantize tile 0 to 16 gray levels so it fits a palette
+        if i == 0:
+            arr = ((arr >> 4) << 4).astype(np.uint8)
+            data = palette_encode(arr)
+        else:
+            data = png.encode_png(arr)
+        rows.append(
+            {
+                "geom_id": "g", "z": z, "x": x0 + dx, "y": y0 + dy,
+                "bytes": data, "fmt": "png",
+                "image_id": f"{z}_{x0+dx}_{y0+dy}_0", "_arr": arr,
+            }
+        )
+    want = np.zeros((128, 128, 3), np.uint8)
+    for r, (dx, dy) in zip(rows, ((0, 0), (1, 0), (0, 1), (1, 1))):
+        want[dy * 64 : dy * 64 + 64, dx * 64 : dx * 64 + 64] = r.pop("_arr")
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "geom_id string, z int, x long, y long, bytes binary, fmt string, image_id string",
+    )
+    out = mosaic(df, tile_w=64, tile_h=64).collect()[0]
+    assert out.n_tiles == 4 and out.n_bad == 0
+    got = png.decode_png(bytes(out.bytes))
+    assert np.array_equal(got, want)

@@ -67,3 +67,27 @@ def test_frame_sampling_fanout(spark):
     assert len(v0) == 5 and len(v1) == 1
     assert [r.ts_ms for r in sorted(v0, key=lambda r: r.frame_idx)] == [0, 1000, 2000, 3000, 4000]
     assert all(len(bytes(r.frame)) == 64 for r in out)
+
+
+def test_decode_summary_surfaces_webp_stub(spark):
+    """webp rows (stubbed codec) and corrupt payloads surface as
+    decode_ok=false counts in the per-format summary — never silently
+    dropped (documented decision: stub + visible failure counts)."""
+    import pandas as pd
+
+    from tilegrab_spark.kernels import png
+    from tilegrab_spark.operators.multimodal import decode_summary, image_features
+
+    arr = png.synth_tile_pixels(1, 2, 3, 0, 16, 16)
+    rows = [
+        {"image_id": "a", "bytes": png.encode_png(arr), "w": 16, "h": 16, "fmt": "png"},
+        {"image_id": "b", "bytes": b"RIFF....WEBPVP8L", "w": 16, "h": 16, "fmt": "webp"},
+        {"image_id": "c", "bytes": b"\x89PNG but truncated", "w": 16, "h": 16, "fmt": "png"},
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows), "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    s = {r.fmt: r for r in decode_summary(image_features(df)).collect()}
+    assert s["png"].n == 2 and s["png"].n_decoded == 1 and s["png"].n_failed == 1
+    assert s["webp"].n == 1 and s["webp"].n_decoded == 0 and s["webp"].n_failed == 1
+    assert s["webp"].decode_rate == 0.0

@@ -62,12 +62,26 @@ def encode_png(arr: np.ndarray, *, filter_type: int = 0, level: int = 6) -> byte
     )
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode PNG bytes to an (H, W, 3) uint8 array.
 
-    Supports 8-bit RGB (color 2) and RGBA (color 6, alpha dropped to match
-    the reference's forced-RGB mosaic canvas, images/mosaic.py:20),
-    non-interlaced, all 5 filter types.
+    Supports every non-interlaced combination real tile servers emit
+    (parity with what PIL gives the reference at images/image.py:28 —
+    OSM raster tiles are frequently 8-bit *palette* PNG):
+
+    - color 2 (RGB) / 6 (RGBA), depth 8; depth 16 via high byte
+    - color 0 (grayscale), depths 1/2/4/8/16 — replicated to RGB
+    - color 3 (palette), depths 1/2/4/8 — PLTE lookup
+    - color 4 (gray+alpha), depths 8/16
+
+    Alpha (and palette tRNS transparency) is dropped: the reference
+    pastes onto a forced-RGB mosaic canvas (images/mosaic.py:20).
+    Interlaced (Adam7) streams raise ValueError (→ the n_bad route).
+    All 5 filter types; filters run at byte level per the spec, with
+    sub-byte depths unpacked afterwards.
     """
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
@@ -75,6 +89,7 @@ def decode_png(data: bytes) -> np.ndarray:
     w = h = None
     color = bitdepth = None
     idat = []
+    plte = None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -84,64 +99,108 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, bitdepth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if bitdepth != 8 or color not in (2, 6) or interlace != 0:
+            ok = (
+                interlace == 0
+                and (
+                    (color in (2, 6) and bitdepth in (8, 16))
+                    or (color == 0 and bitdepth in (1, 2, 4, 8, 16))
+                    or (color == 3 and bitdepth in (1, 2, 4, 8))
+                    or (color == 4 and bitdepth in (8, 16))
+                )
+            )
+            if not ok:
                 raise ValueError(
                     f"unsupported PNG: depth={bitdepth} color={color} interlace={interlace}"
                 )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":
             break
-    channels = 3 if color == 2 else 4
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    channels = _PNG_CHANNELS[color]
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
+    stride = (w * channels * bitdepth + 7) // 8
+    bpp = max(1, channels * bitdepth // 8)
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters = rows[:, 0]
-    bpp = channels
-    # fast paths: homogeneous filter images decode without a row loop
+    # fast paths: homogeneous filter images unfilter without a row loop
     if (filters == 0).all():
-        img = rows[:, 1:].reshape(h, w, channels)
-        return np.ascontiguousarray(img[:, :, :3])
-    if (filters == 2).all():
+        out = rows[:, 1:]
+    elif (filters == 2).all():
         # Up filter everywhere == vertical prefix-sum mod 256
-        img = np.add.accumulate(rows[:, 1:], axis=0, dtype=np.uint8)
-        img = img.reshape(h, w, channels)
-        return np.ascontiguousarray(img[:, :, :3])
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for r in range(h):
-        ft = filters[r]
-        cur = rows[r, 1:].copy()
-        prev = out[r - 1] if r > 0 else np.zeros(stride, dtype=np.uint8)
-        if ft == 0:
-            out[r] = cur
-        elif ft == 1:  # Sub: cumulative along the row per byte-phase
-            px = cur.reshape(-1, bpp)
-            out[r] = np.cumsum(px.astype(np.uint64), axis=0).astype(np.uint8).reshape(-1)
-        elif ft == 2:  # Up
-            out[r] = cur + prev
-        elif ft == 3:  # Average (serial in x)
-            row = out[r]
-            for i in range(stride):
-                left = int(row[i - bpp]) if i >= bpp else 0
-                row[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth (serial in x)
-            row = out[r]
-            for i in range(stride):
-                a = int(row[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                if pa <= pb and pa <= pc:
-                    pred = a
-                elif pb <= pc:
-                    pred = b
+        out = np.add.accumulate(rows[:, 1:], axis=0, dtype=np.uint8)
+    else:
+        out = np.zeros((h, stride), dtype=np.uint8)
+        for r in range(h):
+            ft = filters[r]
+            cur = rows[r, 1:].copy()
+            prev = out[r - 1] if r > 0 else np.zeros(stride, dtype=np.uint8)
+            if ft == 0:
+                out[r] = cur
+            elif ft == 1:  # Sub: cumulative along the row per byte-phase
+                px = cur.reshape(-1, bpp) if stride % bpp == 0 else None
+                if px is not None:
+                    out[r] = (
+                        np.cumsum(px.astype(np.uint64), axis=0)
+                        .astype(np.uint8)
+                        .reshape(-1)
+                    )
                 else:
-                    pred = c
-                row[i] = (int(cur[i]) + pred) & 0xFF
-        else:
-            raise ValueError(f"bad filter {ft}")
-    img = out.reshape(h, w, channels)
+                    row = out[r]
+                    for i in range(stride):
+                        left = int(row[i - bpp]) if i >= bpp else 0
+                        row[i] = (int(cur[i]) + left) & 0xFF
+            elif ft == 2:  # Up
+                out[r] = cur + prev
+            elif ft == 3:  # Average (serial in x)
+                row = out[r]
+                for i in range(stride):
+                    left = int(row[i - bpp]) if i >= bpp else 0
+                    row[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth (serial in x)
+                row = out[r]
+                for i in range(stride):
+                    a = int(row[i - bpp]) if i >= bpp else 0
+                    b = int(prev[i])
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    row[i] = (int(cur[i]) + pred) & 0xFF
+            else:
+                raise ValueError(f"bad filter {ft}")
+
+    # bytes -> per-pixel samples
+    if bitdepth < 8:
+        bits = np.unpackbits(out, axis=1)[:, : w * channels * bitdepth]
+        weights = (1 << np.arange(bitdepth - 1, -1, -1)).astype(np.uint8)
+        samples = (
+            bits.reshape(h, w * channels, bitdepth).astype(np.uint8) * weights
+        ).sum(axis=2, dtype=np.uint16).astype(np.uint8)
+    elif bitdepth == 8:
+        samples = out.reshape(h, w * channels)
+    else:  # 16-bit big-endian: high byte (the standard 8-bit reduction)
+        samples = out.reshape(h, w * channels, 2)[:, :, 0]
+
+    if color == 3:
+        idx = samples.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return np.ascontiguousarray(plte[idx])
+    if color in (0, 4):
+        g = samples.reshape(h, w, channels)[:, :, 0]
+        if bitdepth < 8:  # scale 1/2/4-bit gray to full 8-bit range
+            g = (g.astype(np.uint16) * (255 // ((1 << bitdepth) - 1))).astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))
+    img = samples.reshape(h, w, channels)
     return np.ascontiguousarray(img[:, :, :3])
 
 

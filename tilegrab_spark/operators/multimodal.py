@@ -75,6 +75,27 @@ def image_features(df: DataFrame) -> DataFrame:
     return df.select(*cols).mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def decode_summary(features: DataFrame) -> DataFrame:
+    """Per-format decode health rollup over image_features output:
+    (fmt, n, n_decoded, n_failed, decode_rate). Undecodable payloads —
+    stubbed codecs like webp, or corrupt streams — are SURFACED here
+    rather than silently dropped, so a corpus scan reports exactly how
+    much of it the engine could not read (VERDICT r1 #9: the webp
+    decision is 'documented stub + visible failure counts')."""
+    return (
+        features.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+            F.sum((~F.col("decode_ok")).cast("long")).alias("n_failed"),
+        )
+        .withColumn(
+            "decode_rate",
+            F.col("n_decoded").cast("double") / F.col("n").cast("double"),
+        )
+    )
+
+
 def resize_images(df: DataFrame, *, tw: int = 64, th: int = 64) -> DataFrame:
     """Block-mean downsample to (tw, th), re-encoded PNG. Real for
     png/raw payloads (numpy only); sizes must divide the source dims."""

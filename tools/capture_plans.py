@@ -26,7 +26,10 @@ def main():
 
     import bench
     from tilegrab_spark import get_spark
-    from tilegrab_spark.operators.dedup import hamming_near_dup_pairs
+    from tilegrab_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+        minhash_lsh_pairs,
+    )
     from tilegrab_spark.operators.image_join import join_images
     from tilegrab_spark.operators.mosaic import mosaic
     from tilegrab_spark.operators.tiles import enumerate_tiles, refine_by_shape
@@ -84,6 +87,17 @@ def main():
                     hash_col="h64",
                     id_col="doc_id",
                     max_hamming=1,
+                )
+            ),
+        ),
+        (
+            "PLAN 6: minhash-LSH banded self-join (x-bands explode ships only "
+            "(_id, band, band_hash) scalars; shingle sets join back on the "
+            "candidate pairs — r2 shuffle-slim)",
+            plan_of(
+                minhash_lsh_pairs(
+                    spark.read.parquet("/root/testdata/sf0.01/documents.parquet"),
+                    threshold=0.5,
                 )
             ),
         ),
