@@ -132,6 +132,17 @@ def _perm_params(num_hashes: int, seed: int = 42):
     return a, b
 
 
+def _with_min_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up when the input arrives with fewer partitions than
+    cores (a single small parquet file = ONE partition = a serial UDF
+    pass, whatever the cluster width). On a real 10^12-row table the
+    scan has thousands of splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Word k-shingles as an array column — native split + transform
     (higher-order functions, no UDF)."""
@@ -216,8 +227,21 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
+    df = _with_min_parallelism(df)
     sig = with_minhash(with_shingles(df, text_col, shingle_k), num_hashes=num_hashes)
-    sig = sig.select(F.col(id_col).alias("_id"), "minhash", "shingles")
+    # the signature UDF feeds BOTH sides of the banded self-join — without
+    # materialization Spark recomputes it per side (2x the dominant cost).
+    # Persist the narrow (id, minhash) frame: this is the batch analogue
+    # of the signature TABLE a 10^12-row pipeline would write once and
+    # reuse (spill-safe MEMORY_AND_DISK; ~0.5 KB/row). Eagerly counted so
+    # the join's two sides don't race the cache within one job and each
+    # run the UDF anyway.
+    from pyspark.storagelevel import StorageLevel
+
+    sig = sig.select(F.col(id_col).alias("_id"), "minhash").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig.count()
 
     # the x-bands explode and its self-join carry ONLY (_id, band,
     # band_hash) — 3 scalar columns. Shipping the shingle arrays through
@@ -251,8 +275,9 @@ def minhash_lsh_pairs(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # the verify branch needs only the shingle sets — native re-shingle,
-    # no minhash UDF on this side
+    # the verify branch re-derives shingle sets NATIVELY (split/transform,
+    # no UDF) — cheaper than dragging the big string arrays through the
+    # persisted frame's columnar cache encode
     sets = with_shingles(df, text_col, shingle_k).select(
         F.col(id_col).alias("_id"), "shingles"
     )
@@ -374,8 +399,16 @@ def simhash_pairs(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup text pairs by SimHash (see hamming_near_dup_pairs for the
-    exact pigeonhole blocking)."""
-    sh = with_simhash(df, text_col)
+    exact pigeonhole blocking). The simhash frame is materialized once —
+    the blocked self-join consumes it on both sides, and without the
+    persist each side would re-run the hashing UDF."""
+    from pyspark.storagelevel import StorageLevel
+
+    df = _with_min_parallelism(df)
+    sh = with_simhash(df, text_col).select(id_col, "simhash").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh.count()
     return hamming_near_dup_pairs(
         sh, hash_col="simhash", id_col=id_col, max_hamming=max_hamming
     )
