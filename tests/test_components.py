@@ -77,3 +77,20 @@ def test_stream_cell_stats_stateful(spark, tmp_path):
     out2 = {(r.x, r.y): r for r in df.filter(F.col("batch_id") == latest_batch).collect()}
     assert list(out2) == [(1, 1)]
     assert out2[(1, 1)].n_images == 3
+
+
+def test_long_chain_converges_within_log_rounds(spark):
+    """A 3000-node chain (worst-case diameter for naive min-propagation,
+    which would need 3000 rounds and silently return WRONG labels at
+    max_iter=20) converges exactly with pointer jumping."""
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.components import connected_components
+
+    n = 3000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = connected_components(edges, max_iter=20).collect()
+    assert len(out) == n
+    assert all(r.component == 0 for r in out)

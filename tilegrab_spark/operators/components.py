@@ -44,15 +44,30 @@ def connected_components(
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), "component")
         )
-        # localCheckpoint truncates the plan lineage — without it each
-        # round's plan embeds all previous rounds and the driver OOMs on
-        # exponential plan growth (the standard iterative-algorithm trap)
-        new_labels = (
+        merged = (
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
+        # pointer jump (path doubling): adopt the label OF one's label.
+        # Pure neighbor propagation converges in O(diameter) rounds — a
+        # duplicate CHAIN of length L (the gaps-and-islands shape) would
+        # need L rounds; one jump per round makes it O(log L). Every
+        # label is some node's id, so the self-join always resolves.
+        parent = merged.select(
+            F.col("node").alias("_pnode"), F.col("component").alias("_pcomp")
+        )
+        jumped = (
+            merged.join(parent, merged.component == F.col("_pnode"), "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_pcomp"), F.col("component")).alias("component"),
+            )
+        )
+        # localCheckpoint truncates the plan lineage — without it each
+        # round's plan embeds all previous rounds and the driver OOMs on
+        # exponential plan growth (the standard iterative-algorithm trap)
+        new_labels = jumped.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="node")
