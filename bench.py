@@ -195,12 +195,16 @@ def main():
 
     timed("knn_cell_ring", q_knn)
 
+    # BENCH_STAGES=headline (bench_scaling.py) stops after the scaling
+    # stages; the relational + LLM suites only add wall time there
+    stages = os.environ.get("BENCH_STAGES", "all")
+
     # 5. relational + training-data suite on the driver's sf tables
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    for name in (
+    for name in () if stages != "all" else (
         "q1_pricing_summary",
         "equi_join_j1",
         "window_row_number",
@@ -220,36 +224,37 @@ def main():
     from tilegrab_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
     from tilegrab_spark.operators.text import with_fingerprint
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if stages == "all":
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    def q_fingerprint():
-        return with_fingerprint(docs).select(
-            F.count("*"), F.max(F.element_at("fingerprint", 1))
-        ).collect()[0][0]
+        def q_fingerprint():
+            return with_fingerprint(docs).select(
+                F.count("*"), F.max(F.element_at("fingerprint", 1))
+            ).collect()[0][0]
 
-    timed("doc_fingerprint_full", q_fingerprint)
+        timed("doc_fingerprint_full", q_fingerprint)
 
-    def q_lsh():
-        return minhash_lsh_pairs(docs, threshold=0.5).count()
+        def q_lsh():
+            return minhash_lsh_pairs(docs, threshold=0.5).count()
 
-    timed("minhash_lsh_full", q_lsh)
+        timed("minhash_lsh_full", q_lsh)
 
-    def q_simhash():
-        return simhash_pairs(docs, max_hamming=3).count()
+        def q_simhash():
+            return simhash_pairs(docs, max_hamming=3).count()
 
-    timed("simhash_pairs_full", q_simhash)
+        timed("simhash_pairs_full", q_simhash)
 
-    def q_cc():
-        d = docs.select("doc_id", "lang")
-        a, b = d.alias("a"), d.alias("b")
-        edges = a.join(
-            b,
-            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
-            & (F.col("a.lang") == F.col("b.lang")),
-        ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        return connected_components(edges).count()
+        def q_cc():
+            d = docs.select("doc_id", "lang")
+            a, b = d.alias("a"), d.alias("b")
+            edges = a.join(
+                b,
+                (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+                & (F.col("a.lang") == F.col("b.lang")),
+            ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            return connected_components(edges).count()
 
-    timed("connected_components", q_cc)
+        timed("connected_components", q_cc)
 
     total = round(sum(timings.values()), 3)
     join_tp = round(counts["cell_join"] / timings["cell_join"], 1)

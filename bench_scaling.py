@@ -37,6 +37,7 @@ def run_bench(cpus: int, edge: int) -> dict:
     # work rather than the fixed broadcast-build + planning cost (the
     # realistic shape — at 10^12 rows the fixed second is nothing)
     env.setdefault("BENCH_SRCS", "16")
+    env.setdefault("BENCH_STAGES", "headline")  # scaling stages only
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     t0 = time.time()
     out = subprocess.run(

@@ -163,3 +163,34 @@ def test_knn_join_large_query_batch_relational(spark):
     bad = agg.filter(F.col("count") != k).count()
     assert bad == 0
     assert agg.count() == nq
+
+
+def test_knn_join_duplicate_query_rows_terminate(spark):
+    """Duplicated query_id rows must not deadlock the remaining-count
+    accounting (done counts DISTINCT ids; the tally must too)."""
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.kernels.geo import tile_bounds
+    from tilegrab_spark.operators.knn import knn_join
+
+    zoom = 10
+    images = (
+        spark.range(64)
+        .select(
+            F.lit(zoom).alias("z"),
+            (F.col("id") % 8).alias("x"),
+            (F.col("id") / 8).cast("long").alias("y"),
+        )
+        .withColumn("image_id", F.format_string("%d_%d_%d", "z", "x", "y"))
+    )
+    b = tile_bounds(3, 3, zoom)
+    lon, lat = float(b[0] + 0.3 * (b[2] - b[0])), float(b[1] + 0.7 * (b[3] - b[1]))
+    queries = spark.createDataFrame(
+        [("q0", lon, lat)] * 3, "query_id string, lon double, lat double"
+    )
+    out = knn_join(queries, images, zoom, k=2).collect()
+    # query_id is a KEY: duplicates collapse under the ranking window,
+    # so the result is k rows per DISTINCT id — and the remaining-count
+    # tally (distinct-based) lets the loop exit after round one
+    assert len(out) == 2
+    assert {r.rank for r in out} == {1, 2}

@@ -66,6 +66,17 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes to an (H, W, 3) uint8 array. Malformed or
+    truncated streams raise ValueError (never zlib.error / struct.error /
+    IndexError — callers like verify_images and image_features route
+    decode failures to n_bad / decode_ok=False by ValueError)."""
+    try:
+        return _decode_png(data)
+    except (zlib.error, struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"malformed PNG stream: {e}") from e
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     """Decode PNG bytes to an (H, W, 3) uint8 array.
 
     Supports every non-interlaced combination real tile servers emit
@@ -141,18 +152,12 @@ def decode_png(data: bytes) -> np.ndarray:
             if ft == 0:
                 out[r] = cur
             elif ft == 1:  # Sub: cumulative along the row per byte-phase
-                px = cur.reshape(-1, bpp) if stride % bpp == 0 else None
-                if px is not None:
-                    out[r] = (
-                        np.cumsum(px.astype(np.uint64), axis=0)
-                        .astype(np.uint8)
-                        .reshape(-1)
-                    )
-                else:
-                    row = out[r]
-                    for i in range(stride):
-                        left = int(row[i - bpp]) if i >= bpp else 0
-                        row[i] = (int(cur[i]) + left) & 0xFF
+                # stride == w*bpp for depth>=8 and bpp == 1 below 8, so the
+                # reshape is always exact
+                px = cur.reshape(-1, bpp)
+                out[r] = (
+                    np.cumsum(px.astype(np.uint64), axis=0).astype(np.uint8).reshape(-1)
+                )
             elif ft == 2:  # Up
                 out[r] = cur + prev
             elif ft == 3:  # Average (serial in x)

@@ -235,7 +235,9 @@ def minhash_lsh_pairs(
     # of the signature TABLE a 10^12-row pipeline would write once and
     # reuse (spill-safe MEMORY_AND_DISK; ~0.5 KB/row). Eagerly counted so
     # the join's two sides don't race the cache within one job and each
-    # run the UDF anyway.
+    # run the UDF anyway. Spark's cache manager dedups by canonicalized
+    # plan, so repeated calls over the SAME input reuse one cache entry
+    # rather than accumulating; distinct inputs age out by LRU.
     from pyspark.storagelevel import StorageLevel
 
     sig = sig.select(F.col(id_col).alias("_id"), "minhash").persist(
@@ -330,7 +332,10 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
         nz = lens > 0
         starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
         R, U = int(nz.sum()), len(uniques)
-        if R * U <= 1 << 26:
+        # histogram path only while the R x U bincount stays small
+        # (<= 2^22 int64 = 32 MiB/batch; one Python worker per core means
+        # per-batch allocations multiply by the core count)
+        if R * U <= 1 << 22:
             # small vocabulary: per-row token histogram + one matmul
             # beats 64 segmented reductions
             row_ids = np.repeat(np.arange(R), lens[nz])
@@ -360,6 +365,9 @@ def hamming_near_dup_pairs(
     no cross product; completeness is a theorem, not a probability."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
+    # reject persisted signature tables from an incompatible hash
+    # contract here, at the consumer — not only in the opt-in helper
+    check_sig_version(df, hash_col)
     sh = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
     mask = (1 << width) - 1
     vals = F.array(

@@ -107,7 +107,9 @@ def knn_join(
     # set), never a driver-side id list. A 10^6-query batch therefore
     # never builds a 10^6-element In() expression; the only driver
     # round-trip per round is one scalar count.
-    n_remaining = q.count()
+    # DISTINCT ids: done counts distinct query_ids, so duplicate query
+    # rows must not inflate the remaining tally or the loop never exits
+    n_remaining = q.select("query_id").distinct().count()
     # the image side is re-joined every round: cache it once (columns
     # here are already pruned by the caller's projection)
     images_df = images_df.persist()
@@ -122,12 +124,14 @@ def knn_join(
         # final iff the k-th candidate lies within the safe radius: any
         # unexplored cell (ring > radius) is farther than (radius+0.5)*ts
         safe = (radius + 0.5) * ts
+        # done derives from the persisted `ranked` — recomputing it for
+        # the joins below is one cheap aggregate over cached data, so no
+        # extra persist handle is leaked per round
         done = (
             ranked.groupBy("query_id")
             .agg(F.count("*").alias("_cnt"), F.max("dist").alias("_kth"))
             .filter((F.col("_cnt") >= k) & (F.col("_kth") <= safe))
             .select("query_id")
-            .persist()
         )
         n_done = done.count()  # the one driver scalar per round
         at_limit = radius >= max_radius

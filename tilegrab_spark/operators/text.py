@@ -118,20 +118,36 @@ _RK_B_INV = pow(_RK_B, -1, 1 << 64)  # B odd => invertible mod 2^64
 _RK_POW_CACHE: dict = {}
 
 
+# cache ceiling: 2^20 entries = 8 MiB per array per Python worker. One
+# outlier-length document must not pin worker memory forever — beyond the
+# cap, powers are computed transiently for that document only.
+_RK_POW_CACHE_MAX = 1 << 20
+
+
+def _rk_pow_arrays(m: int) -> tuple:
+    with np.errstate(over="ignore"):
+        bp = np.ones(m, dtype=np.uint64)
+        bp[1:] = np.uint64(_RK_B)
+        bp = np.cumprod(bp)
+        bi = np.ones(m, dtype=np.uint64)
+        bi[1:] = np.uint64(_RK_B_INV)
+        bi = np.cumprod(bi)
+    return bp, bi
+
+
 def _rk_powers(n: int) -> tuple:
-    """(B^k mod 2^64, B^-k mod 2^64) for k < max(n, ...): grown
-    geometrically, cached per process (executors each build their own)."""
+    """(B^k mod 2^64, B^-k mod 2^64) for k < n: grown geometrically and
+    cached per process up to _RK_POW_CACHE_MAX entries; longer requests
+    (outlier documents) get transient arrays that are NOT retained."""
+    if n > _RK_POW_CACHE_MAX:
+        return _rk_pow_arrays(n)
     cur = _RK_POW_CACHE.get("arrs")
     if cur is None or len(cur[0]) < n:
-        m = max(n, 4096, 0 if cur is None else 2 * len(cur[0]))
-        with np.errstate(over="ignore"):
-            bp = np.ones(m, dtype=np.uint64)
-            bp[1:] = np.uint64(_RK_B)
-            bp = np.cumprod(bp)
-            bi = np.ones(m, dtype=np.uint64)
-            bi[1:] = np.uint64(_RK_B_INV)
-            bi = np.cumprod(bi)
-        cur = (bp, bi)
+        m = min(
+            _RK_POW_CACHE_MAX,
+            max(n, 4096, 0 if cur is None else 2 * len(cur[0])),
+        )
+        cur = _rk_pow_arrays(m)
         _RK_POW_CACHE["arrs"] = cur
     return cur
 
