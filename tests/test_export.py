@@ -112,3 +112,21 @@ def test_export_mosaics_jpg(spark, t_geom, image_table, tmp_path):
     want = png.decode_png(bytes(m.collect()[0].bytes))
     assert got.shape == want.shape
     assert jpeg.psnr(got, want) >= 40.0
+
+
+def test_export_mosaics_webp_lossless(spark, t_geom, image_table, tmp_path):
+    """fmt='webp' exports a VP8L canvas that decodes byte-equal to the
+    PNG canvas (lossless transcode)."""
+    import numpy as np
+
+    from tilegrab_spark.kernels import webp
+
+    tiles = tiles_for(spark, t_geom, 16, by="shape")
+    images = read_image_table(spark, image_table).filter(
+        ~F.col("image_id").rlike("_1[0-9][0-9]$")
+    )
+    m = mosaic(join_images(tiles, images.drop("cell_id")))
+    paths = export_mosaics(m, tmp_path / "wp", fmt="webp")
+    assert [p.name for p in paths] == ["1_mosaic.webp"]
+    want = png.decode_png(bytes(m.collect()[0].bytes))
+    assert np.array_equal(webp.decode_webp(paths[0].read_bytes()), want)

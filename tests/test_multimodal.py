@@ -69,10 +69,10 @@ def test_frame_sampling_fanout(spark):
     assert all(len(bytes(r.frame)) == 64 for r in out)
 
 
-def test_decode_summary_surfaces_webp_stub(spark):
-    """webp rows (stubbed codec) and corrupt payloads surface as
-    decode_ok=false counts in the per-format summary — never silently
-    dropped (documented decision: stub + visible failure counts)."""
+def test_decode_summary_surfaces_undecodable(spark):
+    """Corrupt payloads of any format (here: a truncated webp and a
+    truncated png) surface as decode_ok=false counts in the per-format
+    summary — never silently dropped."""
     import pandas as pd
 
     from tilegrab_spark.kernels import png

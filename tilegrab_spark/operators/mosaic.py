@@ -81,6 +81,10 @@ def _stitch_core(
                 from tilegrab_spark.kernels import jpeg
 
                 arr = jpeg.decode_jpeg(data)
+            elif fmts[i] == "webp":
+                from tilegrab_spark.kernels import webp
+
+                arr = webp.decode_webp(data)
             else:
                 arr = _raw_decode(data, tile_w, tile_h)
         except Exception:

@@ -1,8 +1,10 @@
 """Multimodal (image/audio/video) column processing: opaque ``binary``
 payloads + typed metadata, processed by Arrow-batched kernels over
-``mapInPandas`` — schema, partitioning, UDF signature and batch shape are
-real; only foreign codecs are stubbed (this container has no PIL/ffmpeg;
-PNG decode is our own kernel and is real).
+``mapInPandas`` — schema, partitioning, UDF signature and batch shape
+are real. Image codecs (PNG, baseline JPEG, lossless WebP/VP8L) are the
+engine's own pure-numpy kernels; only lossy-WebP/audio/video codecs are
+stubbed (no PIL/ffmpeg in this container), with failures surfaced via
+``decode_summary``.
 """
 
 from __future__ import annotations
@@ -26,9 +28,11 @@ THUMB_SCHEMA = "image_id string, tw int, th int, thumb binary"
 
 
 def decode_payload(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
-    """Decode a binary payload to (H,W,3) uint8. PNG, baseline JPEG
-    (kernels/jpeg.py) and raw are real; codecs the engine doesn't carry
-    (webp) are explicitly stubbed."""
+    """Decode a binary payload to (H,W,3) uint8. PNG, baseline JPEG,
+    lossless WebP (kernels/webp.py, VP8L) and raw are all real, pure
+    numpy. Lossy WebP (VP8 — a full video-intra codec) is the one
+    remaining image gap; those payloads raise ValueError and surface in
+    decode_summary counts."""
     if fmt == "png":
         return png.decode_png(data)
     if fmt in ("jpg", "jpeg"):
@@ -38,10 +42,9 @@ def decode_payload(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if fmt == "raw":
         return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
     if fmt == "webp":
-        raise NotImplementedError(
-            "webp decode requires an image codec not present in this "
-            "container; plug a decoder into decode_payload()"
-        )
+        from tilegrab_spark.kernels import webp
+
+        return webp.decode_webp(data)
     raise ValueError(f"unknown image fmt {fmt!r}")
 
 

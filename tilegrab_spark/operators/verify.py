@@ -49,6 +49,11 @@ def verify_images(df: DataFrame, *, synthetic_oracle: bool = True, min_psnr: flo
 
                         arr = jpeg.decode_jpeg(bytes(data))
                         lossy = True
+                    elif fmt == "webp":
+                        from tilegrab_spark.kernels import webp
+
+                        arr = webp.decode_webp(bytes(data))
+                        lossy = False  # VP8L is lossless
                     else:
                         arr = png.decode_png(bytes(data))
                         lossy = False

@@ -31,7 +31,7 @@ def export_mosaics(
     once."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    if fmt not in ("png", "jpg", "tiff"):
+    if fmt not in ("png", "jpg", "tiff", "webp"):
         raise ValueError(f"unsupported export fmt {fmt!r}")
     written = []
     rows = mosaics.orderBy("geom_id", "z", "gx", "gy").toLocalIterator()
@@ -46,6 +46,12 @@ def export_mosaics(
                     (r.merc_xmin, r.merc_ymin, r.merc_xmax, r.merc_ymax),
                 )
             )
+        elif fmt == "webp":
+            # lossless export via the engine's own VP8L encoder
+            from tilegrab_spark.kernels import png, webp
+
+            p = out / f"{i}_mosaic.webp"
+            p.write_bytes(webp.encode_webp(png.decode_png(bytes(r.bytes))))
         elif fmt == "jpg":
             # lossy export (exporter.py:37-45 jpg branch): transcode the
             # canvas through the baseline JPEG encoder at quality 90
