@@ -944,6 +944,92 @@ SELECT doc_id, (rk - 1)::INTEGER AS i, v FROM sig WHERE rk <= 8
 """
 
 
+def _repetition(spark, sf):
+    """Gopher-style repetition signals: dup-line fraction (native) +
+    top-word fraction (relational explode+agg). Fractions are ratios of
+    integers — bit-exact across engines."""
+    from tilegrab_spark.operators.text import with_repetition_signals
+
+    return with_repetition_signals(_t(spark, sf, "documents")).select(
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        "dup_line_frac",
+        "top_word_frac",
+    )
+
+
+_REPETITION_SQL = r"""
+WITH lines AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS ls
+  FROM documents),
+base AS (
+  SELECT doc_id, len(ls)::INTEGER AS n_lines,
+         CASE WHEN len(ls) > 0
+              THEN (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)
+              ELSE 0.0 END AS dup_line_frac
+  FROM lines),
+words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            w -> w <> '')) AS w
+  FROM documents),
+pw AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+top AS (SELECT doc_id, MAX(c)::DOUBLE / SUM(c)::DOUBLE AS twf FROM pw GROUP BY doc_id)
+SELECT b.doc_id, b.n_lines, b.dup_line_frac, COALESCE(t.twf, 0.0) AS top_word_frac
+FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+"""
+
+
+def _clean_scrub(spark, sf):
+    """Cleaning + PII scrub over documents salted with deterministic PII
+    (a subset gets an email+phone suffix derived from doc_id, built
+    identically in both engines so the regexes exercise real matches)."""
+    from tilegrab_spark.operators.text import with_clean_text, with_pii_scrubbed
+
+    d = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact: user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or +1-555-123-4567"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return with_pii_scrubbed(with_clean_text(d)).select(
+        "doc_id", "clean_text", "n_emails", "n_phones", "scrubbed"
+    )
+
+
+def _clean_scrub_sql() -> str:
+    from tilegrab_spark.operators.text import _CONTROL_RE, EMAIL_RE, PHONE_RE
+
+    email = EMAIL_RE.replace("'", "''")
+    phone = PHONE_RE.replace("'", "''")
+    return f"""
+WITH salted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+                      THEN ' contact: user' || doc_id || '@example.com or +1-555-123-4567'
+                      ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(text, '{_CONTROL_RE}', '', 'g'),
+                      '[ \\t]+', ' ', 'g')) AS clean_text,
+  len(regexp_extract_all(text, '{email}'))::INTEGER AS n_emails,
+  len(regexp_extract_all(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                         '{phone}'))::INTEGER AS n_phones,
+  regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                 '{phone}', '<PHONE>', 'g') AS scrubbed
+FROM salted
+"""
+
+
 def _cc_islands(spark, sf):
     """Distributed connected components on chain edges (consecutive
     doc_ids sharing a lang). Oracle: gaps-and-islands window SQL — the
@@ -1265,6 +1351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_hamming": _hamming_near_dup,
         "sessionize_events": _sessionize,
         "minhash_signatures": _minhash_sigs,
+        "repetition_signals": _repetition,
+        "pii_clean_scrub": _clean_scrub,
     }
 
 
@@ -1306,4 +1394,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_sql(),
         "ivf_ann_topk": _IVF_FULLPROBE_SQL,
         "mosaic_pipeline": _mosaic_pixels_sql(),
+        "repetition_signals": _REPETITION_SQL,
+        "pii_clean_scrub": _clean_scrub_sql(),
     }

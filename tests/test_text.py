@@ -121,3 +121,42 @@ def test_vectorized_fingerprint_matches_scalar_reference(spark):
     got = {r.doc_id: r.fingerprint for r in with_fingerprint(df).collect()}
     for did, text in rows:
         assert got[did] == ref(text), did
+
+
+def test_repetition_signals(spark):
+    from tilegrab_spark.operators.text import with_repetition_signals
+
+    rows = [
+        (0, "line one\nline one\nline two\n\n  \nline one"),
+        (1, "the the the the cat"),
+        (2, ""),
+        (3, "unique words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in with_repetition_signals(df).collect()}
+    assert got[0].n_lines == 4 and got[0].dup_line_frac == 0.5
+    assert got[0].top_word_frac == 0.5  # 'line' x4 of 8
+    assert got[1].top_word_frac == 0.8  # 'the' x4 of 5
+    assert got[2].n_lines == 0 and got[2].dup_line_frac == 0.0
+    assert got[2].top_word_frac == 0.0
+    assert got[3].dup_line_frac == 0.0 and got[3].top_word_frac == 0.25
+
+
+def test_clean_text_and_pii_scrub(spark):
+    from tilegrab_spark.operators.text import with_clean_text, with_pii_scrubbed
+
+    rows = [
+        (0, "mail bob.smith+x@example.co.uk and ALSO jane@x.io thanks"),
+        (1, "call +1-555-123-4567 or (555) 123 4567 tomorrow"),
+        (2, "a\x00b\x07c   d\t\te keeps\nnewlines"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in with_pii_scrubbed(with_clean_text(df)).collect()}
+    assert got[0].n_emails == 2
+    assert "<EMAIL>" in got[0].scrubbed and "@" not in got[0].scrubbed
+    assert got[1].n_phones == 2
+    assert got[1].scrubbed.count("<PHONE>") == 2
+    assert got[2].clean_text == "abc d e keeps\nnewlines"
+    assert got[3].n_emails == 0 and got[3].n_phones == 0
+    assert got[3].scrubbed == rows[3][1]

@@ -110,6 +110,95 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters) — duplicate-line
+# fraction natively; top-word fraction as a relational explode+agg (one
+# shuffle on (doc, word), map-side combinable — the 100 TB shape).
+# ---------------------------------------------------------------------------
+
+def with_repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc repetition metrics used by C4/Gopher-style corpus filters:
+
+    - ``n_lines`` / ``dup_line_frac``: fraction of nonempty lines that
+      are duplicates of an earlier line (pure Catalyst: split +
+      array_distinct, no shuffle)
+    - ``top_word_frac``: occurrences of the most frequent word / total
+      words (relational: explode → two-level aggregate → join back;
+      ties don't matter because only the max count is kept)
+
+    Boilerplate-heavy or looping documents (nav menus, scraped tables,
+    decoding glitches) score high and get dropped upstream of dedup.
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.size(lines)
+    dup_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines,
+    ).otherwise(0.0)
+    base = df.withColumn("n_lines", n_lines).withColumn("dup_line_frac", dup_frac)
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(t)), r"\s+"), lambda w: F.length(w) > 0
+    )
+    words = df.select(F.col(id_col).alias("_id"), F.explode(toks).alias("w"))
+    per_word = words.groupBy("_id", "w").agg(F.count("*").alias("c"))
+    top = per_word.groupBy("_id").agg(
+        F.max("c").alias("_top_c"), F.sum("c").alias("_total_c")
+    )
+    return (
+        base.join(top, base[id_col] == top._id, "left")
+        .withColumn(
+            "top_word_frac",
+            F.coalesce(F.col("_top_c") / F.col("_total_c"), F.lit(0.0)),
+        )
+        .drop("_id", "_top_c", "_total_c")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text cleaning + PII scrubbing — pure Catalyst regexp passes. Patterns
+# stay in the Java-regex ∩ RE2 common subset so the DuckDB oracle can
+# re-derive them verbatim (no lookaround, no backrefs).
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# international-ish phone shapes: +1-555-123-4567, (555) 123 4567, 5551234567
+PHONE_RE = (
+    r"\+?\(?[0-9]{0,3}[-. ()]{0,3}[0-9]{3}[-. ()]{0,2}[0-9]{3}[-. ]?[0-9]{4}"
+)
+_CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+def with_clean_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``clean_text``: control characters stripped, runs of spaces/tabs
+    collapsed to one space, outer whitespace trimmed. Newlines survive
+    (document structure is a feature for line-dedup)."""
+    t = F.col(text_col)
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace(t, _CONTROL_RE, ""), "[ \\t]+", " ")
+    )
+    return df.withColumn("clean_text", cleaned)
+
+
+def with_pii_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``scrubbed`` + match counts: emails → <EMAIL>, phone-shaped
+    numbers → <PHONE> (training-corpus hygiene pass; counts let a
+    downstream gate drop documents that are mostly PII)."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+    scrubbed1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_phone = F.size(F.regexp_extract_all(scrubbed1, F.lit(PHONE_RE), 0))
+    scrubbed2 = F.regexp_replace(scrubbed1, PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", n_email)
+        .withColumn("n_phones", n_phone)
+        .withColumn("scrubbed", scrubbed2)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprinting — rolling (Rabin-Karp) hash winnowing.
 # ---------------------------------------------------------------------------
 
