@@ -229,3 +229,32 @@ def test_progressive_jpeg_routes_to_n_bad(spark):
     want = oracle_canvas([(x0, y0), (x0 + 1, y0), (x0, y0 + 1)], x0, y0, 2, 2)
     # the three good tiles still land; the bad quadrant stays zeroed
     assert jpeg.psnr(got[:256, :256], want[:256, :256]) >= 40.0
+
+
+def test_16bit_quant_tables_decode():
+    """Pq=1 (16-bit) quantization tables — emitted by wild encoders at
+    very high quality. Rewrite our encoder's 8-bit DQT segments as
+    16-bit with identical values: pixels must decode identically."""
+    import struct
+
+    arr = _natural(48, 48)
+    data = jpeg.encode_jpeg(arr, quality=90)
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        if data[pos] == 0xFF and pos + 1 < len(data) and data[pos + 1] == 0xDB:
+            (seglen,) = struct.unpack_from(">H", data, pos + 2)
+            seg = data[pos + 4 : pos + 2 + seglen]
+            tid = seg[0] & 0x0F
+            vals = seg[1:65]
+            new_seg = bytes([0x10 | tid]) + b"".join(
+                struct.pack(">H", v) for v in vals
+            )
+            out += b"\xff\xdb" + struct.pack(">H", 2 + len(new_seg)) + new_seg
+            pos += 2 + seglen
+        else:
+            out.append(data[pos])
+            pos += 1
+    got = jpeg.decode_jpeg(bytes(out))
+    want = jpeg.decode_jpeg(data)
+    assert np.array_equal(got, want)

@@ -332,7 +332,7 @@ class TestPngPaletteGray:
 
         from tilegrab_spark.kernels import png
 
-        # interlaced
+        # interlaced 1x1 now decodes (Adam7 support): single pass-1 pixel
         import struct
         import zlib
 
@@ -344,11 +344,85 @@ class TestPngPaletteGray:
             + _chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
             + _chunk(b"IEND", b"")
         )
+        assert png.decode_png(data).tolist() == [[[1, 2, 3]]]
+        # unknown interlace method still raises
+        ihdr2 = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 2)
+        bad2 = (
+            _PNG_SIG + _chunk(b"IHDR", ihdr2)
+            + _chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+            + _chunk(b"IEND", b"")
+        )
         with pytest.raises(ValueError, match="unsupported"):
-            png.decode_png(data)
+            png.decode_png(bad2)
         # palette without PLTE
         with pytest.raises(ValueError, match="PLTE"):
             png.decode_png(self._build(1, 1, 8, 3, b"\x00\x00"))
         # palette index beyond PLTE
         with pytest.raises(ValueError, match="palette index"):
             png.decode_png(self._build(1, 1, 8, 3, b"\x00\x05", plte=[1, 2, 3]))
+
+
+class TestPngAdam7:
+    """Adam7 interlaced decode: build interlaced streams by slicing a
+    known image into the seven pass sub-images (filter-0 and Up-filtered
+    rows), and check the decode equals the original."""
+
+    @staticmethod
+    def _interlace(arr, color=2, filter_up=False):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from tilegrab_spark.kernels.png import _ADAM7_PASSES, _PNG_SIG, _chunk
+
+        h, w, _ = arr.shape
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            sub = arr[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw, ch = sub.shape
+            if filter_up:
+                flat = sub.reshape(ph, pw * ch)
+                delta = flat.copy()
+                delta[1:] = flat[1:] - flat[:-1]
+                for r in range(ph):
+                    raw += b"\x02" + delta[r].tobytes()
+            else:
+                for r in range(ph):
+                    raw += b"\x00" + sub[r].tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+        return (
+            _PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+
+    def test_rgb_interlaced(self):
+        import numpy as np
+
+        from tilegrab_spark.kernels import png
+
+        arr = png.synth_tile_pixels(10, 20, 8, 0, 21, 13)  # odd dims
+        got = png.decode_png(self._interlace(arr))
+        assert np.array_equal(got, arr)
+
+    def test_rgb_interlaced_up_filter(self):
+        import numpy as np
+
+        from tilegrab_spark.kernels import png
+
+        arr = png.synth_tile_pixels(3, 4, 9, 0, 16, 16)
+        got = png.decode_png(self._interlace(arr, filter_up=True))
+        assert np.array_equal(got, arr)
+
+    def test_tiny_interlaced(self):
+        # dimensions smaller than one pass block: most passes are empty
+        import numpy as np
+
+        from tilegrab_spark.kernels import png
+
+        arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        got = png.decode_png(self._interlace(arr))
+        assert np.array_equal(got, arr)

@@ -470,12 +470,15 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             p = 0
             while p < len(seg):
                 tid = seg[p] & 0x0F
-                if seg[p] >> 4:
-                    raise ValueError("16-bit quant tables unsupported")
+                prec16 = seg[p] >> 4  # Pq=1: 16-bit big-endian entries
                 tab = np.zeros(64)
-                tab[_ZZ] = np.frombuffer(seg, np.uint8, 64, p + 1)
+                if prec16:
+                    tab[_ZZ] = np.frombuffer(seg, ">u2", 64, p + 1)
+                    p += 129
+                else:
+                    tab[_ZZ] = np.frombuffer(seg, np.uint8, 64, p + 1)
+                    p += 65
                 qt[tid] = tab.reshape(8, 8)
-                p += 65
         elif marker == 0xC0:
             _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             for i in range(nc):

@@ -64,6 +64,81 @@ def encode_png(arr: np.ndarray, *, filter_type: int = 0, level: int = 6) -> byte
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 pass lattice: (x_start, y_start, x_step, y_step)
+_ADAM7_PASSES = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter(rows: np.ndarray, bpp: int) -> np.ndarray:
+    """Invert PNG scanline filters over (h, stride+1) filter-prefixed
+    rows; returns (h, stride) raw bytes."""
+    h, stride1 = rows.shape
+    stride = stride1 - 1
+    filters = rows[:, 0]
+    # fast paths: homogeneous filter images unfilter without a row loop
+    if (filters == 0).all():
+        return rows[:, 1:]
+    if (filters == 2).all():
+        # Up filter everywhere == vertical prefix-sum mod 256
+        return np.add.accumulate(rows[:, 1:], axis=0, dtype=np.uint8)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ft = filters[r]
+        cur = rows[r, 1:].copy()
+        prev = out[r - 1] if r > 0 else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            out[r] = cur
+        elif ft == 1:  # Sub: cumulative along the row per byte-phase
+            # stride == w*bpp for depth>=8 and bpp == 1 below 8, so the
+            # reshape is always exact
+            px = cur.reshape(-1, bpp)
+            out[r] = (
+                np.cumsum(px.astype(np.uint64), axis=0).astype(np.uint8).reshape(-1)
+            )
+        elif ft == 2:  # Up
+            out[r] = cur + prev
+        elif ft == 3:  # Average (serial in x)
+            row = out[r]
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth (serial in x)
+            row = out[r]
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                row[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter {ft}")
+    return out
+
+
+def _unpack_samples(
+    out: np.ndarray, h: int, w: int, channels: int, bitdepth: int
+) -> np.ndarray:
+    """Filtered-byte rows -> (h, w*channels) uint8 samples (sub-byte
+    depths unpacked big-endian-first; 16-bit reduced to the high byte)."""
+    if bitdepth < 8:
+        bits = np.unpackbits(out, axis=1)[:, : w * channels * bitdepth]
+        weights = (1 << np.arange(bitdepth - 1, -1, -1)).astype(np.uint8)
+        return (
+            bits.reshape(h, w * channels, bitdepth).astype(np.uint8) * weights
+        ).sum(axis=2, dtype=np.uint16).astype(np.uint8)
+    if bitdepth == 8:
+        return out.reshape(h, w * channels)
+    return out.reshape(h, w * channels, 2)[:, :, 0]
+
 
 def decode_png(data: bytes) -> np.ndarray:
     """Decode PNG bytes to an (H, W, 3) uint8 array. Malformed or
@@ -90,9 +165,10 @@ def _decode_png(data: bytes) -> np.ndarray:
 
     Alpha (and palette tRNS transparency) is dropped: the reference
     pastes onto a forced-RGB mosaic canvas (images/mosaic.py:20).
-    Interlaced (Adam7) streams raise ValueError (→ the n_bad route).
-    All 5 filter types; filters run at byte level per the spec, with
-    sub-byte depths unpacked afterwards.
+    Adam7 interlacing is supported (seven independently-filtered
+    sub-images scattered back onto the lattice). All 5 filter types;
+    filters run at byte level per the spec, with sub-byte depths
+    unpacked afterwards.
     """
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
@@ -111,7 +187,7 @@ def _decode_png(data: bytes) -> np.ndarray:
                 ">IIBBBBB", payload
             )
             ok = (
-                interlace == 0
+                interlace in (0, 1)
                 and (
                     (color in (2, 6) and bitdepth in (8, 16))
                     or (color == 0 and bitdepth in (1, 2, 4, 8, 16))
@@ -133,67 +209,32 @@ def _decode_png(data: bytes) -> np.ndarray:
         raise ValueError("palette PNG without PLTE chunk")
     channels = _PNG_CHANNELS[color]
     raw = zlib.decompress(b"".join(idat))
-    stride = (w * channels * bitdepth + 7) // 8
     bpp = max(1, channels * bitdepth // 8)
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    filters = rows[:, 0]
-    # fast paths: homogeneous filter images unfilter without a row loop
-    if (filters == 0).all():
-        out = rows[:, 1:]
-    elif (filters == 2).all():
-        # Up filter everywhere == vertical prefix-sum mod 256
-        out = np.add.accumulate(rows[:, 1:], axis=0, dtype=np.uint8)
+    if interlace == 0:
+        stride = (w * channels * bitdepth + 7) // 8
+        out = _unfilter(
+            np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1), bpp
+        )
+        samples = _unpack_samples(out, h, w, channels, bitdepth)
     else:
-        out = np.zeros((h, stride), dtype=np.uint8)
-        for r in range(h):
-            ft = filters[r]
-            cur = rows[r, 1:].copy()
-            prev = out[r - 1] if r > 0 else np.zeros(stride, dtype=np.uint8)
-            if ft == 0:
-                out[r] = cur
-            elif ft == 1:  # Sub: cumulative along the row per byte-phase
-                # stride == w*bpp for depth>=8 and bpp == 1 below 8, so the
-                # reshape is always exact
-                px = cur.reshape(-1, bpp)
-                out[r] = (
-                    np.cumsum(px.astype(np.uint64), axis=0).astype(np.uint8).reshape(-1)
-                )
-            elif ft == 2:  # Up
-                out[r] = cur + prev
-            elif ft == 3:  # Average (serial in x)
-                row = out[r]
-                for i in range(stride):
-                    left = int(row[i - bpp]) if i >= bpp else 0
-                    row[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-            elif ft == 4:  # Paeth (serial in x)
-                row = out[r]
-                for i in range(stride):
-                    a = int(row[i - bpp]) if i >= bpp else 0
-                    b = int(prev[i])
-                    c = int(prev[i - bpp]) if i >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    if pa <= pb and pa <= pc:
-                        pred = a
-                    elif pb <= pc:
-                        pred = b
-                    else:
-                        pred = c
-                    row[i] = (int(cur[i]) + pred) & 0xFF
-            else:
-                raise ValueError(f"bad filter {ft}")
-
-    # bytes -> per-pixel samples
-    if bitdepth < 8:
-        bits = np.unpackbits(out, axis=1)[:, : w * channels * bitdepth]
-        weights = (1 << np.arange(bitdepth - 1, -1, -1)).astype(np.uint8)
-        samples = (
-            bits.reshape(h, w * channels, bitdepth).astype(np.uint8) * weights
-        ).sum(axis=2, dtype=np.uint16).astype(np.uint8)
-    elif bitdepth == 8:
-        samples = out.reshape(h, w * channels)
-    else:  # 16-bit big-endian: high byte (the standard 8-bit reduction)
-        samples = out.reshape(h, w * channels, 2)[:, :, 0]
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # onto the full lattice
+        samples = np.zeros((h, w * channels), dtype=np.uint8)
+        full = samples.reshape(h, w, channels)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = (pw * channels * bitdepth + 7) // 8
+            n = ph * (pstride + 1)
+            rows = np.frombuffer(
+                raw[off : off + n], dtype=np.uint8
+            ).reshape(ph, pstride + 1)
+            off += n
+            sub = _unpack_samples(_unfilter(rows, bpp), ph, pw, channels, bitdepth)
+            full[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
 
     if color == 3:
         idx = samples.reshape(h, w)
