@@ -296,3 +296,48 @@ def test_mosaic_stitches_webp_tile(spark):
     out = mosaic(df, tile_w=64, tile_h=64).collect()[0]
     assert out.n_tiles == 4 and out.n_bad == 0
     assert np.array_equal(png.decode_png(bytes(out.bytes)), want)
+
+
+def test_predictor_fast_path_equals_scalar_reference():
+    """The vectorized inverse-predictor must be bit-identical to the
+    scalar spec transcription over ALL 14 modes on random residuals."""
+    from tilegrab_spark.kernels.webp import (
+        _apply_predictor_inverse,
+        _apply_predictor_inverse_scalar,
+    )
+
+    rng = np.random.default_rng(42)
+    h, w, block_bits = 37, 53, 2
+    bw_, bh_ = (w + 3) // 4, (h + 3) // 4
+    for trial in range(3):
+        residuals = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        modes = rng.integers(0, 14, (bh_, bw_), dtype=np.uint8)
+        a = residuals.copy()
+        b = residuals.copy()
+        _apply_predictor_inverse(a, modes, block_bits)
+        _apply_predictor_inverse_scalar(b, modes, block_bits)
+        assert np.array_equal(a, b), f"trial {trial}"
+    # per-mode sweep (uniform mode grid isolates each code path)
+    for mode in range(14):
+        residuals = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+        modes = np.full((4, 4), mode, dtype=np.uint8)
+        a, b = residuals.copy(), residuals.copy()
+        _apply_predictor_inverse(a, modes, 2)
+        _apply_predictor_inverse_scalar(b, modes, 2)
+        assert np.array_equal(a, b), f"mode {mode}"
+
+
+def test_color_transform_fast_path_equals_scalar_reference():
+    from tilegrab_spark.kernels.webp import (
+        _apply_color_transform_inverse,
+        _apply_color_transform_inverse_scalar,
+    )
+
+    rng = np.random.default_rng(7)
+    h, w, block_bits = 29, 41, 3
+    elems = rng.integers(0, 256, ((h + 7) // 8, (w + 7) // 8, 4), dtype=np.uint8)
+    img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    a, b = img.copy(), img.copy()
+    _apply_color_transform_inverse(a, elems, block_bits)
+    _apply_color_transform_inverse_scalar(b, elems, block_bits)
+    assert np.array_equal(a, b)

@@ -349,8 +349,130 @@ def _clamp_add_subtract_half(a, b):
 
 
 def _apply_predictor_inverse(img: np.ndarray, modes: np.ndarray, block_bits: int):
-    """In-place inverse of the predictor transform (spec §4.1: 14 modes;
-    per-pixel serial because predictions chain)."""
+    """In-place inverse of the predictor transform — the fast path.
+
+    Row at a time: modes whose prediction reads only the PREVIOUS row
+    (2=T, 3=TR, 4=TL, 8=avg(TL,T), 9=avg(T,TR)) and mode 0 (black)
+    vectorize across each constant-mode block span; mode 1 (L) is a
+    cumulative sum along x; only the L-and-up modes (5,6,7,10-13) fall
+    back to the per-pixel scalar step. Real libwebp output leans heavily
+    on modes 0-4, so corpus decode stays out of interpreted per-pixel
+    Python almost everywhere. Equivalence with the scalar reference
+    (_apply_predictor_inverse_scalar) over ALL 14 modes is pinned by
+    test_webp."""
+    h, w, _ = img.shape
+    bs = 1 << block_bits
+    for y in range(h):
+        if y == 0:
+            # border rule: (0,0) predicts from ARGB black, rest of row 0
+            # is Left-predicted -> whole row is a cumsum with a black seed
+            row = img[0].astype(np.uint32)
+            row[0, 0] += 255  # alpha of the black pixel
+            img[0] = np.cumsum(row, axis=0).astype(np.uint8)
+            continue
+        prev = img[y - 1].astype(np.int64)
+        T = prev
+        TL = np.empty_like(prev)
+        TL[1:] = prev[:-1]
+        TL[0] = prev[0]  # unused at x=0 (border rule) — any value
+        TR = np.empty_like(prev)
+        TR[:-1] = prev[1:]
+        TR[-1] = prev[0]  # rightmost TR wraps to the row-above leftmost
+        x = 0
+        while x < w:
+            if x == 0:
+                # border rule: x=0 predicts from T regardless of mode
+                img[y, 0] = ((img[y, 0].astype(np.int64) + T[0]) & 0xFF).astype(
+                    np.uint8
+                )
+                x = 1
+                continue
+            mode = int(modes[y >> block_bits, x >> block_bits])
+            # span of constant mode: to the end of this block row
+            end = min(w, ((x >> block_bits) + 1) << block_bits)
+            if mode == 0:
+                black = np.array([255, 0, 0, 0], dtype=np.int64)
+                img[y, x:end] = (
+                    (img[y, x:end].astype(np.int64) + black) & 0xFF
+                ).astype(np.uint8)
+            elif mode == 1:  # L: cumsum seeded by the pixel before the span
+                seed = img[y, x - 1].astype(np.uint32)
+                span = img[y, x:end].astype(np.uint32)
+                span[0] += seed
+                img[y, x:end] = np.cumsum(span, axis=0).astype(np.uint8)
+            elif mode == 2:
+                img[y, x:end] = (
+                    (img[y, x:end].astype(np.int64) + T[x:end]) & 0xFF
+                ).astype(np.uint8)
+            elif mode == 3:
+                img[y, x:end] = (
+                    (img[y, x:end].astype(np.int64) + TR[x:end]) & 0xFF
+                ).astype(np.uint8)
+            elif mode == 4:
+                img[y, x:end] = (
+                    (img[y, x:end].astype(np.int64) + TL[x:end]) & 0xFF
+                ).astype(np.uint8)
+            elif mode == 8:
+                pred = (TL[x:end] + T[x:end]) >> 1
+                img[y, x:end] = (
+                    (img[y, x:end].astype(np.int64) + pred) & 0xFF
+                ).astype(np.uint8)
+            elif mode == 9:
+                pred = (T[x:end] + TR[x:end]) >> 1
+                img[y, x:end] = (
+                    (img[y, x:end].astype(np.int64) + pred) & 0xFF
+                ).astype(np.uint8)
+            else:
+                for xi in range(x, end):
+                    _predict_scalar_step(img, T, TL, TR, y, xi, mode)
+            x = end
+
+
+def _predict_scalar_step(img, T, TL, TR, y, x, mode):
+    """One serial inverse-predictor step for the L-dependent modes."""
+    L = img[y, x - 1].astype(np.int64)
+    if mode == 5:
+        pred = np.array(
+            [_avg2(_avg2(L[i], TR[x][i]), T[x][i]) for i in range(4)], np.int64
+        )
+    elif mode == 6:
+        pred = np.array([_avg2(L[i], TL[x][i]) for i in range(4)], np.int64)
+    elif mode == 7:
+        pred = np.array([_avg2(L[i], T[x][i]) for i in range(4)], np.int64)
+    elif mode == 10:
+        pred = np.array(
+            [
+                _avg2(_avg2(L[i], TL[x][i]), _avg2(T[x][i], TR[x][i]))
+                for i in range(4)
+            ],
+            np.int64,
+        )
+    elif mode == 11:  # Select
+        p = L + T[x] - TL[x]
+        pl = int(np.abs(p - L).sum())
+        pt = int(np.abs(p - T[x]).sum())
+        pred = L if pl < pt else T[x]
+    elif mode == 12:
+        pred = np.array(
+            [_clamp_add_subtract_full(L[i], T[x][i], TL[x][i]) for i in range(4)],
+            np.int64,
+        )
+    elif mode == 13:
+        pred = np.array(
+            [
+                _clamp_add_subtract_half(_avg2(L[i], T[x][i]), TL[x][i])
+                for i in range(4)
+            ],
+            np.int64,
+        )
+    else:
+        raise ValueError(f"bad predictor mode {mode}")
+    img[y, x] = ((img[y, x].astype(np.int64) + pred) & 0xFF).astype(np.uint8)
+
+
+def _apply_predictor_inverse_scalar(img: np.ndarray, modes: np.ndarray, block_bits: int):
+    """Scalar reference implementation (spec §4.1 transcribed literally;
+    kept as the equivalence oracle for the vectorized fast path)."""
     h, w, _ = img.shape
     for y in range(h):
         for x in range(w):
@@ -428,12 +550,36 @@ def _color_delta(t: int, c: int) -> int:
 
 
 def _apply_color_transform_inverse(img: np.ndarray, elems: np.ndarray, block_bits: int):
+    """Fully vectorized (no spatial dependency — blue depends only on
+    the same pixel's NEW red). Per libwebp ColorCodeToMultipliers:
+    green_to_red rides the BLUE channel of the transform element,
+    green_to_blue the GREEN, red_to_blue the RED; deltas are
+    (int8(t) * int8(c)) >> 5 with arithmetic shift."""
+    h, w, _ = img.shape
+    ey = np.arange(h) >> block_bits
+    ex = np.arange(w) >> block_bits
+    E = elems[ey][:, ex]  # (h, w, 4) per-pixel transform elements
+    g2r = E[:, :, 3].astype(np.int8).astype(np.int32)
+    g2b = E[:, :, 2].astype(np.int8).astype(np.int32)
+    r2b = E[:, :, 1].astype(np.int8).astype(np.int32)
+    g = img[:, :, 2].astype(np.int8).astype(np.int32)
+    r = (img[:, :, 1].astype(np.int32) + ((g2r * g) >> 5)) & 0xFF
+    rs = r.astype(np.uint8).astype(np.int8).astype(np.int32)
+    b = (
+        img[:, :, 3].astype(np.int32) + ((g2b * g) >> 5) + ((r2b * rs) >> 5)
+    ) & 0xFF
+    img[:, :, 1] = r.astype(np.uint8)
+    img[:, :, 3] = b.astype(np.uint8)
+
+
+def _apply_color_transform_inverse_scalar(
+    img: np.ndarray, elems: np.ndarray, block_bits: int
+):
+    """Scalar reference (equivalence oracle for the vectorized path)."""
     h, w, _ = img.shape
     for y in range(h):
         for x in range(w):
             e = elems[y >> block_bits, x >> block_bits]
-            # per libwebp ColorCodeToMultipliers: green_to_red rides the
-            # BLUE channel, green_to_blue the GREEN, red_to_blue the RED
             g2r, g2b, r2b = int(e[3]), int(e[2]), int(e[1])
             a, r, g, b = (int(v) for v in img[y, x])
             r = (r + _color_delta(g2r, g)) & 0xFF
