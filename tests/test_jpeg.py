@@ -192,9 +192,12 @@ def test_truncated_entropy_stream_raises():
 
 
 def test_progressive_jpeg_routes_to_n_bad(spark):
-    """Progressive (SOF2) payloads raise ValueError and route into the
-    mosaic's n_bad count + verify's decode_ok=False — never rendered
-    silently black into exported artifacts (VERDICT r1 item 7)."""
+    """Well-formed progressive (SOF2) streams now DECODE (see
+    test_progressive_roundtrip); a MALFORMED one — here a baseline
+    stream whose SOF marker was rewritten to SOF2, making its single
+    full-spectral scan illegal for progressive — still raises ValueError
+    and routes into the mosaic's n_bad count, never rendering silently
+    black into exported artifacts."""
     import pytest
 
     from tests.conftest import oracle_canvas
@@ -203,9 +206,9 @@ def test_progressive_jpeg_routes_to_n_bad(spark):
     arr = _natural(64, 64)
     data = bytearray(jpeg.encode_jpeg(arr, quality=90))
     sof0 = data.find(b"\xff\xc0")
-    data[sof0 + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    data[sof0 + 1] = 0xC2  # rewrite SOF0 -> SOF2 (now an illegal scan)
     prog = bytes(data)
-    with pytest.raises(ValueError, match="SOF0"):
+    with pytest.raises(ValueError, match="spectral"):
         jpeg.decode_jpeg(prog)
 
     z, x0, y0 = 16, 47439, 31441
@@ -258,3 +261,56 @@ def test_16bit_quant_tables_decode():
     got = jpeg.decode_jpeg(bytes(out))
     want = jpeg.decode_jpeg(data)
     assert np.array_equal(got, want)
+
+
+def test_progressive_roundtrip():
+    """Progressive (SOF2) decode: spectral selection + successive
+    approximation + EOB runs + refinement correction bits. Oracle: the
+    progressive encoding carries the SAME quantized coefficients as the
+    baseline encoding, so decoded pixels must be bit-identical."""
+    tile = png.synth_tile_pixels(23000, 15000, 15, 0, 64, 64)
+    cases = [
+        (_natural(96, 96), 90, 1),
+        (_natural(50, 70), 85, 1),   # odd dims
+        (_natural(64, 64), 75, 3),   # three refinement levels
+        (tile, 95, 1),               # near-Nyquist content
+        (tile, 50, 1),               # heavy quantization -> long EOB runs
+        (np.full((24, 40, 3), 130, np.uint8), 90, 1),
+    ]
+    for arr, q, al in cases:
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=q))
+        data = jpeg.encode_jpeg_progressive(arr, quality=q, al=al)
+        assert np.array_equal(jpeg.decode_jpeg(data), base), (q, al, arr.shape)
+
+
+def test_progressive_truncation_raises():
+    import pytest
+
+    data = jpeg.encode_jpeg_progressive(_natural(64, 64), quality=90)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(data[: int(len(data) * 0.6)])
+
+
+def test_progressive_in_mosaic(spark):
+    """A progressive tile stitches pixel-identically to its baseline
+    encoding inside the Spark mosaic reducer."""
+    import pandas as pd
+
+    from tilegrab_spark.operators.mosaic import mosaic
+
+    z, x0, y0 = 16, 47439, 31441
+    rows = []
+    for i, (dx, dy) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+        arr = png.synth_tile_pixels(x0 + dx, y0 + dy, z, 0, 64, 64)
+        enc = jpeg.encode_jpeg_progressive if i == 2 else jpeg.encode_jpeg
+        rows.append(
+            {"geom_id": "g", "z": z, "x": x0 + dx, "y": y0 + dy,
+             "bytes": enc(arr, quality=95), "fmt": "jpg",
+             "image_id": f"{z}_{x0+dx}_{y0+dy}_0"}
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        "geom_id string, z int, x long, y long, bytes binary, fmt string, image_id string",
+    )
+    out = mosaic(df, tile_w=64, tile_h=64).collect()[0]
+    assert out.n_tiles == 4 and out.n_bad == 0

@@ -5,10 +5,11 @@ for lossy"). The reference decodes via PIL (images/image.py:28); this
 sandbox has no PIL/libjpeg, so the engine carries its own codec for the
 ``fmt='jpg'`` column, exactly like png.py does for the lossless path.
 
-Scope: baseline sequential DCT, no subsampling (4:4:4 keeps the pixel
-pipeline exact and the code small), restart-marker-free single scan.
-Quality >= ~90 comfortably clears 40 dB PSNR on photographic-like
-content. DCT/IDCT are closed-form 8x8 matrix products (float64) —
+Scope: baseline sequential DCT (4:4:4 and 4:2:0, DRI/RSTn restart
+markers, 8/16-bit quantization tables) AND progressive DCT (SOF2:
+spectral selection, successive approximation, EOB runs, refinement
+correction bits — T.81 Annex G). Quality >= ~90 comfortably clears
+40 dB PSNR on photographic-like content. DCT/IDCT are closed-form 8x8 matrix products (float64) —
 vectorized over all blocks at once; only the entropy coder is a Python
 loop (bounded by symbol count, not pixels).
 """
@@ -457,6 +458,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     comps = []
     scan = None
     restart_interval = 0
+    progressive = False
+    coefs = None  # progressive: per-component zigzag coefficient grids
+    dims = None
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker")
@@ -484,8 +488,14 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, samp, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
                 comps.append((cid, tq, samp >> 4, samp & 0x0F))
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC2:  # progressive DCT
+            progressive = True
+            _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            for i in range(nc):
+                cid, samp, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
+                comps.append((cid, tq, samp >> 4, samp & 0x0F))
+        elif marker in (0xC1, 0xC3):
+            raise ValueError("only baseline (SOF0) and progressive (SOF2) supported")
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xC4:
@@ -502,12 +512,43 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:
             ns = seg[0]
             scan_tabs = []
+            scan_cids = []
             for i in range(ns):
-                _cid, tabs = struct.unpack_from("BB", seg, 1 + 2 * i)
+                cid_, tabs = struct.unpack_from("BB", seg, 1 + 2 * i)
                 scan_tabs.append((tabs >> 4, tabs & 0x0F))
-            scan = (pos + seglen, scan_tabs)
-            break
+                scan_cids.append(cid_)
+            if not progressive:
+                scan = (pos + seglen, scan_tabs)
+                break
+            # progressive: decode this scan's entropy segment, keep
+            # walking markers (DHT/SOS repeat between scans)
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            if coefs is None:
+                coefs, dims = _prog_alloc(comps, w, h)
+            end = _entropy_end(data, pos + seglen)
+            scan_ci = [
+                next(i for i, c in enumerate(comps) if c[0] == cid_)
+                for cid_ in scan_cids
+            ]
+            _decode_prog_scan(
+                data[pos + seglen : end], scan_ci, scan_tabs,
+                ss, se, a >> 4, a & 0x0F,
+                coefs, dims, comps, ht, restart_interval,
+            )
+            pos = end
+            continue
         pos += seglen
+    if progressive:
+        if coefs is None or h is None:
+            raise ValueError("truncated JPEG")
+        maxh = max(c[2] for c in comps)
+        maxv = max(c[3] for c in comps)
+        grids = []
+        for (cid_, tq, sh_, sv), cf in zip(comps, coefs):
+            g = np.zeros(cf.shape)
+            g[:, :, _ZZ] = cf  # zigzag -> natural order
+            grids.append(g * qt[tq].reshape(-1))
+        return _reconstruct(comps, grids, h, w, maxh, maxv)
     if scan is None or h is None:
         raise ValueError("truncated JPEG")
 
@@ -562,6 +603,12 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                             read_block(ci) * qt[tq].reshape(-1)
                         )
 
+    return _reconstruct(comps, grids, h, w, maxh, maxv)
+
+
+def _reconstruct(comps, grids, h, w, maxh, maxv) -> np.ndarray:
+    """Dequantized natural-order coefficient grids -> RGB pixels (shared
+    by the baseline and progressive paths)."""
     out_planes = []
     for (_cid, _tq, sh, sv), g in zip(comps, grids):
         bh, bw_, _ = g.shape
@@ -578,6 +625,187 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         out_planes.append(plane[:h, :w])
     return _ycc_to_rgb(*out_planes)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) scan decoding — T.81 §G. Coefficients accumulate in
+# zigzag order across scans (spectral selection + successive
+# approximation); reconstruction happens once at EOI.
+# ---------------------------------------------------------------------------
+
+def _prog_alloc(comps, w, h):
+    """Per-component zigzag coefficient grids (MCU-padded) + actual
+    non-interleaved block dims per component."""
+    maxh = max(c[2] for c in comps)
+    maxv = max(c[3] for c in comps)
+    mcu_w = (w + 8 * maxh - 1) // (8 * maxh)
+    mcu_h = (h + 8 * maxv - 1) // (8 * maxv)
+    coefs, dims = [], []
+    for _cid, _tq, sh, sv in comps:
+        coefs.append(np.zeros((mcu_h * sv, mcu_w * sh, 64), dtype=np.int32))
+        cw = (-(-w * sh // maxh) + 7) // 8  # ceil(ceil(w*sh/maxh)/8)
+        ch = (-(-h * sv // maxv) + 7) // 8
+        dims.append((ch, cw, mcu_h, mcu_w))
+    return coefs, dims
+
+
+def _entropy_end(data: bytes, start: int) -> int:
+    """Index of the first real marker (not FF00 stuffing, not RSTn)
+    after `start` — the end of a scan's entropy-coded segment."""
+    p = start
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return n
+
+
+def _decode_prog_scan(
+    bits_data, scan_ci, scan_tabs, ss, se, ah, al,
+    coefs, dims, comps, ht, restart_interval,
+):
+    br = _BitReader(bits_data)
+    if not (0 <= ss <= se <= 63) or (ss == 0) != (se == 0):
+        raise ValueError(f"illegal progressive scan spectral range {ss}..{se}")
+    if ss == 0:
+        _prog_dc_scan(
+            br, scan_ci, scan_tabs, ah, al, coefs, dims, comps, restart_interval, ht
+        )
+    else:
+        if len(scan_ci) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        _prog_ac_scan(
+            br, scan_ci[0], scan_tabs[0], ss, se, ah, al,
+            coefs, dims, restart_interval, ht,
+        )
+
+
+def _prog_dc_scan(br, scan_ci, scan_tabs, ah, al, coefs, dims, comps, ri, ht):
+    prev = {ci: 0 for ci in scan_ci}
+    if len(scan_ci) > 1:
+        mcu_h, mcu_w = dims[scan_ci[0]][2], dims[scan_ci[0]][3]
+        unit_idx = 0
+        for my in range(mcu_h):
+            for mx in range(mcu_w):
+                if ri and unit_idx > 0 and unit_idx % ri == 0:
+                    br.restart()
+                    prev = {ci: 0 for ci in scan_ci}
+                unit_idx += 1
+                for ci, (dct, _act) in zip(scan_ci, scan_tabs):
+                    _cid, _tq, sh, sv = comps[ci]
+                    for dy in range(sv):
+                        for dx in range(sh):
+                            blk = coefs[ci][my * sv + dy, mx * sh + dx]
+                            _prog_dc_block(br, blk, ht, dct, ah, al, prev, ci)
+    else:
+        ci = scan_ci[0]
+        dct = scan_tabs[0][0]
+        ch, cw, _, _ = dims[ci]
+        unit_idx = 0
+        for by in range(ch):
+            for bx in range(cw):
+                if ri and unit_idx > 0 and unit_idx % ri == 0:
+                    br.restart()
+                    prev = {ci: 0}
+                unit_idx += 1
+                _prog_dc_block(br, coefs[ci][by, bx], ht, dct, ah, al, prev, ci)
+
+
+def _prog_dc_block(br, blk, ht, dct, ah, al, prev, ci):
+    if ah == 0:
+        cat = _huff_decode(br, ht[("dc", dct)])
+        prev[ci] += _extend(br.bits(cat), cat)
+        blk[0] = prev[ci] << al
+    else:  # refinement: one bit
+        if br.bit():
+            blk[0] |= 1 << al
+
+
+def _prog_ac_scan(br, ci, tabs, ss, se, ah, al, coefs, dims, ri, ht):
+    ac_tab = ht[("ac", tabs[1])]
+    ch, cw, _, _ = dims[ci]
+    eobrun = 0
+    unit_idx = 0
+    for by in range(ch):
+        for bx in range(cw):
+            if ri and unit_idx > 0 and unit_idx % ri == 0:
+                br.restart()
+                eobrun = 0
+            unit_idx += 1
+            blk = coefs[ci][by, bx]
+            if ah == 0:
+                eobrun = _prog_ac_first(br, blk, ac_tab, ss, se, al, eobrun)
+            else:
+                eobrun = _prog_ac_refine(br, blk, ac_tab, ss, se, al, eobrun)
+
+
+def _prog_ac_first(br, blk, ac_tab, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient run past Se")
+        blk[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _prog_ac_refine(br, blk, ac_tab, ss, se, al, eobrun):
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # r == 15: run of 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if br.bit() else -p1
+            while k <= se:
+                coef = int(blk[k])
+                if coef != 0:
+                    if br.bit() and (coef & p1) == 0:
+                        blk[k] += p1 if coef > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            coef = int(blk[k])
+            if coef != 0:
+                if br.bit() and (coef & p1) == 0:
+                    blk[k] += p1 if coef > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _upsample2_bilinear(p: np.ndarray) -> np.ndarray:
@@ -607,3 +835,274 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return float(10.0 * np.log10(255.0 * 255.0 / mse))
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) encoder — 4:4:4, spectral selection + successive
+# approximation. Exists to exercise every progressive DECODE path with
+# our own streams (scan script: DC first at Al, DC refinements to 0;
+# per-component AC first at Al, AC refinements to 0). Huffman tables are
+# built per scan from real symbol statistics (two-pass).
+# ---------------------------------------------------------------------------
+
+class _SymStats:
+    """Pass-1 emitter: counts huffman symbols, ignores raw bits."""
+
+    def __init__(self):
+        self.freq = {}
+
+    def sym(self, table_id, s):
+        key = (table_id, s)
+        self.freq[key] = self.freq.get(key, 0) + 1
+
+    def bits(self, v, n):
+        pass
+
+
+class _SymWriter:
+    """Pass-2 emitter: writes huffman codes + raw bits via _BitWriter."""
+
+    def __init__(self, bw, enc_tables):
+        self.bw = bw
+        self.enc = enc_tables
+
+    def sym(self, table_id, s):
+        code, ln = self.enc[table_id][s]
+        self.bw.write(code, ln)
+
+    def bits(self, v, n):
+        if n:
+            self.bw.write(v, n)
+
+
+def _huffman_spec_from_freq(freq: dict) -> tuple:
+    """T.81-style (bits[0..16], values) from symbol frequencies. A
+    phantom symbol reserves the all-ones code (dropped afterwards, like
+    libjpeg's 256 sentinel)."""
+    from tilegrab_spark.kernels.webp import _huffman_lengths
+
+    syms = sorted(freq)
+    arr = np.zeros(max(syms) + 2 if syms else 2, dtype=np.int64)
+    for s, f in freq.items():
+        arr[s] = f
+    arr[-1] = 1  # phantom
+    lengths = _huffman_lengths(arr, max_len=16)
+    pairs = sorted(
+        (ln, s) for s, ln in enumerate(lengths[:-1]) if ln and arr[s] > 0
+    )
+    bits = [0] * 17
+    values = []
+    for ln, s in pairs:
+        bits[ln] += 1
+        values.append(s)
+    return bits, values
+
+
+def _scan_tables(stats: _SymStats):
+    """Per-table-id (bits, values, encode map) from pass-1 stats."""
+    by_table = {}
+    for (tid, s), f in stats.freq.items():
+        by_table.setdefault(tid, {})[s] = f
+    out = {}
+    for tid, freq in by_table.items():
+        bits, values = _huffman_spec_from_freq(freq)
+        out[tid] = (bits, values, _huff_codes(bits, values))
+    return out
+
+
+class _EobrunState:
+    def __init__(self, emit, table_id):
+        self.emit = emit
+        self.tid = table_id
+        self.run = 0
+        self.pending = []
+
+    def bump(self, correction_bits):
+        self.run += 1
+        self.pending += correction_bits
+        if self.run == 0x7FFF:
+            self.flush()
+
+    def flush(self):
+        if self.run:
+            nb = self.run.bit_length() - 1
+            self.emit.sym(self.tid, nb << 4)
+            if nb:
+                self.emit.bits(self.run - (1 << nb), nb)
+            for b in self.pending:
+                self.emit.bits(b, 1)
+            self.run = 0
+            self.pending = []
+
+
+def _enc_dc_first(emit, comps_zz, al):
+    prev = [0] * len(comps_zz)
+    n = comps_zz[0].shape[0]
+    for bi in range(n):
+        for ci, blocks in enumerate(comps_zz):
+            tid = 0 if ci == 0 else 1
+            v = int(blocks[bi, 0]) >> al
+            diff = v - prev[ci]
+            prev[ci] = v
+            cat, vb = _magnitude(diff)
+            emit.sym(tid, cat)
+            emit.bits(vb, cat)
+
+
+def _enc_dc_refine(bw, comps_zz, al):
+    n = comps_zz[0].shape[0]
+    for bi in range(n):
+        for blocks in comps_zz:
+            bw.write((int(blocks[bi, 0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(emit, blocks, al):
+    eob = _EobrunState(emit, 0)
+    for bi in range(blocks.shape[0]):
+        r = 0
+        emitted = False
+        for k in range(1, 64):
+            t = int(blocks[bi, k])
+            v = (abs(t) >> al) * (1 if t >= 0 else -1)
+            if v == 0:
+                r += 1
+                continue
+            eob.flush()
+            while r > 15:
+                emit.sym(0, 0xF0)
+                r -= 16
+            cat, vb = _magnitude(v)
+            emit.sym(0, (r << 4) | cat)
+            emit.bits(vb, cat)
+            r = 0
+            emitted = True
+        if r > 0 or not emitted:
+            eob.bump([])
+    eob.flush()
+
+
+def _enc_ac_refine(emit, blocks, ah, al):
+    p1 = 1 << al
+    eob_state = _EobrunState(emit, 0)
+    for bi in range(blocks.shape[0]):
+        coefs = blocks[bi]
+        absv = [abs(int(coefs[k])) >> al for k in range(64)]
+        eob_pos = 0
+        for k in range(1, 64):
+            if absv[k] == 1:
+                eob_pos = k
+        r = 0
+        br_bits = []
+        for k in range(1, 64):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            # flush pending ZRLs at EVERY nonzero coefficient (history
+            # included — libjpeg order), so buffered correction bits land
+            # right after the ZRL whose walk the decoder reads them in;
+            # runs past the last newly-significant position fold into the
+            # EOB run instead
+            while r > 15 and k <= eob_pos:
+                eob_state.flush()
+                emit.sym(0, 0xF0)
+                for b in br_bits:
+                    emit.bits(b, 1)
+                br_bits = []
+                r -= 16
+            if t > 1:  # history coefficient: one correction bit
+                br_bits.append(t & 1)
+                continue
+            # newly significant (|coef| >> al == 1  =>  |coef| >> ah == 0)
+            eob_state.flush()
+            emit.sym(0, (r << 4) | 1)
+            emit.bits(1 if int(coefs[k]) > 0 else 0, 1)
+            for b in br_bits:
+                emit.bits(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eob_state.bump(br_bits)
+    eob_state.flush()
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, *, al: int = 1
+) -> bytes:
+    """Encode (H,W,3) uint8 as progressive (SOF2) JPEG, 4:4:4.
+
+    Scan script: interleaved DC first scan at Al=``al`` + DC refinement
+    scans down to 0; per component, AC first scan (Ss=1..63) at
+    Al=``al`` + AC refinement scans down to 0 — together these exercise
+    every progressive decode path (spectral selection, successive
+    approximation, EOB runs, refinement correction bits). Decoded pixels
+    are bit-identical to the baseline encoding at the same quality (the
+    quantized coefficients are the same; only the scan order differs).
+    """
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError(f"expected (H,W,3) uint8, got {arr.shape} {arr.dtype}")
+    h, w, _ = arr.shape
+    qy, qc = _quant_tables(quality)
+    y, cb, cr = _rgb_to_ycc(arr)
+    comps_zz = [_blocks_of(y, qy), _blocks_of(cb, qc), _blocks_of(cr, qc)]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in ((0, qy), (1, qc)):
+        zz = q.reshape(-1)[_ZZ].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz.tobytes()
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, samp, tq in ((1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += struct.pack("BBB", cid, samp, tq)
+
+    def run_scan(enc_fn, comp_sel, ss, se, ah, al_, dc_scan):
+        """Two-pass scan: stats -> tables -> DHT + SOS + entropy data."""
+        stats = _SymStats()
+        enc_fn(stats)
+        tables = _scan_tables(stats)
+        for tid, (bits, values, _enc) in sorted(tables.items()):
+            cls = 0 if dc_scan else 1
+            out.extend(b"\xff\xc4")
+            out.extend(struct.pack(">HB", 19 + len(values), (cls << 4) | tid))
+            out.extend(bytes(bits[1:17]) + bytes(values))
+        ns = len(comp_sel)
+        out.extend(b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns))
+        for ci in comp_sel:
+            # DC scans reference DC table ids; AC scans always table 0
+            tid = 0 if ci == 0 else 1
+            out.extend(struct.pack("BB", ci + 1, (tid << 4) if dc_scan else 0))
+        out.extend(struct.pack("BBB", ss, se, (ah << 4) | al_))
+        bw = _BitWriter()
+        enc_fn(_SymWriter(bw, {t: e for t, (_b, _v, e) in tables.items()}))
+        bw.flush()
+        out.extend(bw.buf)
+
+    # 1. DC first (interleaved, all components)
+    run_scan(
+        lambda e: _enc_dc_first(e, comps_zz, al), [0, 1, 2], 0, 0, 0, al, True
+    )
+    # 2. DC refinements (no huffman — raw bits)
+    for a in range(al, 0, -1):
+        out.extend(b"\xff\xda" + struct.pack(">HB", 12, 3))
+        for ci in range(3):
+            out.extend(struct.pack("BB", ci + 1, 0))
+        out.extend(struct.pack("BBB", 0, 0, (a << 4) | (a - 1)))
+        bw = _BitWriter()
+        _enc_dc_refine(bw, comps_zz, a - 1)
+        bw.flush()
+        out.extend(bw.buf)
+    # 3. AC first scans per component
+    for ci in range(3):
+        run_scan(
+            lambda e, c=ci: _enc_ac_first(e, comps_zz[c], al),
+            [ci], 1, 63, 0, al, False,
+        )
+    # 4. AC refinement scans per component
+    for a in range(al, 0, -1):
+        for ci in range(3):
+            run_scan(
+                lambda e, c=ci, aa=a: _enc_ac_refine(e, comps_zz[c], aa, aa - 1),
+                [ci], 1, 63, a, a - 1, False,
+            )
+    out += b"\xff\xd9"
+    return bytes(out)
