@@ -341,3 +341,50 @@ def test_color_transform_fast_path_equals_scalar_reference():
     _apply_color_transform_inverse(a, elems, block_bits)
     _apply_color_transform_inverse_scalar(b, elems, block_bits)
     assert np.array_equal(a, b)
+
+
+def test_uniform_value_channels_roundtrip():
+    """A channel using all 256 values uniformly yields an 8-bit-flat
+    huffman whose code-length code has ONE used symbol — the encoder
+    must emit zero bits per length there (review r2 finding: it wrote
+    one bit each and desynced the whole stream)."""
+    v = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    arr = np.stack([v, v.T, np.full((16, 16), 7, np.uint8)], axis=-1)
+    assert np.array_equal(webp.decode_webp(webp.encode_webp(arr)), arr)
+
+
+def test_clamp_add_subtract_half_truncates_toward_zero():
+    """libwebp's ClampAddSubtractHalf uses C division (truncation toward
+    zero); a==10, b==13 must give 10 + (-3)/2 = 10 - 1 = 9, not 8."""
+    from tilegrab_spark.kernels.webp import _clamp_add_subtract_half
+
+    assert _clamp_add_subtract_half(10, 13) == 9
+    assert _clamp_add_subtract_half(13, 10) == 14
+    assert _clamp_add_subtract_half(0, 255) == 0  # clamped
+    assert _clamp_add_subtract_half(255, 0) == 255  # clamped
+
+
+def test_predictor_tr_rightmost_column_uses_current_row_leftmost():
+    """Spec/libwebp: for x == w-1, the TR pixel is the CURRENT row's
+    leftmost (argb[pos - width + 1] lands on argb[y*width]) — hand-built
+    2x2 stream with mode 3 (TR) pins the rule."""
+    from tilegrab_spark.kernels.webp import (
+        _apply_predictor_inverse,
+        _apply_predictor_inverse_scalar,
+    )
+
+    residuals = np.array(
+        [[[0, 10, 10, 10], [0, 5, 5, 5]],
+         [[0, 1, 2, 3], [0, 4, 5, 6]]], dtype=np.uint8
+    )
+    modes = np.full((1, 1), 3, dtype=np.uint8)  # TR everywhere
+    a = residuals.copy()
+    _apply_predictor_inverse(a, modes, 3)
+    b = residuals.copy()
+    _apply_predictor_inverse_scalar(b, modes, 3)
+    assert np.array_equal(a, b)
+    # row 0: (0,0)+black -> a=255,(10,10,10); (0,1) left-pred -> (15,15,15)
+    # row 1 x=0: top-pred -> (255,11,12,13)
+    # row 1 x=1 (rightmost): TR = CURRENT row's leftmost (255,11,12,13)
+    #   -> (255,15,17,19)
+    assert a[1, 1].tolist() == [255, 15, 17, 19]

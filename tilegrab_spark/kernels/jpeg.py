@@ -526,10 +526,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             if coefs is None:
                 coefs, dims = _prog_alloc(comps, w, h)
             end = _entropy_end(data, pos + seglen)
-            scan_ci = [
-                next(i for i, c in enumerate(comps) if c[0] == cid_)
-                for cid_ in scan_cids
-            ]
+            by_id = {c[0]: i for i, c in enumerate(comps)}
+            if any(cid_ not in by_id for cid_ in scan_cids):
+                raise ValueError("SOS references unknown component id")
+            scan_ci = [by_id[cid_] for cid_ in scan_cids]
             _decode_prog_scan(
                 data[pos + seglen : end], scan_ci, scan_tabs,
                 ss, se, a >> 4, a & 0x0F,

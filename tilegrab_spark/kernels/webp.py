@@ -344,7 +344,10 @@ def _clamp_add_subtract_full(a, b, c):
 
 
 def _clamp_add_subtract_half(a, b):
-    v = int(a) + (int(a) - int(b)) // 2
+    d = int(a) - int(b)
+    # C division truncates toward zero (libwebp ClampAddSubtractHalf);
+    # Python // floors — they differ for negative odd d
+    v = int(a) + (d // 2 if d >= 0 else -((-d) // 2))
     return 0 if v < 0 else 255 if v > 255 else v
 
 
@@ -377,7 +380,6 @@ def _apply_predictor_inverse(img: np.ndarray, modes: np.ndarray, block_bits: int
         TL[0] = prev[0]  # unused at x=0 (border rule) — any value
         TR = np.empty_like(prev)
         TR[:-1] = prev[1:]
-        TR[-1] = prev[0]  # rightmost TR wraps to the row-above leftmost
         x = 0
         while x < w:
             if x == 0:
@@ -385,6 +387,10 @@ def _apply_predictor_inverse(img: np.ndarray, modes: np.ndarray, block_bits: int
                 img[y, 0] = ((img[y, 0].astype(np.int64) + T[0]) & 0xFF).astype(
                     np.uint8
                 )
+                # rightmost-column TR is the CURRENT row's leftmost pixel
+                # (libwebp reads argb[pos - width + 1], which at x = w-1
+                # is argb[y*width] — decoded just above)
+                TR[-1] = img[y, 0].astype(np.int64)
                 x = 1
                 continue
             mode = int(modes[y >> block_bits, x >> block_bits])
@@ -490,7 +496,7 @@ def _apply_predictor_inverse_scalar(img: np.ndarray, modes: np.ndarray, block_bi
                 TR = (
                     img[y - 1, x + 1].astype(np.int64)
                     if x + 1 < w
-                    else img[y - 1, 0].astype(np.int64)
+                    else img[y, 0].astype(np.int64)  # current row's leftmost
                 )
                 if mode == 0:
                     pred = np.array([255, 0, 0, 0], dtype=np.int64)
@@ -702,36 +708,31 @@ def _decode_webp(data: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _huffman_lengths(freqs: np.ndarray, max_len: int = 15) -> list[int]:
-    """Code lengths from symbol frequencies (package-merge-free greedy:
-    standard heap huffman, then length-limit by the simple rebalance —
-    alphabets here are tiny enough that the limit never binds hard)."""
-    import heapq
-
+    """Optimal length-limited code lengths via package-merge. Always
+    yields a COMPLETE prefix code (kraft sum exactly 1) — strict
+    decoders (libwebp, libjpeg) reject incomplete codes, so a clamp+
+    patch approach is not an option."""
     nz = [(int(f), i) for i, f in enumerate(freqs) if f > 0]
+    out = [0] * len(freqs)
     if not nz:
-        return [0] * len(freqs)
+        return out
     if len(nz) == 1:
-        out = [0] * len(freqs)
         out[nz[0][1]] = 1
         return out
-    heap = [(f, [i]) for f, i in nz]
-    depth = {i: 0 for _, i in nz}
-    heapq.heapify(heap)
-    while len(heap) > 1:
-        f1, s1 = heapq.heappop(heap)
-        f2, s2 = heapq.heappop(heap)
-        for s in s1 + s2:
-            depth[s] += 1
-        heapq.heappush(heap, (f1 + f2, s1 + s2))
-    out = [0] * len(freqs)
-    for i, d in depth.items():
-        out[i] = min(d, max_len)
-    # repair kraft if the clamp above broke it
-    while sum(2 ** -l for l in out if l) > 1.0:
-        for i in sorted(range(len(out)), key=lambda i: out[i]):
-            if 0 < out[i] < max_len:
-                out[i] += 1
-                break
+    if len(nz) > (1 << max_len):
+        raise ValueError("alphabet too large for max code length")
+    items = sorted((f, (i,)) for f, i in nz)
+    level = []
+    for _ in range(max_len):
+        merged = sorted(level + items, key=lambda t: t[0])
+        level = [
+            (a[0] + b[0], a[1] + b[1])
+            for a, b in zip(merged[0::2], merged[1::2])
+        ]
+    # the optimal solution takes the first n-1 packages of the top level
+    for _w, syms in level[: len(nz) - 1]:
+        for sym in syms:
+            out[sym] += 1
     return out
 
 
@@ -761,6 +762,10 @@ def _write_prefix_code(bw: _LsbBitWriter, lengths: list[int]):
         bw.write(cl_lengths[sym], 3)
     # no max_symbol shortcut
     bw.write(0, 1)
+    if sum(1 for l in cl_lengths if l) == 1:
+        # single-symbol code-length code: decoders read it with ZERO
+        # bits per length — emit nothing (all lengths are that symbol)
+        return
     enc = _canonical_encode_table(cl_lengths)
     for ln in lengths:
         code, n = enc[ln]
