@@ -183,3 +183,76 @@ def test_jpeg_roundtrip_smooth_content_psnr(seed, octaves):
     dec = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=95))
     assert dec.shape == arr.shape
     assert jpeg.psnr(arr, dec) >= 40.0
+
+
+# ---------------------------------------------------------------------------
+# Codec round-trip properties (r2): lossless paths must be exact for ANY
+# pixel content; progressive JPEG must equal baseline bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_img_shapes = st.tuples(
+    st.integers(min_value=1, max_value=24), st.integers(min_value=1, max_value=24)
+)
+
+
+@given(_img_shapes, st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_webp_roundtrip_property(shape, seed):
+    from tilegrab_spark.kernels import webp
+
+    h, w = shape
+    rng = np.random.default_rng(seed)
+    # mix of low-cardinality and full-range content exercises simple,
+    # single-symbol and code-length-coded huffman forms
+    if seed % 3 == 0:
+        arr = rng.integers(0, 3, (h, w, 3), dtype=np.uint8) * 100
+    elif seed % 3 == 1:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    else:
+        arr = np.full((h, w, 3), seed % 256, np.uint8)
+    assert np.array_equal(webp.decode_webp(webp.encode_webp(arr)), arr)
+
+
+@given(_img_shapes, st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_png_palette_gray_roundtrip_property(shape, seed):
+    """Palette encode (test helper packing) -> decode == original for
+    arbitrary low-cardinality images."""
+    import struct
+    import zlib
+
+    from tilegrab_spark.kernels import png
+    from tilegrab_spark.kernels.png import _PNG_SIG, _chunk
+
+    h, w = shape
+    rng = np.random.default_rng(seed)
+    ncolors = int(rng.integers(1, 17))
+    plte = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncolors, (h, w), dtype=np.uint8)
+    rows = b"".join(b"\x00" + idx[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    data = (
+        _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte.tobytes())
+        + _chunk(b"IDAT", zlib.compress(rows)) + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png.decode_png(data), plte[idx])
+
+
+@given(
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.sampled_from([50, 75, 90]),
+    st.sampled_from([1, 2]),
+)
+@settings(max_examples=15, deadline=None)
+def test_progressive_equals_baseline_property(h, w, seed, q, al):
+    from tilegrab_spark.kernels import jpeg
+
+    rng = np.random.default_rng(seed)
+    # smooth-ish random content (random walk) — realistic coefficients
+    base = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    arr = (base // 2 + np.cumsum(rng.integers(-2, 3, (h, w, 3)), axis=1) % 128).astype(np.uint8)
+    want = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=q))
+    got = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(arr, quality=q, al=al))
+    assert np.array_equal(got, want)
