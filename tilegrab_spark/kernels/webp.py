@@ -86,6 +86,13 @@ class _LsbBitReader:
         self.pos += 1
         return b
 
+    def peek(self, n: int) -> int:
+        """Next n (<= 25) bits without consuming; past-the-end bits read
+        as zero (callers validate symbol length against the stream)."""
+        byte = self.pos >> 3
+        chunk = int.from_bytes(self.data[byte : byte + 4].ljust(4, b"\0"), "little")
+        return (chunk >> (self.pos & 7)) & ((1 << n) - 1)
+
 
 class _LsbBitWriter:
     def __init__(self):
@@ -172,6 +179,34 @@ class _PrefixCode:
             if sym is not None:
                 return sym
         raise ValueError("bad VP8L prefix code")
+
+    def build_lut(self):
+        """One-shot (sym << 4 | len) lookup table over max_len peeked
+        bits. The stream carries code bits MSB-of-code-first, so the LUT
+        index is the BIT-REVERSED code padded with every suffix. ~3-4x
+        over per-bit walks in the pixel loop; built lazily for big
+        images only (cost is 2^max_len entries)."""
+        if self.single is not None or getattr(self, "lut", None) is not None:
+            return
+        max_len = max(ln for ln, _code in self.table)
+        lut = np.zeros(1 << max_len, dtype=np.int32)
+        for (ln, code), sym in self.table.items():
+            rev = int(f"{code:0{ln}b}"[::-1], 2)
+            step = 1 << ln
+            lut[rev::step] = (sym << 4) | ln
+        self.lut = lut
+        self.lut_bits = max_len
+
+    def read_lut(self, br: _LsbBitReader) -> int:
+        if self.single is not None:
+            return self.single
+        v = int(self.lut[br.peek(self.lut_bits)])
+        if v == 0:
+            raise ValueError("bad VP8L prefix code")
+        br.pos += v & 15
+        if br.pos > len(br.data) * 8:
+            raise ValueError("VP8L bitstream underflow")
+        return v >> 4
 
 
 def _read_prefix_code(br: _LsbBitReader, alphabet_size: int) -> _PrefixCode:
@@ -278,6 +313,14 @@ def _decode_entropy_image(
     out = np.zeros(w * h, dtype=np.uint32)  # packed ARGB
     pos = 0
     total = w * h
+    # large images amortize a per-code LUT (single multi-bit peek per
+    # symbol instead of a per-bit tree walk)
+    readf = _PrefixCode.read
+    if total >= 4096:
+        for grp in groups:
+            for c in grp:
+                c.build_lut()
+        readf = _PrefixCode.read_lut
     while pos < total:
         if meta is not None:
             x, y = pos % w, pos // w
@@ -285,12 +328,12 @@ def _decode_entropy_image(
             gcode, rcode, bcode, acode, dcode = groups[gi]
         else:
             gcode, rcode, bcode, acode, dcode = groups[0]
-        sym = gcode.read(br)
+        sym = readf(gcode, br)
         if sym < 256:
             g = sym
-            r = rcode.read(br)
-            b = bcode.read(br)
-            a = acode.read(br)
+            r = readf(rcode, br)
+            b = readf(bcode, br)
+            a = readf(acode, br)
             argb = (a << 24) | (r << 16) | (g << 8) | b
             out[pos] = argb
             if cache is not None:
@@ -298,7 +341,7 @@ def _decode_entropy_image(
             pos += 1
         elif sym < 256 + 24:
             length = _read_prefix_value(br, sym - 256)
-            dist_code = _read_prefix_value(br, dcode.read(br))
+            dist_code = _read_prefix_value(br, readf(dcode, br))
             if dist_code > 120:
                 dist = dist_code - 120
             else:
