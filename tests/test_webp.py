@@ -388,3 +388,33 @@ def test_predictor_tr_rightmost_column_uses_current_row_leftmost():
     # row 1 x=1 (rightmost): TR = CURRENT row's leftmost (255,11,12,13)
     #   -> (255,15,17,19)
     assert a[1, 1].tolist() == [255, 15, 17, 19]
+
+
+def test_distance_map_matches_plane_to_code_lut():
+    """Cross-validate _DIST_MAP against libwebp's plane_to_code_lut
+    (lossless_common: the encoder-side (dy, 8-dx) -> code byte table) —
+    two independently-structured derivations of the same 120-entry
+    mapping must agree exactly, and the decoder inverse per the spec is
+    xoffset = 8 - (code_byte & 0xF), yoffset = code_byte >> 4."""
+    from tilegrab_spark.kernels.webp import _DIST_MAP
+
+    lut = [
+        96,  73,  55,  39,  23,  13,   5,  1, 255, 255, 255, 255, 255, 255, 255, 255,
+        101, 78,  58,  42,  26,  16,   8,  2,   0,   3,   9,  17,  27,  43,  59,  79,
+        102, 86,  62,  46,  32,  20,  10,  6,   4,   7,  11,  21,  33,  47,  63,  87,
+        105, 90,  70,  52,  37,  28,  18, 14,  12,  15,  19,  29,  38,  53,  71,  91,
+        110, 99,  82,  66,  48,  35,  30, 24,  22,  25,  31,  36,  49,  67,  83, 100,
+        115, 108, 94,  76,  64,  50,  44, 40,  34,  41,  45,  51,  65,  77,  95, 109,
+        118, 113, 103, 92,  80,  68,  60, 56,  54,  57,  61,  69,  81,  93, 104, 114,
+        119, 116, 111, 106, 97,  88,  84, 74,  72,  75,  85,  89,  98, 107, 112, 117,
+    ]
+    inv = {}
+    for dy in range(8):
+        for col in range(16):
+            v = lut[dy * 16 + col]
+            if v == 255:
+                continue
+            assert v not in inv
+            inv[v] = (8 - col, dy)
+    assert len(inv) == 120
+    assert [inv[i] for i in range(120)] == list(_DIST_MAP)
