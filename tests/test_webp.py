@@ -418,3 +418,118 @@ def test_distance_map_matches_plane_to_code_lut():
             inv[v] = (8 - col, dy)
     assert len(inv) == 120
     assert [inv[i] for i in range(120)] == list(_DIST_MAP)
+
+
+def test_code_length_repeat_codes_16_17_18():
+    """Decoder-only path: prefix codes whose lengths arrive via the
+    16 (repeat previous), 17 (short zero run) and 18 (long zero run)
+    code-length codes — wild encoders use these heavily; ours doesn't."""
+    from tilegrab_spark.kernels.webp import (
+        _LsbBitReader,
+        _read_prefix_code,
+    )
+
+    bw = _LsbBitWriter()
+    bw.write(0, 1)  # code-length-coded
+    # code-length alphabet lengths: {0:2, 2:2, 16:3, 17:3, 18:3}
+    # canonical codes: (2) 00=0?? order by (len, sym): len2: 0, 2 -> 00, 01
+    # len3: 16,17,18 -> 100, 101, 110... wait need kraft: 2*(1/4)+3*(1/8)=0.875 <1 incomplete but fine for our decoder
+    cl = {0: 2, 2: 2, 16: 3, 17: 3, 18: 3}
+    bw.write(19 - 4, 4)
+    from tilegrab_spark.kernels.webp import _CODE_LENGTH_ORDER, _canonical_codes
+
+    for sym in _CODE_LENGTH_ORDER:
+        bw.write(cl.get(sym, 0), 3)
+    bw.write(0, 1)  # no max_symbol
+    lengths_list = [0] * 19
+    for s, l in cl.items():
+        lengths_list[s] = l
+    enc = {sym: (code, ln) for (ln, code), sym in _canonical_codes(lengths_list).items()}
+
+    def emit(sym):
+        c, n = enc[sym]
+        _write_code_msb(bw, c, n)
+
+    # target alphabet 40 (distance-code sized): lengths
+    #   sym0..2 = 2 (via literal + 16-repeat), 11 zeros via 17+extra,
+    #   sym14 = 2, long zero run via 18, tail zeros implicit
+    emit(2)            # sym0: len 2
+    emit(16); bw.write(0, 2)   # repeat previous len (2) 3+0 times -> sym1..3
+    emit(17); bw.write(7, 3)   # 3+7 = 10 zeros -> sym4..13
+    emit(2)            # sym14: len 2
+    emit(18); bw.write(0, 7)   # 11+0 zeros -> sym15..25
+    # remaining syms 26..39 default 0 (loop ends at alphabet size? no —
+    # decoder keeps reading until i reaches alphabet... emit zeros via 18)
+    emit(18); bw.write(3, 7)   # 11+3 = 14 zeros -> sym26..39
+    data = bw.flush()
+    br = _LsbBitReader(data)
+    pc = _read_prefix_code(br, 40)
+    # decoded lengths: sym0..3 and sym14 at len 2 -> five 2-bit codes... kraft
+    # 5/4 > 1 is illegal huffman, but _canonical_codes doesn't validate;
+    # just assert the SYMBOLS resolved: read back code for sym0 (00)
+    assert pc.table is not None
+    got_lengths = {}
+    for (ln, code), sym in pc.table.items():
+        got_lengths[sym] = ln
+    assert got_lengths == {0: 2, 1: 2, 2: 2, 3: 2, 14: 2}
+
+
+def test_max_symbol_shortcut():
+    """Decoder-only path: the use_length/max_symbol cap stops the
+    code-length stream early; remaining symbols are zero."""
+    from tilegrab_spark.kernels.webp import (
+        _CODE_LENGTH_ORDER,
+        _LsbBitReader,
+        _canonical_codes,
+        _read_prefix_code,
+    )
+
+    bw = _LsbBitWriter()
+    bw.write(0, 1)  # code-length-coded
+    cl = {1: 1, 8: 1}  # two cl symbols: lengths 1 and 8
+    bw.write(19 - 4, 4)
+    for sym in _CODE_LENGTH_ORDER:
+        bw.write(cl.get(sym, 0), 3)
+    bw.write(1, 1)  # use max_symbol
+    bw.write(0, 3)  # length_nbits = 2 + 2*0 = 2
+    bw.write(2 - 2, 2)  # max_symbol = 2 + 0 = 2: read only 2 cl symbols
+    lengths_list = [0] * 19
+    for s, l in cl.items():
+        lengths_list[s] = l
+    enc = {sym: (code, ln) for (ln, code), sym in _canonical_codes(lengths_list).items()}
+    for sym in (8, 1):  # sym0 len 8, sym1 len 1
+        c, n = enc[sym]
+        _write_code_msb(bw, c, n)
+    data = bw.flush()
+    br = _LsbBitReader(data)
+    pc = _read_prefix_code(br, 280)
+    got = {sym: ln for (ln, code), sym in pc.table.items()}
+    assert got == {0: 8, 1: 1}  # symbols beyond max_symbol all zero
+
+
+def test_meta_prefix_codes_two_groups():
+    """Decoder-only path: an entropy image routes different pixel spans
+    to different prefix-code groups."""
+    bw = _LsbBitWriter()
+    _header(bw, 16, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta prefix codes present
+    bw.write(1, 3)  # huffman_bits = 2 + 1 = 3 -> block size 8 -> 2 blocks
+    # entropy image 2x1: pixel = (red<<8)|green = group index (0 and 1)
+    bw.write(0, 1)  # entropy sub-image: no color cache
+    EG, ER, EB, EA, ED = [0, 1], [0], [0], [255], [0]
+    for syms in (EG, ER, EB, EA, ED):
+        _simple_code(bw, syms)
+    _sym(bw, EG, 0)  # block 0 -> group 0
+    _sym(bw, EG, 1)  # block 1 -> group 1
+    # two groups' codes: group 0 paints green 50, group 1 green 200
+    for gval in (50, 200):
+        for syms in ([gval], [10], [20], [255], [0]):
+            _simple_code(bw, syms)
+    # all channels single-symbol -> zero data bits for all 16 pixels
+    out = webp.decode_webp(_container(bw))
+    assert out.shape == (1, 16, 3)
+    assert [p.tolist() for p in out[0, :2]] == [[10, 50, 20]] * 2
+    assert out[0, :8, 1].tolist() == [50] * 8
+    assert out[0, 8:, 1].tolist() == [200] * 8
