@@ -12,6 +12,43 @@ from tilegrab_spark.operators.pyramid import build_parent_level, build_pyramid
 from tilegrab_spark.operators.footprint import coverage_footprints
 from tilegrab_spark.operators.sessions import session_summary, sessionize
 from tilegrab_spark.operators.verify import verify_images
+from tilegrab_spark.operators.dedup import (
+    check_sig_version,
+    embedding_cosine_pairs,
+    exact_dedup,
+    duplicate_groups,
+    hamming_near_dup_pairs,
+    lsh_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    phash_near_dup_pairs,
+    simhash_pairs,
+    with_minhash,
+    with_shingles,
+    with_simhash,
+)
+from tilegrab_spark.operators.similarity import (
+    ann_topk_ivf,
+    build_ivf_index,
+    cosine_topk,
+    search_ivf_index,
+)
+from tilegrab_spark.operators.text import (
+    with_clean_text,
+    with_fingerprint,
+    with_lang_id,
+    with_pii_scrubbed,
+    with_quality_score,
+    with_repetition_signals,
+    with_token_counts,
+)
+from tilegrab_spark.operators.multimodal import (
+    audio_features,
+    decode_summary,
+    image_features,
+    resize_images,
+    sample_frames,
+)
 
 __all__ = [
     "enumerate_tiles",
@@ -31,4 +68,37 @@ __all__ = [
     "coverage_footprints",
     "sessionize",
     "session_summary",
+    # dedup / near-dup
+    "exact_dedup",
+    "duplicate_groups",
+    "with_shingles",
+    "with_minhash",
+    "minhash_lsh_pairs",
+    "lsh_dedup",
+    "with_simhash",
+    "simhash_pairs",
+    "hamming_near_dup_pairs",
+    "phash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_pairs",
+    "check_sig_version",
+    # similarity search
+    "cosine_topk",
+    "ann_topk_ivf",
+    "build_ivf_index",
+    "search_ivf_index",
+    # text analysis
+    "with_token_counts",
+    "with_quality_score",
+    "with_lang_id",
+    "with_fingerprint",
+    "with_repetition_signals",
+    "with_clean_text",
+    "with_pii_scrubbed",
+    # multimodal
+    "image_features",
+    "resize_images",
+    "decode_summary",
+    "audio_features",
+    "sample_frames",
 ]
