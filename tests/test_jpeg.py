@@ -314,3 +314,22 @@ def test_progressive_in_mosaic(spark):
     )
     out = mosaic(df, tile_w=64, tile_h=64).collect()[0]
     assert out.n_tiles == 4 and out.n_bad == 0
+
+
+def test_progressive_420_roundtrip():
+    """4:2:0 progressive (the most common wild-JPEG shape): interleaved
+    DC scans follow the MCU traversal (four Y blocks + Cb + Cr) and the
+    non-interleaved AC scans cover each component's ACTUAL block grid
+    (excluding MCU padding). Oracle: bit-identical to the 4:2:0 baseline
+    encoding — same coefficients, different scan order."""
+    tile = png.synth_tile_pixels(23000, 15000, 15, 0, 64, 64)
+    cases = [
+        (_natural(96, 96), 90, 1),
+        (_natural(104, 120), 75, 2),  # non-multiple-of-16 dims
+        (_natural(50, 70), 85, 1),    # padding blocks differ per comp
+        (tile, 75, 1),
+    ]
+    for arr, q, al in cases:
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=q, subsampling="420"))
+        data = jpeg.encode_jpeg_progressive(arr, quality=q, al=al, subsampling="420")
+        assert np.array_equal(jpeg.decode_jpeg(data), base), (q, al, arr.shape)

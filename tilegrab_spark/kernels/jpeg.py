@@ -935,25 +935,24 @@ class _EobrunState:
             self.pending = []
 
 
-def _enc_dc_first(emit, comps_zz, al):
+def _enc_dc_first(emit, comps_zz, al, dc_order):
+    """Interleaved DC scan over ``dc_order`` — the (ci, block_index)
+    MCU traversal (444: one block per component per MCU; 420: four Y
+    blocks then Cb then Cr)."""
     prev = [0] * len(comps_zz)
-    n = comps_zz[0].shape[0]
-    for bi in range(n):
-        for ci, blocks in enumerate(comps_zz):
-            tid = 0 if ci == 0 else 1
-            v = int(blocks[bi, 0]) >> al
-            diff = v - prev[ci]
-            prev[ci] = v
-            cat, vb = _magnitude(diff)
-            emit.sym(tid, cat)
-            emit.bits(vb, cat)
+    for ci, bi in dc_order:
+        tid = 0 if ci == 0 else 1
+        v = int(comps_zz[ci][bi, 0]) >> al
+        diff = v - prev[ci]
+        prev[ci] = v
+        cat, vb = _magnitude(diff)
+        emit.sym(tid, cat)
+        emit.bits(vb, cat)
 
 
-def _enc_dc_refine(bw, comps_zz, al):
-    n = comps_zz[0].shape[0]
-    for bi in range(n):
-        for blocks in comps_zz:
-            bw.write((int(blocks[bi, 0]) >> al) & 1, 1)
+def _enc_dc_refine(bw, comps_zz, al, dc_order):
+    for ci, bi in dc_order:
+        bw.write((int(comps_zz[ci][bi, 0]) >> al) & 1, 1)
 
 
 def _enc_ac_first(emit, blocks, al):
@@ -1027,9 +1026,9 @@ def _enc_ac_refine(emit, blocks, ah, al):
 
 
 def encode_jpeg_progressive(
-    arr: np.ndarray, quality: int = 90, *, al: int = 1
+    arr: np.ndarray, quality: int = 90, *, al: int = 1, subsampling: str = "444"
 ) -> bytes:
-    """Encode (H,W,3) uint8 as progressive (SOF2) JPEG, 4:4:4.
+    """Encode (H,W,3) uint8 as progressive (SOF2) JPEG, 4:4:4 or 4:2:0.
 
     Scan script: interleaved DC first scan at Al=``al`` + DC refinement
     scans down to 0; per component, AC first scan (Ss=1..63) at
@@ -1041,10 +1040,48 @@ def encode_jpeg_progressive(
     """
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError(f"expected (H,W,3) uint8, got {arr.shape} {arr.dtype}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     h, w, _ = arr.shape
     qy, qc = _quant_tables(quality)
     y, cb, cr = _rgb_to_ycc(arr)
-    comps_zz = [_blocks_of(y, qy), _blocks_of(cb, qc), _blocks_of(cr, qc)]
+    if subsampling == "420":
+        cb, cr = _downsample2(cb), _downsample2(cr)
+        mcu_h, mcu_w = (h + 15) // 16, (w + 15) // 16
+        comps_zz = [
+            _blocks_of(y, qy, pad_to=16),
+            _blocks_of(cb, qc, pad_to=8, target_blocks=(mcu_h, mcu_w)),
+            _blocks_of(cr, qc, pad_to=8, target_blocks=(mcu_h, mcu_w)),
+        ]
+        y_samp = 0x22
+        # interleaved-DC MCU traversal: Y 2x2 raster, then Cb, Cr
+        yw = 2 * mcu_w
+        dc_order = []
+        for my in range(mcu_h):
+            for mx in range(mcu_w):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        dc_order.append((0, (2 * my + dy) * yw + (2 * mx + dx)))
+                dc_order.append((1, my * mcu_w + mx))
+                dc_order.append((2, my * mcu_w + mx))
+        # non-interleaved AC scans cover only each component's ACTUAL
+        # block grid (the MCU-padded tail blocks carry no AC data)
+        def ac_sel(ci):
+            if ci == 0:
+                cw, grid_w = (w + 7) // 8, yw
+            else:
+                cw, grid_w = ((w + 1) // 2 + 7) // 8, mcu_w
+            chn = (h + 7) // 8 if ci == 0 else ((h + 1) // 2 + 7) // 8
+            idx = [by * grid_w + bx for by in range(chn) for bx in range(cw)]
+            return comps_zz[ci][idx]
+    else:
+        comps_zz = [_blocks_of(y, qy), _blocks_of(cb, qc), _blocks_of(cr, qc)]
+        y_samp = 0x11
+        n = comps_zz[0].shape[0]
+        dc_order = [(ci, bi) for bi in range(n) for ci in range(3)]
+
+        def ac_sel(ci):
+            return comps_zz[ci]
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -1052,7 +1089,7 @@ def encode_jpeg_progressive(
         zz = q.reshape(-1)[_ZZ].astype(np.uint8)
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz.tobytes()
     out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, samp, tq in ((1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)):
+    for cid, samp, tq in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
         out += struct.pack("BBB", cid, samp, tq)
 
     def run_scan(enc_fn, comp_sel, ss, se, ah, al_, dc_scan):
@@ -1079,7 +1116,8 @@ def encode_jpeg_progressive(
 
     # 1. DC first (interleaved, all components)
     run_scan(
-        lambda e: _enc_dc_first(e, comps_zz, al), [0, 1, 2], 0, 0, 0, al, True
+        lambda e: _enc_dc_first(e, comps_zz, al, dc_order),
+        [0, 1, 2], 0, 0, 0, al, True,
     )
     # 2. DC refinements (no huffman — raw bits)
     for a in range(al, 0, -1):
@@ -1088,20 +1126,21 @@ def encode_jpeg_progressive(
             out.extend(struct.pack("BB", ci + 1, 0))
         out.extend(struct.pack("BBB", 0, 0, (a << 4) | (a - 1)))
         bw = _BitWriter()
-        _enc_dc_refine(bw, comps_zz, a - 1)
+        _enc_dc_refine(bw, comps_zz, a - 1, dc_order)
         bw.flush()
         out.extend(bw.buf)
-    # 3. AC first scans per component
+    # 3. AC first scans per component (non-interleaved, actual dims)
+    ac_blocks = [ac_sel(ci) for ci in range(3)]
     for ci in range(3):
         run_scan(
-            lambda e, c=ci: _enc_ac_first(e, comps_zz[c], al),
+            lambda e, c=ci: _enc_ac_first(e, ac_blocks[c], al),
             [ci], 1, 63, 0, al, False,
         )
     # 4. AC refinement scans per component
     for a in range(al, 0, -1):
         for ci in range(3):
             run_scan(
-                lambda e, c=ci, aa=a: _enc_ac_refine(e, comps_zz[c], aa, aa - 1),
+                lambda e, c=ci, aa=a: _enc_ac_refine(e, ac_blocks[c], aa, aa - 1),
                 [ci], 1, 63, a, a - 1, False,
             )
     out += b"\xff\xd9"
