@@ -326,7 +326,7 @@ def test_progressive_420_roundtrip():
     cases = [
         (_natural(96, 96), 90, 1),
         (_natural(104, 120), 75, 2),  # non-multiple-of-16 dims
-        (_natural(50, 70), 85, 1),    # padding blocks differ per comp
+        (_natural(50, 70), 85, 1),    # Y grid carries MCU-padding blocks
         (tile, 75, 1),
     ]
     for arr, q, al in cases:

@@ -255,6 +255,19 @@ def _blocks_of(plane, q, *, pad_to: int = 8, target_blocks: tuple | None = None)
     return flat[:, _ZZ]
 
 
+def _setup_420(y, cb, cr, qy, qc, h, w):
+    """Shared 4:2:0 component setup for the baseline and progressive
+    encoders: chroma box-downsample, MCU grid, per-component zigzag
+    coefficient blocks (Y padded to 16-multiples; chroma padded to the
+    MCU lattice)."""
+    cb, cr = _downsample2(cb), _downsample2(cr)
+    mcu_h, mcu_w = (h + 15) // 16, (w + 15) // 16
+    yb = _blocks_of(y, qy, pad_to=16)
+    cbb = _blocks_of(cb, qc, pad_to=8, target_blocks=(mcu_h, mcu_w))
+    crb = _blocks_of(cr, qc, pad_to=8, target_blocks=(mcu_h, mcu_w))
+    return yb, cbb, crb, mcu_h, mcu_w
+
+
 def _downsample2(plane):
     """2x2 box-mean chroma downsample (pads odd edges by replication)."""
     h, w = plane.shape
@@ -287,13 +300,8 @@ def encode_jpeg(
     qy, qc = _quant_tables(quality)
     y, cb, cr = _rgb_to_ycc(arr)
     if subsampling == "420":
-        cb, cr = _downsample2(cb), _downsample2(cr)
         y_samp = 0x22
-        # Y padded to 16-multiples so the MCU grid is uniform
-        mcu_h, mcu_w = (h + 15) // 16, (w + 15) // 16
-        yb = _blocks_of(y, qy, pad_to=16)
-        cbb = _blocks_of(cb, qc, pad_to=8, target_blocks=(mcu_h, mcu_w))
-        crb = _blocks_of(cr, qc, pad_to=8, target_blocks=(mcu_h, mcu_w))
+        yb, cbb, crb, mcu_h, mcu_w = _setup_420(y, cb, cr, qy, qc, h, w)
     else:
         y_samp = 0x11
         yb = _blocks_of(y, qy)
@@ -1046,13 +1054,8 @@ def encode_jpeg_progressive(
     qy, qc = _quant_tables(quality)
     y, cb, cr = _rgb_to_ycc(arr)
     if subsampling == "420":
-        cb, cr = _downsample2(cb), _downsample2(cr)
-        mcu_h, mcu_w = (h + 15) // 16, (w + 15) // 16
-        comps_zz = [
-            _blocks_of(y, qy, pad_to=16),
-            _blocks_of(cb, qc, pad_to=8, target_blocks=(mcu_h, mcu_w)),
-            _blocks_of(cr, qc, pad_to=8, target_blocks=(mcu_h, mcu_w)),
-        ]
+        yb_, cbb_, crb_, mcu_h, mcu_w = _setup_420(y, cb, cr, qy, qc, h, w)
+        comps_zz = [yb_, cbb_, crb_]
         y_samp = 0x22
         # interleaved-DC MCU traversal: Y 2x2 raster, then Cb, Cr
         yw = 2 * mcu_w
@@ -1067,13 +1070,14 @@ def encode_jpeg_progressive(
         # non-interleaved AC scans cover only each component's ACTUAL
         # block grid (the MCU-padded tail blocks carry no AC data)
         def ac_sel(ci):
-            if ci == 0:
-                cw, grid_w = (w + 7) // 8, yw
-            else:
-                cw, grid_w = ((w + 1) // 2 + 7) // 8, mcu_w
-            chn = (h + 7) // 8 if ci == 0 else ((h + 1) // 2 + 7) // 8
-            idx = [by * grid_w + bx for by in range(chn) for bx in range(cw)]
-            return comps_zz[ci][idx]
+            if ci != 0:
+                # chroma grids are already exactly MCU-sized:
+                # ceil(ceil(w/2)/8) == ceil(w/16) == mcu_w — no padding
+                # blocks to exclude
+                return comps_zz[ci]
+            cw, chn = (w + 7) // 8, (h + 7) // 8
+            idx = [by * yw + bx for by in range(chn) for bx in range(cw)]
+            return comps_zz[0][idx]
     else:
         comps_zz = [_blocks_of(y, qy), _blocks_of(cb, qc), _blocks_of(cr, qc)]
         y_samp = 0x11

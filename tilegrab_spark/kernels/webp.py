@@ -180,26 +180,37 @@ class _PrefixCode:
                 return sym
         raise ValueError("bad VP8L prefix code")
 
-    def build_lut(self):
+    def _try_build_lut(self) -> bool:
         """One-shot (sym << 4 | len) lookup table over max_len peeked
         bits. The stream carries code bits MSB-of-code-first, so the LUT
         index is the BIT-REVERSED code padded with every suffix. ~3-4x
-        over per-bit walks in the pixel loop; built lazily for big
-        images only (cost is 2^max_len entries)."""
-        if self.single is not None or getattr(self, "lut", None) is not None:
-            return
+        over per-bit walks in the pixel loop. Built LAZILY on first read
+        and charged against a per-decode budget — a hostile stream
+        declaring thousands of meta groups with deep codes must not be
+        able to force unbounded table allocation before a single pixel
+        decodes (it falls back to per-bit reads instead)."""
         max_len = max(ln for ln, _code in self.table)
-        lut = np.zeros(1 << max_len, dtype=np.int32)
+        size = 1 << max_len
+        budget = getattr(self, "lut_budget", None)
+        if budget is None or budget[0] < size:
+            self.lut_declined = True
+            return False
+        budget[0] -= size
+        lut = np.zeros(size, dtype=np.int32)
         for (ln, code), sym in self.table.items():
             rev = int(f"{code:0{ln}b}"[::-1], 2)
             step = 1 << ln
             lut[rev::step] = (sym << 4) | ln
         self.lut = lut
         self.lut_bits = max_len
+        return True
 
     def read_lut(self, br: _LsbBitReader) -> int:
         if self.single is not None:
             return self.single
+        if getattr(self, "lut", None) is None:
+            if getattr(self, "lut_declined", False) or not self._try_build_lut():
+                return self.read(br)
         v = int(self.lut[br.peek(self.lut_bits)])
         if v == 0:
             raise ValueError("bad VP8L prefix code")
@@ -313,13 +324,16 @@ def _decode_entropy_image(
     out = np.zeros(w * h, dtype=np.uint32)  # packed ARGB
     pos = 0
     total = w * h
-    # large images amortize a per-code LUT (single multi-bit peek per
-    # symbol instead of a per-bit tree walk)
+    # large images amortize per-code LUTs (single multi-bit peek per
+    # symbol instead of a per-bit tree walk); tables build lazily on
+    # first use against a shared ~16 MB budget (hostile many-group
+    # streams degrade to per-bit reads instead of allocating)
     readf = _PrefixCode.read
     if total >= 4096:
+        lut_budget = [1 << 22]
         for grp in groups:
             for c in grp:
-                c.build_lut()
+                c.lut_budget = lut_budget
         readf = _PrefixCode.read_lut
     while pos < total:
         if meta is not None:
