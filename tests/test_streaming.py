@@ -96,3 +96,43 @@ def test_stream_mosaic_incremental_overlay(spark, tmp_path):
     rows2 = compact_mosaics(spark, partials).collect()
     assert len(rows2) == 1
     assert (png.decode_png(bytes(rows2[0].bytes)) == want).all()
+
+
+def test_text_operators_compose_with_streams(spark, tmp_path):
+    """The stateless text operators (cleaning, PII scrub, quality,
+    tokens) are plain column transforms, so they apply unchanged to a
+    readStream DataFrame — one pipeline definition serves batch and
+    streaming ingestion."""
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.text import (
+        with_clean_text,
+        with_pii_scrubbed,
+        with_quality_score,
+        with_token_counts,
+    )
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (0, "mail me at alice@example.com   please"),
+            (1, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    assert stream.isStreaming
+    out = with_token_counts(
+        with_quality_score(with_pii_scrubbed(with_clean_text(stream)))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scrubbed_docs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.sql("SELECT * FROM scrubbed_docs").collect()}
+    assert rows[0].n_emails == 1 and "<EMAIL>" in rows[0].scrubbed
+    assert rows[0].clean_text == "mail me at alice@example.com please"
+    assert rows[1].ws_tokens == 10 and rows[1].quality == 1.0
