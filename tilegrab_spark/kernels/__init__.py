@@ -1,3 +1,3 @@
-from tilegrab_spark.kernels import geo, png
+from tilegrab_spark.kernels import geo, geotiff, jpeg, png, webp
 
-__all__ = ["geo", "png"]
+__all__ = ["geo", "geotiff", "jpeg", "png", "webp"]
