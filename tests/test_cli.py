@@ -45,3 +45,25 @@ def test_cli_end_to_end(spark, image_table, tmp_path):
     assert tiles.count() == 7 + 40
     met = spark.read.parquet(str(tmp_path / "out" / "metrics"))
     assert {x.stage for x in met.collect()} == {"fetch", "mosaic"}
+
+
+def test_cli_webp_export(spark, image_table, tmp_path):
+    """--webp (engine extension): the exported VP8L mosaic decodes
+    byte-equal to the PNG canvas in the parquet table."""
+    import numpy as np
+
+    from tilegrab_spark.kernels import png, webp
+
+    rc = main(
+        ["--source", "/root/reference/tests/data/T.geojson", "--shape", "--osm",
+         "--zoom", "16", "--images", image_table,
+         "--tiles-out", str(tmp_path / "tiles"), "--out", str(tmp_path / "out"),
+         "--webp", "--quiet"]
+    )
+    assert rc == 0
+    files = sorted((tmp_path / "out" / "webp").glob("*.webp"))
+    assert len(files) == 1
+    canvas = png.decode_png(
+        bytes(spark.read.parquet(str(tmp_path / "out" / "mosaics")).collect()[0].bytes)
+    )
+    assert np.array_equal(webp.decode_webp(files[0].read_bytes()), canvas)

@@ -47,6 +47,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     og.add_argument("--jpg", action="store_true", help="JPEG mosaic files (baseline codec, quality 90)")
     og.add_argument("--png", action="store_true", help="PNG mosaic; no geo-reference")
     og.add_argument("--tiff", action="store_true", help="mosaic with EPSG:3857 geo-reference columns")
+    og.add_argument("--webp", action="store_true",
+                    help="lossless WebP mosaic (engine extension; VP8L codec)")
 
     p.add_argument("--zoom", type=int, required=True)
     p.add_argument("--tiles-out", type=Path, default=Path.cwd() / "saved_tiles")
@@ -120,16 +122,19 @@ def main(argv=None) -> int:
     if not args.tiff:
         mosaics = mosaics.drop("merc_xmin", "merc_ymin", "merc_xmax", "merc_ymax")
     eng.write(mosaics, str(args.out / "mosaics"), stage="mosaic")
-    if args.tiff or args.jpg:
+    if args.tiff or args.jpg or args.webp:
         # real image files next to the table (exporter.py:37-74):
-        # georeferenced .tif or lossy .jpg per the format flag. Export
-        # reads the parquet just written — re-iterating the lazy
-        # `mosaics` plan would re-execute the whole join+stitch
+        # georeferenced .tif or lossy .jpg per the format flag (.webp is
+        # an engine extension). Export reads the parquet just written —
+        # re-iterating the lazy `mosaics` plan would re-execute the
+        # whole join+stitch
         from tilegrab_spark.sources.export import export_mosaics
 
         written = spark.read.parquet(str(args.out / "mosaics"))
         if args.tiff:
             export_mosaics(written, args.out / "tiff", fmt="tiff")
+        elif args.webp:
+            export_mosaics(written, args.out / "webp", fmt="webp")
         else:
             export_mosaics(written, args.out / "jpg", fmt="jpg")
     if not args.quiet:
