@@ -1007,10 +1007,10 @@ def _clean_scrub(spark, sf):
 
 
 def _clean_scrub_sql() -> str:
-    from tilegrab_spark.operators.text import _CONTROL_RE, EMAIL_RE, PHONE_RE
+    from tilegrab_spark.operators.text import _CONTROL_RE, EMAIL_RE, PHONE_BOUNDED_RE
 
     email = EMAIL_RE.replace("'", "''")
-    phone = PHONE_RE.replace("'", "''")
+    phone = PHONE_BOUNDED_RE.replace("'", "''")
     return f"""
 WITH salted AS (
   SELECT doc_id,
@@ -1025,7 +1025,7 @@ SELECT doc_id,
   len(regexp_extract_all(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
                          '{phone}'))::INTEGER AS n_phones,
   regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
-                 '{phone}', '<PHONE>', 'g') AS scrubbed
+                 '{phone}', '\\1<PHONE>\\3', 'g') AS scrubbed
 FROM salted
 """
 

@@ -353,3 +353,18 @@ def test_sig_version_marker_and_check(spark):
     )
     with pytest.raises(ValueError, match="sig_version"):
         check_sig_version(stale, "simhash")
+
+
+def test_release_signature_caches(spark, docs_df):
+    """LSH/simhash signature caches are tracked and released on demand
+    (ADVICE r2: persisted frames otherwise accumulate for the session)."""
+    from tilegrab_spark.operators import dedup
+
+    dedup.release_signature_caches()  # start clean
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    dedup.minhash_lsh_pairs(docs_df, threshold=0.3).count()
+    dedup.simhash_pairs(docs_df, max_hamming=3).count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > before
+    released = dedup.release_signature_caches()
+    assert released >= 2
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before

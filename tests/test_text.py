@@ -160,3 +160,26 @@ def test_clean_text_and_pii_scrub(spark):
     assert got[2].clean_text == "abc d e keeps\nnewlines"
     assert got[3].n_emails == 0 and got[3].n_phones == 0
     assert got[3].scrubbed == rows[3][1]
+
+
+def test_pii_phone_digit_boundaries(spark):
+    """Digit runs longer than a phone (timestamps, ids, hashes) must NOT
+    be partially rewritten; exact phone-length runs still are."""
+    from tilegrab_spark.operators.text import with_pii_scrubbed
+
+    rows = [
+        (0, "ts 20260817123456 is a timestamp"),        # 14 digits: keep
+        (1, "order 123456789012345678 shipped"),         # 18 digits: keep
+        (2, "call 5551234567 now"),                      # 10 digits: scrub
+        (3, "+1-555-123-4567 works"),                    # at string start
+        (4, "ends with (555) 123 4567"),                 # at string end
+        (5, "id9+15551234567 embedded plus"),            # '+' is the boundary
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in with_pii_scrubbed(df).collect()}
+    assert got[0].n_phones == 0 and got[0].scrubbed == rows[0][1]
+    assert got[1].n_phones == 0 and got[1].scrubbed == rows[1][1]
+    assert got[2].n_phones == 1 and got[2].scrubbed == "call <PHONE> now"
+    assert got[3].n_phones == 1 and got[3].scrubbed == "<PHONE> works"
+    assert got[4].n_phones == 1 and got[4].scrubbed == "ends with <PHONE>"
+    assert got[5].n_phones == 1 and got[5].scrubbed == "id9+<PHONE> embedded plus"

@@ -22,6 +22,7 @@ from tilegrab_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     phash_near_dup_pairs,
+    release_signature_caches,
     simhash_pairs,
     with_minhash,
     with_shingles,
@@ -75,6 +76,7 @@ __all__ = [
     "with_minhash",
     "minhash_lsh_pairs",
     "lsh_dedup",
+    "release_signature_caches",
     "with_simhash",
     "simhash_pairs",
     "hamming_near_dup_pairs",

@@ -44,6 +44,35 @@ def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 _MERSENNE = (1 << 61) - 1
 
+# Persisted signature frames (minhash_lsh_pairs / simhash_pairs cache the
+# narrow signature table so the banded self-join doesn't run the hashing
+# kernel twice). Spark dedups cache entries by canonicalized plan, so
+# repeated calls over the SAME input reuse one entry — but a long-lived
+# session sweeping many DISTINCT inputs accumulates entries and relies on
+# LRU eviction. Handles are tracked here; call release_signature_caches()
+# between sweeps to drop them deterministically.
+_SIG_CACHE_HANDLES: list = []
+
+
+def _persist_signatures(df: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()  # eager: both join sides must hit the cache, not race it
+    _SIG_CACHE_HANDLES.append(out)
+    return out
+
+
+def release_signature_caches() -> int:
+    """Unpersist every signature frame cached by minhash_lsh_pairs /
+    simhash_pairs in this process; returns how many were released. Safe
+    to call while results are still referenced — Spark recomputes them."""
+    n = len(_SIG_CACHE_HANDLES)
+    for h in _SIG_CACHE_HANDLES:
+        h.unpersist()
+    _SIG_CACHE_HANDLES.clear()
+    return n
+
 # Hash-contract version for persisted signature tables. v2 = md5-low-8-bytes
 # _stable_hash64 (v1, early round-1 builds, was blake2b-low-8 — signatures
 # from the two are incompatible). with_minhash/with_simhash stamp this into
@@ -235,15 +264,9 @@ def minhash_lsh_pairs(
     # of the signature TABLE a 10^12-row pipeline would write once and
     # reuse (spill-safe MEMORY_AND_DISK; ~0.5 KB/row). Eagerly counted so
     # the join's two sides don't race the cache within one job and each
-    # run the UDF anyway. Spark's cache manager dedups by canonicalized
-    # plan, so repeated calls over the SAME input reuse one cache entry
-    # rather than accumulating; distinct inputs age out by LRU.
-    from pyspark.storagelevel import StorageLevel
-
-    sig = sig.select(F.col(id_col).alias("_id"), "minhash").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sig.count()
+    # run the UDF anyway. Handle tracked in _SIG_CACHE_HANDLES —
+    # release_signature_caches() drops it deterministically.
+    sig = _persist_signatures(sig.select(F.col(id_col).alias("_id"), "minhash"))
 
     # the x-bands explode and its self-join carry ONLY (_id, band,
     # band_hash) — 3 scalar columns. Shipping the shingle arrays through
@@ -409,14 +432,10 @@ def simhash_pairs(
     """Near-dup text pairs by SimHash (see hamming_near_dup_pairs for the
     exact pigeonhole blocking). The simhash frame is materialized once —
     the blocked self-join consumes it on both sides, and without the
-    persist each side would re-run the hashing UDF."""
-    from pyspark.storagelevel import StorageLevel
-
+    persist each side would re-run the hashing UDF. The cache handle is
+    tracked; release_signature_caches() drops it deterministically."""
     df = _with_min_parallelism(df)
-    sh = with_simhash(df, text_col).select(id_col, "simhash").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sh.count()
+    sh = _persist_signatures(with_simhash(df, text_col).select(id_col, "simhash"))
     return hamming_near_dup_pairs(
         sh, hash_col="simhash", id_col=id_col, max_hamming=max_hamming
     )

@@ -113,6 +113,7 @@ def knn_join(
     # the image side is re-joined every round: cache it once (columns
     # here are already pruned by the caller's projection)
     images_df = images_df.persist()
+    round_frames: list[DataFrame] = []
     while True:
         w = Window.partitionBy("query_id").orderBy("dist", "image_id")
         ranked = (
@@ -121,6 +122,7 @@ def knn_join(
             .filter(F.col("rank") <= k)
             .persist()
         )
+        round_frames.append(ranked)
         # final iff the k-th candidate lies within the safe radius: any
         # unexplored cell (ring > radius) is farther than (radius+0.5)*ts
         safe = (radius + 0.5) * ts
@@ -148,4 +150,15 @@ def knn_join(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
-    return out.drop("qx", "qy", "qmx", "qmy")
+    out = out.drop("qx", "qy", "qmx", "qmy")
+    # only the final union stays cached: materialize it once, then drop
+    # every per-round handle (and the image cache) so a long-lived session
+    # calling knn_join repeatedly holds exactly ONE persisted frame per
+    # call — the result, which the caller may .unpersist() when done —
+    # instead of ~log2(max_radius) round frames that outlive the call.
+    out = out.persist()
+    out.count()
+    for r in round_frames:
+        r.unpersist()
+    images_df.unpersist()
+    return out

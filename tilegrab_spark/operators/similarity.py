@@ -63,6 +63,24 @@ def cosine_topk(
 # IVF (inverted-file) ANN
 # ---------------------------------------------------------------------------
 
+def _probe_lists_udf(centroids: np.ndarray, n_probe: int):
+    """Arrow kernel: vector -> its n_probe nearest centroid (list) ids.
+    Shared by the per-query probe in ann_topk_ivf and the distributed
+    probe-set derivation in search_ivf_index."""
+    from pyspark.sql import SparkSession
+
+    bc = SparkSession.getActiveSession().sparkContext.broadcast(centroids)
+
+    @F.pandas_udf("array<int>")
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        C = bc.value
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(X @ C.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return probe_lists
+
 def train_centroids(
     corpus: DataFrame,
     *,
@@ -74,8 +92,19 @@ def train_centroids(
 ) -> np.ndarray:
     """Deterministic mini k-means on a driver-side sample (centroid count
     is tiny; training on a bounded sample is the standard IVF recipe —
-    the full corpus is only ever *assigned*, never iterated)."""
-    pdf = corpus.select(vec_col).limit(sample).toPandas()
+    the full corpus is only ever *assigned*, never iterated).
+
+    The sample is an ordered hash-top-k (``TakeOrderedAndProject``: each
+    partition keeps its best ``sample`` rows by xxhash64 of the vector,
+    the driver merges) — deterministic across partition layouts, unlike a
+    bare ``limit`` whose row choice depends on partition order."""
+    pdf = (
+        corpus.select(F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_v").cast("array<float>")))
+        .limit(sample)
+        .toPandas()
+        .rename(columns={"_v": vec_col})
+    )
     X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -151,14 +180,22 @@ def search_ivf_index(
 ) -> DataFrame:
     """Search the on-disk index: the union of all probed lists for this
     query batch becomes a partition filter (`list_id IN (...)`) — the
-    scan touches only those directories. Queries are broadcast-small by
-    assumption (same as ann_topk_ivf)."""
+    scan touches only those directories.
+
+    The probe set is derived DISTRIBUTIVELY: the same ``probe_lists``
+    kernel that ann_topk_ivf applies per query runs as a distributed
+    aggregate here, and only the distinct list ids (≤ n_centroids ints)
+    come back to the driver — never the query embeddings themselves, so
+    a large query batch doesn't round-trip its vectors."""
     cents = load_ivf_centroids(spark, path)
-    qpdf = queries.select(q_id, q_vec).toPandas()
-    X = np.array([np.asarray(v, dtype=np.float64) for v in qpdf[q_vec]])
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    order = np.argsort(-(X @ cents.T), axis=1)[:, :n_probe]
-    probed = sorted({int(v) for row in order for v in row})
+    probed_rows = (
+        queries.select(
+            F.explode(_probe_lists_udf(cents, n_probe)(F.col(q_vec))).alias("list_id")
+        )
+        .agg(F.collect_set("list_id").alias("_lists"))
+        .collect()
+    )
+    probed = sorted(int(v) for v in (probed_rows[0]["_lists"] if probed_rows else []))
     lists = spark.read.parquet(f"{path}/lists").filter(
         F.col("list_id").isin(probed)  # -> parquet PartitionFilters
     )
@@ -183,15 +220,7 @@ def ann_topk_ivf(
     """Approximate top-k: each query scans only its n_probe nearest
     inverted lists. corpus_with_lists = assign_lists(corpus, centroids)
     (persist/write it once, reuse across query batches)."""
-    bc = queries.sparkSession.sparkContext.broadcast(centroids)
-
-    @F.pandas_udf("array<int>")
-    def probe_lists(vecs: pd.Series) -> pd.Series:
-        C = bc.value
-        X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(X @ C.T), axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(order))
+    probe_lists = _probe_lists_udf(centroids, n_probe)
 
     q = _normalized(queries, q_id, q_vec, "query_id").withColumn(
         "list_id",

@@ -164,10 +164,19 @@ def with_repetition_signals(
 # ---------------------------------------------------------------------------
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-# international-ish phone shapes: +1-555-123-4567, (555) 123 4567, 5551234567
+# international-ish phone shapes: +1-555-123-4567, (555) 123 4567, 5551234567.
+# The optional prefix group must START with '+', '(' or a digit — bare
+# separators (spaces, dashes) can't lead the match, so surrounding
+# whitespace is never swallowed into the <PHONE> rewrite.
 PHONE_RE = (
-    r"\+?\(?[0-9]{0,3}[-. ()]{0,3}[0-9]{3}[-. ()]{0,2}[0-9]{3}[-. ]?[0-9]{4}"
+    r"(?:\+?\(?[0-9]{1,3}[-. ()]{0,3}|\()?[0-9]{3}[-. ()]{0,2}[0-9]{3}[-. ]?[0-9]{4}"
 )
+# digit-boundary wrapper: RE2 has no lookaround, so the phone core is
+# bracketed by `(^|[^0-9]) ... ([^0-9]|$)` capture groups restored in the
+# replacement. A digit run LONGER than a phone (timestamps like
+# 20260817123456, order ids, hashes) can never match: every 10-13 digit
+# window inside it has a digit on at least one side.
+PHONE_BOUNDED_RE = r"(^|[^0-9])(" + PHONE_RE + r")([^0-9]|$)"
 _CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
 
 
@@ -189,8 +198,8 @@ def with_pii_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     n_email = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
     scrubbed1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
-    n_phone = F.size(F.regexp_extract_all(scrubbed1, F.lit(PHONE_RE), 0))
-    scrubbed2 = F.regexp_replace(scrubbed1, PHONE_RE, "<PHONE>")
+    n_phone = F.size(F.regexp_extract_all(scrubbed1, F.lit(PHONE_BOUNDED_RE), 0))
+    scrubbed2 = F.regexp_replace(scrubbed1, PHONE_BOUNDED_RE, r"$1<PHONE>$3")
     return (
         df.withColumn("n_emails", n_email)
         .withColumn("n_phones", n_phone)
