@@ -130,3 +130,30 @@ def test_export_mosaics_webp_lossless(spark, t_geom, image_table, tmp_path):
     assert [p.name for p in paths] == ["1_mosaic.webp"]
     want = png.decode_png(bytes(m.collect()[0].bytes))
     assert np.array_equal(webp.decode_webp(paths[0].read_bytes()), want)
+
+
+def test_export_mosaics_webp_lossy(spark, t_geom, image_table, tmp_path):
+    """fmt='webp_lossy' exports a VP8 intra canvas.  VP8 is inherently
+    4:2:0, and the synthetic XOR tiles carry near-Nyquist chroma, so the
+    subsampling ceiling alone caps absolute PSNR around 25 dB on this
+    content (measured conversion-only, no codec).  The codec gate is
+    therefore relative: coding loss beyond the unavoidable 4:2:0
+    round-trip must clear the usual 40 dB (smooth-content absolute PSNR
+    is gated at 40 dB in tests/test_vp8.py)."""
+    from tilegrab_spark.kernels import jpeg, webp
+    from tilegrab_spark.kernels.vp8 import _rgb_to_yuv420, _yuv420_to_rgb
+
+    tiles = tiles_for(spark, t_geom, 16, by="shape")
+    images = read_image_table(spark, image_table).filter(
+        ~F.col("image_id").rlike("_1[0-9][0-9]$")
+    )
+    m = mosaic(join_images(tiles, images.drop("cell_id")))
+    paths = export_mosaics(m, tmp_path / "wpl", fmt="webp_lossy")
+    assert [p.name for p in paths] == ["1_mosaic.webp"]
+    got = webp.decode_webp(paths[0].read_bytes())
+    want = png.decode_png(bytes(m.collect()[0].bytes))
+    assert got.shape == want.shape
+    h, w = want.shape[:2]
+    ceiling = _yuv420_to_rgb(*_rgb_to_yuv420(want), h, w)
+    assert jpeg.psnr(got, ceiling) >= 40.0
+    assert jpeg.psnr(got, want) >= jpeg.psnr(ceiling, want) - 1.0

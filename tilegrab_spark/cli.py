@@ -49,6 +49,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     og.add_argument("--tiff", action="store_true", help="mosaic with EPSG:3857 geo-reference columns")
     og.add_argument("--webp", action="store_true",
                     help="lossless WebP mosaic (engine extension; VP8L codec)")
+    og.add_argument("--webp-lossy", action="store_true",
+                    help="lossy WebP mosaic (engine extension; VP8 intra codec)")
 
     p.add_argument("--zoom", type=int, required=True)
     p.add_argument("--tiles-out", type=Path, default=Path.cwd() / "saved_tiles")
@@ -122,7 +124,7 @@ def main(argv=None) -> int:
     if not args.tiff:
         mosaics = mosaics.drop("merc_xmin", "merc_ymin", "merc_xmax", "merc_ymax")
     eng.write(mosaics, str(args.out / "mosaics"), stage="mosaic")
-    if args.tiff or args.jpg or args.webp:
+    if args.tiff or args.jpg or args.webp or args.webp_lossy:
         # real image files next to the table (exporter.py:37-74):
         # georeferenced .tif or lossy .jpg per the format flag (.webp is
         # an engine extension). Export reads the parquet just written —
@@ -135,6 +137,8 @@ def main(argv=None) -> int:
             export_mosaics(written, args.out / "tiff", fmt="tiff")
         elif args.webp:
             export_mosaics(written, args.out / "webp", fmt="webp")
+        elif args.webp_lossy:
+            export_mosaics(written, args.out / "webp", fmt="webp_lossy")
         else:
             export_mosaics(written, args.out / "jpg", fmt="jpg")
     if not args.quiet:

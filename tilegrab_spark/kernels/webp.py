@@ -652,9 +652,10 @@ def _apply_color_transform_inverse_scalar(
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """Decode a lossless (VP8L) WebP to (H, W, 3) uint8 RGB (alpha
-    dropped — forced-RGB canvas like the other decoders). Lossy VP8 and
-    malformed streams raise ValueError."""
+    """Decode a WebP — lossless (VP8L, this module) or lossy (VP8 key
+    frame, kernels/vp8.py) — to (H, W, 3) uint8 RGB (alpha dropped:
+    forced-RGB canvas like the other decoders). Malformed streams raise
+    ValueError."""
     try:
         return _decode_webp(data)
     except (struct.error, IndexError, KeyError) as e:
@@ -666,7 +667,10 @@ def _decode_webp(data: bytes) -> np.ndarray:
         raise ValueError("not a WebP (RIFF/WEBP header missing)")
     fourcc = data[12:16]
     if fourcc == b"VP8 ":
-        raise ValueError("lossy WebP (VP8) unsupported — lossless VP8L only")
+        from tilegrab_spark.kernels import vp8
+
+        (size,) = struct.unpack_from("<I", data, 16)
+        return vp8.decode_vp8(data[20 : 20 + size])
     if fourcc == b"VP8X":
         # extended container: scan chunks for VP8L
         pos = 12
@@ -678,7 +682,9 @@ def _decode_webp(data: bytes) -> np.ndarray:
                 payload = data[pos + 8 : pos + 8 + size]
                 break
             if tag == b"VP8 ":
-                raise ValueError("lossy WebP (VP8) unsupported — lossless VP8L only")
+                from tilegrab_spark.kernels import vp8
+
+                return vp8.decode_vp8(data[pos + 8 : pos + 8 + size])
             pos += 8 + size + (size & 1)
         if payload is None:
             raise ValueError("no VP8L chunk in extended WebP")

@@ -28,11 +28,11 @@ THUMB_SCHEMA = "image_id string, tw int, th int, thumb binary"
 
 
 def decode_payload(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
-    """Decode a binary payload to (H,W,3) uint8. PNG, baseline JPEG,
-    lossless WebP (kernels/webp.py, VP8L) and raw are all real, pure
-    numpy. Lossy WebP (VP8 — a full video-intra codec) is the one
-    remaining image gap; those payloads raise ValueError and surface in
-    decode_summary counts."""
+    """Decode a binary payload to (H,W,3) uint8. PNG, baseline +
+    progressive JPEG, lossless WebP (kernels/webp.py, VP8L), lossy WebP
+    (kernels/vp8.py, VP8 key frames) and raw are all real, pure numpy.
+    Corrupt payloads raise ValueError and surface in decode_summary
+    counts."""
     if fmt == "png":
         return png.decode_png(data)
     if fmt in ("jpg", "jpeg"):

@@ -31,7 +31,7 @@ def export_mosaics(
     once."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    if fmt not in ("png", "jpg", "tiff", "webp"):
+    if fmt not in ("png", "jpg", "tiff", "webp", "webp_lossy"):
         raise ValueError(f"unsupported export fmt {fmt!r}")
     written = []
     rows = mosaics.orderBy("geom_id", "z", "gx", "gy").toLocalIterator()
@@ -52,6 +52,13 @@ def export_mosaics(
 
             p = out / f"{i}_mosaic.webp"
             p.write_bytes(webp.encode_webp(png.decode_png(bytes(r.bytes))))
+        elif fmt == "webp_lossy":
+            # lossy export via the VP8 intra encoder (qindex 8 clears
+            # the 40dB PSNR gate on bench content, like jpg q90)
+            from tilegrab_spark.kernels import png, vp8
+
+            p = out / f"{i}_mosaic.webp"
+            p.write_bytes(vp8.encode_webp_vp8(png.decode_png(bytes(r.bytes)), qindex=8))
         elif fmt == "jpg":
             # lossy export (exporter.py:37-45 jpg branch): transcode the
             # canvas through the baseline JPEG encoder at quality 90
