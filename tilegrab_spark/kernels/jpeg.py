@@ -493,12 +493,16 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 qt[tid] = tab.reshape(8, 8)
         elif marker == 0xC0:
             _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if w * h > 1 << 28:
+                raise ValueError("JPEG canvas exceeds the 2^28-pixel decode cap")
             for i in range(nc):
                 cid, samp, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
                 comps.append((cid, tq, samp >> 4, samp & 0x0F))
         elif marker == 0xC2:  # progressive DCT
             progressive = True
             _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if w * h > 1 << 28:
+                raise ValueError("JPEG canvas exceeds the 2^28-pixel decode cap")
             for i in range(nc):
                 cid, samp, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
                 comps.append((cid, tq, samp >> 4, samp & 0x0F))

@@ -195,6 +195,8 @@ def _decode_png(data: bytes) -> np.ndarray:
                     or (color == 4 and bitdepth in (8, 16))
                 )
             )
+            if w * h > 1 << 28:
+                raise ValueError("PNG canvas exceeds the 2^28-pixel decode cap")
             if not ok:
                 raise ValueError(
                     f"unsupported PNG: depth={bitdepth} color={color} interlace={interlace}"

@@ -723,6 +723,11 @@ def _decode_vp8(payload: bytes) -> np.ndarray:
     w, h = wraw & 0x3FFF, hraw & 0x3FFF
     if w == 0 or h == 0:
         raise ValueError("zero VP8 dimensions")
+    if w * h > 1 << 26:
+        # anti-allocation-bomb cap: the int64 working planes cost ~10x
+        # the pixel count; 2^26 px (8K x 8K) is far above every
+        # in-engine artifact (256x256 tiles, <=4K mosaic round-trips)
+        raise ValueError("VP8 canvas exceeds the 2^26-pixel decode cap")
     if 10 + first_part_size > len(payload):
         raise ValueError("VP8 first partition overruns frame")
     bd = _BoolDecoder(payload[10:10 + first_part_size])
