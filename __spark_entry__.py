@@ -743,6 +743,44 @@ WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
 """
 
 
+def _incremental_lsh(spark, sf):
+    """Incremental near-dup pairs (streaming/incremental_dedup.py): the
+    corpus arrives as two batches (doc_id parity split); batch 0 seeds
+    the persisted signature table, batch 1 computes signatures ONLY for
+    its own docs and LSH-joins new-vs-all. Returned frame = the pairs
+    INTRODUCED by batch 1 (>=1 odd doc id) — the oracle re-derives the
+    full LSH pair set in SQL and filters to pairs touching batch 1,
+    which is exactly the incremental contract (old x old pairs belong
+    to batch 0 and are not re-emitted)."""
+    import shutil
+    import tempfile
+
+    from tilegrab_spark.operators.dedup import release_signature_caches
+    from tilegrab_spark.streaming.incremental_dedup import incremental_lsh_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    b0 = d.filter(F.col("doc_id") % 2 == 0)
+    b1 = d.filter(F.col("doc_id") % 2 == 1)
+    tmp = tempfile.mkdtemp(prefix="tg_incr_sig_")
+    sig_path = f"{tmp}/sigs"
+    try:
+        incremental_lsh_pairs(b0, sig_path, b0, batch_id=0, threshold=0.5).count()
+        pairs = incremental_lsh_pairs(b1, sig_path, d, batch_id=1, threshold=0.5)
+        # materialized by commit=True; safe to drop the table under it
+        out = pairs.localCheckpoint(eager=True)
+    finally:
+        release_signature_caches()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _incremental_lsh_sql() -> str:
+    return (
+        "SELECT * FROM (" + _minhash_lsh_sql() + ") "
+        "WHERE id_a % 2 = 1 OR id_b % 2 = 1"
+    )
+
+
 def _simhash(spark, sf):
     from tilegrab_spark.operators.dedup import simhash_pairs
 
@@ -1342,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": _embedding_pairs,
         "clean_corpus_pipeline": _clean_corpus,
         "minhash_lsh_pairs": _minhash_pairs,
+        "incremental_lsh_pairs": _incremental_lsh,
         "simhash_pairs": _simhash,
         "ivf_ann_topk": _ivf_ann,
         "lang_id": _lang_id,
@@ -1392,6 +1431,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_pairs": _EMB_PAIRS_SQL,
         "clean_corpus_pipeline": _CLEAN_SQL,
         "minhash_lsh_pairs": _minhash_lsh_sql(),
+        "incremental_lsh_pairs": _incremental_lsh_sql(),
         "ivf_ann_topk": _IVF_FULLPROBE_SQL,
         "mosaic_pipeline": _mosaic_pixels_sql(),
         "repetition_signals": _REPETITION_SQL,

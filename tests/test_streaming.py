@@ -136,3 +136,148 @@ def test_text_operators_compose_with_streams(spark, tmp_path):
     assert rows[0].n_emails == 1 and "<EMAIL>" in rows[0].scrubbed
     assert rows[0].clean_text == "mail me at alice@example.com please"
     assert rows[1].ws_tokens == 10 and rows[1].quality == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Incremental / streaming near-dup detection (streaming/incremental_dedup.py)
+# ---------------------------------------------------------------------------
+
+_WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+          "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+
+
+def _doc(i, mutate=None):
+    """20-word deterministic doc; mutate=n swaps word n for a variant."""
+    ws = list(_WORDS)
+    ws = ws[i % 5:] + ws[:i % 5]  # rotate so unrelated docs differ a lot
+    if mutate is not None:
+        ws[mutate] = f"zz{mutate}"
+    return " ".join(ws)
+
+
+def _dedup_batches():
+    """Three batches with planted near-dups within AND across batches."""
+    b1 = [(1, _doc(0)), (2, _doc(1)), (3, _doc(0, mutate=2))]        # 1~3
+    b2 = [(4, _doc(0, mutate=5)), (5, _doc(2)), (6, _doc(1, mutate=1))]  # 4~1,4~3, 6~2
+    b3 = [(7, _doc(2, mutate=9)), (8, _doc(3)), (9, _doc(0, mutate=7))]  # 7~5, 9~1...
+    return b1, b2, b3
+
+
+def test_incremental_lsh_matches_batch_recompute(spark, tmp_path):
+    """VERDICT r2 #5 'done' criterion: batch N+1 emits exactly the new
+    cross-batch pairs — oracle is a one-shot recompute over the union."""
+    from tilegrab_spark.operators.dedup import minhash_lsh_pairs, release_signature_caches
+    from tilegrab_spark.streaming.incremental_dedup import incremental_lsh_pairs
+
+    sig_path = str(tmp_path / "sigs")
+    batches = _dedup_batches()
+    schema = "doc_id long, text string"
+    seen = []
+    got = set()
+    for bi, batch in enumerate(batches):
+        seen.extend(batch)
+        new_df = spark.createDataFrame(batch, schema)
+        corpus = spark.createDataFrame(seen, schema)
+        pairs = incremental_lsh_pairs(
+            new_df, sig_path, corpus, batch_id=bi, threshold=0.5
+        )
+        rows = {(r.id_a, r.id_b) for r in pairs.collect()}
+        # every emitted pair involves at least one doc of THIS batch
+        batch_ids = {i for i, _ in batch}
+        assert all(a in batch_ids or b in batch_ids for a, b in rows)
+        # no pair is ever emitted twice across batches
+        assert not (rows & got)
+        got |= rows
+
+    full = minhash_lsh_pairs(
+        spark.createDataFrame(seen, schema), threshold=0.5
+    )
+    want = {(r.id_a, r.id_b) for r in full.collect()}
+    assert got == want
+    assert len(want) >= 4  # the planted dups actually matched
+    release_signature_caches()
+
+
+def test_incremental_signature_table_grows_append_only(spark, tmp_path):
+    from tilegrab_spark.operators.dedup import release_signature_caches
+    from tilegrab_spark.streaming.incremental_dedup import incremental_lsh_pairs
+
+    sig_path = str(tmp_path / "sigs")
+    schema = "doc_id long, text string"
+    b1, b2, _ = _dedup_batches()
+    d1 = spark.createDataFrame(b1, schema)
+    incremental_lsh_pairs(d1, sig_path, d1, batch_id=0).count()
+    assert spark.read.parquet(sig_path).count() == len(b1)
+    d2 = spark.createDataFrame(b2, schema)
+    incremental_lsh_pairs(
+        d2, sig_path, d1.unionByName(d2), batch_id=1
+    ).count()
+    t = spark.read.parquet(sig_path)
+    assert t.count() == len(b1) + len(b2)
+    assert {r.batch_id for r in t.select("batch_id").distinct().collect()} == {0, 1}
+    release_signature_caches()
+
+
+def test_incremental_sig_version_contract(spark, tmp_path):
+    """A signature table from an incompatible build fails loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+    from tilegrab_spark.operators.dedup import release_signature_caches
+    from tilegrab_spark.streaming.incremental_dedup import incremental_lsh_pairs
+
+    sig_path = str(tmp_path / "sigs")
+    schema = "doc_id long, text string"
+    b1, b2, _ = _dedup_batches()
+    d1 = spark.createDataFrame(b1, schema)
+    incremental_lsh_pairs(d1, sig_path, d1, batch_id=0).count()
+    release_signature_caches()
+    # rewrite the table stamped as an older signature scheme
+    t = spark.read.parquet(sig_path)
+    t = t.withColumn("minhash", F.col("minhash").alias(
+        "minhash", metadata={"sig_version": 1, "sig_hash": "blake2b-low-8"}))
+    t.write.mode("overwrite").parquet(str(tmp_path / "sigs_v1"))
+    d2 = spark.createDataFrame(b2, schema)
+    with pytest.raises(ValueError, match="sig_version"):
+        incremental_lsh_pairs(
+            d2, str(tmp_path / "sigs_v1"), d1.unionByName(d2), batch_id=1
+        )
+    release_signature_caches()
+
+
+def test_stream_document_dedup_end_to_end(spark, tmp_path):
+    """Structured-Streaming composition: two parquet drops processed as
+    separate micro-batches (maxFilesPerTrigger=1 semantics via separate
+    catch-up runs); accumulated pairs equal the batch recompute."""
+    from tilegrab_spark.operators.dedup import minhash_lsh_pairs, release_signature_caches
+    from tilegrab_spark.streaming.incremental_dedup import stream_document_dedup
+
+    landing = str(tmp_path / "landing")
+    sig_path = str(tmp_path / "sigs")
+    pairs_path = str(tmp_path / "pairs")
+    corpus_path = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    b1, b2, _ = _dedup_batches()
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(landing)
+    q = stream_document_dedup(
+        spark, landing, sig_path, pairs_path, ckpt,
+        corpus_path=corpus_path, schema=schema, threshold=0.5,
+    )
+    q.awaitTermination(180)
+
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(landing)
+    q2 = stream_document_dedup(
+        spark, landing, sig_path, pairs_path, ckpt,
+        corpus_path=corpus_path, schema=schema, threshold=0.5,
+    )
+    q2.awaitTermination(180)
+
+    got = {(r.id_a, r.id_b) for r in spark.read.parquet(pairs_path).collect()}
+    full = minhash_lsh_pairs(
+        spark.createDataFrame(b1 + b2, schema), threshold=0.5
+    )
+    want = {(r.id_a, r.id_b) for r in full.collect()}
+    assert got == want and len(want) >= 2
+    assert spark.read.parquet(sig_path).count() == len(b1) + len(b2)
+    release_signature_caches()

@@ -237,6 +237,27 @@ def with_minhash(
     )
 
 
+def band_hashes(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a (_id, minhash) frame to (_id, band, band_hash) — the
+    3-scalar LSH banding shape (see the shuffle-size note in
+    minhash_lsh_pairs; also reused by streaming/incremental_dedup.py)."""
+    return (
+        sig.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+        .withColumn(
+            "band_hash",
+            F.xxhash64(
+                F.col("band"),
+                F.slice(
+                    F.col("minhash"), F.col("band") * rows_per_band + 1, rows_per_band
+                )
+                .cast("array<string>")
+                .cast("string"),
+            ),
+        )
+        .select("_id", "band", "band_hash")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -274,17 +295,7 @@ def minhash_lsh_pairs(
     # the (much smaller) candidate-pair set joins the shingle sets back
     # afterwards for the exact-Jaccard verify — same shape as the max_df
     # branch of ngram_jaccard_pairs.
-    banded = sig.withColumn(
-        "band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
-    ).withColumn(
-        "band_hash",
-        F.xxhash64(
-            F.col("band"),
-            F.slice(F.col("minhash"), F.col("band") * rows_per_band + 1, rows_per_band)
-            .cast("array<string>")
-            .cast("string"),
-        ),
-    ).select("_id", "band", "band_hash")
+    banded = band_hashes(sig, bands, rows_per_band)
 
     left = banded.alias("l")
     right = banded.alias("r")

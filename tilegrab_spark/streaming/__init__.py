@@ -1,9 +1,15 @@
+from tilegrab_spark.streaming.incremental_dedup import (
+    incremental_lsh_pairs,
+    stream_document_dedup,
+)
 from tilegrab_spark.streaming.ingest import stream_image_ingest
 from tilegrab_spark.streaming.mosaic_stream import compact_mosaics, stream_mosaic
 from tilegrab_spark.streaming.stateful import stream_cell_stats
 from tilegrab_spark.streaming.windowed import stream_windowed_counts
 
 __all__ = [
+    "incremental_lsh_pairs",
+    "stream_document_dedup",
     "stream_image_ingest",
     "stream_mosaic",
     "compact_mosaics",
