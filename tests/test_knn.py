@@ -216,3 +216,62 @@ def test_knn_join_caches_only_result(spark):
     assert after == before + 1, (before, after)
     out.unpersist()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+def test_knn_hot_cell_salted_two_stage_same_result(spark):
+    """Adversarial density (VERDICT r2 #6): one cell holds 6*10^4 rows,
+    so the per-query ranking window would sort them in one partition.
+    salt_buckets splits the sort into an exact two-stage top-k; the
+    result must be IDENTICAL to the unsalted plan and to brute force
+    (within a cell every row has the same center distance, so the
+    orderBy's image_id tie-break decides — both plans share it)."""
+    zoom = 10
+    hot_n = 60_000
+    hot = [(zoom, 520, 310, f"hot_{i:06d}") for i in range(hot_n)]
+    ring = [(zoom, 519 + dx, 309 + dy, f"ring_{dx}_{dy}")
+            for dx in (0, 1, 2) for dy in (0, 1, 2) if (dx, dy) != (1, 1)]
+    images = spark.createDataFrame(hot + ring, "z int, x long, y long, image_id string")
+    from tilegrab_spark.kernels.geo import tile_bounds
+
+    mnl, mnt, mxl, mxt = tile_bounds(520, 310, zoom)
+    queries = spark.createDataFrame(
+        [("q0", float((mnl + mxl) / 2), float((mnt + mxt) / 2))],
+        "query_id string, lon double, lat double",
+    )
+    k = 7
+    plain = knn_join(queries, images, zoom, k)
+    salted = knn_join(queries, images, zoom, k, salt_buckets=16)
+    want = sorted((r.rank, r.image_id, round(r.dist, 6)) for r in plain.collect())
+    got = sorted((r.rank, r.image_id, round(r.dist, 6)) for r in salted.collect())
+    assert got == want
+    # the hot cell is the query's own cell (dist ~0): top-k must be the
+    # k smallest hot ids by the deterministic tie-break
+    assert [i for _, i, _ in got] == [f"hot_{i:06d}" for i in range(k)]
+    plain.unpersist()
+    salted.unpersist()
+
+
+def test_knn_mixed_batch_best_effort_and_complete(spark):
+    """One query finalizes normally while another exhausts max_radius
+    with fewer than k rows: the loop terminates, the dense query gets
+    exactly k, the sparse one gets the best effort with contiguous
+    ranks."""
+    zoom = 8
+    dense = [(zoom, 100 + dx, 100 + dy, f"d_{dx}_{dy}")
+             for dx in range(3) for dy in range(3)]
+    sparse = [(zoom, 200, 200, "lonely")]
+    images = spark.createDataFrame(dense + sparse, "z int, x long, y long, image_id string")
+    from tilegrab_spark.kernels.geo import tile_bounds
+
+    rows = []
+    for qid, (cx, cy) in (("q_dense", (101, 101)), ("q_sparse", (200, 200))):
+        mnl, mnt, mxl, mxt = tile_bounds(cx, cy, zoom)
+        rows.append((qid, float((mnl + mxl) / 2), float((mnt + mxt) / 2)))
+    queries = spark.createDataFrame(rows, "query_id string, lon double, lat double")
+    got = knn_join(queries, images, zoom, k=4, max_radius=4)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert sorted(by_q["q_dense"]) == [1, 2, 3, 4]
+    assert sorted(by_q["q_sparse"]) == [1]  # only its own cell in reach
+    got.unpersist()

@@ -65,6 +65,7 @@ def knn_join(
     init_radius: int | None = None,
     max_radius: int = 1024,
     rows_per_cell: float | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """For each query point, the k nearest image rows at ``zoom``.
 
@@ -81,6 +82,17 @@ def knn_join(
     ~2k and most queries finalize in ONE distributed round instead of
     doubling through several. Exactness is unaffected (the safe-radius
     test still gates finality); a bad hint only changes round count.
+
+    ``salt_buckets``: hot-cell guard. The ranking window partitions by
+    query_id, so a query whose disk covers a cell with 10^5+ rows sorts
+    them all in ONE window partition. With salt_buckets=S the ranking
+    runs in two exact stages: row_number within (query_id, salt) keeps
+    at most k rows per salt bucket (the global top-k is a subset of the
+    per-bucket top-ks for any partition of the candidates), then the
+    global window ranks <= S*k rows per query. Largest sorted partition
+    drops from N_hot to ~N_hot/S. Result is identical (asserted in
+    tests/test_knn.py); leave None for benign densities — the extra
+    window stage only pays for itself under skew.
     """
     spark = queries_df.sparkSession
     qx, qy = cell_encode_cols(F.col("lon"), F.col("lat"), zoom)
@@ -115,10 +127,20 @@ def knn_join(
     images_df = images_df.persist()
     round_frames: list[DataFrame] = []
     while True:
+        cand = _candidates(remaining, images_df, zoom, radius)
+        if salt_buckets and salt_buckets > 1:
+            sw = Window.partitionBy("query_id", "_salt").orderBy("dist", "image_id")
+            cand = (
+                cand.withColumn(
+                    "_salt", F.pmod(F.xxhash64("image_id"), F.lit(salt_buckets))
+                )
+                .withColumn("_prank", F.row_number().over(sw))
+                .filter(F.col("_prank") <= k)
+                .drop("_salt", "_prank")
+            )
         w = Window.partitionBy("query_id").orderBy("dist", "image_id")
         ranked = (
-            _candidates(remaining, images_df, zoom, radius)
-            .withColumn("rank", F.row_number().over(w))
+            cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .persist()
         )
