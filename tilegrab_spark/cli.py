@@ -56,6 +56,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--tiles-out", type=Path, default=Path.cwd() / "saved_tiles")
     p.add_argument("--out", type=Path, default=Path.cwd() / "output")
     p.add_argument("--download-only", action="store_true", help="only select+join tiles; no mosaic")
+    p.add_argument("--tile-files", action="store_true",
+                   help="also write per-tile {z}_{x}_{y}.<fmt> image files next to "
+                        "the fetch table (reference saved_tiles/ artifact parity)")
     p.add_argument("--mosaic-only", action="store_true", help="only mosaic previously saved tiles")
     p.add_argument("--resume", action="store_true", help="skip cells already committed in the metrics table")
     p.add_argument("--group-tiles", type=str, default=None, help="mosaic into WxH tile groups")
@@ -113,6 +116,13 @@ def main(argv=None) -> int:
             joined.filter(F.col("bytes").isNotNull()),
             str(args.tiles_out),
             stage="fetch",
+        )
+    if args.tile_files and not args.mosaic_only:
+        from tilegrab_spark.sources.export import export_tiles
+
+        export_tiles(
+            joined.filter(F.col("bytes").isNotNull()),
+            args.tiles_out / "files",
         )
     if args.download_only:
         return 0
