@@ -98,10 +98,17 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # BENCH_STAGES: "all" (default) runs everything; "headline" stops
+    # after the geometry scaling stages (bench_scaling.py); "llm" runs
+    # ONLY the two iterative LLM stages (LLM scaling runs skip the
+    # image-table generation entirely)
+    stages = os.environ.get("BENCH_STAGES", "all")
+
     img_path = f"/tmp/tilegrab_bench/images_e{edge}_z{zoom}" + (
         f"_s{nsrcs}" if nsrcs != 2 else ""
     )
-    ensure_images(spark, img_path, edge, zoom, nsrcs)
+    if stages != "llm":
+        ensure_images(spark, img_path, edge, zoom, nsrcs)
 
     # warmup: spin up JVM codegen + Python workers so the first timed
     # stage doesn't pay session fixed costs
@@ -153,7 +160,12 @@ def main():
         log(f"{name}: {best:.2f}s ({c} rows)")
         return c
 
-    images = read_image_table(spark, img_path)
+    images = read_image_table(spark, img_path) if stages != "llm" else None
+    if stages == "llm":
+        n_docs = _llm_stages(spark, sf_dir, timed, stages)
+        _emit(timings, counts, None, sf, cpus, n_docs=n_docs)
+        spark.stop()
+        return
 
     # 1. tile selection: enumerate full grid + PIP refine (J2) — cold
     # (the result is persisted for downstream stages; a re-run would
@@ -195,10 +207,6 @@ def main():
 
     timed("knn_cell_ring", q_knn)
 
-    # BENCH_STAGES=headline (bench_scaling.py) stops after the scaling
-    # stages; the relational + LLM suites only add wall time there
-    stages = os.environ.get("BENCH_STAGES", "all")
-
     # 5. relational + training-data suite on the driver's sf tables
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
@@ -220,13 +228,38 @@ def main():
     # 6. LLM-pipeline stages at FULL document-table scale (the round-2
     # vectorized kernels; aggregates force the UDF columns so Catalyst
     # can't prune the work a bare count() would skip)
+    n_docs = _llm_stages(spark, sf_dir, timed, stages) if stages == "all" else None
+
+    _emit(timings, counts, merged, sf, cpus, n_docs=n_docs)
+    spark.stop()
+
+
+def _llm_stages(spark, sf_dir, timed, stages):
+    """LLM-pipeline stages at FULL document-table scale (the round-2
+    vectorized kernels; aggregates force the UDF columns so Catalyst
+    can't prune the work a bare count() would skip). BENCH_STAGES=llm
+    runs only the two iterative stages whose 2->8 scaling BASELINE.md
+    §5a records (minhash LSH, connected components)."""
+    from pyspark.sql import functions as F
+
     from tilegrab_spark.operators.components import connected_components
     from tilegrab_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
     from tilegrab_spark.operators.text import with_fingerprint
 
-    if stages == "all":
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mult = int(os.environ.get("BENCH_DOCS_MULT", "1"))
+    if mult > 1:
+        # replicate the corpus with disjoint id ranges: identical texts
+        # across replicas are REAL duplicate clusters for the LSH stage
+        # (the realistic shape — web crawls are ~30-50% near-dup) and
+        # scale the per-core work so fixed per-job costs amortize
+        docs = (
+            docs.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+            .withColumn("doc_id", F.col("doc_id") + F.col("_r") * F.lit(10_000_000))
+            .drop("_r")
+        )
 
+    if stages == "all":
         def q_fingerprint():
             return with_fingerprint(docs).select(
                 F.count("*"), F.max(F.element_at("fingerprint", 1))
@@ -234,31 +267,33 @@ def main():
 
         timed("doc_fingerprint_full", q_fingerprint)
 
-        def q_lsh():
-            return minhash_lsh_pairs(docs, threshold=0.5).count()
+    def q_lsh():
+        return minhash_lsh_pairs(docs, threshold=0.5).count()
 
-        timed("minhash_lsh_full", q_lsh)
+    timed("minhash_lsh_full", q_lsh)
 
+    if stages == "all":
         def q_simhash():
             return simhash_pairs(docs, max_hamming=3).count()
 
         timed("simhash_pairs_full", q_simhash)
 
-        def q_cc():
-            d = docs.select("doc_id", "lang")
-            a, b = d.alias("a"), d.alias("b")
-            edges = a.join(
-                b,
-                (F.col("b.doc_id") == F.col("a.doc_id") + 1)
-                & (F.col("a.lang") == F.col("b.lang")),
-            ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-            return connected_components(edges).count()
+    def q_cc():
+        d = docs.select("doc_id", "lang")
+        a, b = d.alias("a"), d.alias("b")
+        edges = a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("a.lang") == F.col("b.lang")),
+        ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        return connected_components(edges).count()
 
-        timed("connected_components", q_cc)
+    timed("connected_components", q_cc)
+    return docs.count()
 
+
+def _emit(timings, counts, merged, sf, cpus, n_docs=None):
     total = round(sum(timings.values()), 3)
-    join_tp = round(counts["cell_join"] / timings["cell_join"], 1)
-    merge_tp = round((merged or 0) / timings["mosaic_stitch"], 1)
     result = {
         "metric": "tiles merged/sec + join rows/sec (suite total secs)",
         "value": total,
@@ -267,12 +302,19 @@ def main():
         "sf": sf,
         "cpus": cpus,
         "rows": counts,
-        "throughput": {
-            "join_rows_per_sec": join_tp,
-            "tiles_merged_per_sec": merge_tp,
-        },
+        "throughput": {},
     }
-    spark.stop()
+    if "cell_join" in timings:
+        result["throughput"]["join_rows_per_sec"] = round(
+            counts["cell_join"] / timings["cell_join"], 1
+        )
+        result["throughput"]["tiles_merged_per_sec"] = round(
+            (merged or 0) / timings["mosaic_stitch"], 1
+        )
+    if n_docs and "minhash_lsh_full" in timings:
+        result["throughput"]["lsh_docs_per_sec"] = round(
+            n_docs / timings["minhash_lsh_full"], 1
+        )
     print(json.dumps(result))
 
 

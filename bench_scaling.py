@@ -10,7 +10,12 @@ stages, and writes BENCH_SCALING.json. A hardware-calibration pass
 the box's own per-core throughput falloff when saturated — a single-node
 artifact that adding real 4N executor MACHINES does not have.
 
-Usage: python bench_scaling.py [edge]   (default BENCH_SCALE=288)
+Usage: python bench_scaling.py [edge]   (default BENCH_SCALE=448)
+       BENCH_SUITE=llm python bench_scaling.py
+           -> scales the two iterative LLM stages (minhash LSH over the
+              full sf0.1 documents table + connected components) instead
+              of the geometry stages, and merges an "llm" section into
+              BENCH_SCALING.json (VERDICT r2 #4)
 """
 
 from __future__ import annotations
@@ -28,7 +33,7 @@ HEADLINE = ("cell_join", "mosaic_stitch")
 SCALABLE = ("tile_select", "cell_join", "mosaic_stitch", "knn_cell_ring")
 
 
-def run_bench(cpus: int, edge: int) -> dict:
+def run_bench(cpus: int, edge: int, suite: str = "headline") -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["BENCH_SCALE"] = str(edge)
@@ -37,7 +42,7 @@ def run_bench(cpus: int, edge: int) -> dict:
     # work rather than the fixed broadcast-build + planning cost (the
     # realistic shape — at 10^12 rows the fixed second is nothing)
     env.setdefault("BENCH_SRCS", "16")
-    env.setdefault("BENCH_STAGES", "headline")  # scaling stages only
+    env["BENCH_STAGES"] = suite
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     t0 = time.time()
     out = subprocess.run(
@@ -82,6 +87,9 @@ def kernel_calibration() -> dict:
 
 
 def main():
+    suite = os.environ.get("BENCH_SUITE", "headline")
+    if suite == "llm":
+        return main_llm()
     edge = int(sys.argv[1]) if len(sys.argv) > 1 else 448
     levels = [32, 8, 2]  # largest first: generates the cached image table
     results = {}
@@ -129,6 +137,48 @@ def main():
     with open(os.path.join(os.path.dirname(__file__), "BENCH_SCALING.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))
+
+
+def main_llm():
+    """Scaling efficiency of the two ITERATIVE LLM stages. Each runs
+    best-of-2 per level (same steady-state policy as bench.py) over the
+    unchanged sf0.1 documents table; no image-table generation."""
+    stages = ("minhash_lsh_full", "connected_components")
+    os.environ.setdefault("BENCH_DOCS_MULT", "16")
+    results = {}
+    for cpus in (32, 8, 2):
+        print(f"=== llm bench at local[{cpus}] ===", file=sys.stderr, flush=True)
+        a = run_bench(cpus, 0, suite="llm")
+        b = run_bench(cpus, 0, suite="llm")
+        best = {s: min(a["queries"][s], b["queries"][s]) for s in stages}
+        results[cpus] = {"queries": best, "throughput": a["throughput"],
+                         "rows": a["rows"]}
+
+    def eff(lo, hi, s=None):
+        tlo = (sum(results[lo]["queries"].values()) if s is None
+               else results[lo]["queries"][s])
+        thi = (sum(results[hi]["queries"].values()) if s is None
+               else results[hi]["queries"][s])
+        return round((tlo / thi) / (hi / lo), 3)
+
+    section = {
+        "levels": {str(c): d for c, d in results.items()},
+        "efficiency": {
+            "2_to_8": {"combined": eff(2, 8),
+                       **{s: eff(2, 8, s) for s in stages}},
+            "8_to_32": {"combined": eff(8, 32),
+                        **{s: eff(8, 32, s) for s in stages}},
+        },
+    }
+    path = os.path.join(os.path.dirname(__file__), "BENCH_SCALING.json")
+    report = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            report = json.load(f)
+    report["llm"] = section
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(section))
 
 
 if __name__ == "__main__":

@@ -241,3 +241,21 @@ def test_malformed_tiffs_raise_valueerror():
         j = hb.rfind(struct.pack("<HHI", 257, 4, 1))
         struct.pack_into("<I", hb, j + 8, 1 << 15)
         geotiff.read_geotiff(bytes(hb))
+
+
+def test_foreign_tiff_with_ascii_tags_still_parses():
+    """Real TIFFs carry ASCII tags (DateTime, Software) — unsupported
+    tag TYPES are skipped, never fatal."""
+    arr = _fixture(16, 16)
+    data = bytearray(_foreign_tiff(arr, endian="II", compression=1,
+                                   rows_per_strip=16))
+    # splice an ASCII tag (306 DateTime) into the IFD: bump the entry
+    # count and append an inline-valued entry before the next-IFD ptr
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    entry = struct.pack("<HHI4s", 306, 2, 4, b"2026")
+    insert_at = ifd_off + 2 + n * 12
+    data2 = bytes(data[:ifd_off]) + struct.pack("<H", n + 1) \
+        + bytes(data[ifd_off + 2:insert_at]) + entry + bytes(data[insert_at:])
+    got, _, epsg = geotiff.read_geotiff(data2)
+    assert np.array_equal(got, arr) and epsg == 3857

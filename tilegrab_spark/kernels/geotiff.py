@@ -215,6 +215,10 @@ def _read_geotiff(data: bytes) -> tuple[np.ndarray, tuple, int]:
     for i in range(n):
         base = ifd_off + 2 + i * 12
         tag, typ, count = struct.unpack_from(en + "HHI", data, base)
+        if typ not in _TYPE_FMT and typ != 5:
+            # ASCII (DateTime/Software/...), SBYTE..SRATIONAL etc: real
+            # TIFFs carry these freely — skip, never fail the parse
+            continue
         tags[tag] = _tag_values(data, en, typ, count, data[base + 8:base + 12])
 
     def one(tag: int, default=None):

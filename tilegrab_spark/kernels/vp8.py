@@ -77,6 +77,9 @@ class _BoolDecoder:
         self.bit_count = 0
 
     def bool(self, prob: int) -> int:
+        # int() guard: probs often arrive as numpy uint8 scalars; under
+        # NEP-50 promotion (numpy>=2) the multiply below would wrap
+        prob = int(prob)
         split = 1 + (((self.range - 1) * prob) >> 8)
         big = split << 8
         if self.value >= big:
@@ -129,6 +132,7 @@ class _BoolEncoder:
         self.held = 8  # bits of scale currently represented in self.low
 
     def put(self, prob: int, bit: int):
+        prob = int(prob)  # numpy-scalar guard, mirrors _BoolDecoder.bool
         split = 1 + (((self.range - 1) * prob) >> 8)
         if bit:
             self.low += split

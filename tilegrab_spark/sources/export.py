@@ -53,8 +53,10 @@ def export_mosaics(
             p = out / f"{i}_mosaic.webp"
             p.write_bytes(webp.encode_webp(png.decode_png(bytes(r.bytes))))
         elif fmt == "webp_lossy":
-            # lossy export via the VP8 intra encoder (qindex 8 clears
-            # the 40dB PSNR gate on bench content, like jpg q90)
+            # lossy export via the VP8 intra encoder (qindex 8 keeps
+            # coding loss under the 40dB gate relative to the 4:2:0
+            # subsampling ceiling — VP8 is inherently 4:2:0, so absolute
+            # PSNR on chroma-dense content is bounded by the format)
             from tilegrab_spark.kernels import png, vp8
 
             p = out / f"{i}_mosaic.webp"
