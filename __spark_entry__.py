@@ -1056,15 +1056,21 @@ WITH salted AS (
                       THEN ' contact: user' || doc_id || '@example.com or +1-555-123-4567'
                       ELSE '' END AS text
   FROM documents)
+, s1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{email}', '<EMAIL>', 'g') AS em
+  FROM salted)
+, s2 AS (
+  SELECT *, regexp_replace(em, '{phone}', '\\1<PHONE>\\3', 'g') AS p1
+  FROM s1)
 SELECT doc_id,
   trim(regexp_replace(regexp_replace(text, '{_CONTROL_RE}', '', 'g'),
                       '[ \\t]+', ' ', 'g')) AS clean_text,
   len(regexp_extract_all(text, '{email}'))::INTEGER AS n_emails,
-  len(regexp_extract_all(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
-                         '{phone}'))::INTEGER AS n_phones,
-  regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
-                 '{phone}', '\\1<PHONE>\\3', 'g') AS scrubbed
-FROM salted
+  (len(regexp_extract_all(em, '{phone}'))
+   + len(regexp_extract_all(p1, '{phone}')))::INTEGER AS n_phones,
+  regexp_replace(p1, '{phone}', '\\1<PHONE>\\3', 'g') AS scrubbed
+FROM s2
 """
 
 

@@ -183,3 +183,25 @@ def test_pii_phone_digit_boundaries(spark):
     assert got[3].n_phones == 1 and got[3].scrubbed == "<PHONE> works"
     assert got[4].n_phones == 1 and got[4].scrubbed == "ends with <PHONE>"
     assert got[5].n_phones == 1 and got[5].scrubbed == "id9+<PHONE> embedded plus"
+
+
+def test_pii_scrub_adjacent_phones_both_caught(spark):
+    """Regression (round-3 review): the bounded pattern's trailing group
+    consumes the separator, so of two phones split by ONE non-digit only
+    the first matched in a single pass — the two-pass scrub catches
+    both and n_phones counts both."""
+    from tilegrab_spark.operators.text import with_pii_scrubbed
+
+    rows = [
+        (1, "call 555-123-4567 555-123-4568 now"),
+        (2, "5551234567,5551234568"),
+        (3, "a 555-123-4567,555-123-4568,555-123-4569 b"),
+        (4, "only one 555-123-4567 here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in with_pii_scrubbed(df).collect()}
+    for i, want_n in ((1, 2), (2, 2), (3, 3), (4, 1)):
+        assert got[i].n_phones == want_n, (i, got[i].scrubbed)
+        assert "<PHONE>" in got[i].scrubbed
+        import re
+        assert not re.search(r"[0-9]{7}", got[i].scrubbed), got[i].scrubbed

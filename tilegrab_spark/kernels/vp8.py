@@ -44,11 +44,14 @@ PLACEHOLDERS.  Probability values never affect which pixels a
 correctly-paired encoder/decoder produce — only compression ratio —
 so streams produced by `encode_vp8` round-trip exactly, and every
 structural decode path is real.  Streams from other encoders (libwebp)
-that rely on the true default tables will desynchronize and are
-surfaced as decode failures (ValueError -> decode_ok=false /
-`n_bad`), never silent garbage, via the final consistency checks.
-Dropping in the genuine tables would make this a conformant decoder
-with no other change.
+that rely on the true default tables will desynchronize; an overread
+check at end of frame (a desynced token stream almost always keeps
+consuming past its partition, while VP8's legal zero-padding overread
+is a few bytes) converts the common case to ValueError -> n_bad.  A
+desync that happens to stay within the partition bytes is NOT
+detectable and decodes to wrong pixels — treat this decoder as paired
+with `encode_vp8` until the genuine tables are dropped in (which would
+make it conformant with no other change).
 """
 
 from __future__ import annotations
@@ -184,8 +187,10 @@ _TREE_PATH_CACHE: dict = {}
 
 
 def _tree_path(tree: tuple, symbol: int, start: int = 0):
-    """[(node_index, bit), ...] from `start` to leaf -symbol."""
-    key = (id(tree), symbol, start)
+    """[(node_index, bit), ...] from `start` to leaf -symbol.  Keyed by
+    the tuple itself, not id(): a GC'd tuple's id can be reused by a
+    different tree, which would silently return a stale path."""
+    key = (tree, symbol, start)
     hit = _TREE_PATH_CACHE.get(key)
     if hit is not None:
         return hit
@@ -952,6 +957,17 @@ def _decode_vp8(payload: bytes) -> np.ndarray:
                         res = idct4x4(coefs[sr, sc])
                         rec[sr * 4:sr * 4 + 4, sc * 4:sc * 4 + 4] += res
                 plane[cy0:cy0 + 8, cx0:cx0 + 8] = np.clip(rec, 0, 255)
+
+    # overread check (see module docstring): a desynchronized stream —
+    # wrong probability tables, corruption — almost always keeps
+    # consuming tokens past its partition, while legal zero-padding
+    # overread is bounded by the decoder's small prefetch window
+    for i, p in enumerate([bd] + parts):
+        if p.pos > len(p.data) + 4:
+            raise ValueError(
+                f"VP8 partition {i} overread ({p.pos} > {len(p.data)} bytes)"
+                " — desynchronized or truncated stream"
+            )
 
     return _yuv420_to_rgb(yp[1:, 1:W16 + 1], up[1:, 1:], vp[1:, 1:], h, w)
 

@@ -63,13 +63,16 @@ def cosine_topk(
 # IVF (inverted-file) ANN
 # ---------------------------------------------------------------------------
 
-def _probe_lists_udf(centroids: np.ndarray, n_probe: int):
+def _probe_lists_udf(centroids: np.ndarray, n_probe: int, session=None):
     """Arrow kernel: vector -> its n_probe nearest centroid (list) ids.
     Shared by the per-query probe in ann_topk_ivf and the distributed
-    probe-set derivation in search_ivf_index."""
+    probe-set derivation in search_ivf_index.  ``session`` should be the
+    caller's (e.g. ``queries.sparkSession``) — getActiveSession() can be
+    None in worker threads (round-3 review finding)."""
     from pyspark.sql import SparkSession
 
-    bc = SparkSession.getActiveSession().sparkContext.broadcast(centroids)
+    session = session or SparkSession.getActiveSession()
+    bc = session.sparkContext.broadcast(centroids)
 
     @F.pandas_udf("array<int>")
     def probe_lists(vecs: pd.Series) -> pd.Series:
@@ -190,7 +193,9 @@ def search_ivf_index(
     cents = load_ivf_centroids(spark, path)
     probed_rows = (
         queries.select(
-            F.explode(_probe_lists_udf(cents, n_probe)(F.col(q_vec))).alias("list_id")
+            F.explode(
+                _probe_lists_udf(cents, n_probe, queries.sparkSession)(F.col(q_vec))
+            ).alias("list_id")
         )
         .agg(F.collect_set("list_id").alias("_lists"))
         .collect()
@@ -220,7 +225,7 @@ def ann_topk_ivf(
     """Approximate top-k: each query scans only its n_probe nearest
     inverted lists. corpus_with_lists = assign_lists(corpus, centroids)
     (persist/write it once, reuse across query batches)."""
-    probe_lists = _probe_lists_udf(centroids, n_probe)
+    probe_lists = _probe_lists_udf(centroids, n_probe, queries.sparkSession)
 
     q = _normalized(queries, q_id, q_vec, "query_id").withColumn(
         "list_id",

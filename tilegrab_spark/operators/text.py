@@ -194,16 +194,27 @@ def with_clean_text(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_pii_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
     """``scrubbed`` + match counts: emails → <EMAIL>, phone-shaped
     numbers → <PHONE> (training-corpus hygiene pass; counts let a
-    downstream gate drop documents that are mostly PII)."""
+    downstream gate drop documents that are mostly PII).
+
+    The phone pass runs TWICE: the trailing boundary group CONSUMES the
+    separator character, so of two phones separated by a single
+    non-digit only the first matches in one pass (the second would leak
+    into the corpus verbatim). A pass-1 match leaves each survivor
+    bounded by the '>' of its neighbour's replacement, so survivors are
+    isolated between matches and the second pass catches every one —
+    two passes provably converge, lookaround-free (the RE2∩Java subset
+    keeps the DuckDB oracle verbatim)."""
     t = F.col(text_col)
     n_email = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
     scrubbed1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
-    n_phone = F.size(F.regexp_extract_all(scrubbed1, F.lit(PHONE_BOUNDED_RE), 0))
+    n_phone1 = F.size(F.regexp_extract_all(scrubbed1, F.lit(PHONE_BOUNDED_RE), 0))
     scrubbed2 = F.regexp_replace(scrubbed1, PHONE_BOUNDED_RE, r"$1<PHONE>$3")
+    n_phone2 = F.size(F.regexp_extract_all(scrubbed2, F.lit(PHONE_BOUNDED_RE), 0))
+    scrubbed3 = F.regexp_replace(scrubbed2, PHONE_BOUNDED_RE, r"$1<PHONE>$3")
     return (
         df.withColumn("n_emails", n_email)
-        .withColumn("n_phones", n_phone)
-        .withColumn("scrubbed", scrubbed2)
+        .withColumn("n_phones", n_phone1 + n_phone2)
+        .withColumn("scrubbed", scrubbed3)
     )
 
 

@@ -217,6 +217,13 @@ def stream_document_dedup(
             ).parquet(pairs_path)
         finally:
             batch_df.unpersist()
+            # commit=True persisted the batch signature and pair frames
+            # (handle-tracked); both are on disk now — drop them so a
+            # long-running stream holds zero cache entries per batch
+            # instead of two (round-3 review finding)
+            from tilegrab_spark.operators.dedup import release_signature_caches
+
+            release_signature_caches()
 
     writer = (
         spark.readStream.schema(schema)
