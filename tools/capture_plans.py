@@ -21,6 +21,27 @@ def plan_of(df) -> str:
     return buf.getvalue().strip()
 
 
+def _incremental_plan(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.dedup import release_signature_caches
+    from tilegrab_spark.streaming.incremental_dedup import incremental_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    tmp = tempfile.mkdtemp(prefix="tg_plan_sig_")
+    incremental_lsh_pairs(b0, f"{tmp}/sigs", b0, batch_id=0).count()
+    pairs = incremental_lsh_pairs(
+        b1, f"{tmp}/sigs", docs, batch_id=1, commit=False
+    )
+    p = plan_of(pairs)
+    release_signature_caches()
+    return p
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -100,6 +121,13 @@ def main():
                     threshold=0.5,
                 )
             ),
+        ),
+        (
+            "PLAN 7: incremental LSH (new batch vs persisted signature table — "
+            "new side banded from the cached batch signatures, old side a "
+            "parquet scan of precomputed signatures; corpus semi-joined down "
+            "to candidate ids for the exact-Jaccard verify)",
+            _incremental_plan(spark),
         ),
     ]
 
