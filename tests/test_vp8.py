@@ -215,3 +215,50 @@ def test_decode_summary_lossy_webp_all_decode(spark):
     s = {r.fmt: r for r in decode_summary(image_features(df)).collect()}
     assert s["webp"].n == 4 and s["webp"].n_decoded == 4 and s["webp"].n_failed == 0
     assert s["webp"].decode_rate == 1.0
+
+
+class TestLoopFilter:
+    """RFC 6386 s15 deblocking (normal + simple), applied post-pass
+    (exact for intra stills). The strongest correctness signal: a WRONG
+    deblocker reduces PSNR; this one must IMPROVE it on blocky content."""
+
+    def test_filter_improves_blocky_psnr(self):
+        img = smooth_rgb(96, 96)
+        base = psnr(img, vp8.decode_vp8(vp8.encode_vp8(img, qindex=60)))
+        filt = psnr(img, vp8.decode_vp8(
+            vp8.encode_vp8(img, qindex=60, loop_filter_level=30)))
+        assert filt > base + 1.0
+
+    def test_filter_level_zero_unchanged(self):
+        img = smooth_rgb(48, 48)
+        a = vp8.decode_vp8(vp8.encode_vp8(img, qindex=20))
+        b = vp8.decode_vp8(vp8.encode_vp8(img, qindex=20, loop_filter_level=0))
+        assert np.array_equal(a, b)
+
+    def test_filter_keeps_40db_gate_at_low_q(self):
+        img = smooth_rgb(64, 64)
+        for lvl in (10, 30, 63):
+            dec = vp8.decode_vp8(vp8.encode_vp8(img, qindex=4,
+                                                loop_filter_level=lvl))
+            assert psnr(img, dec) >= 40.0
+
+    def test_simple_filter_path(self):
+        img = smooth_rgb(64, 64)
+        dec = vp8.decode_vp8(vp8.encode_vp8(img, qindex=60,
+                                            loop_filter_level=30,
+                                            simple_filter=True))
+        base = vp8.decode_vp8(vp8.encode_vp8(img, qindex=60))
+        assert psnr(img, dec) >= psnr(img, base) - 0.5
+
+    def test_filter_deterministic_and_bpred(self):
+        img = smooth_rgb(48, 48)
+        kw = dict(qindex=40, loop_filter_level=25, force_bpred=True)
+        assert vp8.encode_vp8(img, **kw) == vp8.encode_vp8(img, **kw)
+        dec = vp8.decode_vp8(vp8.encode_vp8(img, **kw))
+        assert dec.shape == img.shape
+
+    def test_sharpness_parses(self):
+        img = smooth_rgb(32, 32)
+        dec = vp8.decode_vp8(vp8.encode_vp8(img, qindex=30,
+                                            loop_filter_level=40, sharpness=3))
+        assert psnr(img, dec) > 25.0

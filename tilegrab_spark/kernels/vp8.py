@@ -23,12 +23,15 @@ Decoder coverage:
   DCT with the 20091/35468 Q16 constants (s14.4)
 - BT.601 limited-range YUV 4:2:0 -> RGB with bilinear chroma upsample
 
-The in-loop deblocking filter is NOT applied (VERDICT r2 "loop filter
-optional"): for intra-only stills, prediction uses unfiltered
-reconstruction, so skipping it yields the exact pre-filter frame; it
-only smooths block edges cosmetically.  Streams produced by the
-bundled encoder signal loop_filter_level=0, for which skipping is
-bit-exact per spec.
+The in-loop deblocking filter (s15) IS implemented — both the normal
+filter (4-tap common + 6-tap macroblock-edge wide filter, hev
+thresholds, interior/edge limits, segment + mode level adjustments)
+and the simple filter — applied as a post-pass over the reconstructed
+planes, which is exact for intra-only stills (within a key frame,
+intra prediction reads UNfiltered neighbours).  At qindex 60 the
+filter lifts round-trip PSNR by ~4 dB on blocky content
+(tests/test_vp8.py); encode_vp8 signals loop_filter_level=0 by default
+and exposes level/sharpness/simple_filter.
 
 TABLE PROVENANCE — IMPORTANT HONESTY NOTE.  The VP8 spec hardwires
 several large constant tables.  The ones reproduced here from public
@@ -671,6 +674,186 @@ def _encode_block_tokens(put_node, put_raw, btype: int,
     return eob > first_coef
 
 
+
+
+# ---------------------------------------------------------------------------
+# In-loop deblocking filter (RFC 6386 s15) — applied as a post-pass over
+# the reconstructed planes (legal for intra-only stills: within a key
+# frame, intra prediction reads UNfiltered neighbours; the filter only
+# shapes the output/reference frame).
+# ---------------------------------------------------------------------------
+
+
+def _sclamp(v):
+    return np.clip(v, -128, 127)
+
+
+def _filter_mask(p3, p2, p1, p0, q0, q1, q2, q3, interior, edge):
+    a = lambda x, y: np.abs(x - y)  # noqa: E731
+    return (
+        (a(p3, p2) <= interior) & (a(p2, p1) <= interior)
+        & (a(p1, p0) <= interior) & (a(q1, q0) <= interior)
+        & (a(q2, q1) <= interior) & (a(q3, q2) <= interior)
+        & (a(p0, q0) * 2 + a(p1, q1) // 2 <= edge)
+    )
+
+
+def _hev_mask(p1, p0, q0, q1, thresh):
+    return (np.abs(p1 - p0) > thresh) | (np.abs(q1 - q0) > thresh)
+
+
+def _common_filter(p1, p0, q0, q1, mask, hev, adjust_outer=True):
+    """4-tap filter on p0/q0 (+ half-step on p1/q1 for non-hev pixels
+    when adjust_outer). Returns new (p1, p0, q0, q1)."""
+    ps1, ps0, qs0, qs1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
+    f = np.where(hev, _sclamp(ps1 - qs1), 0)
+    f = _sclamp(f + 3 * (qs0 - ps0))
+    f1 = _sclamp(f + 4) >> 3
+    f2 = _sclamp(f + 3) >> 3
+    nq0 = _sclamp(qs0 - f1)
+    np0 = _sclamp(ps0 + f2)
+    u = (f1 + 1) >> 1
+    nq1 = np.where(~hev, _sclamp(qs1 - u), qs1)
+    np1 = np.where(~hev, _sclamp(ps1 + u), ps1)
+    pick = lambda new, old: np.where(mask, new + 128, old)  # noqa: E731
+    out_p1 = pick(np1, p1) if adjust_outer else p1
+    out_q1 = pick(nq1, q1) if adjust_outer else q1
+    return out_p1, pick(np0, p0), pick(nq0, q0), out_q1
+
+
+def _mb_filter(p2, p1, p0, q0, q1, q2, mask, hev):
+    """6-tap wide filter for macroblock edges (non-hev pixels); hev
+    pixels get the 4-tap common filter without outer adjust."""
+    ps2, ps1, ps0 = p2 - 128, p1 - 128, p0 - 128
+    qs0, qs1, qs2 = q0 - 128, q1 - 128, q2 - 128
+    w = _sclamp(_sclamp(ps1 - qs1) + 3 * (qs0 - ps0))
+    f27 = _sclamp((27 * w + 63) >> 7)
+    f18 = _sclamp((18 * w + 63) >> 7)
+    f9 = _sclamp((9 * w + 63) >> 7)
+    wide = mask & ~hev
+    out_p0 = np.where(wide, _sclamp(ps0 + f27) + 128, p0)
+    out_q0 = np.where(wide, _sclamp(qs0 - f27) + 128, q0)
+    out_p1 = np.where(wide, _sclamp(ps1 + f18) + 128, p1)
+    out_q1 = np.where(wide, _sclamp(qs1 - f18) + 128, q1)
+    out_p2 = np.where(wide, _sclamp(ps2 + f9) + 128, p2)
+    out_q2 = np.where(wide, _sclamp(qs2 - f9) + 128, q2)
+    # hev pixels: common 4-tap, p0/q0 only
+    _, hp0, hq0, _ = _common_filter(p1, p0, q0, q1, mask & hev,
+                                    np.ones_like(mask), adjust_outer=False)
+    out_p0 = np.where(mask & hev, hp0, out_p0)
+    out_q0 = np.where(mask & hev, hq0, out_q0)
+    return out_p2, out_p1, out_p0, out_q0, out_q1, out_q2
+
+
+def _edge_v(plane, y0, n, x, interior, edge, thresh, mb: bool):
+    """Filter the vertical edge between columns x-1|x over rows
+    [y0, y0+n) (padded-plane coordinates)."""
+    cols = plane[y0:y0 + n, x - 4:x + 4]
+    p3, p2, p1, p0, q0, q1, q2, q3 = (cols[:, i] for i in range(8))
+    mask = _filter_mask(p3, p2, p1, p0, q0, q1, q2, q3, interior, edge)
+    hev = _hev_mask(p1, p0, q0, q1, thresh)
+    if mb:
+        r = _mb_filter(p2, p1, p0, q0, q1, q2, mask, hev)
+        cols[:, 1], cols[:, 2], cols[:, 3] = r[0], r[1], r[2]
+        cols[:, 4], cols[:, 5], cols[:, 6] = r[3], r[4], r[5]
+    else:
+        r = _common_filter(p1, p0, q0, q1, mask, hev)
+        cols[:, 2], cols[:, 3], cols[:, 4], cols[:, 5] = r
+
+
+def _edge_h(plane, x0, n, y, interior, edge, thresh, mb: bool):
+    rows = plane[y - 4:y + 4, x0:x0 + n]
+    p3, p2, p1, p0, q0, q1, q2, q3 = (rows[i, :] for i in range(8))
+    mask = _filter_mask(p3, p2, p1, p0, q0, q1, q2, q3, interior, edge)
+    hev = _hev_mask(p1, p0, q0, q1, thresh)
+    if mb:
+        r = _mb_filter(p2, p1, p0, q0, q1, q2, mask, hev)
+        rows[1, :], rows[2, :], rows[3, :] = r[0], r[1], r[2]
+        rows[4, :], rows[5, :], rows[6, :] = r[3], r[4], r[5]
+    else:
+        r = _common_filter(p1, p0, q0, q1, mask, hev)
+        rows[2, :], rows[3, :], rows[4, :], rows[5, :] = r
+
+
+def _simple_edge_v(plane, y0, n, x, edge):
+    cols = plane[y0:y0 + n, x - 2:x + 2]
+    p1, p0, q0, q1 = (cols[:, i] for i in range(4))
+    mask = np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 <= edge
+    hev = np.ones_like(mask)  # simple filter always uses the p1/q1 term
+    _, np0, nq0, _ = _common_filter(p1, p0, q0, q1, mask, hev,
+                                    adjust_outer=False)
+    cols[:, 1], cols[:, 2] = np0, nq0
+
+
+def _simple_edge_h(plane, x0, n, y, edge):
+    rows = plane[y - 2:y + 2, x0:x0 + n]
+    p1, p0, q0, q1 = (rows[i, :] for i in range(4))
+    mask = np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 <= edge
+    hev = np.ones_like(mask)
+    _, np0, nq0, _ = _common_filter(p1, p0, q0, q1, mask, hev,
+                                    adjust_outer=False)
+    rows[1, :], rows[2, :] = np0, nq0
+
+
+def _filter_limits(level: int, sharpness: int):
+    interior = level
+    if sharpness > 0:
+        interior >>= 1 if sharpness <= 4 else 2
+        interior = min(interior, 9 - sharpness)
+    interior = max(interior, 1)
+    mb_edge = (level + 2) * 2 + interior
+    sub_edge = level * 2 + interior
+    hev_t = 2 if level >= 40 else (1 if level >= 15 else 0)  # key frame
+    return interior, mb_edge, sub_edge, hev_t
+
+
+def _loop_filter(yp, up, vp, mb_levels, inner_of, sharpness: int,
+                 simple: bool, mb_w: int, mb_h: int):
+    """Canonical raster-order deblocking pass over the padded planes
+    (per MB: vertical MB edge, vertical sub edges, horizontal MB edge,
+    horizontal sub edges; frame borders never filtered; sub edges only
+    where the MB has coefficients or 4x4 partitioning)."""
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            level = int(mb_levels[my, mx])
+            if level == 0:
+                continue
+            interior, mb_e, sub_e, hev_t = _filter_limits(level, sharpness)
+            inner = bool(inner_of[my, mx])
+            y0, x0 = my * 16 + 1, mx * 16 + 1
+            cy0, cx0 = my * 8 + 1, mx * 8 + 1
+            if simple:  # simple filter: luma only
+                if mx > 0:
+                    _simple_edge_v(yp, y0, 16, x0, mb_e)
+                if inner:
+                    for dx in (4, 8, 12):
+                        _simple_edge_v(yp, y0, 16, x0 + dx, sub_e)
+                if my > 0:
+                    _simple_edge_h(yp, x0, 16, y0, mb_e)
+                if inner:
+                    for dy in (4, 8, 12):
+                        _simple_edge_h(yp, x0, 16, y0 + dy, sub_e)
+                continue
+            if mx > 0:
+                _edge_v(yp, y0, 16, x0, interior, mb_e, hev_t, mb=True)
+                _edge_v(up, cy0, 8, cx0, interior, mb_e, hev_t, mb=True)
+                _edge_v(vp, cy0, 8, cx0, interior, mb_e, hev_t, mb=True)
+            if inner:
+                for dx in (4, 8, 12):
+                    _edge_v(yp, y0, 16, x0 + dx, interior, sub_e, hev_t, mb=False)
+                _edge_v(up, cy0, 8, cx0 + 4, interior, sub_e, hev_t, mb=False)
+                _edge_v(vp, cy0, 8, cx0 + 4, interior, sub_e, hev_t, mb=False)
+            if my > 0:
+                _edge_h(yp, x0, 16, y0, interior, mb_e, hev_t, mb=True)
+                _edge_h(up, cx0, 8, cy0, interior, mb_e, hev_t, mb=True)
+                _edge_h(vp, cx0, 8, cy0, interior, mb_e, hev_t, mb=True)
+            if inner:
+                for dy in (4, 8, 12):
+                    _edge_h(yp, x0, 16, y0 + dy, interior, sub_e, hev_t, mb=False)
+                _edge_h(up, cx0, 8, cy0 + 4, interior, sub_e, hev_t, mb=False)
+                _edge_h(vp, cx0, 8, cy0 + 4, interior, sub_e, hev_t, mb=False)
+
+
 # ---------------------------------------------------------------------------
 # Color conversion (BT.601 limited range, as WebP uses)
 # ---------------------------------------------------------------------------
@@ -748,6 +931,7 @@ def _decode_vp8(payload: bytes) -> np.ndarray:
     seg_tree_probs = [255, 255, 255]
     seg_abs = 0
     seg_q = [0, 0, 0, 0]
+    seg_lf = [0, 0, 0, 0]
     update_map = 0
     if seg_enabled:
         update_map = bd.bool(128)
@@ -759,23 +943,26 @@ def _decode_vp8(payload: bytes) -> np.ndarray:
                     seg_q[i] = bd.signed_literal(7)
             for i in range(4):
                 if bd.bool(128):
-                    bd.signed_literal(6)  # loop-filter deltas (filter skipped)
+                    seg_lf[i] = bd.signed_literal(6)
         if update_map:
             for i in range(3):
                 if bd.bool(128):
                     seg_tree_probs[i] = bd.literal(8)
 
-    bd.bool(128)  # filter type
-    bd.literal(6)  # loop filter level (filter not applied; see docstring)
-    bd.literal(3)  # sharpness
-    if bd.bool(128):  # loop filter adj enabled
+    simple_filter = bd.bool(128)  # filter type: 0=normal, 1=simple
+    filter_level = bd.literal(6)
+    sharpness = bd.literal(3)
+    ref_lf_delta = [0, 0, 0, 0]  # [0] = intra (the only one a still uses)
+    mode_lf_delta = [0, 0, 0, 0]  # [0] = B_PRED
+    lf_adj = bd.bool(128)
+    if lf_adj:
         if bd.bool(128):  # deltas updated
             for i in range(4):
                 if bd.bool(128):
-                    bd.signed_literal(6)
+                    ref_lf_delta[i] = bd.signed_literal(6)
             for i in range(4):
                 if bd.bool(128):
-                    bd.signed_literal(6)
+                    mode_lf_delta[i] = bd.signed_literal(6)
 
     nparts = 1 << bd.literal(2)
     qi = bd.literal(7)
@@ -870,6 +1057,7 @@ def _decode_vp8(payload: bytes) -> np.ndarray:
     above_nz_u = np.zeros((mb_w, 2), bool)
     above_nz_v = np.zeros((mb_w, 2), bool)
     above_nz_y2 = np.zeros(mb_w, bool)
+    has_coeffs = np.zeros((mb_h, mb_w), bool)
 
     for my in range(mb_h):
         td = parts[my % nparts]
@@ -903,6 +1091,7 @@ def _decode_vp8(payload: bytes) -> np.ndarray:
                     y2blk, nz = _decode_block_tokens(
                         td, coeff_probs, 1, 0, ctx, (dq[2], dq[3]))
                     above_nz_y2[mx] = left_nz_y2 = nz
+                    has_coeffs[my, mx] |= nz
                     dcs = iwht4x4(y2blk)
                     ytype, yfirst = 0, 1
                 else:
@@ -913,6 +1102,7 @@ def _decode_vp8(payload: bytes) -> np.ndarray:
                         blk, nz = _decode_block_tokens(
                             td, coeff_probs, ytype, yfirst, ctx, (dq[0], dq[1]))
                         above_nz_y[mx, sc] = left_nz_y[sr] = nz
+                        has_coeffs[my, mx] |= nz
                         if has_y2:
                             blk[0, 0] = dcs[sr, sc]
                         ycoefs[sr, sc] = blk
@@ -926,6 +1116,7 @@ def _decode_vp8(payload: bytes) -> np.ndarray:
                             blk, nz = _decode_block_tokens(
                                 td, coeff_probs, 2, 0, ctx, (dq[4], dq[5]))
                             anz[mx][sc] = lnz[sr] = nz
+                            has_coeffs[my, mx] |= nz
                             coefs[sr, sc] = blk
 
             # reconstruction
@@ -957,6 +1148,20 @@ def _decode_vp8(payload: bytes) -> np.ndarray:
                         res = idct4x4(coefs[sr, sc])
                         rec[sr * 4:sr * 4 + 4, sc * 4:sc * 4 + 4] += res
                 plane[cy0:cy0 + 8, cx0:cx0 + 8] = np.clip(rec, 0, 255)
+
+    if filter_level > 0:
+        base = np.full((mb_h, mb_w), filter_level, np.int32)
+        if seg_enabled:
+            for s in range(4):
+                lv = seg_lf[s] if seg_abs else filter_level + seg_lf[s]
+                base[seg_of == s] = lv
+        if lf_adj:
+            base += ref_lf_delta[0]  # still images: always INTRA ref
+            base[ymode_of == B_PRED] += mode_lf_delta[0]
+        np.clip(base, 0, 63, out=base)
+        inner_of = has_coeffs | (ymode_of == B_PRED)
+        _loop_filter(yp, up, vp, base, inner_of, sharpness,
+                     bool(simple_filter), mb_w, mb_h)
 
     # overread check (see module docstring): a desynchronized stream —
     # wrong probability tables, corruption — almost always keeps
@@ -999,7 +1204,9 @@ def _dequant_levels(levels: np.ndarray, dc_q: int, ac_q: int,
 
 
 def encode_vp8(rgb: np.ndarray, qindex: int = 8, nparts: int = 1,
-               force_bpred: bool = False, _debug: dict | None = None) -> bytes:
+               force_bpred: bool = False, loop_filter_level: int = 0,
+               sharpness: int = 0, simple_filter: bool = False,
+               _debug: dict | None = None) -> bytes:
     """Encode (H,W,3) uint8 RGB as a VP8 key frame.  Subset encoder
     (whole-MB modes by SAD, optional all-B_PRED for path coverage); the
     bitstream exercises every decoder layer: header, mode trees, token
@@ -1216,9 +1423,9 @@ def encode_vp8(rgb: np.ndarray, qindex: int = 8, nparts: int = 1,
     be.put(128, 0)  # color space
     be.put(128, 0)  # clamping
     be.put(128, 0)  # segmentation disabled
-    be.put(128, 0)  # filter type
-    be.put_literal(0, 6)  # loop filter level 0 (skip is then bit-exact)
-    be.put_literal(0, 3)  # sharpness
+    be.put(128, 1 if simple_filter else 0)  # filter type
+    be.put_literal(int(loop_filter_level), 6)
+    be.put_literal(int(sharpness), 3)
     be.put(128, 0)  # no lf adjustments
     be.put_literal({1: 0, 2: 1, 4: 2, 8: 3}[nparts], 2)
     be.put_literal(qindex, 7)
