@@ -1,5 +1,5 @@
-"""Adversarial/corrupt-input fuzz pass over all four image codecs
-(VERDICT r2 #3).  Every mutated stream must either decode (a mutation
+"""Adversarial/corrupt-input fuzz pass over every binary-stream decoder
+(VERDICT r2 #3): png, baseline+progressive jpeg, vp8l, vp8, wav, avi.  Every mutated stream must either decode (a mutation
 can be harmless) or raise ValueError promptly — never another
 exception class, never a hang, never an unbounded allocation.  The
 VP8L LUT budget and the new pixel-count decode caps are pinned."""
@@ -10,7 +10,7 @@ import time
 import numpy as np
 import pytest
 
-from tilegrab_spark.kernels import jpeg, png, vp8, webp
+from tilegrab_spark.kernels import avi, jpeg, png, vp8, wav, webp
 
 SEED = 20260817
 TIME_BUDGET_S = 10.0
@@ -34,6 +34,13 @@ BASE_STREAMS = {
                   jpeg.decode_jpeg),
     "vp8l": (webp.encode_webp(IMG), webp.decode_webp),
     "vp8": (vp8.encode_webp_vp8(IMG, qindex=8), webp.decode_webp),
+    "wav": (wav.encode_wav(
+        12000 * np.sin(np.arange(4000) / 9.0), 8000, fmt="mulaw"),
+        lambda d: wav.decode_wav(d)[0].reshape(1, -1, 1)),
+    "avi": (avi.encode_avi_mjpeg(
+        [jpeg.encode_jpeg(IMG, quality=90)] * 3, 10.0, 64, 48),
+        lambda d: np.concatenate(
+            [jpeg.decode_jpeg(f) for f in avi.read_avi_mjpeg(d)["frames"]])),
 }
 BASE_STREAMS = {k: v for k, v in BASE_STREAMS.items() if v[0] is not None}
 
@@ -63,7 +70,8 @@ def _mutations(data: bytes, rng: np.random.Generator):
 @pytest.mark.parametrize("codec", sorted(BASE_STREAMS))
 def test_fuzz_no_crash_no_hang(codec):
     data, decode = BASE_STREAMS[codec]
-    rng = np.random.default_rng(SEED + hash(codec) % 1000)
+    # stable per-codec seed (hash() is randomized per process)
+    rng = np.random.default_rng(SEED + sum(codec.encode()))
     outcomes = {"ok": 0, "valueerror": 0}
     for kind, mut in _mutations(data, rng):
         t0 = time.monotonic()
@@ -134,6 +142,8 @@ def test_decode_payload_routes_fuzz_to_n_bad(spark):
     rng = np.random.default_rng(SEED)
     rows = []
     for fmt, (data, _) in BASE_STREAMS.items():
+        if fmt in ("wav", "avi"):
+            continue  # audio/video route through their own operators
         use_fmt = {"jpeg_prog": "jpeg", "vp8l": "webp", "vp8": "webp"}.get(fmt, fmt)
         b = bytearray(data)
         b[len(b) // 2] ^= 0xA5
@@ -148,6 +158,7 @@ def test_decode_payload_routes_fuzz_to_n_bad(spark):
     total = sum(r.n for r in s)
     assert total == len(rows)
     # every good stream decodes; corrupt ones are counted, not fatal
+    n_img = sum(1 for f in BASE_STREAMS if f not in ("wav", "avi"))
     decoded = sum(r.n_decoded for r in s)
-    assert decoded >= len(BASE_STREAMS)
+    assert decoded >= n_img
     assert all(r.n == r.n_decoded + r.n_failed for r in s)

@@ -1,3 +1,3 @@
-from tilegrab_spark.kernels import geo, geotiff, jpeg, png, vp8, webp
+from tilegrab_spark.kernels import avi, geo, geotiff, jpeg, png, vp8, wav, webp
 
-__all__ = ["geo", "geotiff", "jpeg", "png", "vp8", "webp"]
+__all__ = ["avi", "geo", "geotiff", "jpeg", "png", "vp8", "wav", "webp"]

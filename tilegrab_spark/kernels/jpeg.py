@@ -497,7 +497,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("JPEG canvas exceeds the 2^28-pixel decode cap")
             for i in range(nc):
                 cid, samp, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
-                comps.append((cid, tq, samp >> 4, samp & 0x0F))
+                sh, sv = samp >> 4, samp & 0x0F
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(f"bad JPEG sampling factors {sh}x{sv}")
+                comps.append((cid, tq, sh, sv))
         elif marker == 0xC2:  # progressive DCT
             progressive = True
             _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
@@ -505,7 +508,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("JPEG canvas exceeds the 2^28-pixel decode cap")
             for i in range(nc):
                 cid, samp, tq = struct.unpack_from("BBB", seg, 6 + 3 * i)
-                comps.append((cid, tq, samp >> 4, samp & 0x0F))
+                sh, sv = samp >> 4, samp & 0x0F
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(f"bad JPEG sampling factors {sh}x{sv}")
+                comps.append((cid, tq, sh, sv))
         elif marker in (0xC1, 0xC3):
             raise ValueError("only baseline (SOF0) and progressive (SOF2) supported")
         elif marker == 0xDD:  # DRI: restart interval in MCUs
@@ -730,6 +736,10 @@ def _prog_dc_block(br, blk, ht, dct, ah, al, prev, ci):
     if ah == 0:
         cat = _huff_decode(br, ht[("dc", dct)])
         prev[ci] += _extend(br.bits(cat), cat)
+        if not -(1 << 20) <= prev[ci] <= 1 << 20:
+            # hostile streams can accumulate the DC predictor without
+            # bound (fuzz finding); legal JPEG DC fits well inside 2^20
+            raise ValueError("JPEG progressive DC predictor out of range")
         blk[0] = prev[ci] << al
     else:  # refinement: one bit
         if br.bit():

@@ -1,10 +1,12 @@
 """Multimodal (image/audio/video) column processing: opaque ``binary``
 payloads + typed metadata, processed by Arrow-batched kernels over
 ``mapInPandas`` — schema, partitioning, UDF signature and batch shape
-are real. Image codecs (PNG, baseline JPEG, lossless WebP/VP8L) are the
-engine's own pure-numpy kernels; only lossy-WebP/audio/video codecs are
-stubbed (no PIL/ffmpeg in this container), with failures surfaced via
-``decode_summary``.
+are real. All image codecs (PNG, baseline+progressive JPEG, lossless
+VP8L and lossy VP8 WebP), WAV audio (PCM/float/mu-law/A-law) and
+MJPEG-AVI video are the engine's own pure-numpy kernels; only
+compressed audio (mp3/aac/...) and inter-coded video (h264/...)
+remain stubbed (no ffmpeg in this container), with failures surfaced
+via ``decode_summary``.
 """
 
 from __future__ import annotations
@@ -130,7 +132,11 @@ def resize_images(df: DataFrame, *, tw: int = 64, th: int = 64) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Audio / video plumbing (codec-stubbed, Spark-side real)
+# Audio / video: REAL for the stdlib-decodable formats (RIFF/WAVE PCM /
+# mu-law / A-law / float via kernels/wav.py; MJPEG-in-AVI via
+# kernels/avi.py + the engine's own JPEG decoder). Compressed codecs
+# (mp3/aac/h264/...) still need ffmpeg-class libraries the sandbox
+# doesn't ship; those payloads raise and surface as failures.
 # ---------------------------------------------------------------------------
 
 AUDIO_FEATURES_SCHEMA = "clip_id string, sr int, n_samples long, rms double, zcr double"
@@ -138,18 +144,29 @@ FRAME_SAMPLE_SCHEMA = "video_id string, frame_idx int, ts_ms long, frame binary"
 
 
 def audio_features(df: DataFrame, *, fake_decode: bool = True) -> DataFrame:
-    """RMS/zero-crossing-rate per clip. ``fake_decode`` interprets the
-    payload as deterministic int16 PCM derived from its bytes (the
-    Spark-side plumbing is what's under test); real codec = plug-in."""
+    """RMS/zero-crossing-rate per clip.  RIFF/WAVE payloads are decoded
+    for real (kernels/wav.py — PCM 8/16/24/32, IEEE float, mu-law,
+    A-law; sample rate comes from the file, channels mono-mixed).
+    Non-WAV payloads: ``fake_decode=True`` (default) interprets them as
+    raw int16 PCM at the row's ``sr`` (the established plumbing path);
+    ``fake_decode=False`` raises for them (compressed audio needs
+    ffmpeg-class codecs)."""
+    from tilegrab_spark.kernels import wav
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for cid, data, sr in zip(pdf["clip_id"], pdf["bytes"], pdf["sr"]):
-                if not fake_decode:
-                    raise NotImplementedError("audio codec not present in container")
-                raw = np.frombuffer(bytes(data), dtype=np.uint8)
-                pcm = (raw[: (len(raw) // 2) * 2].view("<i2")).astype(np.float64)
+                b = bytes(data)
+                if wav.is_wav(b):
+                    pcm, sr = wav.decode_wav(b)
+                elif not fake_decode:
+                    raise NotImplementedError(
+                        "compressed audio codec not present in container"
+                    )
+                else:
+                    raw = np.frombuffer(b, dtype=np.uint8)
+                    pcm = (raw[: (len(raw) // 2) * 2].view("<i2")).astype(np.float64)
                 rms = float(np.sqrt((pcm**2).mean())) if len(pcm) else 0.0
                 zc = float((np.signbit(pcm[1:]) != np.signbit(pcm[:-1])).mean()) if len(pcm) > 1 else 0.0
                 out.append(
@@ -164,17 +181,38 @@ def audio_features(df: DataFrame, *, fake_decode: bool = True) -> DataFrame:
 
 
 def sample_frames(df: DataFrame, *, every_ms: int = 1000, fake_decode: bool = True) -> DataFrame:
-    """1-row-in, N-rows-out frame sampling (UDTF shape). Fake decoder
-    emits deterministic 8x8 'frames' sliced from the payload so row
-    multiplication, ordering and batch shapes are real and testable."""
+    """1-row-in, N-rows-out frame sampling (UDTF shape).  RIFF/AVI
+    payloads with an MJPEG video stream are sampled for REAL: frame
+    timing from strh/avih, the selected frames decoded with the
+    engine's JPEG codec and emitted as PNG bytes (self-describing).
+    Non-AVI payloads: the deterministic fake decoder (8x8 slices) keeps
+    row multiplication/ordering testable, or raises with
+    ``fake_decode=False`` (inter-coded video needs ffmpeg)."""
+    from tilegrab_spark.kernels import avi as avik
+    from tilegrab_spark.kernels import jpeg as jpegk
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for vid, data, dur in zip(pdf["video_id"], pdf["bytes"], pdf["duration_ms"]):
+                b = bytes(data)
+                if avik.is_avi(b):
+                    info = avik.read_avi_mjpeg(b)
+                    step = max(1, int(round(info["fps"] * every_ms / 1000.0)))
+                    for fi, raw_jpeg in enumerate(info["frames"][::step]):
+                        src_idx = fi * step
+                        rgb = jpegk.decode_jpeg(raw_jpeg)
+                        out.append({
+                            "video_id": vid, "frame_idx": src_idx,
+                            "ts_ms": int(src_idx * 1000.0 / info["fps"]),
+                            "frame": png.encode_png(rgb),
+                        })
+                    continue
                 if not fake_decode:
-                    raise NotImplementedError("video codec not present in container")
-                raw = np.frombuffer(bytes(data), dtype=np.uint8)
+                    raise NotImplementedError(
+                        "inter-coded video codec not present in container"
+                    )
+                raw = np.frombuffer(b, dtype=np.uint8)
                 n_frames = max(1, int(dur) // every_ms)
                 for i in range(n_frames):
                     sl = raw[(i * 64) % max(len(raw) - 64, 1) :][:64]
