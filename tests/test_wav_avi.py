@@ -121,3 +121,34 @@ class TestMultimodalIntegration:
         assert [r.ts_ms for r in out] == [0, 500]
         got = png.decode_png(bytes(out[1].frame))
         assert jpeg.psnr(got, _frame(5)) > 40
+
+
+class TestFailureSurfacing:
+    def test_corrupt_wav_surfaces_not_fails(self, spark):
+        from tilegrab_spark.operators.multimodal import audio_features
+
+        good = wav.encode_wav(tone(512), 8000)
+        bad = good[:60]  # truncated data chunk -> strict decoder raises
+        df = spark.createDataFrame(
+            [("ok", bytearray(good), 0), ("bad", bytearray(bad), 0)],
+            "clip_id string, bytes binary, sr int",
+        )
+        got = {r.clip_id: r for r in audio_features(df).collect()}
+        assert got["ok"].decode_ok and got["ok"].n_samples == 512
+        assert not got["bad"].decode_ok and got["bad"].n_samples == 0
+
+    def test_corrupt_avi_emits_sentinel_row(self, spark):
+        from tilegrab_spark.operators.multimodal import sample_frames
+
+        frames = [jpeg.encode_jpeg(_frame(0), quality=90)]
+        good = avi.encode_avi_mjpeg(frames, 10.0, 48, 32)
+        bad = good[:len(good) // 2]
+        df = spark.createDataFrame(
+            [("ok", bytearray(good), 100), ("bad", bytearray(bad), 100)],
+            "video_id string, bytes binary, duration_ms long",
+        )
+        out = sample_frames(df, every_ms=100).collect()
+        ok = [r for r in out if r.video_id == "ok"]
+        badr = [r for r in out if r.video_id == "bad"]
+        assert len(ok) == 1 and ok[0].frame_idx == 0
+        assert len(badr) == 1 and badr[0].frame_idx == -1 and badr[0].frame is None

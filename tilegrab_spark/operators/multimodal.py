@@ -139,7 +139,10 @@ def resize_images(df: DataFrame, *, tw: int = 64, th: int = 64) -> DataFrame:
 # doesn't ship; those payloads raise and surface as failures.
 # ---------------------------------------------------------------------------
 
-AUDIO_FEATURES_SCHEMA = "clip_id string, sr int, n_samples long, rms double, zcr double"
+AUDIO_FEATURES_SCHEMA = (
+    "clip_id string, sr int, n_samples long, rms double, zcr double, "
+    "decode_ok boolean"
+)
 FRAME_SAMPLE_SCHEMA = "video_id string, frame_idx int, ts_ms long, frame binary"
 
 
@@ -158,20 +161,28 @@ def audio_features(df: DataFrame, *, fake_decode: bool = True) -> DataFrame:
             out = []
             for cid, data, sr in zip(pdf["clip_id"], pdf["bytes"], pdf["sr"]):
                 b = bytes(data)
-                if wav.is_wav(b):
-                    pcm, sr = wav.decode_wav(b)
-                elif not fake_decode:
-                    raise NotImplementedError(
-                        "compressed audio codec not present in container"
-                    )
-                else:
-                    raw = np.frombuffer(b, dtype=np.uint8)
-                    pcm = (raw[: (len(raw) // 2) * 2].view("<i2")).astype(np.float64)
+                try:
+                    if wav.is_wav(b):
+                        pcm, sr = wav.decode_wav(b)
+                    elif not fake_decode:
+                        raise NotImplementedError(
+                            "compressed audio codec not present in container"
+                        )
+                    else:
+                        raw = np.frombuffer(b, dtype=np.uint8)
+                        pcm = (raw[: (len(raw) // 2) * 2].view("<i2")).astype(np.float64)
+                except (ValueError, NotImplementedError):
+                    # corrupt / unsupported clips are SURFACED as rows,
+                    # never executor failures (same policy as
+                    # image_features' decode_ok)
+                    out.append({"clip_id": cid, "sr": int(sr), "n_samples": 0,
+                                "rms": 0.0, "zcr": 0.0, "decode_ok": False})
+                    continue
                 rms = float(np.sqrt((pcm**2).mean())) if len(pcm) else 0.0
                 zc = float((np.signbit(pcm[1:]) != np.signbit(pcm[:-1])).mean()) if len(pcm) > 1 else 0.0
                 out.append(
                     {"clip_id": cid, "sr": int(sr), "n_samples": len(pcm),
-                     "rms": rms, "zcr": zc}
+                     "rms": rms, "zcr": zc, "decode_ok": True}
                 )
             yield pd.DataFrame(out)
 
@@ -197,16 +208,25 @@ def sample_frames(df: DataFrame, *, every_ms: int = 1000, fake_decode: bool = Tr
             for vid, data, dur in zip(pdf["video_id"], pdf["bytes"], pdf["duration_ms"]):
                 b = bytes(data)
                 if avik.is_avi(b):
-                    info = avik.read_avi_mjpeg(b)
-                    step = max(1, int(round(info["fps"] * every_ms / 1000.0)))
-                    for fi, raw_jpeg in enumerate(info["frames"][::step]):
-                        src_idx = fi * step
-                        rgb = jpegk.decode_jpeg(raw_jpeg)
-                        out.append({
-                            "video_id": vid, "frame_idx": src_idx,
-                            "ts_ms": int(src_idx * 1000.0 / info["fps"]),
-                            "frame": png.encode_png(rgb),
-                        })
+                    try:
+                        info = avik.read_avi_mjpeg(b)
+                        step = max(1, int(round(info["fps"] * every_ms / 1000.0)))
+                        rows = []
+                        for fi, raw_jpeg in enumerate(info["frames"][::step]):
+                            src_idx = fi * step
+                            rgb = jpegk.decode_jpeg(raw_jpeg)
+                            rows.append({
+                                "video_id": vid, "frame_idx": src_idx,
+                                "ts_ms": int(src_idx * 1000.0 / info["fps"]),
+                                "frame": png.encode_png(rgb),
+                            })
+                        out.extend(rows)
+                    except ValueError:
+                        # corrupt container/frames: one sentinel row
+                        # (frame_idx = -1, frame NULL) surfaces the
+                        # failure without killing the executor
+                        out.append({"video_id": vid, "frame_idx": -1,
+                                    "ts_ms": -1, "frame": None})
                     continue
                 if not fake_decode:
                     raise NotImplementedError(
