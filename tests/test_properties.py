@@ -256,3 +256,57 @@ def test_progressive_equals_baseline_property(h, w, seed, q, al):
     want = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, quality=q))
     got = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(arr, quality=q, al=al))
     assert np.array_equal(got, want)
+
+
+@given(st.lists(st.tuples(st.integers(1, 254), st.integers(0, 1)),
+                min_size=1, max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_vp8_bool_coder_roundtrips_any_sequence(seq):
+    """The VP8 boolean arithmetic coder round-trips ANY (prob, bit)
+    sequence — carries, renormalization and flush included."""
+    from tilegrab_spark.kernels import vp8
+
+    be = vp8._BoolEncoder()
+    for p, b in seq:
+        be.put(p, b)
+    bd = vp8._BoolDecoder(be.flush())
+    assert [bd.bool(p) for p, _ in seq] == [b for _, b in seq]
+
+
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 120),
+       st.integers(0, 2 ** 32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_vp8_image_roundtrip_psnr_floor(mw, mh, qindex, seed):
+    """Any smooth image round-trips through the full VP8 enc/dec at a
+    PSNR no worse than a quantizer-step-derived floor."""
+    from tilegrab_spark.kernels import vp8
+    from tilegrab_spark.kernels.jpeg import psnr
+
+    rng = np.random.default_rng(seed)
+    h, w = mh * 16, mw * 16
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    f = rng.uniform(0.02, 0.2, 3)
+    ph = rng.uniform(0, 6, 3)
+    img = np.clip(np.stack(
+        [128 + 90 * np.sin(f[i] * xx + ph[i]) * np.cos(f[i] * yy) for i in range(3)],
+        -1), 0, 255).astype(np.uint8)
+    dec = vp8.decode_vp8(vp8.encode_vp8(img, qindex=qindex))
+    assert dec.shape == img.shape
+    assert psnr(img, dec) > 20.0
+
+
+@given(st.lists(st.floats(-32768, 32767, allow_nan=False),
+                min_size=1, max_size=500),
+       st.sampled_from(["pcm16", "mulaw", "alaw", "float32"]))
+@settings(max_examples=100, deadline=None)
+def test_wav_roundtrip_any_samples(samples, fmt):
+    """WAV round-trips arbitrary sample vectors in every supported
+    format within that format's quantization bound."""
+    from tilegrab_spark.kernels import wav
+
+    pcm = np.asarray(samples)
+    dec, sr = wav.decode_wav(wav.encode_wav(pcm, 8000, fmt=fmt))
+    assert sr == 8000 and len(dec) == len(pcm)
+    want = np.clip(np.rint(pcm), -32768, 32767)
+    tol = {"pcm16": 1.0, "float32": 1.0, "mulaw": 1100.0, "alaw": 1100.0}[fmt]
+    assert np.abs(dec - want).max() <= tol
