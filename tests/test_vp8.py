@@ -262,3 +262,23 @@ class TestLoopFilter:
         dec = vp8.decode_vp8(vp8.encode_vp8(img, qindex=30,
                                             loop_filter_level=40, sharpness=3))
         assert psnr(img, dec) > 25.0
+
+
+class TestProbAdaptation:
+    """Encoder-side coefficient-probability adaptation: the header
+    carries real probability updates (exercising the decoder's
+    update-parse path), streams shrink, pixels are identical."""
+
+    def test_adapted_smaller_pixels_identical(self):
+        img = smooth_rgb(96, 96)
+        for q in (4, 60):
+            fixed = vp8.encode_vp8(img, qindex=q, adapt_probs=False)
+            adapted = vp8.encode_vp8(img, qindex=q)
+            assert len(adapted) < len(fixed)
+            assert np.array_equal(vp8.decode_vp8(fixed), vp8.decode_vp8(adapted))
+
+    def test_adaptation_composes_with_everything(self):
+        img = smooth_rgb(64, 80)
+        enc = vp8.encode_vp8(img, qindex=30, nparts=4, loop_filter_level=20,
+                             force_bpred=True)
+        assert psnr(img, vp8.decode_vp8(enc)) > 30.0
