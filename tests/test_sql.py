@@ -115,3 +115,23 @@ def test_tile_intersects_sql_matches_golden_shape_set(spark, sql_fns, t_geom):
         '{geojson}')
     """).collect()
     assert sorted((r.x, r.y) for r in got) == sorted(T_SHAPE_Z16)
+
+
+def test_tile_intersects_null_semantics(spark, sql_fns):
+    """NULL geometry or bounds -> NULL (not false): NOT pred must not
+    select NULL rows (round-3 review finding)."""
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, 1.0, 1.0, '{"type":"Polygon","coordinates":[[[0,0],[0,2],[2,2],[2,0],[0,0]]]}'),
+         (2, 0.0, 0.0, 1.0, 1.0, None),
+         (3, None, 0.0, 1.0, 1.0, '{"type":"Polygon","coordinates":[[[0,0],[0,2],[2,2],[2,0],[0,0]]]}')],
+        "id int, a double, b double, c double, d double, gj string",
+    )
+    df.createOrReplaceTempView("nulltest")
+    hit = spark.sql(
+        "SELECT id FROM nulltest WHERE tg_tile_intersects(a, b, c, d, gj)"
+    ).collect()
+    miss = spark.sql(
+        "SELECT id FROM nulltest WHERE NOT tg_tile_intersects(a, b, c, d, gj)"
+    ).collect()
+    assert [r.id for r in hit] == [1]
+    assert miss == []  # NULL rows excluded from BOTH branches

@@ -152,3 +152,74 @@ class TestFailureSurfacing:
         badr = [r for r in out if r.video_id == "bad"]
         assert len(ok) == 1 and ok[0].frame_idx == 0
         assert len(badr) == 1 and badr[0].frame_idx == -1 and badr[0].frame is None
+
+
+class TestReviewFixes:
+    def test_extensible_wav_subformat(self):
+        """WAVE_FORMAT_EXTENSIBLE: real code read from the parsed fmt
+        chunk's subformat GUID, not by re-scanning the file."""
+        import struct
+        pcm = tone(256)
+        base = wav.encode_wav(pcm, 8000, fmt="pcm16")
+        i = base.find(b"fmt ")
+        # rebuild with a 40-byte extensible fmt chunk (code 0xFFFE,
+        # cbSize 22, subformat starting with 0x0001 = PCM)
+        fmt_body = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+        fmt_body += struct.pack("<HHI", 22, 16, 3) + struct.pack("<H", 1) + b"\x00" * 14
+        j = base.find(b"data")
+        data_chunk = base[j:]
+        out = base[:i] + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body + data_chunk
+        out = b"RIFF" + struct.pack("<I", len(out) - 8) + out[8:]
+        dec, sr = wav.decode_wav(out)
+        assert sr == 8000 and len(dec) == 256
+
+    def test_mulaw_wrong_bitdepth_rejected(self):
+        import struct
+        data = bytearray(wav.encode_wav(tone(64), 8000, fmt="mulaw"))
+        i = bytes(data).find(b"fmt ")
+        struct.pack_into("<H", data, i + 8 + 14, 16)  # bits 8 -> 16
+        with pytest.raises(ValueError, match="8-bit"):
+            wav.decode_wav(bytes(data))
+
+    def test_avi_second_stream_chunks_ignored(self):
+        """Frame chunks are filtered by the matched video stream's
+        number — a '01dc' chunk from another stream must not leak in."""
+        import struct
+        frames = [jpeg.encode_jpeg(_frame(i), quality=90) for i in range(2)]
+        data = avi.encode_avi_mjpeg(frames, 10.0, 48, 32)
+        # splice a foreign '01dc' chunk into movi (before idx1)
+        k = data.find(b"idx1")
+        foreign = b"01dc" + struct.pack("<I", 4) + b"junk"
+        spliced = data[:k] + foreign + data[k:]
+        # fix RIFF and movi LIST sizes
+        b = bytearray(spliced)
+        struct.pack_into("<I", b, 4, len(spliced) - 8)
+        m = spliced.find(b"LIST", 100)
+        while m >= 0 and spliced[m + 8:m + 12] != b"movi":
+            m = spliced.find(b"LIST", m + 1)
+        (old_sz,) = struct.unpack_from("<I", spliced, m + 4)
+        struct.pack_into("<I", b, m + 4, old_sz + len(foreign))
+        info = avi.read_avi_mjpeg(bytes(b))
+        assert len(info["frames"]) == 2  # the foreign chunk was ignored
+
+    def test_avi_blank_handler_strf_decides(self):
+        frames = [jpeg.encode_jpeg(_frame(0), quality=90)]
+        data = avi.encode_avi_mjpeg(frames, 10.0, 48, 32)
+        blank = data.replace(b"vidsMJPG", b"vids\x00\x00\x00\x00")
+        # strf biCompression still says MJPG -> accepted
+        info = avi.read_avi_mjpeg(blank)
+        assert len(info["frames"]) == 1
+        # strf says raw DIB -> rejected with the clear error
+        raw = blank.replace(struct_pack_mjpg(), struct_pack_dib())
+        with pytest.raises(ValueError, match="biCompression"):
+            avi.read_avi_mjpeg(raw)
+
+
+def struct_pack_mjpg():
+    import struct
+    return struct.pack("<HH4s", 1, 24, b"MJPG")
+
+
+def struct_pack_dib():
+    import struct
+    return struct.pack("<HH4s", 1, 24, b"\x00\x00\x00\x00")

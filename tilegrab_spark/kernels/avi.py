@@ -57,12 +57,19 @@ def _read_avi_mjpeg(data: bytes) -> dict:
     w = h = 0
     frames: list[bytes] = []
     us_per_frame = 0
+    stream_no = 0       # strl lists appear in stream-number order
+    video_stream = None  # the MJPEG vids stream whose chunks we accept
+    pending_vids = None  # stream awaiting its strf compression check
 
     def scan(start, end):
-        nonlocal fps, w, h, us_per_frame
+        nonlocal fps, w, h, us_per_frame, stream_no, video_stream, pending_vids
         for tag, ltype, s, e in _walk(data, start, end):
             if tag == b"LIST" and ltype in (b"hdrl", b"strl", b"movi", b"rec "):
-                scan(s, e)
+                if ltype == b"strl":
+                    scan(s, e)
+                    stream_no += 1
+                else:
+                    scan(s, e)
             elif tag == b"avih" and e - s >= 40:
                 us_per_frame, _, _, _, _total, _, _streams, _, aw, ah = (
                     struct.unpack_from("<10I", data, s)
@@ -72,15 +79,34 @@ def _read_avi_mjpeg(data: bytes) -> dict:
                 fcc_type = data[s:s + 4]
                 handler = data[s + 4:s + 8]
                 if fcc_type == b"vids":
-                    if handler not in (b"MJPG", b"mjpg", b"\x00\x00\x00\x00"):
+                    if handler in (b"MJPG", b"mjpg"):
+                        pending_vids = ("ok", stream_no)
+                    elif handler == b"\x00\x00\x00\x00":
+                        # blank handler: strf biCompression decides
+                        pending_vids = ("strf", stream_no)
+                    else:
                         raise ValueError(
                             f"AVI video handler {handler!r} unsupported — "
                             "MJPG only (inter codecs need ffmpeg)"
                         )
                     scale, rate = struct.unpack_from("<II", data, s + 20)
-                    if scale and rate:
+                    if scale and rate and video_stream is None:
                         fps = rate / scale
-            elif tag[2:4] in (b"dc", b"db") and e > s:
+            elif tag == b"strf" and pending_vids is not None:
+                mode, sn = pending_vids
+                pending_vids = None
+                if mode == "strf":
+                    comp = data[s + 16:s + 20] if e - s >= 20 else b""
+                    if comp not in (b"MJPG", b"mjpg"):
+                        raise ValueError(
+                            f"AVI biCompression {comp!r} unsupported — "
+                            "MJPG only (inter codecs need ffmpeg)"
+                        )
+                if video_stream is None:
+                    video_stream = sn
+            elif (tag[2:4] in (b"dc", b"db") and e > s
+                  and video_stream is not None
+                  and tag[:2] == b"%02d" % video_stream):
                 frames.append(data[s:e])
 
     scan(12, len(data))

@@ -1155,6 +1155,10 @@ def _decode_vp8(payload: bytes) -> np.ndarray:
             for s in range(4):
                 lv = seg_lf[s] if seg_abs else filter_level + seg_lf[s]
                 base[seg_of == s] = lv
+        # RFC 6386 clamps to [0,63] after the segment adjustment AND
+        # again after the ref/mode deltas (review finding: a single
+        # final clamp mis-levels streams that use both)
+        np.clip(base, 0, 63, out=base)
         if lf_adj:
             base += ref_lf_delta[0]  # still images: always INTRA ref
             base[ymode_of == B_PRED] += mode_lf_delta[0]

@@ -89,6 +89,7 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     pos = 12
     fmt = None
     payload = None
+    fmt_body = b""
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
@@ -98,6 +99,7 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                              f"({len(body)} of {size} declared bytes)")
         if tag == b"fmt " and len(body) >= 16:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif tag == b"data":
             payload = body
         pos += 8 + size + (size & 1)
@@ -108,11 +110,14 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("bad WAV channel count / sample rate")
     if len(payload) > 1 << 28:
         raise ValueError("WAV payload exceeds the decode cap")
-    if audio_fmt == 0xFFFE and len(data) >= 2:  # WAVE_FORMAT_EXTENSIBLE
-        # subformat GUID's first two bytes carry the real format code
-        i = data.find(b"fmt ")
-        (ext,) = struct.unpack_from("<H", data, i + 8 + 24) if i >= 0 else (1,)
-        audio_fmt = ext
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # subformat GUID's first two bytes (fmt body offset 24) carry
+        # the real format code; read from the PARSED fmt chunk, never by
+        # re-scanning the file (review finding: find() could hit 'fmt '
+        # text inside an INFO/JUNK chunk)
+        if len(fmt_body) < 26:
+            raise ValueError("extensible WAV fmt chunk too short")
+        (audio_fmt,) = struct.unpack_from("<H", fmt_body, 24)
     if audio_fmt == 1:  # integer PCM
         if bits == 8:
             x = np.frombuffer(payload, np.uint8).astype(np.float64)
@@ -141,8 +146,12 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             raise ValueError(f"unsupported float bit depth {bits}")
         x = x * 32767.0
     elif audio_fmt == 7:  # mu-law
+        if bits != 8:
+            raise ValueError(f"mu-law WAV must be 8-bit, declared {bits}")
         x = _mulaw_decode(np.frombuffer(payload, np.uint8))
     elif audio_fmt == 6:  # A-law
+        if bits != 8:
+            raise ValueError(f"A-law WAV must be 8-bit, declared {bits}")
         x = _alaw_decode(np.frombuffer(payload, np.uint8))
     else:
         raise ValueError(f"unsupported WAV format code {audio_fmt} "

@@ -152,8 +152,9 @@ def audio_features(df: DataFrame, *, fake_decode: bool = True) -> DataFrame:
     A-law; sample rate comes from the file, channels mono-mixed).
     Non-WAV payloads: ``fake_decode=True`` (default) interprets them as
     raw int16 PCM at the row's ``sr`` (the established plumbing path);
-    ``fake_decode=False`` raises for them (compressed audio needs
-    ffmpeg-class codecs)."""
+    with ``fake_decode=False`` they are SURFACED as decode_ok=false
+    rows (compressed audio needs ffmpeg-class codecs; failures never
+    kill the executor — same policy as image_features)."""
     from tilegrab_spark.kernels import wav
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -197,8 +198,9 @@ def sample_frames(df: DataFrame, *, every_ms: int = 1000, fake_decode: bool = Tr
     timing from strh/avih, the selected frames decoded with the
     engine's JPEG codec and emitted as PNG bytes (self-describing).
     Non-AVI payloads: the deterministic fake decoder (8x8 slices) keeps
-    row multiplication/ordering testable, or raises with
-    ``fake_decode=False`` (inter-coded video needs ffmpeg)."""
+    row multiplication/ordering testable; with ``fake_decode=False``
+    they are surfaced as a frame_idx=-1 sentinel row (inter-coded video
+    needs ffmpeg; failures never kill the executor)."""
     from tilegrab_spark.kernels import avi as avik
     from tilegrab_spark.kernels import jpeg as jpegk
 
@@ -229,9 +231,9 @@ def sample_frames(df: DataFrame, *, every_ms: int = 1000, fake_decode: bool = Tr
                                     "ts_ms": -1, "frame": None})
                     continue
                 if not fake_decode:
-                    raise NotImplementedError(
-                        "inter-coded video codec not present in container"
-                    )
+                    out.append({"video_id": vid, "frame_idx": -1,
+                                "ts_ms": -1, "frame": None})
+                    continue
                 raw = np.frombuffer(b, dtype=np.uint8)
                 n_frames = max(1, int(dur) // every_ms)
                 for i in range(n_frames):

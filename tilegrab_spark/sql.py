@@ -127,8 +127,13 @@ RETURN to_json(named_struct(
 
 def _parse_geojson_polygons(text: str) -> list:
     """GeoJSON string -> [[outer_ring, hole, ...], ...] with rings as
-    (N,2) float64 arrays — the shape kernels/geo.py consumes."""
+    (N,2) float64 arrays — the shape kernels/geo.py consumes.  Ring
+    parsing is shared with sources/geometries.py (_geom_polygons);
+    only the Feature/FeatureCollection unwrap and the Z/M coordinate
+    trim live here."""
     import json
+
+    from tilegrab_spark.sources.geometries import _geom_polygons
 
     obj = json.loads(text)
     if obj.get("type") == "FeatureCollection":
@@ -139,17 +144,8 @@ def _parse_geojson_polygons(text: str) -> list:
         geoms = [obj]
     polys = []
     for g in geoms:
-        t = g.get("type")
-        if t == "Polygon":
-            coords = [g["coordinates"]]
-        elif t == "MultiPolygon":
-            coords = g["coordinates"]
-        else:
-            raise ValueError(f"tg_tile_intersects supports (Multi)Polygon, got {t}")
-        for poly in coords:
-            polys.append(
-                [np.asarray(r, dtype=np.float64)[:, :2] for r in poly]
-            )
+        for poly in _geom_polygons(g):
+            polys.append([r[:, :2] for r in poly])
     return polys
 
 
@@ -161,8 +157,11 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
         spark.sql(stmt)
         names.append(name)
 
-    # one per-executor geometry parse cache for the lifetime of the UDF
+    # per-executor geometry parse cache, BOUNDED (review finding: a
+    # per-row geometry column with millions of distinct strings must
+    # not accumulate parses for the executor's lifetime)
     _cache: dict[str, list] = {}
+    _CACHE_CAP = 64
 
     @F.pandas_udf("boolean")
     def tg_tile_intersects(
@@ -171,18 +170,24 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
     ) -> pd.Series:
         from tilegrab_spark.kernels import geo
 
-        out = pd.Series(False, index=mnl.index)
-        for key, idx in geojson.groupby(geojson).groups.items():
+        # SQL NULL semantics: NULL geometry or bounds -> NULL result
+        valid = geojson.notna() & mnl.notna() & mnt.notna() & mxl.notna() & mxt.notna()
+        out = pd.Series([None] * len(mnl), index=mnl.index, dtype=object)
+        gvalid = geojson.where(valid)
+        for key, idx in gvalid.groupby(gvalid).groups.items():
             polys = _cache.get(key)
             if polys is None:
+                if len(_cache) >= _CACHE_CAP:
+                    _cache.clear()
                 polys = _cache[key] = _parse_geojson_polygons(key)
-            out[idx] = geo.boxes_intersect_polygons(
+            hit = geo.boxes_intersect_polygons(
                 mnl[idx].to_numpy(np.float64),
                 mnt[idx].to_numpy(np.float64),
                 mxl[idx].to_numpy(np.float64),
                 mxt[idx].to_numpy(np.float64),
                 polys,
             )
+            out[idx] = [bool(v) for v in hit]
         return out
 
     spark.udf.register("tg_tile_intersects", tg_tile_intersects)

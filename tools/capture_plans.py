@@ -32,13 +32,18 @@ def _incremental_plan(spark):
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     b0 = docs.filter(F.col("doc_id") % 2 == 0)
     b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="tg_plan_sig_")
-    incremental_lsh_pairs(b0, f"{tmp}/sigs", b0, batch_id=0).count()
-    pairs = incremental_lsh_pairs(
-        b1, f"{tmp}/sigs", docs, batch_id=1, commit=False
-    )
-    p = plan_of(pairs)
-    release_signature_caches()
+    try:
+        incremental_lsh_pairs(b0, f"{tmp}/sigs", b0, batch_id=0).count()
+        pairs = incremental_lsh_pairs(
+            b1, f"{tmp}/sigs", docs, batch_id=1, commit=False
+        )
+        p = plan_of(pairs)
+    finally:
+        release_signature_caches()
+        shutil.rmtree(tmp, ignore_errors=True)
     return p
 
 
