@@ -368,6 +368,69 @@ FROM lineitem
 """
 
 
+def _tile_interop(spark, sf):
+    """Interop addressings (functions/interop.py): quadkey, TMS row,
+    Morton/Z-order key + parent, and the quadkey->x/y round-trip — all
+    pure Catalyst folds, re-derived in the oracle with DuckDB bit ops
+    over a fixed bit series."""
+    from tilegrab_spark.functions.interop import (
+        morton_key_col,
+        morton_parent_col,
+        quadkey_col,
+        quadkey_decode_cols,
+        tms_y_col,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    d = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.pmod(F.col("l_orderkey"), F.lit(4096)).alias("x"),
+        F.pmod(F.col("l_partkey"), F.lit(4096)).alias("y"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        quadkey_col(F.col("x"), F.col("y"), 12).alias("quadkey"),
+        morton_key_col(F.col("x"), F.col("y"), 12).alias("morton_key"),
+        tms_y_col(F.col("y"), 12).alias("tms_y"),
+    )
+    _, xb, yb = quadkey_decode_cols(F.col("quadkey"))
+    return d.select(
+        "l_orderkey",
+        "l_linenumber",
+        "quadkey",
+        "morton_key",
+        "tms_y",
+        xb.alias("x_back"),
+        yb.alias("y_back"),
+        morton_parent_col(F.col("morton_key")).alias("parent_key"),
+    )
+
+
+def _interop_sql() -> str:
+    # Per-row unrolled bit math — (l_orderkey, l_linenumber) is NOT a
+    # unique key in the synthetic lineitem, so a GROUP-BY formulation
+    # would merge bits across duplicate keys. Fixed z=12.
+    digit = "(((x >> {i}) & 1) + 2 * ((y >> {i}) & 1))"
+    quadkey = " || ".join(
+        f"CAST({digit.format(i=i)} AS VARCHAR)" for i in range(11, -1, -1)
+    )
+    morton = " + ".join(f"{digit.format(i=i)} * {4**i}" for i in range(12))
+    return f"""
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_orderkey % 4096 AS BIGINT) AS x,
+         CAST(l_partkey % 4096 AS BIGINT) AS y
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       {quadkey} AS quadkey,
+       CAST({morton} AS BIGINT) AS morton_key,
+       4095 - y AS tms_y, x AS x_back, y AS y_back,
+       CAST({morton} AS BIGINT) >> 2 AS parent_key
+FROM t
+"""
+
+
 def _bbox_enum(spark, sf):
     from tilegrab_spark.operators.tiles import enumerate_tiles
     from tilegrab_spark.sources.geometries import GeometrySet
@@ -1430,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_anti_f5": _resume_anti,
         "tile_encode_p1": _tile_encode,
         "cell_pack": _cell_pack,
+        "tile_interop_keys": _tile_interop,
         "bbox_enum_f1": _bbox_enum,
         "dedup_exact": _dedup_exact,
         "duplicate_groups": _dup_groups,
@@ -1475,6 +1539,7 @@ def oracle_sql() -> dict[str, str]:
         "resume_anti_f5": _RESUME_SQL,
         "tile_encode_p1": _ENCODE_SQL,
         "cell_pack": _PACK_SQL,
+        "tile_interop_keys": _interop_sql(),
         "bbox_enum_f1": _BBOX_SQL,
         "mosaic_plan_w1": _MOSAIC_PLAN_SQL,
         "near_dup_hamming": _HAMMING_SQL,

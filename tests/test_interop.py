@@ -1,0 +1,224 @@
+"""Tile-addressing interop (functions/interop.py) + Z-order layout
+(operators/layout.py).
+
+Reference scope note: the reference speaks only slippy XYZ
+(src/tilegrab/tiles/tile.py); quadkey/TMS/Morton are engine
+extensions for provider interop and cluster-scale data layout.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tilegrab_spark.functions.interop import (
+    morton_key_col,
+    morton_parent_col,
+    quadkey_col,
+    quadkey_decode_cols,
+    tms_y_col,
+)
+from tilegrab_spark.operators.layout import (
+    cluster_by_space,
+    partition_extent_stats,
+    with_morton_key,
+)
+
+
+def _ref_quadkey(z, x, y):
+    return "".join(
+        str(((x >> (i - 1)) & 1) | (((y >> (i - 1)) & 1) << 1))
+        for i in range(z, 0, -1)
+    )
+
+
+def _ref_morton(z, x, y):
+    m = 0
+    for i in range(z - 1, -1, -1):
+        m = m * 4 + 2 * ((y >> i) & 1) + ((x >> i) & 1)
+    return m
+
+
+def _keys_df(spark, triples):
+    return spark.createDataFrame(triples, "z int, x long, y long").select(
+        "z",
+        "x",
+        "y",
+        quadkey_col(F.col("x"), F.col("y"), F.col("z")).alias("qk"),
+        morton_key_col(F.col("x"), F.col("y"), F.col("z")).alias("mk"),
+        tms_y_col(F.col("y"), F.col("z")).alias("tms"),
+    )
+
+
+def test_bing_documented_example(spark):
+    # Bing Maps tile-system docs: tile (x=3, y=5) at level 3 -> "213"
+    row = _keys_df(spark, [(3, 3, 5)]).collect()[0]
+    assert row.qk == "213"
+    assert row.tms == (1 << 3) - 1 - 5
+
+
+def test_zoom_zero_world_tile(spark):
+    row = _keys_df(spark, [(0, 0, 0)]).collect()[0]
+    assert row.qk == ""
+    assert row.mk == 0
+    z, xb, yb = quadkey_decode_cols(F.col("qk"))
+    r2 = (
+        _keys_df(spark, [(0, 0, 0)])
+        .select(z.alias("z2"), xb.alias("xb"), yb.alias("yb"))
+        .collect()[0]
+    )
+    assert (r2.z2, r2.xb, r2.yb) == (0, 0, 0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=30).flatmap(
+            lambda z: st.tuples(
+                st.just(z),
+                st.integers(0, 2**z - 1),
+                st.integers(0, 2**z - 1),
+            )
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_keys_match_reference_and_roundtrip(spark, triples):
+    out = _keys_df(spark, triples)
+    z2, xb, yb = quadkey_decode_cols(F.col("qk"))
+    rows = out.select(
+        "*",
+        z2.alias("zb"),
+        xb.alias("xb"),
+        yb.alias("yb"),
+        morton_parent_col(F.col("mk")).alias("mp"),
+    ).collect()
+    assert len(rows) == len(triples)
+    for r in rows:
+        assert r.qk == _ref_quadkey(r.z, r.x, r.y)
+        assert r.mk == _ref_morton(r.z, r.x, r.y)
+        assert r.tms == (1 << r.z) - 1 - r.y
+        assert (r.zb, r.xb, r.yb) == (r.z, r.x, r.y)
+        # parent tile (x//2, y//2) at z-1 shares the key prefix
+        assert r.mp == _ref_morton(r.z - 1, r.x // 2, r.y // 2)
+
+
+def test_tms_is_involution(spark):
+    df = spark.range(0, 64).select(
+        F.lit(6).alias("z"), F.col("id").alias("y")
+    )
+    back = df.select(
+        tms_y_col(tms_y_col(F.col("y"), F.col("z")), F.col("z")).alias("y2"),
+        "y",
+    )
+    assert back.filter(F.col("y2") != F.col("y")).count() == 0
+
+
+def test_sql_surface_parity(spark):
+    """tg_quadkey / tg_tms_y / tg_morton_key ≡ the DataFrame columns."""
+    from tilegrab_spark.sql import register_sql_functions
+
+    register_sql_functions(spark)
+    df = spark.range(0, 500).select(
+        F.lit(14).alias("z"),
+        F.pmod(F.col("id") * 2654435761, F.lit(2**14)).alias("x"),
+        F.pmod(F.col("id") * 40503, F.lit(2**14)).alias("y"),
+    )
+    df.createOrReplaceTempView("interop_parity")
+    sql = spark.sql(
+        """SELECT tg_quadkey(z, x, y) AS qk, tg_tms_y(z, y) AS tms,
+                  tg_morton_key(z, x, y) AS mk
+           FROM interop_parity"""
+    )
+    api = df.select(
+        quadkey_col(F.col("x"), F.col("y"), F.col("z")).alias("qk"),
+        tms_y_col(F.col("y"), F.col("z")).alias("tms"),
+        morton_key_col(F.col("x"), F.col("y"), F.col("z")).alias("mk"),
+    )
+    assert sql.exceptAll(api).count() == 0 and api.exceptAll(sql).count() == 0
+
+
+def test_morton_key_null_propagates(spark):
+    df = spark.createDataFrame([(12, None, 5)], "z int, x long, y long")
+    r = df.select(
+        morton_key_col(F.col("x"), F.col("y"), F.col("z")).alias("mk"),
+        quadkey_col(F.col("x"), F.col("y"), F.col("z")).alias("qk"),
+    ).collect()[0]
+    assert r.mk is None and r.qk is None
+
+
+def test_cluster_by_space_locality(spark):
+    """Z-order clustering yields per-partition bounding boxes far
+    tighter than hash layout: the sum of partition bbox areas (the scan
+    cost a bbox query pays) must shrink by >=4x on a uniform grid."""
+    n = 64
+    grid = (
+        # hash-scatter first so the input starts spatially shuffled
+        spark.range(n * n)
+        .repartition(16, "id")
+        .select(
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("long").alias("y"),
+        )
+    )
+    parts = 16
+    clustered = cluster_by_space(grid, zoom=6, num_partitions=parts)
+    stats = partition_extent_stats(clustered).toPandas()
+    scattered = partition_extent_stats(grid.repartition(parts, "x", "y")).toPandas()
+    assert stats["rows"].sum() == n * n
+    # balanced: no partition more than 4x the mean
+    assert stats["rows"].max() <= 4 * stats["rows"].mean()
+    assert stats["bbox_area"].sum() * 4 <= scattered["bbox_area"].sum()
+    # sorted within partitions: morton_key nondecreasing per partition
+    def _is_sorted(it):
+        vals = [r.morton_key for r in it]
+        assert vals == sorted(vals)
+        return iter([])
+
+    clustered.select("morton_key").rdd.mapPartitions(
+        lambda it: _is_sorted(it)
+    ).count()
+
+
+def test_with_morton_key_column_zoom(spark):
+    df = spark.createDataFrame([(3, 1, 2), (4, 5, 9)], "z int, x long, y long")
+    out = with_morton_key(df).collect()
+    for r in out:
+        assert r.morton_key == _ref_morton(r.z, r.x, r.y)
+
+
+def test_parquet_minmax_stats_prune(spark, tmp_path):
+    """The layout's point: files written from a clustered frame carry
+    tight morton_key min/max parquet stats, so a key-range scan touches
+    a small fraction of row groups. Verify via parquet footer metadata."""
+    import pyarrow.parquet as pq
+
+    n = 128
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"),
+        (F.col("id") / n).cast("long").alias("y"),
+    )
+    path = str(tmp_path / "clustered")
+    cluster_by_space(grid, zoom=7, num_partitions=8).write.parquet(path)
+    import glob
+
+    spans = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "morton_key"
+            )
+            spans.append((col.statistics.min, col.statistics.max))
+    total = 4 ** 7
+    covered = sum(hi - lo + 1 for lo, hi in spans)
+    # disjoint, tight spans: together they cover ~the key domain once,
+    # not 8x over (hash layout would give every file the full span)
+    assert covered <= 2 * total
+    spans.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo  # non-overlapping

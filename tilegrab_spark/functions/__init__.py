@@ -4,10 +4,22 @@ from tilegrab_spark.functions.cells import (
     tile_mercator_bounds_cols,
     cell_id_col,
 )
+from tilegrab_spark.functions.interop import (
+    morton_key_col,
+    morton_parent_col,
+    quadkey_col,
+    quadkey_decode_cols,
+    tms_y_col,
+)
 
 __all__ = [
     "cell_encode_cols",
     "tile_bounds_cols",
     "tile_mercator_bounds_cols",
     "cell_id_col",
+    "morton_key_col",
+    "morton_parent_col",
+    "quadkey_col",
+    "quadkey_decode_cols",
+    "tms_y_col",
 ]

@@ -10,6 +10,11 @@ from tilegrab_spark.operators.knn import knn_join
 from tilegrab_spark.operators.components import connected_components, dedup_by_components
 from tilegrab_spark.operators.pyramid import build_parent_level, build_pyramid
 from tilegrab_spark.operators.footprint import coverage_footprints
+from tilegrab_spark.operators.layout import (
+    cluster_by_space,
+    partition_extent_stats,
+    with_morton_key,
+)
 from tilegrab_spark.operators.sessions import session_summary, sessionize
 from tilegrab_spark.operators.verify import verify_images
 from tilegrab_spark.operators.dedup import (
@@ -52,6 +57,9 @@ from tilegrab_spark.operators.multimodal import (
 )
 
 __all__ = [
+    "cluster_by_space",
+    "partition_extent_stats",
+    "with_morton_key",
     "enumerate_tiles",
     "enumerate_tiles_for_geoms",
     "refine_by_shape",

@@ -108,6 +108,37 @@ RETURN named_struct(
 """,
     ),
     (
+        "tg_quadkey",
+        """
+CREATE OR REPLACE TEMPORARY FUNCTION tg_quadkey(z INT, x BIGINT, y BIGINT)
+RETURNS STRING
+RETURN CASE WHEN x IS NULL OR y IS NULL OR z IS NULL THEN NULL
+  WHEN z <= 0 THEN ''
+  ELSE array_join(transform(sequence(z - 1, 0, -1),
+         i -> CAST(bit_get(x, i) + bit_get(y, i) * 2 AS STRING)), '')
+  END
+""",
+    ),
+    (
+        "tg_tms_y",
+        """
+CREATE OR REPLACE TEMPORARY FUNCTION tg_tms_y(z INT, y BIGINT)
+RETURNS BIGINT
+RETURN CAST(pow(2.0d, z) AS BIGINT) - 1 - y
+""",
+    ),
+    (
+        "tg_morton_key",
+        """
+CREATE OR REPLACE TEMPORARY FUNCTION tg_morton_key(z INT, x BIGINT, y BIGINT)
+RETURNS BIGINT
+RETURN CASE WHEN z <= 0 THEN 0L
+  ELSE aggregate(sequence(z - 1, 0, -1), 0L,
+         (acc, i) -> acc * 4 + bit_get(y, i) * 2 + bit_get(x, i))
+  END
+""",
+    ),
+    (
         "tg_tile_geojson",
         """
 CREATE OR REPLACE TEMPORARY FUNCTION tg_tile_geojson(x BIGINT, y BIGINT, z INT)
