@@ -21,6 +21,8 @@ from tilegrab_spark.functions.interop import (
 )
 from tilegrab_spark.operators.layout import (
     cluster_by_space,
+    morton_bbox_predicate,
+    morton_ranges_for_bbox,
     partition_extent_stats,
     with_morton_key,
 )
@@ -187,6 +189,66 @@ def test_with_morton_key_column_zoom(spark):
     out = with_morton_key(df).collect()
     for r in out:
         assert r.morton_key == _ref_morton(r.z, r.x, r.y)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(1, 6).flatmap(
+        lambda z: st.tuples(
+            st.just(z),
+            *[st.integers(0, 2**z - 1) for _ in range(4)],
+        )
+    )
+)
+def test_morton_ranges_exact_cover(args):
+    z, xa, xb, ya, yb = args
+    x0, x1, y0, y1 = min(xa, xb), max(xa, xb), min(ya, yb), max(ya, yb)
+    ranges = morton_ranges_for_bbox(x0, y0, x1, y1, z, max_ranges=10**9)
+    want = {
+        _ref_morton(z, x, y)
+        for x in range(x0, x1 + 1)
+        for y in range(y0, y1 + 1)
+    }
+    got = set()
+    for lo, hi in ranges:
+        got.update(range(lo, hi + 1))
+    assert got == want  # uncoalesced cover is EXACT, not approximate
+    # coalesced: superset, bounded count
+    small = morton_ranges_for_bbox(x0, y0, x1, y1, z, max_ranges=4)
+    assert len(small) <= 4
+    got_s = set()
+    for lo, hi in small:
+        got_s.update(range(lo, hi + 1))
+    assert want <= got_s
+
+
+def test_morton_ranges_empty_and_degenerate():
+    assert morton_ranges_for_bbox(3, 3, 2, 3, 5) == []
+    assert morton_ranges_for_bbox(0, 0, 0, 0, 0) == [(0, 0)]
+    # full domain is one range
+    assert morton_ranges_for_bbox(0, 0, 15, 15, 4) == [(0, 255)]
+
+
+def test_morton_bbox_predicate_pushdown(spark, tmp_path):
+    """Read side of the layout: the range predicate returns exactly the
+    bbox rows from a clustered table and reaches the parquet scan as a
+    pushed filter (so row-group stats prune)."""
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"),
+        (F.col("id") / n).cast("long").alias("y"),
+    )
+    path = str(tmp_path / "zt")
+    cluster_by_space(grid, zoom=6, num_partitions=8).write.parquet(path)
+    t = spark.read.parquet(path)
+    x0, y0, x1, y1 = 5, 17, 20, 40
+    pred = morton_bbox_predicate(F.col("morton_key"), x0, y0, x1, y1, 6)
+    got = t.filter(pred).filter(
+        F.col("x").between(x0, x1) & F.col("y").between(y0, y1)
+    )
+    assert got.count() == (x1 - x0 + 1) * (y1 - y0 + 1)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "morton_key" in plan.split("PushedFilters")[1][:2000]
 
 
 def test_parquet_minmax_stats_prune(spark, tmp_path):

@@ -12,6 +12,8 @@ from tilegrab_spark.operators.pyramid import build_parent_level, build_pyramid
 from tilegrab_spark.operators.footprint import coverage_footprints
 from tilegrab_spark.operators.layout import (
     cluster_by_space,
+    morton_bbox_predicate,
+    morton_ranges_for_bbox,
     partition_extent_stats,
     with_morton_key,
 )
@@ -58,6 +60,8 @@ from tilegrab_spark.operators.multimodal import (
 
 __all__ = [
     "cluster_by_space",
+    "morton_bbox_predicate",
+    "morton_ranges_for_bbox",
     "partition_extent_stats",
     "with_morton_key",
     "enumerate_tiles",

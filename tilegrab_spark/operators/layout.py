@@ -66,6 +66,91 @@ def cluster_by_space(
     return out if keep_key else out.drop(key_col)
 
 
+def morton_ranges_for_bbox(
+    x0: int, y0: int, x1: int, y1: int, zoom: int, max_ranges: int = 64
+) -> list[tuple[int, int]]:
+    """Decompose an inclusive tile bbox into contiguous Morton key
+    ranges — the *read side* of cluster_by_space.
+
+    A quadtree block (an axis-aligned 2^k square at an aligned origin)
+    is exactly one contiguous Z-order range, so the bbox is covered by
+    recursively splitting quads: quads fully inside emit their range,
+    quads fully outside are dropped, straddling quads recurse.  Ranges
+    are merged when adjacent and coarsened (coalesced with the gap
+    between them) if the count would exceed ``max_ranges`` — extra keys
+    only cost a little over-scan, never correctness, because callers
+    still apply the exact predicate.
+
+    Driver-side by design: the bbox is query metadata (a handful of
+    ints), the output feeds a pushed-down ``key BETWEEN lo AND hi``
+    disjunction; no data moves through Python.
+    """
+    if x1 < x0 or y1 < y0:
+        return []
+    out: list[tuple[int, int]] = []
+
+    def _cover(qx: int, qy: int, level: int) -> None:
+        # quad at aligned origin (qx, qy) with side 2^level
+        side = 1 << level
+        lo_x, lo_y = qx, qy
+        hi_x, hi_y = qx + side - 1, qy + side - 1
+        if lo_x > x1 or hi_x < x0 or lo_y > y1 or hi_y < y0:
+            return
+        if x0 <= lo_x and hi_x <= x1 and y0 <= lo_y and hi_y <= y1:
+            base = _morton_py(qx >> level, qy >> level) << (2 * level)
+            out.append((base, base + (1 << (2 * level)) - 1))
+            return
+        half = level - 1
+        h = 1 << half
+        _cover(qx, qy, half)
+        _cover(qx + h, qy, half)
+        _cover(qx, qy + h, half)
+        _cover(qx + h, qy + h, half)
+
+    _cover(0, 0, zoom)
+    out.sort()
+    # merge touching ranges
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    # coalesce smallest gaps until under budget (over-scan, never loss)
+    while len(merged) > max_ranges:
+        gaps = [
+            (merged[i + 1][0] - merged[i][1], i) for i in range(len(merged) - 1)
+        ]
+        _, i = min(gaps)
+        merged[i] = (merged[i][0], merged[i + 1][1])
+        del merged[i + 1]
+    return merged
+
+
+def _morton_py(x: int, y: int) -> int:
+    m = 0
+    for i in range(max(x.bit_length(), y.bit_length()) - 1, -1, -1):
+        m = m * 4 + 2 * ((y >> i) & 1) + ((x >> i) & 1)
+    return m
+
+
+def morton_bbox_predicate(
+    key: Column, x0: int, y0: int, x1: int, y1: int, zoom: int, max_ranges: int = 64
+) -> Column:
+    """A Catalyst predicate selecting the bbox's Morton ranges —
+    ``key BETWEEN lo AND hi OR ...`` — which parquet row-group min/max
+    stats (written by cluster_by_space) prune server-side.  Callers
+    should AND the exact x/y bbox test on top; the ranges may over-scan
+    slightly when coalesced under ``max_ranges``."""
+    ranges = morton_ranges_for_bbox(x0, y0, x1, y1, zoom, max_ranges)
+    if not ranges:
+        return F.lit(False)
+    pred = key.between(ranges[0][0], ranges[0][1])
+    for lo, hi in ranges[1:]:
+        pred = pred | key.between(lo, hi)
+    return pred
+
+
 def partition_extent_stats(
     df: DataFrame, x_col: str = "x", y_col: str = "y"
 ) -> DataFrame:
