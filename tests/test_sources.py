@@ -8,7 +8,9 @@ from tilegrab_spark.sources.tile_sources import SOURCES, url_column
 
 
 def test_all_providers_registered():
-    assert set(SOURCES) == {"osm", "esri_wi", "gsat", "nmsat"}
+    # the reference's four providers, plus the engine's quadkey-
+    # addressed extension (bingsat)
+    assert set(SOURCES) == {"osm", "esri_wi", "gsat", "nmsat", "bingsat"}
     for s in SOURCES.values():
         assert s.uid and s.name and s.url_template
 
@@ -22,9 +24,19 @@ def test_osm_url_golden():
 
 def test_url_contract_1_1_1():
     # get_url(1,1,1) contains exactly one '/1/1/1' or '&x=1&y=1&z=1'
+    # (quadkey-addressed providers render the level-1 quadkey instead)
     for uid, s in SOURCES.items():
         url = s.get_url(z=1, x=1, y=1, api_key="K" if s.requires_key else None)
-        assert url.count("/1/1/1") == 1 or "&x=1&y=1&z=1" in url, (uid, url)
+        if "{q}" in s.url_template:
+            assert "a3" in url, (uid, url)  # quadkey of (1,1)@z1 is "3"
+        else:
+            assert url.count("/1/1/1") == 1 or "&x=1&y=1&z=1" in url, (uid, url)
+
+
+def test_bingsat_quadkey_golden():
+    # Bing tile-system docs example: (x=3, y=5) at level 3 -> "213"
+    url = SOURCES["bingsat"].get_url(z=3, x=3, y=5)
+    assert "a213.jpeg" in url
 
 
 def test_esri_path_order_z_y_x():

@@ -21,15 +21,21 @@ from pyspark.sql import functions as F
 class TileSource:
     uid: str
     name: str
-    url_template: str  # python-format style with {z} {x} {y} [{token}]
+    url_template: str  # python-format style with {z} {x} {y} [{q}] [{token}]
     requires_key: bool = False
 
     def get_url(self, z: int, x: int, y: int, api_key: str | None = None) -> str:
         """Driver-side scalar render — parity with sources/base.py:22-25
-        and the Nearmap key check (restricted.py:26-32)."""
+        and the Nearmap key check (restricted.py:26-32).  ``{q}`` (the
+        Bing/Azure quadkey — engine extension, functions/interop.py)
+        renders from the same (z, x, y)."""
         if self.requires_key and not api_key:
             raise ValueError(f"API key required for {self.name}")
-        return self.url_template.format(x=x, y=y, z=z, token=api_key or "")
+        q = "".join(
+            str(((x >> (i - 1)) & 1) | (((y >> (i - 1)) & 1) << 1))
+            for i in range(z, 0, -1)
+        )
+        return self.url_template.format(x=x, y=y, z=z, q=q, token=api_key or "")
 
 
 # Templates copied verbatim from the reference provider classes
@@ -51,6 +57,14 @@ SOURCES: dict[str, TileSource] = {
             "https://api.nearmap.com/tiles/v3/Vert/{z}/{x}/{y}.png?apikey={token}",
             requires_key=True,
         ),
+        # Engine extension (not in the reference): a quadkey-addressed
+        # provider in the Bing/Azure Maps shape — exercises the {q}
+        # template path end-to-end.
+        TileSource(
+            "bingsat",
+            "BingSat",
+            "https://ecn.t0.tiles.virtualearth.net/tiles/a{q}.jpeg?g=1",
+        ),
     )
 }
 
@@ -67,8 +81,14 @@ def url_column(uid: str, z: Column, x: Column, y: Column, api_key: str | None = 
     cols: list[Column] = []
 
     def repl(m: re.Match) -> str:
-        cols.append({"z": z, "x": x, "y": y}[m.group(1)])
+        ph = m.group(1)
+        if ph == "q":
+            from tilegrab_spark.functions.interop import quadkey_col
+
+            cols.append(quadkey_col(x, y, z))
+            return "%s"
+        cols.append({"z": z, "x": x, "y": y}[ph])
         return "%d"
 
-    fmt = re.sub(r"\{([zxy])\}", repl, tmpl).replace("%%", "%")
+    fmt = re.sub(r"\{([zxyq])\}", repl, tmpl).replace("%%", "%")
     return F.format_string(fmt, *cols)
