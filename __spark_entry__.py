@@ -313,6 +313,49 @@ WHERE (l_orderkey % 10) >= 3
 """
 
 
+def _snapshot_time_travel(spark, sf):
+    """Iceberg-style snapshot table (plans/snapshots.py): commit the
+    even-doc_id half, then write a BATCH OF DUPLICATE ROWS **without**
+    committing its snapshot (a killed job), then commit the odd half.
+    Reads at snapshot 1 and at the head are rolled up per version — the
+    oracle can only match if (a) time travel returns exactly commit 1
+    and (b) the uncommitted duplicates are invisible at every snapshot
+    (they would inflate n_docs and chars_sum otherwise)."""
+    import tempfile
+
+    from tilegrab_spark.plans.snapshots import SnapshotTable
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="tg_snap_"))
+    t.append(docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0))
+    # crashed writer: data files land, snapshot commit never happens
+    t._write_data(docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 0), ())
+    t.append(docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1))
+
+    def rollup(df, tag):
+        return df.groupBy("lang").agg(
+            F.lit(tag).alias("version"),
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_sum"),
+        ).select("version", "lang", "n_docs", "id_sum", "chars_sum")
+
+    return rollup(t.read(as_of=1), "v1").unionByName(rollup(t.read(), "head"))
+
+
+_SNAPSHOT_SQL = """
+SELECT * FROM (
+  SELECT 'v1' AS version, lang, COUNT(*) AS n_docs,
+         CAST(SUM(doc_id) AS BIGINT) AS id_sum, CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+  UNION ALL
+  SELECT 'head' AS version, lang, COUNT(*) AS n_docs,
+         CAST(SUM(doc_id) AS BIGINT) AS id_sum, CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+  FROM documents GROUP BY lang
+)
+"""
+
+
 # --- tile math (P1/F1/cell-id) with SQL oracles on the same formulas ---
 
 def _tile_encode(spark, sf):
@@ -1491,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_render_s4": _url_render,
         "status_routing_a5": _status_routing,
         "resume_anti_f5": _resume_anti,
+        "snapshot_time_travel": _snapshot_time_travel,
         "tile_encode_p1": _tile_encode,
         "cell_pack": _cell_pack,
         "tile_interop_keys": _tile_interop,
@@ -1537,6 +1581,7 @@ def oracle_sql() -> dict[str, str]:
         "url_render_s4": _URL_SQL,
         "status_routing_a5": _STATUS_SQL,
         "resume_anti_f5": _RESUME_SQL,
+        "snapshot_time_travel": _SNAPSHOT_SQL,
         "tile_encode_p1": _ENCODE_SQL,
         "cell_pack": _PACK_SQL,
         "tile_interop_keys": _interop_sql(),

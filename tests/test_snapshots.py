@@ -1,0 +1,182 @@
+"""Snapshot table layer (plans/snapshots.py): atomic commits, time
+travel, crash/resume, concurrency CAS, manifest compaction, expiry, and
+stats-based file pruning (the Iceberg-metrics-table leg of the north
+rule)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilegrab_spark.plans.snapshots import (
+    CommitConflict,
+    SnapshotMetricsStore,
+    SnapshotNotFound,
+    SnapshotTable,
+)
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(int(i), f"v{i}") for i in ids], "id long, v string")
+
+
+def test_append_read_roundtrip_and_history(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    assert t.current_seq() == 0
+    s1 = t.append(_df(spark, range(10)))
+    s2 = t.append(_df(spark, range(10, 15)))
+    assert (s1, s2) == (1, 2)
+    assert t.read().count() == 15
+    assert sorted(r.id for r in t.read(as_of=1).collect()) == list(range(10))
+    hist = t.snapshots()
+    assert [h["seq"] for h in hist] == [1, 2]
+    assert hist[1]["parent_seq"] == 1
+    assert all(h["operation"] == "append" for h in hist)
+
+
+def test_empty_read_raises_and_schema_pinned(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    with pytest.raises(SnapshotNotFound):
+        t.read()
+    t.append(_df(spark, [1]))
+    assert t.schema() == _df(spark, [1]).schema
+
+
+def test_schema_mismatch_rejected(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [1]))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.createDataFrame([(1.5,)], "x double"))
+
+
+def test_uncommitted_data_invisible_and_crash_resume(spark, tmp_path):
+    """The core guarantee: data files written without a snapshot commit
+    (= a job killed between the data write and the metadata commit) are
+    invisible to readers; a stale/ahead version-hint is repaired."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, range(5)))
+    # simulate the kill: data + manifest written, NO snapshot commit
+    t._write_data(_df(spark, range(100, 200)), ())
+    assert t.read().count() == 5
+    assert t.current_seq() == 1
+    # hint pointing past the committed history is rolled back+forward
+    with open(t._hint_path(), "w") as f:
+        f.write("9\n")
+    assert t.current_seq() == 1
+    assert t.read().count() == 5
+    # and a deleted hint recovers by roll-forward from zero
+    os.remove(t._hint_path())
+    assert t.current_seq() == 1
+
+
+def test_commit_conflict_cas_and_retry(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [1]))
+    # occupy the next sequence number as a concurrent winner would
+    s = t._load_snapshot(1)
+    blocker = os.path.join(t.meta_dir, "snap-00000002.json")
+    with open(blocker, "x") as f:
+        json.dump({**s, "seq": 2, "parent_seq": 1, "snapshot_id": "f" * 32}, f)
+    # append retries past the conflict onto seq 3 and stays consistent
+    assert t.append(_df(spark, [2])) == 3
+    # content = snap-1's file (re-listed via the blocker's manifests)
+    # plus the new append
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+    # _commit's hard-link CAS itself: a writer with a stale view of the
+    # head (another commit landed after it read current_seq) must fail,
+    # not overwrite
+    t.current_seq = lambda: 2  # stale — seq 3 already exists
+    with pytest.raises(FileExistsError):
+        t._commit(list(s["manifests"]), s["schema"], "append")
+
+
+def test_rollback_restores_content_forward(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, range(4)))
+    t.append(_df(spark, range(4, 9)))
+    seq = t.rollback(1)
+    assert seq == 3
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3]
+    # history intact: the rolled-back state is still readable
+    assert t.read(as_of=2).count() == 9
+    assert t.snapshots()[-1]["operation"] == "rollback"
+
+
+def test_compact_manifests_equal_content(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for lo in range(0, 30, 10):
+        t.append(_df(spark, range(lo, lo + 10)))
+    before = sorted(r.id for r in t.read().collect())
+    seq = t.compact_manifests()
+    assert len(t._load_snapshot(seq)["manifests"]) == 1
+    assert sorted(r.id for r in t.read().collect()) == before
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, range(4)))
+    t.append(_df(spark, range(4, 8)))
+    t.rollback(1)  # strands snap-2's data files once expired
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed["snapshots"] == 2
+    assert removed["data_files"] >= 1  # snap-2's commit files are unreferenced
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3]
+    with pytest.raises(SnapshotNotFound):
+        t.read(as_of=2)
+
+
+def test_scan_pruning_by_key_stats(spark, tmp_path):
+    """Per-file min/max stats prune whole files at plan time: disjoint
+    key-range commits → a range scan plans only the matching files."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for lo in (0, 1000, 2000, 3000):
+        df = spark.createDataFrame(
+            [(lo + i,) for i in range(100)], "morton_key long"
+        ).coalesce(1)
+        t.append(df, stat_cols=("morton_key",))
+    all_files = t.scan_files()
+    hit = t.scan_files(key_col="morton_key", key_ranges=[(1040, 1060), (2999, 3001)])
+    assert len(all_files) == 4
+    # [1040,1060] hits the 1000-1099 file; [2999,3001] straddles the gap
+    # and hits only the 3000-3099 file (2000-2099 excluded by stats)
+    assert len(hit) == 2
+    got = t.read(key_col="morton_key", key_ranges=[(1040, 1060)])
+    # pruning is plan-level; correctness still requires the predicate
+    got = got.filter(F.col("morton_key").between(1040, 1060))
+    assert got.count() == 21
+    # no-stats column: conservatively keeps everything
+    assert len(t.scan_files(key_col="absent", key_ranges=[(0, 1)])) == 4
+
+
+def test_snapshot_metrics_store_resume_excludes_uncommitted(spark, tmp_path):
+    """North-rule resume: a metrics append that never committed (killed
+    job) leaves those cells un-committed, so resume_filter re-emits
+    exactly them."""
+    from tilegrab_spark.plans.lineage import _stage_metrics
+
+    ms = SnapshotMetricsStore(spark, str(tmp_path / "metrics"))
+    work = spark.range(0, 20).select(F.col("id").alias("cell_id"))
+    assert ms.resume_filter(work, "fetch").count() == 20  # empty store
+    ms.append_stage(work.filter("cell_id < 8"), run_id="r1", stage="fetch")
+    # crashed second append: data written, snapshot NOT committed
+    m2 = _stage_metrics(work.filter("cell_id >= 15"), run_id="r1", stage="fetch")
+    ms.table._write_data(m2, ())
+    remaining = sorted(r.cell_id for r in ms.resume_filter(work, "fetch").collect())
+    assert remaining == list(range(8, 20))
+    # summary/latest run over the snapshot-consistent view
+    assert ms.summary().agg(F.sum("cells")).first()[0] == 8
+    assert ms.latest().count() == 8
+    # time travel over metrics history
+    ms.append_stage(work.filter("cell_id >= 8"), run_id="r2", stage="fetch")
+    assert ms.read(as_of=1).count() <= ms.read().count()
+    assert ms.resume_filter(work, "fetch").count() == 0
+
+
+def test_engine_metrics_format_snapshot(spark, tmp_path):
+    from tilegrab_spark.plans.pipeline import Engine
+
+    eng = Engine(spark, metrics_path=str(tmp_path / "m"), metrics_format="snapshot")
+    assert isinstance(eng.metrics, SnapshotMetricsStore)
+    with pytest.raises(ValueError, match="metrics_format"):
+        Engine(spark, metrics_path=str(tmp_path / "m2"), metrics_format="bogus")

@@ -68,22 +68,7 @@ class MetricsStore:
         ``cell_id`` column. One row per (cell, input partition): rows
         processed + bytes merged — the 'cells processed, rows joined,
         bytes merged' lineage of the north rule."""
-        b = F.sum(F.length(F.col(bytes_col))) if bytes_col else F.lit(0)
-        m = (
-            df.withColumn("partition_id", F.spark_partition_id())
-            .groupBy("cell_id", "partition_id")
-            .agg(F.count("*").alias("rows"), b.cast("long").alias("bytes"))
-            .select(
-                F.lit(run_id).alias("run_id"),
-                F.lit(stage).alias("stage"),
-                F.col("partition_id"),
-                F.col("cell_id"),
-                F.lit(status).alias("status"),
-                F.col("rows"),
-                F.coalesce(F.col("bytes"), F.lit(0)).alias("bytes"),
-                F.current_timestamp().alias("committed_at"),
-            )
-        )
+        m = _stage_metrics(df, run_id=run_id, stage=stage, status=status, bytes_col=bytes_col)
         m.write.mode("append").parquet(self.path)
 
     def read(self) -> DataFrame:
@@ -134,6 +119,34 @@ class MetricsStore:
             F.sum("rows").alias("rows"),
             F.sum("bytes").alias("bytes"),
         )
+
+
+def _stage_metrics(
+    df: DataFrame,
+    *,
+    run_id: str,
+    stage: str,
+    status: str = "SUCCESS",
+    bytes_col: str | None = None,
+) -> DataFrame:
+    """METRICS_SCHEMA rows for one stage output (shared by the plain
+    append-only store above and plans/snapshots.py's snapshot store)."""
+    b = F.sum(F.length(F.col(bytes_col))) if bytes_col else F.lit(0)
+    return (
+        df.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("cell_id", "partition_id")
+        .agg(F.count("*").alias("rows"), b.cast("long").alias("bytes"))
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            F.col("partition_id"),
+            F.col("cell_id"),
+            F.lit(status).alias("status"),
+            F.col("rows"),
+            F.coalesce(F.col("bytes"), F.lit(0)).alias("bytes"),
+            F.current_timestamp().alias("committed_at"),
+        )
+    )
 
 
 def new_run_id() -> str:

@@ -32,10 +32,22 @@ class Engine:
         *,
         metrics_path: str | None = None,
         run_id: str | None = None,
+        metrics_format: str = "append",
     ):
         self.spark = spark
         self.run_id = run_id or new_run_id()
-        self.metrics = MetricsStore(spark, metrics_path) if metrics_path else None
+        if not metrics_path:
+            self.metrics = None
+        elif metrics_format == "snapshot":
+            # Iceberg-style snapshot isolation: a killed job resumes
+            # from the last *committed* snapshot (plans/snapshots.py).
+            from tilegrab_spark.plans.snapshots import SnapshotMetricsStore
+
+            self.metrics = SnapshotMetricsStore(spark, metrics_path)
+        elif metrics_format == "append":
+            self.metrics = MetricsStore(spark, metrics_path)
+        else:
+            raise ValueError(f"unknown metrics_format {metrics_format!r}")
 
     # --- stage 1: tile selection (E1 steps 3-4) ---
     def tiles_for(

@@ -1,0 +1,460 @@
+"""Snapshot-isolated table layer (Iceberg-shaped) over parquet.
+
+The north rule asks for an *Iceberg* metrics/lineage table: a killed job
+must resume from the **last committed snapshot**, never observing a
+half-written append. Plain ``mode("append")`` parquet cannot give that —
+a reader that lists the directory mid-write sees orphan part files. This
+module implements the minimal table-format core that does, following the
+public Iceberg spec's shape (spec v2, https://iceberg.apache.org/spec/):
+
+* **data files** — immutable parquet written by Spark under
+  ``data/<commit-uuid>/``; a writer never touches another commit's files.
+* **manifest files** — one JSON per commit listing ONLY that commit's
+  data files with per-file ``row_count`` / ``byte_size`` and per-column
+  min/max stats lifted from the parquet footers. Commit cost is O(new
+  files) metadata, independent of table size — the property that keeps
+  appends viable at 10^12 rows / millions of files.
+* **snapshot files** — ``snap-<seq>.json`` holding the manifest *list*
+  (parent's manifests + the new one) plus schema and lineage (parent
+  pointer, operation). Published by hard-linking a fully-written temp
+  file onto the fixed per-sequence name: the link IS the commit
+  (and a visible snap file is therefore always complete), doubling as the
+  optimistic-concurrency CAS — two racing writers produce one winner and
+  one ``CommitConflict`` (append-only commits simply retry on a fresh
+  sequence number; nothing they wrote needs rewriting). On object
+  stores without atomic create, swap this one primitive for a catalog
+  CAS (the Iceberg catalog's role); everything else is unchanged.
+* **version-hint.text** — an advisory pointer to the latest sequence,
+  swapped in with atomic tmp+rename (the same durability trick as the
+  reference's progress flush, downloader/progress.py:105-123). Readers
+  start from the hint and roll *forward* while ``snap-<seq+1>`` exists,
+  so a stale hint (crash between snapshot create and hint swap) is
+  harmless.
+
+Readers plan a scan from a snapshot's manifest list only — uncommitted
+data directories are invisible by construction, which is exactly the
+resume guarantee: ``SnapshotMetricsStore`` (below) routes the lineage
+appends through this table, so cells whose metrics append didn't commit
+are re-processed, never silently skipped.
+
+Scan planning prunes at two levels before Spark ever runs: whole files
+drop when their manifest min/max misses the requested key ranges (pair
+with ``operators/layout.py::cluster_by_space`` — Z-order-sorted files
+have tight disjoint ``morton_key`` stats, so a bbox touches few files),
+and the surviving files still carry row-group stats for the engine's
+normal pushdown. ``compact_manifests`` folds the O(#commits) manifest
+list back to one file; ``expire_snapshots`` garbage-collects data files
+no retained snapshot references.
+
+Everything here is driver-side *metadata* work (list/footer reads on a
+few new files per commit); the data path stays pure Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same sequence number first."""
+
+
+class SnapshotNotFound(LookupError):
+    pass
+
+
+def _atomic_write_text(path: str, text: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _jsonable(v):
+    """Parquet footer stats → JSON-safe scalars (bytes → utf-8/hex)."""
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return v.hex()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.meta_dir = os.path.join(root, "metadata")
+
+    # ---------------------------------------------------------------- reads
+
+    def _hint_path(self) -> str:
+        return os.path.join(self.meta_dir, "version-hint.text")
+
+    def _snap_path(self, seq: int) -> str | None:
+        path = os.path.join(self.meta_dir, f"snap-{seq:08d}.json")
+        return path if os.path.isfile(path) else None
+
+    def current_seq(self) -> int:
+        """Latest committed sequence (0 = empty table). Starts at the
+        advisory hint and rolls forward — the snap file, not the hint,
+        is the source of truth."""
+        seq = 0
+        try:
+            with open(self._hint_path()) as f:
+                seq = int(f.read().split()[0])
+        except (OSError, ValueError, IndexError):
+            seq = 0
+        if seq and self._snap_path(seq) is None:
+            seq = 0  # hint ahead of a crashed commit — rewind and roll forward
+        while self._snap_path(seq + 1) is not None:
+            seq += 1
+        return seq
+
+    def _load_snapshot(self, seq: int) -> dict:
+        path = self._snap_path(seq)
+        if path is None:
+            raise SnapshotNotFound(f"no snapshot with seq={seq} under {self.meta_dir}")
+        with open(path) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        """Commit history, oldest first (seq, snapshot_id, operation,
+        n_manifests, parent_seq)."""
+        out = []
+        for seq in range(1, self.current_seq() + 1):
+            s = self._load_snapshot(seq)
+            out.append(
+                {
+                    "seq": s["seq"],
+                    "snapshot_id": s["snapshot_id"],
+                    "operation": s["operation"],
+                    "parent_seq": s["parent_seq"],
+                    "n_manifests": len(s["manifests"]),
+                }
+            )
+        return out
+
+    def _manifest_entries(self, snap: dict) -> list[dict]:
+        files: list[dict] = []
+        for mname in snap["manifests"]:
+            with open(os.path.join(self.meta_dir, mname)) as f:
+                files.extend(json.load(f)["files"])
+        return files
+
+    def scan_files(
+        self,
+        *,
+        as_of: int | None = None,
+        key_col: str | None = None,
+        key_ranges: list[tuple[int, int]] | None = None,
+    ) -> list[dict]:
+        """Plan a scan: manifest entries surviving min/max pruning.
+        ``key_ranges`` are inclusive [lo, hi] pairs (e.g. from
+        ``layout.morton_ranges_for_bbox``); a file is kept unless its
+        recorded [min, max] for ``key_col`` misses every range. Files
+        with no stats for the column are conservatively kept."""
+        seq = self.current_seq() if as_of is None else as_of
+        if seq == 0:
+            return []
+        entries = self._manifest_entries(self._load_snapshot(seq))
+        if not key_ranges or not key_col:
+            return entries
+        kept = []
+        for e in entries:
+            st = e.get("stats", {}).get(key_col)
+            if not st or st[0] is None or st[1] is None:
+                kept.append(e)
+                continue
+            fmin, fmax = st
+            if any(not (fmax < lo or fmin > hi) for lo, hi in key_ranges):
+                kept.append(e)
+        return kept
+
+    def schema(self, *, as_of: int | None = None) -> StructType | None:
+        seq = self.current_seq() if as_of is None else as_of
+        if seq == 0:
+            return None
+        return StructType.fromJson(json.loads(self._load_snapshot(seq)["schema"]))
+
+    def read(
+        self,
+        *,
+        as_of: int | None = None,
+        key_col: str | None = None,
+        key_ranges: list[tuple[int, int]] | None = None,
+    ) -> DataFrame:
+        """Read the table at a snapshot (default: latest). Only files in
+        the snapshot's manifests are scanned — concurrent or crashed
+        writers' data directories are invisible."""
+        entries = self.scan_files(as_of=as_of, key_col=key_col, key_ranges=key_ranges)
+        schema = self.schema(as_of=as_of)
+        if not entries:
+            if schema is None:
+                raise SnapshotNotFound(f"empty table at {self.root}")
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, e["path"]) for e in entries]
+        # Pin the snapshot schema so late schema evolution can't leak
+        # into a time-travel read via parquet schema merging.
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # --------------------------------------------------------------- writes
+
+    def _footer_stats(self, fpath: str, stat_cols: tuple[str, ...]) -> tuple[int, dict]:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(fpath).metadata
+        names = {md.schema.column(i).name: i for i in range(len(md.schema))}
+        stats: dict[str, list] = {}
+        for col in stat_cols:
+            ci = names.get(col)
+            if ci is None:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(ci).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                stats[col] = [_jsonable(lo), _jsonable(hi)]
+        return md.num_rows, stats
+
+    def _write_data(self, df: DataFrame, stat_cols: tuple[str, ...]) -> str:
+        """Write data files for one commit; return the manifest name.
+        NOT yet visible — only the snapshot commit publishes it."""
+        commit_id = uuid.uuid4().hex[:16]
+        out = os.path.join(self.data_dir, commit_id)
+        df.write.mode("error").parquet(out)
+        files = []
+        for name in sorted(os.listdir(out)):
+            if not name.endswith(".parquet"):
+                continue
+            fpath = os.path.join(out, name)
+            rows, stats = self._footer_stats(fpath, stat_cols)
+            files.append(
+                {
+                    "path": os.path.join("data", commit_id, name),
+                    "row_count": rows,
+                    "byte_size": os.path.getsize(fpath),
+                    "stats": stats,
+                }
+            )
+        os.makedirs(self.meta_dir, exist_ok=True)
+        mname = f"manifest-{commit_id}.json"
+        _atomic_write_text(
+            os.path.join(self.meta_dir, mname), json.dumps({"files": files})
+        )
+        return mname
+
+    def _commit(self, manifests: list[str], schema_json: str, operation: str) -> int:
+        """CAS-commit a snapshot on the next sequence number."""
+        parent = self.current_seq()
+        seq = parent + 1
+        snap = {
+            "seq": seq,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent_seq": parent or None,
+            "operation": operation,
+            "manifests": manifests,
+            "schema": schema_json,
+        }
+        path = os.path.join(self.meta_dir, f"snap-{seq:08d}.json")
+        # Write the complete json aside, then publish it with a hard
+        # link: the link on the fixed per-seq name IS the commit CAS
+        # (fails if the seq is taken), and a published snap file is
+        # always complete — no torn-write state exists.
+        tmp = f"{path}.w.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        finally:
+            os.remove(tmp)
+        _atomic_write_text(self._hint_path(), f"{seq}\n")
+        return seq
+
+    def append(
+        self,
+        df: DataFrame,
+        *,
+        stat_cols: tuple[str, ...] = (),
+        max_retries: int = 5,
+    ) -> int:
+        """Atomically append ``df`` as a new snapshot; returns its seq.
+        Retries the (metadata-only) commit on concurrent-writer conflict
+        — the data files written once stay valid across retries."""
+        os.makedirs(self.data_dir, exist_ok=True)
+        cur_schema = self.schema()
+        if cur_schema is not None and df.schema != cur_schema:
+            raise ValueError(
+                f"schema mismatch appending to {self.root}: "
+                f"{df.schema.simpleString()} != {cur_schema.simpleString()}"
+            )
+        mname = self._write_data(df, stat_cols)
+        schema_json = json.dumps(df.schema.jsonValue())
+        for attempt in range(max_retries):
+            parent = self.current_seq()
+            base = (
+                self._load_snapshot(parent)["manifests"] if parent else []
+            )
+            try:
+                return self._commit(base + [mname], schema_json, "append")
+            except (FileExistsError, CommitConflict):
+                if attempt == max_retries - 1:
+                    raise CommitConflict(
+                        f"gave up appending to {self.root} after {max_retries} conflicts"
+                    )
+        raise AssertionError("unreachable")
+
+    def rollback(self, seq: int) -> int:
+        """Commit a new snapshot whose content is that of snapshot
+        ``seq`` (history stays intact — this is a forward-moving undo,
+        like Iceberg's rollback)."""
+        snap = self._load_snapshot(seq)
+        return self._commit(list(snap["manifests"]), snap["schema"], "rollback")
+
+    def compact_manifests(self) -> int:
+        """Fold the current manifest list into a single manifest file and
+        commit an equal-content snapshot. Keeps scan planning O(1)
+        manifest reads after many small appends."""
+        cur = self.current_seq()
+        if cur == 0:
+            raise SnapshotNotFound(f"empty table at {self.root}")
+        snap = self._load_snapshot(cur)
+        entries = self._manifest_entries(snap)
+        mname = f"manifest-{uuid.uuid4().hex[:16]}.json"
+        _atomic_write_text(
+            os.path.join(self.meta_dir, mname), json.dumps({"files": entries})
+        )
+        return self._commit([mname], snap["schema"], "compact")
+
+    def expire_snapshots(self, *, keep_last: int = 1) -> dict:
+        """Delete snapshot/manifest metadata older than the newest
+        ``keep_last`` snapshots, plus any data file no retained snapshot
+        references (files stranded by rollbacks). Time travel below the
+        horizon stops working; the current snapshot is untouched."""
+        cur = self.current_seq()
+        keep_seqs = set(range(max(1, cur - keep_last + 1), cur + 1))
+        keep_manifests: set[str] = set()
+        keep_files: set[str] = set()
+        for seq in keep_seqs:
+            snap = self._load_snapshot(seq)
+            keep_manifests.update(snap["manifests"])
+            keep_files.update(e["path"] for e in self._manifest_entries(snap))
+        removed = {"snapshots": 0, "manifests": 0, "data_files": 0}
+        for name in list(os.listdir(self.meta_dir)):
+            full = os.path.join(self.meta_dir, name)
+            if name.startswith("snap-") and name.endswith(".json"):
+                try:
+                    seq = int(name[len("snap-"):-len(".json")])
+                except ValueError:
+                    continue
+                if seq not in keep_seqs:
+                    os.remove(full)
+                    removed["snapshots"] += 1
+            elif name.startswith("manifest-") and name not in keep_manifests:
+                os.remove(full)
+                removed["manifests"] += 1
+        if os.path.isdir(self.data_dir):
+            for commit_id in list(os.listdir(self.data_dir)):
+                cdir = os.path.join(self.data_dir, commit_id)
+                if not os.path.isdir(cdir):
+                    continue
+                for fname in list(os.listdir(cdir)):
+                    rel = os.path.join("data", commit_id, fname)
+                    if fname.endswith(".parquet") and rel not in keep_files:
+                        os.remove(os.path.join(cdir, fname))
+                        removed["data_files"] += 1
+                if not any(f.endswith(".parquet") for f in os.listdir(cdir)):
+                    import shutil
+
+                    shutil.rmtree(cdir)
+        return removed
+
+
+class SnapshotMetricsStore:
+    """``MetricsStore`` semantics over a :class:`SnapshotTable` — the
+    north rule's Iceberg metrics table made literal. Each stage's
+    lineage append is a snapshot commit: a job killed after writing its
+    data output but *before* this commit leaves the metrics table at the
+    previous snapshot, so ``resume_filter`` re-processes exactly the
+    uncommitted cells (at-least-once, never lost). Time travel over the
+    metrics history (``read(as_of=...)``) replaces log archaeology when
+    auditing a resumed run.
+
+    Drop-in for :class:`tilegrab_spark.plans.lineage.MetricsStore` (the
+    query helpers are inherited by delegation to the same DataFrame
+    shapes); ``Engine(metrics_format="snapshot")`` selects it.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.table = SnapshotTable(spark, path)
+
+    def exists(self) -> bool:
+        return self.table.current_seq() > 0
+
+    def append_stage(self, df, *, run_id, stage, status="SUCCESS", bytes_col=None) -> int:
+        from tilegrab_spark.plans.lineage import _stage_metrics
+
+        m = _stage_metrics(df, run_id=run_id, stage=stage, status=status, bytes_col=bytes_col)
+        return self.table.append(m, stat_cols=("cell_id", "stage"))
+
+    def read(self, *, as_of: int | None = None) -> DataFrame:
+        from tilegrab_spark.plans.lineage import METRICS_SCHEMA
+
+        if not self.exists():
+            return self.spark.createDataFrame([], METRICS_SCHEMA)
+        return self.table.read(as_of=as_of)
+
+    # query surface = MetricsStore's, over the snapshot-consistent read
+    def committed_cells(self, stage, *, statuses=("SUCCESS", "SKIP_AND_EXISTS")) -> DataFrame:
+        return (
+            self.read()
+            .filter((F.col("stage") == stage) & F.col("status").isin(*statuses))
+            .select("cell_id")
+            .distinct()
+        )
+
+    def resume_filter(self, work_df: DataFrame, stage: str) -> DataFrame:
+        if not self.exists():
+            return work_df
+        return work_df.join(
+            F.broadcast(self.committed_cells(stage)), on="cell_id", how="left_anti"
+        )
+
+    def latest(self) -> DataFrame:
+        return self._latest_of(self.read())
+
+    def summary(self) -> DataFrame:
+        return self.read().groupBy("run_id", "stage", "status").agg(
+            F.countDistinct("cell_id").alias("cells"),
+            F.sum("rows").alias("rows"),
+            F.sum("bytes").alias("bytes"),
+        )
+
+    @staticmethod
+    def _latest_of(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("stage", "cell_id").orderBy(
+            F.desc("committed_at"), F.desc("run_id"), F.desc("partition_id")
+        )
+        return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
