@@ -47,6 +47,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     og.add_argument("--jpg", action="store_true", help="JPEG mosaic files (baseline codec, quality 90)")
     og.add_argument("--png", action="store_true", help="PNG mosaic; no geo-reference")
     og.add_argument("--tiff", action="store_true", help="mosaic with EPSG:3857 geo-reference columns")
+    og.add_argument("--cog", action="store_true",
+                    help="Cloud-Optimized GeoTIFF mosaic (engine extension; tiled + "
+                         "deflate + internal overviews, header-first layout)")
     og.add_argument("--webp", action="store_true",
                     help="lossless WebP mosaic (engine extension; VP8L codec)")
     og.add_argument("--webp-lossy", action="store_true",
@@ -131,10 +134,10 @@ def main(argv=None) -> int:
     if args.group_tiles:
         gw, gh = (int(v) for v in args.group_tiles.lower().split("x"))
     mosaics = eng.mosaic(joined, group_w=gw, group_h=gh)
-    if not args.tiff:
+    if not (args.tiff or args.cog):
         mosaics = mosaics.drop("merc_xmin", "merc_ymin", "merc_xmax", "merc_ymax")
     eng.write(mosaics, str(args.out / "mosaics"), stage="mosaic")
-    if args.tiff or args.jpg or args.webp or args.webp_lossy:
+    if args.tiff or args.cog or args.jpg or args.webp or args.webp_lossy:
         # real image files next to the table (exporter.py:37-74):
         # georeferenced .tif or lossy .jpg per the format flag (.webp is
         # an engine extension). Export reads the parquet just written —
@@ -143,7 +146,9 @@ def main(argv=None) -> int:
         from tilegrab_spark.sources.export import export_mosaics
 
         written = spark.read.parquet(str(args.out / "mosaics"))
-        if args.tiff:
+        if args.cog:
+            export_mosaics(written, args.out / "cog", fmt="cog")
+        elif args.tiff:
             export_mosaics(written, args.out / "tiff", fmt="tiff")
         elif args.webp:
             export_mosaics(written, args.out / "webp", fmt="webp")

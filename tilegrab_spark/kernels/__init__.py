@@ -1,3 +1,3 @@
-from tilegrab_spark.kernels import avi, geo, geotiff, jpeg, png, vp8, wav, webp
+from tilegrab_spark.kernels import avi, cog, geo, geotiff, jpeg, png, vp8, wav, webp
 
-__all__ = ["avi", "geo", "geotiff", "jpeg", "png", "vp8", "wav", "webp"]
+__all__ = ["avi", "cog", "geo", "geotiff", "jpeg", "png", "vp8", "wav", "webp"]

@@ -31,12 +31,25 @@ def export_mosaics(
     once."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    if fmt not in ("png", "jpg", "tiff", "webp", "webp_lossy"):
+    if fmt not in ("png", "jpg", "tiff", "cog", "webp", "webp_lossy"):
         raise ValueError(f"unsupported export fmt {fmt!r}")
     written = []
     rows = mosaics.orderBy("geom_id", "z", "gx", "gy").toLocalIterator()
     for i, r in enumerate(rows, start=1):
-        if fmt == "tiff":
+        if fmt == "cog":
+            # Cloud-Optimized GeoTIFF: tiled + deflate + internal 2:1
+            # overviews, header-first layout (kernels/cog.py) — the
+            # object-store serving shape of the S7 sink
+            from tilegrab_spark.kernels import cog, png
+
+            p = out / f"{i}_mosaic.tif"
+            p.write_bytes(
+                cog.encode_cog(
+                    png.decode_png(bytes(r.bytes)),
+                    (r.merc_xmin, r.merc_ymin, r.merc_xmax, r.merc_ymax),
+                )
+            )
+        elif fmt == "tiff":
             from tilegrab_spark.kernels import geotiff, png
 
             p = out / f"{i}_mosaic.tif"
