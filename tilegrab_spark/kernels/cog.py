@@ -253,6 +253,31 @@ def _read_ifd(data: bytes, en: str, ifd_off: int):
     return tags, nxt
 
 
+def decode_tile(
+    raw: bytes, tw: int, tl: int, compression: int, predictor: int
+) -> np.ndarray:
+    """Decode one compressed tile payload into its full (tl, tw, 3)
+    uint8 block (edge tiles are padded at encode time — crop by the
+    caller's knowledge of the raster dims).  Deflate expansion is capped
+    at one tile's size so a zlib bomb can never allocate beyond it."""
+    expected = tw * tl * 3
+    if compression == 8:
+        # decompressobj + max_length caps a zlib bomb at one tile
+        buf = zlib.decompressobj().decompress(raw, expected)
+    elif compression == 1:
+        buf = raw
+    else:
+        raise ValueError(f"unsupported tile compression {compression}")
+    if len(buf) < expected:
+        raise ValueError("tile shorter than expected")
+    block = np.frombuffer(buf[:expected], np.uint8).reshape(tl, tw, 3)
+    if predictor == 2:
+        block = np.add.accumulate(block, axis=1, dtype=np.uint8)
+    elif predictor != 1:
+        raise ValueError(f"unsupported predictor {predictor}")
+    return block
+
+
 def _decode_tiled_ifd(data: bytes, en: str, tags: dict) -> np.ndarray:
     w, h = int(tags[256][0]), int(tags[257][0])
     if w * h > 1 << 28:
@@ -270,25 +295,11 @@ def _decode_tiled_ifd(data: bytes, en: str, tags: dict) -> np.ndarray:
     if len(offsets) != tiles_x * tiles_y or len(counts) != len(offsets):
         raise ValueError("TileOffsets/TileByteCounts length mismatch")
     canvas = np.zeros((tiles_y * tl, tiles_x * tw, 3), np.uint8)
-    expected = tw * tl * 3
     for idx, (off, cnt) in enumerate(zip(offsets, counts)):
         raw = data[off:off + cnt]
         if len(raw) < cnt:
             raise ValueError("tile data truncated")
-        if compression == 8:
-            # decompressobj + max_length caps a zlib bomb at one tile
-            buf = zlib.decompressobj().decompress(raw, expected)
-        elif compression == 1:
-            buf = raw
-        else:
-            raise ValueError(f"unsupported tile compression {compression}")
-        if len(buf) < expected:
-            raise ValueError("tile shorter than expected")
-        block = np.frombuffer(buf[:expected], np.uint8).reshape(tl, tw, 3)
-        if predictor == 2:
-            block = np.add.accumulate(block, axis=1, dtype=np.uint8)
-        elif predictor != 1:
-            raise ValueError(f"unsupported predictor {predictor}")
+        block = decode_tile(raw, tw, tl, compression, predictor)
         ty, tx = divmod(idx, tiles_x)
         canvas[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw] = block
     return np.ascontiguousarray(canvas[:h, :w])
@@ -338,6 +349,74 @@ def read_cog(data: bytes) -> tuple[list[np.ndarray], tuple, int]:
         if not levels:
             raise ValueError("TIFF has no IFDs")
         return levels, bounds, epsg
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"malformed tiled TIFF: {e}") from e
+
+
+def parse_index(data: bytes) -> dict:
+    """Parse ONLY the metadata block of a COG — `data` may be a prefix of
+    the file (the header-first layout guarantees all IFDs and tag
+    payloads precede all tile data, so `validate_cog_layout`'s
+    `header_bytes` is always enough).  No tile is decompressed.
+
+    Returns {"epsg", "bounds": (xmin, ymin, xmax, ymax) of level 0,
+    "levels": [{"w", "h", "tile_w", "tile_h", "compression", "predictor",
+    "offsets", "counts"}, ...]} — full resolution first.  Raises
+    ValueError on malformed or strip-organized input."""
+    try:
+        if data[:2] == b"II":
+            en = "<"
+        elif data[:2] == b"MM":
+            en = ">"
+        else:
+            raise ValueError("not a TIFF (no II/MM byte-order mark)")
+        if struct.unpack_from(en + "H", data, 2)[0] != 42:
+            raise ValueError("bad TIFF magic")
+        (ifd_off,) = struct.unpack_from(en + "I", data, 4)
+        levels = []
+        bounds = None
+        epsg = 0
+        seen = set()
+        while ifd_off:
+            if ifd_off in seen:
+                raise ValueError("IFD chain cycle")
+            seen.add(ifd_off)
+            if len(levels) > 64:
+                raise ValueError("too many IFDs")
+            tags, ifd_off = _read_ifd(data, en, ifd_off)
+            if 322 not in tags or 324 not in tags:
+                raise ValueError("strip-organized TIFF: use read_geotiff")
+            spp = int(tags.get(277, [1])[0])
+            if spp != 3 or any(int(b) != 8 for b in tags.get(258, [8])):
+                raise ValueError("COG reader supports 8-bit RGB only")
+            w, h = int(tags[256][0]), int(tags[257][0])
+            tw, tl = int(tags[322][0]), int(tags[323][0])
+            offsets = [int(v) for v in tags[324]]
+            counts = [int(v) for v in tags[325]]
+            tiles_x = (w + tw - 1) // tw
+            tiles_y = (h + tl - 1) // tl
+            if len(offsets) != tiles_x * tiles_y or len(counts) != len(offsets):
+                raise ValueError("TileOffsets/TileByteCounts length mismatch")
+            if not levels:
+                if 33550 in tags and 33922 in tags:
+                    sx, sy = float(tags[33550][0]), float(tags[33550][1])
+                    xmin, ymax = float(tags[33922][3]), float(tags[33922][4])
+                    bounds = (xmin, ymax - sy * h, xmin + sx * w, ymax)
+                else:
+                    bounds = (0.0, 0.0, float(w), float(h))
+                gk = tags.get(34735, [])
+                for j in range(4, len(gk) - 3, 4):
+                    if int(gk[j]) == 3072:
+                        epsg = int(gk[j + 3])
+            levels.append({
+                "w": w, "h": h, "tile_w": tw, "tile_h": tl,
+                "compression": int(tags.get(259, [1])[0]),
+                "predictor": int(tags.get(317, [1])[0]),
+                "offsets": offsets, "counts": counts,
+            })
+        if not levels:
+            raise ValueError("TIFF has no IFDs")
+        return {"epsg": epsg, "bounds": bounds, "levels": levels}
     except (struct.error, IndexError, KeyError) as e:
         raise ValueError(f"malformed tiled TIFF: {e}") from e
 

@@ -13,6 +13,11 @@ from tilegrab_spark.sources.images import (
     read_image_table,
     write_synthetic_image_table,
 )
+from tilegrab_spark.sources.cog_source import (
+    cog_tile_index,
+    fetch_cog_tiles,
+    read_cog_tiles,
+)
 
 __all__ = [
     "SOURCES",
@@ -24,4 +29,7 @@ __all__ = [
     "IMAGE_SCHEMA",
     "read_image_table",
     "write_synthetic_image_table",
+    "cog_tile_index",
+    "fetch_cog_tiles",
+    "read_cog_tiles",
 ]
