@@ -1519,6 +1519,90 @@ FROM g
 """
 
 
+def _zonal_stats_t(spark, sf):
+    """Exact zonal statistics (operators/zonal.py): per-band pixel
+    count/sum/min/max/mean of the T zone over the deterministic 4×4 z16
+    raster.  Interior/boundary classification keeps per-pixel masking off
+    fully-inside tiles; per-tile partials are algebraic so only tiny
+    stat rows shuffle.  FULLY oracled: per-tile masked leaf stats are
+    re-derived at oracle-build time from the fixture pixel formula
+    (kernels/png.py::synth_tile_pixels, FIXTURES.md §2) + an independent
+    textbook ray cast; DuckDB re-derives the zone combine + mean."""
+    import tempfile
+
+    from tilegrab_spark.operators.image_join import join_images
+    from tilegrab_spark.operators.tiles import enumerate_tiles
+    from tilegrab_spark.operators.zonal import zonal_stats
+    from tilegrab_spark.sources.geometries import geometry_from_geojson
+    from tilegrab_spark.sources.images import (
+        read_image_table,
+        write_synthetic_image_table,
+    )
+
+    geom = geometry_from_geojson("/root/reference/tests/data/T.geojson", "T")
+    tiles = enumerate_tiles(spark, geom, 16)
+    path = tempfile.mkdtemp() + "/images"
+    cells = [(16, x, y, 0) for x in range(47439, 47443) for y in range(31441, 31445)]
+    write_synthetic_image_table(spark, path, cells, n_buckets=4)
+    joined = join_images(tiles, read_image_table(spark, path).drop("cell_id"))
+    return zonal_stats(joined, geom, exact=True)
+
+
+def _zonal_sql() -> str:
+    """Leaf (per-tile, per-band) masked stats computed here with numpy +
+    an even-odd ray cast written inline (independent of kernels.geo and
+    operators.zonal); the zone-level combine — the relational part — is
+    DuckDB's own GROUP BY."""
+    import numpy as np
+
+    from tilegrab_spark.kernels.png import synth_tile_pixels
+    from tilegrab_spark.sources.geometries import geometry_from_geojson
+
+    geom = geometry_from_geojson("/root/reference/tests/data/T.geojson", "T")
+    rings = []
+    for poly in geom.polygons:
+        for r in poly:
+            r = np.asarray(r, np.float64)
+            if not (r[0] == r[-1]).all():
+                r = np.vstack([r, r[:1]])
+            rings.append(r)
+    n = float(1 << 16)
+    leaves = []
+    for x in range(47439, 47443):
+        for y in range(31441, 31445):
+            lon = ((x + (np.arange(256) + 0.5) / 256.0) / n) * 360.0 - 180.0
+            py = (y + (np.arange(256) + 0.5) / 256.0) / n
+            lat = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * py))))
+            lo = np.repeat(lon[None, :], 256, axis=0).ravel()
+            la = np.repeat(lat[:, None], 256, axis=1).ravel()
+            inside = np.zeros(lo.shape, dtype=bool)
+            for ring in rings:
+                x1, y1, x2, y2 = ring[:-1, 0], ring[:-1, 1], ring[1:, 0], ring[1:, 1]
+                for i in range(len(x1)):
+                    cond = (y1[i] > la) != (y2[i] > la)
+                    if not cond.any():
+                        continue
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        xi = x1[i] + (la - y1[i]) * (x2[i] - x1[i]) / (y2[i] - y1[i])
+                    inside ^= cond & (lo < xi)
+            if not inside.any():
+                continue
+            sel = synth_tile_pixels(x, y, 16, 0).reshape(-1, 3)[inside]
+            for b in range(3):
+                leaves.append(
+                    f"({b}, {sel.shape[0]}, {int(sel[:, b].sum(dtype=np.int64))},"
+                    f" {int(sel[:, b].min())}, {int(sel[:, b].max())})"
+                )
+    vals = ", ".join(leaves)
+    return f"""
+WITH leaf(band, n, s, mn, mx) AS (VALUES {vals})
+SELECT 'T' AS geom_id, band, SUM(n)::BIGINT AS n_px, SUM(s)::BIGINT AS sum_v,
+       MIN(mn)::INTEGER AS min_v, MAX(mx)::INTEGER AS max_v,
+       SUM(s)::DOUBLE / SUM(n)::DOUBLE AS mean_v
+FROM leaf GROUP BY band
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -1558,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _fingerprints,
         "mosaic_pipeline": _mosaic_meta,
         "mosaic_plan_w1": _mosaic_plan,
+        "zonal_stats_t": _zonal_stats_t,
         "near_dup_hamming": _hamming_near_dup,
         "sessionize_events": _sessionize,
         "minhash_signatures": _minhash_sigs,
@@ -1587,6 +1672,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_interop_keys": _interop_sql(),
         "bbox_enum_f1": _BBOX_SQL,
         "mosaic_plan_w1": _MOSAIC_PLAN_SQL,
+        "zonal_stats_t": _zonal_sql(),
         "near_dup_hamming": _HAMMING_SQL,
         "lang_id": _lang_id_sql(),
         "simhash_pairs": _SIMHASH_SQL,
