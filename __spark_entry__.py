@@ -990,6 +990,58 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
 """
 
 
+def _cross_modal(spark, sf):
+    """Cross-modal near-dup pairs (operators/crossmodal.py): visual
+    modality = int64-hamming over a 64-bit signature (here SimHash of the
+    text stands in for the image table's phash — the operator is
+    hash-generic and the driver tables carry no phash), caption modality
+    = exact word-jaccard, combined with one full-outer join on the pair
+    key. FULLY oracled: DuckDB re-derives BOTH pair lists independently
+    (the SimHash md5 majority-vote math exhaustively, jaccard from the
+    inverted index) and the same outer-join/modality combine in SQL.
+    Nulls are coalesced to sentinels (-1) on both sides so the driver's
+    value-hash never sees NaN."""
+    from tilegrab_spark.operators.crossmodal import cross_modal_pairs
+    from tilegrab_spark.operators.dedup import with_simhash
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    out = cross_modal_pairs(
+        with_simhash(d),
+        id_col="doc_id",
+        hash_col="simhash",
+        text_col="text",
+        max_hamming=8,
+        k=1,
+        jaccard_threshold=0.6,
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.coalesce(F.col("hamming").cast("int"), F.lit(-1)).alias("hamming"),
+        F.coalesce(F.col("jaccard"), F.lit(-1.0)).alias("jaccard"),
+        "modality",
+    )
+
+
+def _cross_modal_sql() -> str:
+    """Oracle: the two standalone modality oracles (each already an
+    independent re-derivation) FULL OUTER JOINed with the same modality
+    CASE as the operator."""
+    vis = _SIMHASH_SQL.strip().rstrip(";")
+    cap = _JACCARD_SQL.strip().rstrip(";")
+    return f"""
+SELECT COALESCE(v.id_a, c.id_a) AS id_a,
+       COALESCE(v.id_b, c.id_b) AS id_b,
+       COALESCE(v.hamming, -1) AS hamming,
+       COALESCE(c.jaccard, -1.0) AS jaccard,
+       CASE WHEN v.id_a IS NOT NULL AND c.id_a IS NOT NULL THEN 'both'
+            WHEN v.id_a IS NOT NULL THEN 'visual'
+            ELSE 'caption' END AS modality
+FROM ({vis}) v FULL OUTER JOIN ({cap}) c
+  ON v.id_a = c.id_a AND v.id_b = c.id_b
+"""
+
+
 def _ivf_ann(spark, sf):
     """IVF ANN at FULL probe width (n_probe = n_centroids): probing every
     inverted list makes the approximate path provably identical to exact
@@ -1637,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_lsh_pairs": _incremental_lsh,
         "sql_surface_tile_math": _sql_surface,
         "simhash_pairs": _simhash,
+        "cross_modal_pairs": _cross_modal,
         "ivf_ann_topk": _ivf_ann,
         "lang_id": _lang_id,
         "doc_fingerprint": _fingerprints,
@@ -1676,6 +1729,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_hamming": _HAMMING_SQL,
         "lang_id": _lang_id_sql(),
         "simhash_pairs": _SIMHASH_SQL,
+        "cross_modal_pairs": _cross_modal_sql(),
         "sessionize_events": _SESSION_SQL,
         "minhash_signatures": _minhash_sql(),
         "doc_fingerprint": _fingerprint_sql(),

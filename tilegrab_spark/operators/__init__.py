@@ -35,6 +35,10 @@ from tilegrab_spark.operators.dedup import (
     with_shingles,
     with_simhash,
 )
+from tilegrab_spark.operators.crossmodal import (
+    cross_modal_image_pairs,
+    cross_modal_pairs,
+)
 from tilegrab_spark.operators.similarity import (
     ann_topk_ivf,
     build_ivf_index,
