@@ -1042,6 +1042,91 @@ FROM ({vis}) v FULL OUTER JOIN ({cap}) c
 """
 
 
+def _shard_pack(spark, sf):
+    """Shard packing (operators/packing.py::pack_shards): distributed
+    two-level prefix sum over the doc_id order — the training-export
+    layout step. FULLY oracled: DuckDB re-derives every global byte
+    offset with one SUM() OVER and the shard assignment with integer
+    division; matching 500 offsets proves the range-partition + local
+    window + broadcast partition-offset composition loses nothing."""
+    from tilegrab_spark.operators.packing import pack_shards
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return pack_shards(
+        d, size_col="n_chars", order_col="doc_id", shard_bytes=16384
+    ).select("doc_id", "start_offset", "shard_id")
+
+
+_SHARD_PACK_SQL = """
+SELECT doc_id,
+       SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - n_chars AS start_offset,
+       (SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - n_chars) // 16384 AS shard_id
+FROM documents
+"""
+
+
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.8, "zh": 0.25, "fr": 0.0}
+
+
+def _stratified_sample(spark, sf):
+    """Deterministic per-stratum rate sampling (operators/sampling.py):
+    keep iff md5-60-bit-hash(doc_id||salt) < fraction * 2^60 per lang —
+    a pure map-side filter. FULLY oracled: DuckDB recomputes the same
+    hash and compares against the same integer thresholds (precomputed
+    here so float->int truncation can't diverge between engines).
+    'es' is deliberately unlisted -> default_fraction=1.0 keeps it all."""
+    from tilegrab_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        d,
+        id_col="doc_id",
+        fractions=_SAMPLE_FRACTIONS,
+        stratum_col="lang",
+        default_fraction=1.0,
+        salt="contract",
+    )
+
+
+def _stratified_sample_sql() -> str:
+    space = 1 << 60
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v * space)}"
+        for k, v in sorted(_SAMPLE_FRACTIONS.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'contract'), 1, 15))::BIGINT
+      < CASE lang {cases} ELSE {space} END
+"""
+
+
+def _stratified_topn(spark, sf):
+    """Exact per-stratum quota by deterministic hash order
+    (operators/sampling.py::stratified_topn). FULLY oracled: DuckDB
+    re-derives the hash order and the row_number cut independently."""
+    from tilegrab_spark.operators.sampling import stratified_topn
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return stratified_topn(
+        d, id_col="doc_id", stratum_col="lang", n=25, salt="contract"
+    ).select("doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank"))
+
+
+_STRATIFIED_TOPN_SQL = """
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'contract'), 1, 15))::BIGINT,
+                    doc_id) AS BIGINT) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 25
+"""
+
+
 def _ivf_ann(spark, sf):
     """IVF ANN at FULL probe width (n_probe = n_centroids): probing every
     inverted list makes the approximate path provably identical to exact
@@ -1690,6 +1775,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface_tile_math": _sql_surface,
         "simhash_pairs": _simhash,
         "cross_modal_pairs": _cross_modal,
+        "shard_pack": _shard_pack,
+        "stratified_sample": _stratified_sample,
+        "stratified_topn": _stratified_topn,
         "ivf_ann_topk": _ivf_ann,
         "lang_id": _lang_id,
         "doc_fingerprint": _fingerprints,
@@ -1730,6 +1818,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "simhash_pairs": _SIMHASH_SQL,
         "cross_modal_pairs": _cross_modal_sql(),
+        "shard_pack": _SHARD_PACK_SQL,
+        "stratified_sample": _stratified_sample_sql(),
+        "stratified_topn": _STRATIFIED_TOPN_SQL,
         "sessionize_events": _SESSION_SQL,
         "minhash_signatures": _minhash_sql(),
         "doc_fingerprint": _fingerprint_sql(),

@@ -1,0 +1,184 @@
+"""Shard packing (distributed prefix sum) + deterministic stratified
+sampling."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilegrab_spark.operators.packing import pack_shards, shard_manifest
+from tilegrab_spark.operators.sampling import (
+    sample_hash,
+    stratified_sample,
+    stratified_topn,
+)
+
+
+def _ref_hash(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# pack_shards
+# ---------------------------------------------------------------------------
+
+def _pack_oracle(rows, shard_bytes):
+    """Sequential reference: running offset in key order."""
+    out, off = {}, 0
+    for key, size in sorted(rows):
+        out[key] = (off, off // shard_bytes)
+        off += size
+    return out
+
+
+def test_pack_shards_matches_sequential_oracle(spark):
+    rows = [(i, (i * 37) % 91 + 10) for i in range(977)]
+    df = spark.createDataFrame(rows, "k long, sz long")
+    got = {
+        r.k: (r.start_offset, r.shard_id)
+        for r in pack_shards(
+            df, size_col="sz", order_col="k", shard_bytes=1000
+        ).collect()
+    }
+    assert got == _pack_oracle(rows, 1000)
+
+
+def test_pack_shards_partition_invariant(spark):
+    """Same assignment regardless of input partitioning — the whole point
+    of deterministic packing."""
+    rows = [(i * 3 + 1, 50 + i % 7) for i in range(400)]
+    a = spark.createDataFrame(rows, "k long, sz long").repartition(17)
+    b = spark.createDataFrame(list(reversed(rows)), "k long, sz long").coalesce(1)
+    pa = {
+        r.k: (r.start_offset, r.shard_id)
+        for r in pack_shards(a, size_col="sz", order_col="k", shard_bytes=512).collect()
+    }
+    pb = {
+        r.k: (r.start_offset, r.shard_id)
+        for r in pack_shards(b, size_col="sz", order_col="k", shard_bytes=512).collect()
+    }
+    assert pa == pb == _pack_oracle(rows, 512)
+
+
+def test_pack_shards_oversized_row_owns_its_span(spark):
+    rows = [(0, 10), (1, 5000), (2, 10)]
+    df = spark.createDataFrame(rows, "k long, sz long")
+    got = {
+        r.k: r.shard_id
+        for r in pack_shards(df, size_col="sz", order_col="k", shard_bytes=100).collect()
+    }
+    # row 1 starts in shard 0 (offset 10); row 2 starts at offset 5010 -> shard 50
+    assert got == {0: 0, 1: 0, 2: 50}
+    with pytest.raises(ValueError):
+        pack_shards(df, size_col="sz", order_col="k", shard_bytes=0)
+
+
+def test_shard_manifest(spark):
+    rows = [(i, 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "k long, sz long")
+    packed = pack_shards(df, size_col="sz", order_col="k", shard_bytes=300)
+    man = {
+        r.shard_id: (r.n_items, r.bytes, r.first_key, r.last_key)
+        for r in shard_manifest(packed, size_col="sz", order_col="k").collect()
+    }
+    # offsets 0..900 step 100; shard = offset // 300 -> 3,3,3,1 items
+    assert man == {
+        0: (3, 300, 0, 2),
+        1: (3, 300, 3, 5),
+        2: (3, 300, 6, 8),
+        3: (1, 100, 9, 9),
+    }
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def test_sample_hash_matches_md5_contract(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    got = {r.doc_id: r.h for r in df.select("doc_id", sample_hash("doc_id", "s1").alias("h")).collect()}
+    assert got == {i: _ref_hash(f"{i}s1") for i in range(50)}
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fr = {"en": 0.25, "de": 0.75}
+    kept = stratified_sample(
+        df, id_col="doc_id", fractions=fr, stratum_col="lang"
+    )
+    ids = {r.doc_id for r in kept.collect()}
+    # pure function of the row: python recompute agrees exactly
+    expect = {
+        i
+        for i, lang in rows
+        if _ref_hash(str(i)) < int(fr[lang] * (1 << 60))
+    }
+    assert ids == expect
+    # rates land near nominal (binomial, 3 sigma)
+    n_en = sum(1 for i in ids if i % 3)
+    n_de = len(ids) - n_en
+    assert abs(n_en - 2000 * 0.25) < 3 * (2000 * 0.25 * 0.75) ** 0.5
+    assert abs(n_de - 1000 * 0.75) < 3 * (1000 * 0.75 * 0.25) ** 0.5
+    # unlisted strata fall back to default_fraction (0 -> dropped)
+    df2 = df.withColumn("lang", F.lit("fr"))
+    assert (
+        stratified_sample(
+            df2, id_col="doc_id", fractions=fr, stratum_col="lang"
+        ).count()
+        == 0
+    )
+    # a different salt draws a (near-)independent sample
+    ids2 = {
+        r.doc_id
+        for r in stratified_sample(
+            df, id_col="doc_id", fractions=fr, stratum_col="lang", salt="v2"
+        ).collect()
+    }
+    assert ids2 != ids
+
+
+def test_stratified_sample_validates(spark):
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        stratified_sample(df, id_col="doc_id", fractions=1.5)
+    with pytest.raises(ValueError):
+        stratified_sample(df, id_col="doc_id", fractions={"en": 0.5})
+
+
+def test_stratified_topn_exact_quota(spark):
+    rows = [(i, "en" if i % 2 else "de") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string").repartition(13)
+    got = stratified_topn(df, id_col="doc_id", stratum_col="lang", n=20).collect()
+    by_lang: dict = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append((r.sample_rank, r.doc_id))
+    assert {k: len(v) for k, v in by_lang.items()} == {"en": 20, "de": 20}
+    # exact: the 20 hash-smallest ids per stratum, rank in hash order
+    for lang in ("en", "de"):
+        pool = [i for i, l in rows if l == lang]
+        expect = sorted(pool, key=lambda i: (_ref_hash(str(i)), i))[:20]
+        got_ids = [i for _, i in sorted(by_lang[lang])]
+        assert got_ids == expect
+    # quota larger than the stratum returns the whole stratum
+    assert (
+        stratified_topn(df, id_col="doc_id", stratum_col="lang", n=10_000).count()
+        == 500
+    )
+
+
+def test_stratified_topn_prefilter_consistent(spark):
+    """With a generous prefilter the result is identical to no prefilter."""
+    rows = [(i, "x") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    base = {
+        r.doc_id
+        for r in stratified_topn(df, id_col="doc_id", stratum_col="lang", n=10).collect()
+    }
+    pre = {
+        r.doc_id
+        for r in stratified_topn(
+            df, id_col="doc_id", stratum_col="lang", n=10, prefilter_fraction=0.2
+        ).collect()
+    }
+    assert base == pre and len(base) == 10

@@ -1,0 +1,125 @@
+"""Deterministic stratified sampling — corpus curation at fixed rates.
+
+Training-data pipelines sample per stratum (language, quality bucket,
+source) with two non-negotiables at 100 TB: the decision must be a PURE
+FUNCTION of the row (re-runs, resumes and incremental batches pick the
+same rows — no RNG state, no seed-per-partition drift), and rate
+sampling must be a map-side filter (no shuffle at all).
+
+Both operators key off a 60-bit uniform hash of the row id:
+``md5(id || salt)`` low 15 hex digits — the same md5 contract as
+``dedup._stable_hash64``, chosen so an independent engine can re-derive
+every decision (DuckDB: ``('0x' || substr(md5(x),1,15))::BIGINT``; the
+contract oracle does exactly that). Changing ``salt`` draws an
+independent sample; keeping it pins the sample forever.
+
+- ``stratified_sample``: keep a row iff ``hash < fraction * 2^60`` with a
+  per-stratum fraction — an integer compare against an inlined literal
+  map, pure Catalyst, zero shuffle, streaming-safe (the filter works
+  identically in foreachBatch).
+- ``stratified_topn``: EXACT quota per stratum — the top-n rows by hash
+  order. One shuffle on the stratum key; for mega-strata the optional
+  ``prefilter_fraction`` bounds the window input first (rate filter ≫
+  quota), keeping the per-stratum sort small.
+
+The reference has no analogue; part of the training-data operator suite
+from the driver brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["sample_hash", "stratified_sample", "stratified_topn"]
+
+_HASH_BITS = 60
+_HASH_SPACE = 1 << _HASH_BITS
+
+
+def sample_hash(id_col: str | Column, salt: str = "") -> Column:
+    """60-bit uniform deterministic hash of ``id || salt`` (long). The
+    engine-independent md5 contract — see module docstring."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    payload = F.concat(c.cast("string"), F.lit(salt))
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def _thresholds(fractions: float | dict) -> Column | dict:
+    def thr(f: float) -> int:
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction must be in [0, 1], got {f}")
+        return int(f * _HASH_SPACE)
+
+    if isinstance(fractions, dict):
+        return {k: thr(v) for k, v in fractions.items()}
+    return thr(fractions)
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    fractions: float | dict,
+    stratum_col: str | None = None,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic rate sample: keep each row iff its hash falls under
+    its stratum's threshold. ``fractions`` is a single float (uniform
+    sample; ``stratum_col`` unused) or a ``{stratum_value: fraction}``
+    dict with ``default_fraction`` for unlisted strata. Pure map-side
+    filter — no shuffle, no RNG."""
+    h = sample_hash(id_col, salt)
+    t = _thresholds(fractions)
+    if isinstance(t, dict):
+        if stratum_col is None:
+            raise ValueError("stratum_col is required with per-stratum fractions")
+        pairs: list = []
+        for k, v in sorted(t.items()):
+            pairs += [F.lit(k), F.lit(v)]
+        thr_map = F.create_map(*pairs)
+        thr = F.coalesce(
+            thr_map[F.col(stratum_col)],
+            F.lit(int(_thresholds(default_fraction))),
+        )
+    else:
+        thr = F.lit(t)
+    return df.filter(h < thr)
+
+
+def stratified_topn(
+    df: DataFrame,
+    *,
+    id_col: str,
+    stratum_col: str,
+    n: int,
+    salt: str = "",
+    prefilter_fraction: float | None = None,
+) -> DataFrame:
+    """EXACT ``n`` rows per stratum (fewer if the stratum is smaller),
+    chosen deterministically by hash order (ties impossible: the hash
+    order is refined by the unique id). Adds a ``sample_rank`` column
+    (1-based within stratum).
+
+    Scale note: the window shuffles on ``stratum_col`` and sorts each
+    stratum. A stratum with 10^10 rows makes one giant partition —
+    ``prefilter_fraction`` applies the rate filter FIRST (use a rate
+    that keeps ≫ n expected rows, e.g. 10 * n / est_stratum_size); the
+    result is still exact top-n BY HASH ORDER of the filtered space,
+    which equals global hash top-n whenever the prefilter keeps ≥ n rows
+    of the stratum (the kept set is exactly the hash-smallest rows iff
+    the threshold cut is above the n-th hash — assert with a count if
+    the estimate is rough)."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    d = df
+    if prefilter_fraction is not None:
+        d = stratified_sample(
+            d, id_col=id_col, fractions=prefilter_fraction, salt=salt
+        )
+    h = sample_hash(id_col, salt)
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+    )
