@@ -1042,6 +1042,93 @@ FROM ({vis}) v FULL OUTER JOIN ({cap}) c
 """
 
 
+_DIFF_A = [(16, x, y, 0) for x in range(47439, 47443) for y in (31441, 31442)]
+_DIFF_B = [
+    (16, x, y, 1 if (x + y) % 2 else 0)
+    for x in range(47439, 47443)
+    for y in (31441, 31442)
+    if not (x == 47439 and y == 31441)  # removed in epoch B
+] + [(16, 47443, y, 0) for y in (31441, 31442)]  # added in epoch B
+
+
+def _tile_diff(spark, sf):
+    """Temporal change detection between two image-table epochs
+    (operators/change.py::tile_diff): one full-outer equi-join on the
+    packed cell key + a bounded Arrow diff kernel. FULLY oracled: the
+    added/removed/changed/unchanged classification is re-derived
+    relationally in DuckDB from the two epoch key lists, and the pixel
+    stats for every matched cell are recomputed at oracle-build time
+    from the FIXTURES.md pixel formula with independent numpy (the
+    zonal_stats_t leaf-values pattern). Nulls -> sentinels (-1) for the
+    driver's value-hash."""
+    import tempfile
+
+    from tilegrab_spark.operators.change import tile_diff
+    from tilegrab_spark.sources.images import (
+        read_image_table,
+        write_synthetic_image_table,
+    )
+
+    tmp = tempfile.mkdtemp()
+    write_synthetic_image_table(spark, f"{tmp}/a", _DIFF_A, n_buckets=2)
+    write_synthetic_image_table(spark, f"{tmp}/b", _DIFF_B, n_buckets=2)
+    out = tile_diff(
+        read_image_table(spark, f"{tmp}/a"),
+        read_image_table(spark, f"{tmp}/b"),
+        threshold=16,
+    )
+    return out.select(
+        "key",
+        "status",
+        F.coalesce("n_px", F.lit(-1)).alias("n_px"),
+        F.coalesce("changed_frac", F.lit(-1.0)).alias("changed_frac"),
+        F.coalesce("mean_abs_diff", F.lit(-1.0)).alias("mean_abs_diff"),
+        F.coalesce("psnr_db", F.lit(-1.0)).alias("psnr_db"),
+    )
+
+
+def _tile_diff_sql() -> str:
+    import numpy as np
+
+    from tilegrab_spark.kernels.geo import pack_cell_id
+    from tilegrab_spark.kernels.png import synth_tile_pixels
+
+    a = {(x, y): s for (_, x, y, s) in _DIFF_A}
+    b = {(x, y): s for (_, x, y, s) in _DIFF_B}
+    a_vals = ", ".join(f"({int(pack_cell_id(x, y, 16))})" for (x, y) in sorted(a))
+    b_vals = ", ".join(f"({int(pack_cell_id(x, y, 16))})" for (x, y) in sorted(b))
+    leaves = []
+    for (x, y) in sorted(set(a) & set(b)):
+        pa = synth_tile_pixels(x, y, 16, a[(x, y)]).astype(np.int16)
+        pb = synth_tile_pixels(x, y, 16, b[(x, y)]).astype(np.int16)
+        d = np.abs(pa - pb)
+        dmax = d.max(axis=2)
+        mse = float(np.square(d, dtype=np.int64).mean())
+        psnr = float(10.0 * np.log10(255.0**2 / mse)) if mse > 0 else -1.0
+        leaves.append(
+            f"({int(pack_cell_id(x, y, 16))}, {dmax.size},"
+            f" {float((dmax > 16).mean())!r}, {float(dmax.mean())!r}, {psnr!r},"
+            f" {int(mse > 0)})"
+        )
+    leaf_vals = ", ".join(leaves)
+    return f"""
+WITH a(key) AS (VALUES {a_vals}),
+     b(key) AS (VALUES {b_vals}),
+     leaf(key, n_px, cf, mad, psnr, is_changed) AS (VALUES {leaf_vals})
+SELECT COALESCE(a.key, b.key) AS key,
+       CASE WHEN a.key IS NULL THEN 'added'
+            WHEN b.key IS NULL THEN 'removed'
+            WHEN leaf.is_changed = 1 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(COALESCE(leaf.n_px, -1) AS BIGINT) AS n_px,
+       COALESCE(leaf.cf, -1.0) AS changed_frac,
+       COALESCE(leaf.mad, -1.0) AS mean_abs_diff,
+       COALESCE(leaf.psnr, -1.0) AS psnr_db
+FROM a FULL OUTER JOIN b ON a.key = b.key
+LEFT JOIN leaf ON leaf.key = COALESCE(a.key, b.key)
+"""
+
+
 def _shard_pack(spark, sf):
     """Shard packing (operators/packing.py::pack_shards): distributed
     two-level prefix sum over the doc_id order — the training-export
@@ -1775,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface_tile_math": _sql_surface,
         "simhash_pairs": _simhash,
         "cross_modal_pairs": _cross_modal,
+        "tile_diff_epochs": _tile_diff,
         "shard_pack": _shard_pack,
         "stratified_sample": _stratified_sample,
         "stratified_topn": _stratified_topn,
@@ -1818,6 +1906,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "simhash_pairs": _SIMHASH_SQL,
         "cross_modal_pairs": _cross_modal_sql(),
+        "tile_diff_epochs": _tile_diff_sql(),
         "shard_pack": _SHARD_PACK_SQL,
         "stratified_sample": _stratified_sample_sql(),
         "stratified_topn": _STRATIFIED_TOPN_SQL,

@@ -1,0 +1,110 @@
+"""Tile change detection vs an independent numpy oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tilegrab_spark.kernels import png
+from tilegrab_spark.operators.change import change_summary, tile_diff
+
+SCHEMA = "cell_id long, bytes binary, w int, h int, fmt string"
+
+
+def _raw(arr):
+    return (bytes(arr.tobytes()), arr.shape[1], arr.shape[0], "raw")
+
+
+def _rows(items):
+    return [(k, *_raw(a)) for k, a in items]
+
+
+def _mk(rng, shade):
+    return np.full((8, 8, 3), shade, dtype=np.uint8) + rng.integers(
+        0, 40, (8, 8, 3), dtype=np.uint8
+    )
+
+
+def test_tile_diff_statuses_and_stats(spark):
+    rng = np.random.default_rng(7)
+    base = _mk(rng, 50)
+    shifted = base.copy()
+    shifted[:4] = np.clip(shifted[:4].astype(np.int16) + 30, 0, 255).astype(np.uint8)
+    other = _mk(rng, 150)
+    big = np.zeros((16, 16, 3), dtype=np.uint8)
+
+    a = spark.createDataFrame(
+        _rows([(1, base), (2, base), (3, base), (5, base)]), SCHEMA
+    )
+    b = spark.createDataFrame(
+        _rows([(1, base), (2, shifted), (4, other), (5, big)]), SCHEMA
+    )
+    got = {r.key: r for r in tile_diff(a, b, threshold=16).collect()}
+
+    assert got[1].status == "unchanged" and got[1].psnr_db is None
+    assert got[1].changed_frac == 0.0 and got[1].n_px == 64
+    assert got[3].status == "removed" and got[3].n_px is None
+    assert got[4].status == "added"
+    assert got[5].status == "resized" and got[5].changed_frac is None
+
+    # changed: oracle every stat independently
+    d = np.abs(base.astype(np.int16) - shifted.astype(np.int16))
+    dmax = d.max(axis=2)
+    mse = float((d.astype(np.int64) ** 2).mean())
+    r = got[2]
+    assert r.status == "changed"
+    assert r.changed_frac == pytest.approx(float((dmax > 16).mean()))
+    assert r.mean_abs_diff == pytest.approx(float(dmax.mean()))
+    assert r.psnr_db == pytest.approx(10 * np.log10(255.0**2 / mse))
+
+    summary = {s.status: s.n for s in change_summary(tile_diff(a, b)).collect()}
+    assert summary == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1, "resized": 1}
+
+
+def test_tile_diff_decode_error_surfaces(spark):
+    rng = np.random.default_rng(1)
+    base = _mk(rng, 90)
+    a = spark.createDataFrame(_rows([(9, base)]), SCHEMA)
+    b = spark.createDataFrame(
+        [(9, b"\x89PNG-not-really", 8, 8, "png")], SCHEMA
+    )
+    got = tile_diff(a, b).collect()
+    assert len(got) == 1 and got[0].status == "error"
+    assert got[0].changed_frac is None
+
+
+def test_tile_diff_mixed_formats(spark):
+    """A raw epoch-A tile vs the same pixels re-encoded PNG in epoch B
+    must compare as unchanged (codecs are lossless)."""
+    rng = np.random.default_rng(3)
+    arr = _mk(rng, 120)
+    a = spark.createDataFrame(_rows([(1, arr)]), SCHEMA)
+    b = spark.createDataFrame(
+        [(1, bytes(png.encode_png(arr)), 8, 8, "png")], SCHEMA
+    )
+    got = tile_diff(a, b).collect()
+    assert got[0].status == "unchanged"
+
+
+def test_tile_diff_on_synthetic_image_table(spark, tmp_path):
+    """End-to-end over the real image-table source: epoch B re-renders a
+    subset of cells from a different src; exactly those flip to changed."""
+    from tilegrab_spark.sources.images import (
+        read_image_table,
+        write_synthetic_image_table,
+    )
+
+    cells = [(16, 47439 + i, 31441, 0) for i in range(6)]
+    cells_b = [(z, x, y, 1 if x % 2 else 0) for z, x, y, _ in cells]
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    write_synthetic_image_table(spark, pa, cells, n_buckets=2)
+    write_synthetic_image_table(spark, pb, cells_b, n_buckets=2)
+    ra = read_image_table(spark, pa)
+    rb = read_image_table(spark, pb)
+    got = tile_diff(ra, rb)
+    assert got.count() == 6
+    by_x = {
+        r.x: r.status
+        for r in ra.select("x", "cell_id").join(got, ra.cell_id == got.key).collect()
+    }
+    for x in range(47439, 47445):
+        assert by_x[x] == ("changed" if x % 2 else "unchanged")

@@ -39,6 +39,13 @@ from tilegrab_spark.operators.crossmodal import (
     cross_modal_image_pairs,
     cross_modal_pairs,
 )
+from tilegrab_spark.operators.change import change_summary, tile_diff
+from tilegrab_spark.operators.packing import pack_shards, shard_manifest
+from tilegrab_spark.operators.sampling import (
+    sample_hash,
+    stratified_sample,
+    stratified_topn,
+)
 from tilegrab_spark.operators.similarity import (
     ann_topk_ivf,
     build_ivf_index,
