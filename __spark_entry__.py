@@ -1042,6 +1042,57 @@ FROM ({vis}) v FULL OUTER JOIN ({cap}) c
 """
 
 
+def _dissolve(spark, sf):
+    """Tile dissolve (operators/dissolve.py): 4-adjacency connected
+    regions over a tile set derived from lineitem keys, with per-region
+    bbox + handshake perimeter. FULLY oracled — DuckDB re-derives the
+    adjacency edges, the COMPONENTS THEMSELVES (recursive-CTE
+    reachability fixpoint, an independent algorithm from the engine's
+    pointer-jumping min-label propagation), and every aggregate."""
+    from tilegrab_spark.operators.dissolve import dissolve_tiles
+
+    li = _t(spark, sf, "lineitem").select(
+        (F.col("l_orderkey") % 60).cast("long").alias("x"),
+        (F.col("l_partkey") % 60).cast("long").alias("y"),
+    )
+    cells = (
+        li.filter((F.col("x") * 2654435761 + F.col("y") * 40503) % 97 < 44)
+        .withColumn("z", F.lit(10))
+        .distinct()
+    )
+    return dissolve_tiles(cells)
+
+
+_DISSOLVE_SQL = """
+WITH cells AS (
+  SELECT DISTINCT (l_orderkey % 60)::BIGINT AS x, (l_partkey % 60)::BIGINT AS y
+  FROM lineitem
+  WHERE ((l_orderkey % 60) * 2654435761 + (l_partkey % 60) * 40503) % 97 < 44
+),
+packed AS (SELECT x, y, (10::BIGINT << 58) | (x << 29) | y AS cell FROM cells),
+edges AS (
+  SELECT a.cell AS ca, b.cell AS cb FROM packed a JOIN packed b
+    ON (b.x = a.x + 1 AND b.y = a.y) OR (b.x = a.x AND b.y = a.y + 1)
+),
+und AS (SELECT ca, cb FROM edges UNION SELECT cb AS ca, ca AS cb FROM edges),
+reach AS (
+  WITH RECURSIVE lab(cell, comp) AS (
+    SELECT cell, cell AS comp FROM packed
+    UNION
+    SELECT u.ca AS cell, l.comp FROM und u JOIN lab l ON l.cell = u.cb
+  )
+  SELECT cell, MIN(comp) AS comp FROM lab GROUP BY cell
+),
+labeled AS (SELECT p.x, p.y, p.cell, r.comp FROM packed p JOIN reach r ON p.cell = r.cell),
+internal AS (SELECT l.comp, COUNT(*) AS ne FROM edges e JOIN reach l ON l.cell = e.ca GROUP BY 1)
+SELECT l.comp AS region_id, 10 AS z, COUNT(*) AS n_tiles,
+       MIN(x) AS minx, MIN(y) AS miny, MAX(x) AS maxx, MAX(y) AS maxy,
+       4 * COUNT(*) - 2 * COALESCE(ANY_VALUE(i.ne), 0) AS perimeter
+FROM labeled l LEFT JOIN internal i ON i.comp = l.comp
+GROUP BY l.comp
+"""
+
+
 _DIFF_A = [(16, x, y, 0) for x in range(47439, 47443) for y in (31441, 31442)]
 _DIFF_B = [
     (16, x, y, 1 if (x + y) % 2 else 0)
@@ -1863,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _simhash,
         "cross_modal_pairs": _cross_modal,
         "tile_diff_epochs": _tile_diff,
+        "dissolve_regions": _dissolve,
         "shard_pack": _shard_pack,
         "stratified_sample": _stratified_sample,
         "stratified_topn": _stratified_topn,
@@ -1907,6 +1959,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _SIMHASH_SQL,
         "cross_modal_pairs": _cross_modal_sql(),
         "tile_diff_epochs": _tile_diff_sql(),
+        "dissolve_regions": _DISSOLVE_SQL,
         "shard_pack": _SHARD_PACK_SQL,
         "stratified_sample": _stratified_sample_sql(),
         "stratified_topn": _STRATIFIED_TOPN_SQL,

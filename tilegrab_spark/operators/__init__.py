@@ -40,6 +40,7 @@ from tilegrab_spark.operators.crossmodal import (
     cross_modal_pairs,
 )
 from tilegrab_spark.operators.change import change_summary, tile_diff
+from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
 from tilegrab_spark.operators.packing import pack_shards, shard_manifest
 from tilegrab_spark.operators.sampling import (
     sample_hash,
