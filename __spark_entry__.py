@@ -1180,6 +1180,71 @@ LEFT JOIN leaf ON leaf.key = COALESCE(a.key, b.key)
 """
 
 
+def _band_rollup(spark, sf):
+    """Raster map algebra (operators/algebra.py::band_math): the GLI
+    vegetation index evaluated per pixel over synthetic tiles, reduced
+    per tile in the Arrow kernel, then rolled up per tile COLUMN with an
+    algebraic groupBy (exact mean from carried sums, not averaged
+    averages). FULLY oracled: per-tile leaf stats are recomputed at
+    oracle-build time from the FIXTURES pixel formula with the GLI math
+    written inline in numpy (independent of the operator's expression
+    compiler), and the column rollup is DuckDB's own GROUP BY."""
+    import tempfile
+
+    from tilegrab_spark.operators.algebra import band_math
+    from tilegrab_spark.sources.images import (
+        read_image_table,
+        write_synthetic_image_table,
+    )
+
+    tmp = tempfile.mkdtemp()
+    write_synthetic_image_table(spark, f"{tmp}/imgs", _DIFF_A, n_buckets=2)
+    stats = band_math(
+        read_image_table(spark, f"{tmp}/imgs"), "gli", threshold=0.2
+    )
+    x = F.shiftrightunsigned("key", 29).bitwiseAND(F.lit((1 << 29) - 1))
+    return (
+        stats.withColumn("x", x.cast("long"))
+        .groupBy("x")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.sum("n_finite").alias("n_finite"),
+            (F.sum("sum") / F.sum("n_finite")).alias("mean_gli"),
+            F.min("min").alias("min_gli"),
+            F.max("max").alias("max_gli"),
+            F.avg("frac_above").alias("avg_frac_above"),
+        )
+    )
+
+
+def _band_rollup_sql() -> str:
+    import numpy as np
+
+    from tilegrab_spark.kernels.png import synth_tile_pixels
+
+    leaves = []
+    for (_, x, y, src) in _DIFF_A:
+        p = synth_tile_pixels(x, y, 16, src).astype(np.float64)
+        r, g, b = p[..., 0], p[..., 1], p[..., 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gli = (2 * g - r - b) / (2 * g + r + b)
+        fin = gli[np.isfinite(gli)]
+        leaves.append(
+            f"({x}, {fin.size}, {float(fin.sum())!r}, {float(fin.min())!r},"
+            f" {float(fin.max())!r}, {float((fin > 0.2).mean())!r})"
+        )
+    vals = ", ".join(leaves)
+    return f"""
+WITH leaf(x, n_finite, s, mn, mx, fa) AS (VALUES {vals})
+SELECT CAST(x AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(SUM(n_finite) AS BIGINT) AS n_finite,
+       SUM(s) / SUM(n_finite) AS mean_gli,
+       MIN(mn) AS min_gli, MAX(mx) AS max_gli,
+       AVG(fa) AS avg_frac_above
+FROM leaf GROUP BY x
+"""
+
+
 def _shard_pack(spark, sf):
     """Shard packing (operators/packing.py::pack_shards): distributed
     two-level prefix sum over the doc_id order — the training-export
@@ -1915,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_modal_pairs": _cross_modal,
         "tile_diff_epochs": _tile_diff,
         "dissolve_regions": _dissolve,
+        "band_index_rollup": _band_rollup,
         "shard_pack": _shard_pack,
         "stratified_sample": _stratified_sample,
         "stratified_topn": _stratified_topn,
@@ -1960,6 +2026,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_modal_pairs": _cross_modal_sql(),
         "tile_diff_epochs": _tile_diff_sql(),
         "dissolve_regions": _DISSOLVE_SQL,
+        "band_index_rollup": _band_rollup_sql(),
         "shard_pack": _SHARD_PACK_SQL,
         "stratified_sample": _stratified_sample_sql(),
         "stratified_topn": _STRATIFIED_TOPN_SQL,

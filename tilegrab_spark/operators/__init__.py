@@ -39,6 +39,7 @@ from tilegrab_spark.operators.crossmodal import (
     cross_modal_image_pairs,
     cross_modal_pairs,
 )
+from tilegrab_spark.operators.algebra import band_math, compile_band_expr
 from tilegrab_spark.operators.change import change_summary, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
 from tilegrab_spark.operators.packing import pack_shards, shard_manifest
