@@ -1270,6 +1270,79 @@ FROM documents
 """
 
 
+_EXPORT_FRACTIONS = {"en": 0.6, "de": 1.0, "es": 0.5, "zh": 0.4, "fr": 0.3}
+
+
+def _export_pipeline(spark, sf):
+    """The composed training-export pipeline: quality gate (text.py) →
+    per-language deterministic sample (sampling.py) → shard packing
+    (packing.py) → per-shard manifest. Every stage is individually
+    oracled elsewhere; this query pins the COMPOSITION end-to-end —
+    DuckDB re-derives the quality score, the sampling hash + thresholds,
+    the prefix-sum offsets and the manifest rollup in one SQL chain."""
+    from tilegrab_spark.operators.packing import pack_shards, shard_manifest
+    from tilegrab_spark.operators.sampling import stratified_sample
+    from tilegrab_spark.operators.text import with_quality_score
+
+    d = _t(spark, sf, "documents")
+    q = with_quality_score(d).filter(F.col("quality") >= 0.75)
+    s = stratified_sample(
+        q.select("doc_id", "lang", "n_chars"),
+        id_col="doc_id",
+        fractions=_EXPORT_FRACTIONS,
+        stratum_col="lang",
+        salt="export",
+    )
+    packed = pack_shards(
+        s, size_col="n_chars", order_col="doc_id", shard_bytes=8192
+    )
+    return shard_manifest(packed, size_col="n_chars", order_col="doc_id").select(
+        "shard_id", "n_items", "bytes", "first_key", "last_key"
+    )
+
+
+def _export_pipeline_sql() -> str:
+    space = 1 << 60
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v * space)}"
+        for k, v in sorted(_EXPORT_FRACTIONS.items())
+    )
+    quality_base = r"""
+  SELECT d.doc_id, d.lang, d.n_chars,
+    (CASE WHEN n_tokens >= 5 THEN 0.25 ELSE 0.0 END
+     + CASE WHEN n_tokens > 0 AND (CAST(len_chars AS DOUBLE)/n_tokens) BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END
+     + CASE WHEN (CASE WHEN len_chars > 0 THEN CAST(n_punct AS DOUBLE)/len_chars ELSE 0.0 END) <= 0.2 THEN 0.25 ELSE 0.0 END
+     + CASE WHEN (CASE WHEN n_tokens > 0 THEN n_stop ELSE 0 END) >= 1 THEN 0.25 ELSE 0.0 END) AS quality
+  FROM (
+    SELECT doc_id, lang, n_chars, length(text) AS len_chars,
+      CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_tokens,
+      length(regexp_replace(text, '[^\.,;:!\?"'']', '', 'g')) AS n_punct,
+      len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+          ['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on','as','at','by'])) AS n_stop
+    FROM documents) d
+"""
+    return f"""
+WITH q AS ({quality_base}),
+kept AS (
+  SELECT doc_id, lang, n_chars FROM q
+  WHERE quality >= 0.75
+    AND ('0x' || substr(md5(doc_id::VARCHAR || 'export'), 1, 15))::BIGINT
+        < CASE lang {cases} ELSE 0 END
+),
+off AS (
+  SELECT doc_id, n_chars,
+         CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) - n_chars AS BIGINT) AS so
+  FROM kept
+)
+SELECT so // 8192 AS shard_id, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(n_chars) AS BIGINT) AS bytes,
+       MIN(doc_id) AS first_key, MAX(doc_id) AS last_key
+FROM off GROUP BY 1
+"""
+
+
 _SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.8, "zh": 0.25, "fr": 0.0}
 
 
@@ -1984,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_pack": _shard_pack,
         "stratified_sample": _stratified_sample,
         "stratified_topn": _stratified_topn,
+        "export_pipeline": _export_pipeline,
         "ivf_ann_topk": _ivf_ann,
         "lang_id": _lang_id,
         "doc_fingerprint": _fingerprints,
@@ -2030,6 +2104,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_pack": _SHARD_PACK_SQL,
         "stratified_sample": _stratified_sample_sql(),
         "stratified_topn": _STRATIFIED_TOPN_SQL,
+        "export_pipeline": _export_pipeline_sql(),
         "sessionize_events": _SESSION_SQL,
         "minhash_signatures": _minhash_sql(),
         "doc_fingerprint": _fingerprint_sql(),

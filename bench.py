@@ -194,6 +194,26 @@ def main():
 
     merged = timed("mosaic_stitch", q_mosaic, cold=True, repeats=2)
 
+    # 3b. temporal change detection: epoch src=0 vs src=1 over the same
+    # selection — one full-outer cell join + 2x full decode + diff stats
+    # (operators/change.py); every matched tile differs, so no pixel work
+    # is skippable
+    def q_diff():
+        from tilegrab_spark.operators.change import tile_diff
+        from tilegrab_spark.sources.images import cell_id_col
+
+        def epoch(suffix):
+            j = join_images(
+                shape_tiles,
+                images.filter(F.col("image_id").endswith(suffix)).drop("cell_id"),
+            )
+            return j.withColumn("cell_id", cell_id_col("z", "x", "y"))
+
+        d = tile_diff(epoch("_0"), epoch("_1"))
+        return d.filter(F.col("status") == "changed").count()
+
+    timed("tile_diff", q_diff, cold=True)
+
     # 4. kNN cell-ring expansion: 64 queries over the image grid
     def q_knn():
         qs = []

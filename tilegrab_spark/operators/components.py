@@ -38,6 +38,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
+    store = labels  # the persisted/checkpointed frame to release each round
     for _ in range(max_iter):
         # every node proposes min(own label, neighbors' labels)
         neigh = (
@@ -64,20 +65,26 @@ def connected_components(
                 F.coalesce(F.col("_pcomp"), F.col("component")).alias("component"),
             )
         )
+        # carry a did-this-node-change flag INTO the checkpointed frame:
+        # the convergence check then reads the (already materialized)
+        # checkpoint with one agg instead of re-joining new vs old
+        # labels in a separate job per round
+        flagged = (
+            jumped.join(
+                labels.select("node", F.col("component").alias("_old")), on="node"
+            )
+            .withColumn("_chg", (F.col("component") != F.col("_old")).cast("long"))
+            .select("node", "component", "_chg")
+        )
         # localCheckpoint truncates the plan lineage — without it each
         # round's plan embeds all previous rounds and the driver OOMs on
         # exponential plan growth (the standard iterative-algorithm trap)
-        new_labels = jumped.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        new_store = flagged.localCheckpoint()
+        changed = new_store.agg(F.sum("_chg")).collect()[0][0]
+        store.unpersist()
+        store = new_store
+        labels = new_store.select("node", "component")
+        if not changed:
             break
     edges.unpersist()
     return labels
