@@ -47,6 +47,42 @@ def _incremental_plan(spark):
     return p
 
 
+def _tile_diff_plan(spark, images, tiles):
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.change import tile_diff
+
+    epoch_a = images.filter(F.col("x") % 2 == 0)
+    epoch_b = images.filter(F.col("x") % 2 == 1)
+    return plan_of(tile_diff(epoch_a, epoch_b))
+
+
+def _shard_pack_plan(spark):
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.packing import pack_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    return plan_of(
+        pack_shards(
+            docs.select("doc_id", F.col("n_chars").cast("long").alias("n_bytes")),
+            size_col="n_bytes",
+            order_col="doc_id",
+            shard_bytes=1 << 20,
+        )
+    )
+
+
+def _dissolve_plan(spark, tiles):
+    from tilegrab_spark.operators.dedup import release_signature_caches
+    from tilegrab_spark.operators.dissolve import adjacency_edges
+
+    try:
+        return plan_of(adjacency_edges(tiles))
+    finally:
+        release_signature_caches()
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -133,6 +169,25 @@ def main():
             "parquet scan of precomputed signatures; corpus semi-joined down "
             "to candidate ids for the exact-Jaccard verify)",
             _incremental_plan(spark),
+        ),
+        (
+            "PLAN 8: tile change detection (epoch A vs B — ONE full-outer "
+            "sort-merge join on the packed cell key, then the Arrow diff "
+            "kernel; pixels move once, stats leave as scalars)",
+            _tile_diff_plan(spark, images, tiles),
+        ),
+        (
+            "PLAN 9: shard packing (distributed prefix sum — range "
+            "repartition by key, per-partition window, tiny per-partition "
+            "totals window broadcast-joined back; no global single-task "
+            "window over the data)",
+            _shard_pack_plan(spark),
+        ),
+        (
+            "PLAN 10: tile dissolve adjacency (forward-neighbor self-equi-"
+            "join on packed cell keys — blocked join, no cross product; "
+            "feeds the iterative CC rounds)",
+            _dissolve_plan(spark, tiles),
         ),
     ]
 
