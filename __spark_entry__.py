@@ -1867,6 +1867,52 @@ def _hamming_near_dup(spark, sf):
     ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def _hll_sketch(spark, sf):
+    """Mergeable HLL distinct sketch (operators/sketches.py) — per-
+    priority distinct-customer registers collapsed to integer scalars.
+    The oracle re-derives the ENTIRE sketch in SQL — md5-low-8 hash,
+    bucket split, trailing-zero rank, per-bucket MAX, zero-bucket count
+    and the 2^40-scaled harmonic denominator — so every register the
+    estimator consumes is pinned, not just the estimate. (The double
+    estimate itself is exercised in test_sketches.py; integers here per
+    the float-determinism policy above.)"""
+    from tilegrab_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(
+        _t(spark, sf, "orders"),
+        key_col="o_custkey",
+        group_cols=["o_orderpriority"],
+        p=8,
+    ).select("o_orderpriority", "zeros", "sum_rho", "harm_s40")
+
+
+_HLL_SQL = """
+WITH h AS (
+  SELECT o_orderpriority,
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 16))::UBIGINT AS u
+  FROM orders
+),
+br AS (
+  SELECT o_orderpriority,
+         (u & 255::UBIGINT)::BIGINT AS bucket,
+         (u >> 8)::BIGINT AS w
+  FROM h
+),
+rr AS (
+  SELECT o_orderpriority, bucket,
+         MAX(CASE WHEN w = 0 THEN 57
+             ELSE bit_count(((w & (-w)) - 1)::BIGINT) + 1 END)::BIGINT AS rho
+  FROM br GROUP BY o_orderpriority, bucket
+)
+SELECT o_orderpriority,
+       (256 - COUNT(*))::BIGINT AS zeros,
+       SUM(rho)::BIGINT AS sum_rho,
+       (SUM(CASE WHEN rho <= 40 THEN (1::BIGINT << (40 - rho)::INTEGER) ELSE 0::BIGINT END)
+        + (256 - COUNT(*)) * (1::BIGINT << 40))::BIGINT AS harm_s40
+FROM rr GROUP BY o_orderpriority
+"""
+
+
 _HAMMING_SQL = """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.n_chars::BIGINT, b.n_chars::BIGINT)) AS INTEGER) AS hamming
@@ -2065,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_plan_w1": _mosaic_plan,
         "zonal_stats_t": _zonal_stats_t,
         "near_dup_hamming": _hamming_near_dup,
+        "hll_distinct_sketch": _hll_sketch,
         "sessionize_events": _sessionize,
         "minhash_signatures": _minhash_sigs,
         "repetition_signals": _repetition,
@@ -2095,6 +2142,7 @@ def oracle_sql() -> dict[str, str]:
         "mosaic_plan_w1": _MOSAIC_PLAN_SQL,
         "zonal_stats_t": _zonal_sql(),
         "near_dup_hamming": _HAMMING_SQL,
+        "hll_distinct_sketch": _HLL_SQL,
         "lang_id": _lang_id_sql(),
         "simhash_pairs": _SIMHASH_SQL,
         "cross_modal_pairs": _cross_modal_sql(),
