@@ -1913,6 +1913,40 @@ FROM rr GROUP BY o_orderpriority
 """
 
 
+def _kmv_sketch(spark, sf):
+    """KMV bottom-k distinct sketch (operators/sketches.py) — per-event-
+    type sketch of the distinct-user set. The state IS the output: the
+    k smallest md5-low-15-hex hashes with ranks, so the oracle pins the
+    entire sketch (hash contract, distinct, per-group bottom-k ranking)
+    with pure integers; estimates/set-operations are exercised in
+    test_sketches.py. Uses the skew-bounding salted pre-top-k path
+    (prefilter_buckets=8) so the contract also covers that rewrite."""
+    from tilegrab_spark.operators.sketches import kmv_sketch
+
+    return kmv_sketch(
+        _t(spark, sf, "events"),
+        key_col="user_id",
+        group_cols=["event_type"],
+        k=16,
+        prefilter_buckets=8,
+    )
+
+
+_KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS pos
+  FROM h
+)
+SELECT event_type, pos::INTEGER AS pos, h FROM r WHERE pos <= 16
+"""
+
+
 _HAMMING_SQL = """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.n_chars::BIGINT, b.n_chars::BIGINT)) AS INTEGER) AS hamming
@@ -2112,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats_t": _zonal_stats_t,
         "near_dup_hamming": _hamming_near_dup,
         "hll_distinct_sketch": _hll_sketch,
+        "kmv_bottomk_sketch": _kmv_sketch,
         "sessionize_events": _sessionize,
         "minhash_signatures": _minhash_sigs,
         "repetition_signals": _repetition,
@@ -2143,6 +2178,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats_t": _zonal_sql(),
         "near_dup_hamming": _HAMMING_SQL,
         "hll_distinct_sketch": _HLL_SQL,
+        "kmv_bottomk_sketch": _KMV_SQL,
         "lang_id": _lang_id_sql(),
         "simhash_pairs": _SIMHASH_SQL,
         "cross_modal_pairs": _cross_modal_sql(),

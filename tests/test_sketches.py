@@ -13,7 +13,15 @@ from tilegrab_spark.operators.sketches import (
     hll_merge,
     hll_registers,
     hll_summary,
+    kmv_estimate,
+    kmv_merge,
+    kmv_set_estimates,
+    kmv_sketch,
 )
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
 
 
 def _regs(df):
@@ -104,3 +112,69 @@ def test_summary_partial_registers_counts_absent_as_zeros(spark):
     s = hll_summary(hll_registers(df, key_col="k", p=6), p=6).collect()[0]
     assert s["zeros"] == 64 - len(occupied)
     assert s["harm_s40"] < 64 * (1 << 40)
+
+
+# ---------------------------------------------------------------------------
+# KMV
+
+
+def test_kmv_matches_python_bottom_k(spark):
+    keys = [f"user_{i}" for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = [
+        (r["pos"], r["h"]) for r in kmv_sketch(df, key_col="k", k=16).orderBy("pos").collect()
+    ]
+    want = [(i + 1, h) for i, h in enumerate(sorted(_h60(k) for k in keys)[:16])]
+    assert got == want
+
+
+def test_kmv_estimate_exact_below_k_and_bounded_above(spark):
+    small = spark.range(50).select(F.concat(F.lit("s"), F.col("id")).alias("k"))
+    est = kmv_estimate(kmv_sketch(small, key_col="k", k=256), k=256).collect()[0]
+    assert est["n_obs"] == 50 and est["n_distinct_est"] == 50.0
+    n = 20000
+    big = spark.range(n).select(F.concat(F.lit("b"), F.col("id")).alias("k"))
+    est = kmv_estimate(kmv_sketch(big, key_col="k", k=256), k=256).collect()[0]
+    assert abs(est["n_distinct_est"] - n) / n < 3.0 / (256 - 2) ** 0.5
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    docs = spark.range(5000).select(F.concat(F.lit("u"), F.col("id")).alias("k"))
+    a = docs.filter(F.col("id") % 3 != 0).select("k")
+    b = docs.filter(F.col("id") % 3 != 1).select("k")  # overlapping halves
+    merged = kmv_merge(kmv_sketch(a, key_col="k", k=64), kmv_sketch(b, key_col="k", k=64), k=64)
+    whole = kmv_sketch(docs.select("k"), key_col="k", k=64)
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in whole.collect()
+    )
+
+
+def test_kmv_prefilter_invariance(spark):
+    df = spark.range(3000).select(
+        (F.col("id") % 2).cast("int").alias("g"),
+        F.concat(F.lit("p"), F.col("id")).alias("k"),
+    )
+    with_pf = kmv_sketch(df, key_col="k", group_cols=["g"], k=32, prefilter_buckets=32)
+    without = kmv_sketch(df, key_col="k", group_cols=["g"], k=32, prefilter_buckets=1)
+    assert sorted(tuple(r) for r in with_pf.collect()) == sorted(
+        tuple(r) for r in without.collect()
+    )
+
+
+def test_kmv_set_estimates_recover_overlap(spark):
+    # |A| = 6000 (ids 0..5999), |B| = 6000 (ids 3000..8999) → jaccard = 1/3
+    a = spark.range(0, 6000).select(F.concat(F.lit("e"), F.col("id")).alias("k"))
+    b = spark.range(3000, 9000).select(F.concat(F.lit("e"), F.col("id")).alias("k"))
+    r = kmv_set_estimates(
+        kmv_sketch(a, key_col="k", k=512), kmv_sketch(b, key_col="k", k=512), k=512
+    ).collect()[0]
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.08
+    assert abs(r["n_union_est"] - 9000) / 9000 < 0.15
+    assert abs(r["n_intersect_est"] - 3000) / 3000 < 0.3
+    assert r["n_both"] <= r["n_merged"] == 512
+
+
+def test_kmv_validation(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_sketch(df, key_col="k", k=1)

@@ -1,4 +1,4 @@
-"""Mergeable distinct-count sketches (HyperLogLog) — pure Catalyst.
+"""Mergeable distinct-count sketches (HyperLogLog + KMV) — pure Catalyst.
 
 "How many distinct URLs / tokens / users are in this 100 TB table, per
 group?" is the canonical corpus-accounting question; exact
@@ -182,3 +182,155 @@ def hll_distinct(
 def hll_error_bound(p: int) -> float:
     """The sketch's standard relative error, 1.04 / sqrt(2^p)."""
     return 1.04 / math.sqrt(1 << p)
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k minimum values) — the set-operation sketch HLL can't be.
+#
+# A KMV sketch is the k smallest 60-bit hashes of the distinct keys. It
+# estimates distinct counts like HLL (worse constant: ~1/sqrt(k-2)), but
+# because the state is an actual uniform SAMPLE of the distinct keys it
+# also supports what HLL registers cannot: Jaccard / intersection /
+# union estimates between two sketched sets ("how many users did both
+# pipelines touch?") without re-reading either input. Merge = bottom-k
+# of the union of two sketches, exactly the sketch of the unioned
+# inputs. Hash contract: md5 low-15-hex (same as operators/sampling.py;
+# DuckDB: ``('0x' || substr(md5(x),1,15))::BIGINT``) so the whole state
+# is integers an independent engine re-derives (`kmv_bottomk` oracle).
+# ---------------------------------------------------------------------------
+
+
+def _hash60(key_col: str):
+    return F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _bottom_k(hashes: DataFrame, gcols, k: int, prefilter_buckets: int) -> DataFrame:
+    """Per-group k smallest of a distinct (group, h) frame.
+
+    Catalyst's rank-limit pushdown already bounds the shuffle: the plan
+    shows ``WindowGroupLimit ... Partial`` BEFORE the exchange, so each
+    map task ships at most k rows per group and the final per-group sort
+    sees ≤ k × upstream-partitions rows — a hot group with 10^9 distinct
+    keys never lands raw on one task. ``prefilter_buckets > 1`` adds an
+    explicit salted pre-top-k stage for engines without that rewrite
+    (one extra exchange; identical result —
+    `test_kmv_prefilter_invariance`)."""
+    from pyspark.sql import Window
+
+    if prefilter_buckets > 1:
+        w1 = Window.partitionBy(*gcols, "_salt").orderBy("h")
+        hashes = (
+            hashes.withColumn(
+                "_salt", F.pmod(F.col("h"), F.lit(prefilter_buckets)).cast("int")
+            )
+            .withColumn("_r", F.row_number().over(w1))
+            .filter(F.col("_r") <= k)
+            .drop("_salt", "_r")
+        )
+    w = Window.partitionBy(*gcols).orderBy("h")
+    return (
+        hashes.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(*gcols, "pos", "h")
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    *,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 256,
+    prefilter_buckets: int = 1,
+) -> DataFrame:
+    """Per-group KMV sketch: ``[*group_cols, pos:int (1..k), h:long]`` —
+    the k smallest distinct 60-bit key hashes, ranked. NULL keys are
+    ignored (COUNT DISTINCT semantics)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    gcols = list(group_cols)
+    hashes = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*gcols, _hash60(key_col).alias("h"))
+        .distinct()
+    )
+    return _bottom_k(hashes, gcols, k, prefilter_buckets)
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, *, group_cols: Sequence[str] = (), k: int = 256
+) -> DataFrame:
+    """Bottom-k of the union of two sketches built with the same hash
+    contract and k' >= k — exactly ``kmv_sketch`` of the unioned inputs."""
+    gcols = list(group_cols)
+    merged = (
+        a.select(*gcols, "h").unionByName(b.select(*gcols, "h")).distinct()
+    )
+    return _bottom_k(merged, gcols, k, prefilter_buckets=1)
+
+
+def kmv_estimate(
+    sketch: DataFrame, *, group_cols: Sequence[str] = (), k: int = 256
+) -> DataFrame:
+    """Collapse a sketch to ``[*group_cols, n_obs:long, kth_min:long,
+    n_distinct_est:double]``. A group with fewer than k distinct keys
+    holds ALL of them, so the estimate is exact there; otherwise the
+    classic (k-1) * 2^60 / h_(k)."""
+    gcols = list(group_cols)
+    agg = sketch.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.max("h").alias("kth_min"),
+    )
+    est = F.when(F.col("n_obs") < k, F.col("n_obs").cast("double")).otherwise(
+        F.lit(float(k - 1) * float(1 << 60)) / F.col("kth_min").cast("double")
+    )
+    return agg.withColumn("n_distinct_est", est)
+
+
+def kmv_set_estimates(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    group_cols: Sequence[str] = (),
+    k: int = 256,
+) -> DataFrame:
+    """Per-group set-relationship estimates between two sketched key
+    sets: ``n_merged``/``n_both`` (integer evidence), ``jaccard_est``,
+    ``n_union_est``, ``n_intersect_est``. The merged bottom-k is a
+    uniform sample of the union, so the fraction of its members present
+    in both sketches estimates the Jaccard index; intersection =
+    jaccard × union."""
+    gcols = list(group_cols)
+    merged = kmv_merge(a, b, group_cols=gcols, k=k)
+    flagged = (
+        merged.join(
+            a.select(*gcols, "h").withColumn("_in_a", F.lit(1)), [*gcols, "h"], "left"
+        )
+        .join(
+            b.select(*gcols, "h").withColumn("_in_b", F.lit(1)), [*gcols, "h"], "left"
+        )
+        .withColumn(
+            "_both",
+            (F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull()).cast("long"),
+        )
+    )
+    agg = flagged.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+        F.sum("_both").cast("long").alias("n_both"),
+        F.max("h").alias("_kth"),
+    )
+    union_est = F.when(
+        F.col("n_merged") < k, F.col("n_merged").cast("double")
+    ).otherwise(F.lit(float(k - 1) * float(1 << 60)) / F.col("_kth").cast("double"))
+    jacc = F.col("n_both").cast("double") / F.col("n_merged").cast("double")
+    return (
+        agg.withColumn("n_union_est", union_est)
+        .withColumn("jaccard_est", jacc)
+        .withColumn("n_intersect_est", jacc * F.col("n_union_est"))
+        .select(
+            *gcols, "n_merged", "n_both", "jaccard_est", "n_union_est",
+            "n_intersect_est",
+        )
+    )
