@@ -1913,6 +1913,60 @@ FROM rr GROUP BY o_orderpriority
 """
 
 
+def _asof_events(spark, sf):
+    """As-of join (operators/asof.py): for every purchase, the latest
+    click of the same user at or before it (unmatched → NULLs). The
+    oracle is DuckDB's NATIVE ``ASOF LEFT JOIN`` — an independent
+    implementation of the semantics, not a re-derivation — with the
+    same (user, ts) right-dedup contract (greatest payload struct =
+    ``ORDER BY click_id DESC``)."""
+    from tilegrab_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts", "value"
+    )
+    j = asof_join(
+        buys, clicks, on="user_id", ts_col="ts", right_cols=["click_id", "value"]
+    )
+    # unmatched rows stay in the output (left-join semantics) with -1
+    # sentinels so every column is exact-typed for the value hash
+    return j.select(
+        "buy_id",
+        "user_id",
+        F.coalesce(F.col("click_id"), F.lit(-1).cast("long")).alias("click_id"),
+        F.coalesce(F.col("value"), F.lit(-1.0)).alias("click_value"),
+        F.coalesce(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_r").cast("timestamp")),
+            F.lit(-1).cast("long"),
+        ).alias("lag_us"),
+    )
+
+
+_ASOF_SQL = """
+WITH buys AS (
+  SELECT event_id AS buy_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT click_id, user_id, ts, value FROM (
+    SELECT event_id AS click_id, user_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+)
+SELECT b.buy_id, b.user_id,
+       COALESCE(c.click_id, -1)::BIGINT AS click_id,
+       COALESCE(c.value, -1.0)::DOUBLE AS click_value,
+       COALESCE(epoch_us(b.ts) - epoch_us(c.ts), -1)::BIGINT AS lag_us
+FROM buys b ASOF LEFT JOIN clicks c
+  ON b.user_id = c.user_id AND c.ts <= b.ts
+"""
+
+
 def _kmv_sketch(spark, sf):
     """KMV bottom-k distinct sketch (operators/sketches.py) — per-event-
     type sketch of the distinct-user set. The state IS the output: the
@@ -2147,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_hamming": _hamming_near_dup,
         "hll_distinct_sketch": _hll_sketch,
         "kmv_bottomk_sketch": _kmv_sketch,
+        "asof_join_events": _asof_events,
         "sessionize_events": _sessionize,
         "minhash_signatures": _minhash_sigs,
         "repetition_signals": _repetition,
@@ -2179,6 +2234,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_hamming": _HAMMING_SQL,
         "hll_distinct_sketch": _HLL_SQL,
         "kmv_bottomk_sketch": _KMV_SQL,
+        "asof_join_events": _ASOF_SQL,
         "lang_id": _lang_id_sql(),
         "simhash_pairs": _SIMHASH_SQL,
         "cross_modal_pairs": _cross_modal_sql(),
