@@ -1913,6 +1913,49 @@ FROM rr GROUP BY o_orderpriority
 """
 
 
+def _range_join_bands(spark, sf):
+    """Bucketized range join (operators/rangejoin.py): lineitem prices
+    vs 140 OVERLAPPING price bands (so this is a genuine inequality
+    join, not bucketing), rolled up per band. The oracle does the naive
+    ``p >= lo AND p < hi`` inequality join in DuckDB — independent of
+    the bucket rewrite — which also proves the exactly-once pair
+    emission. Integer dollars via floor() on both engines; quantity sum
+    through the DECIMAL cast per the float policy."""
+    from tilegrab_spark.operators.rangejoin import range_join
+
+    li = _t(spark, sf, "lineitem").select(
+        F.floor("l_extendedprice").alias("price_d"), "l_quantity"
+    )
+    bands = spark.range(0, 140).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 800).cast("double").alias("lo"),
+        (F.col("id") * 800 + 1200).cast("double").alias("hi"),
+    )
+    j = range_join(
+        li, bands, point_col="price_d", lo_col="lo", hi_col="hi",
+        bucket_width=1000, closed="left",
+    )
+    return j.groupBy("band_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_RANGE_JOIN_SQL = """
+WITH bands AS (
+  SELECT i AS band_id, (i * 800)::DOUBLE AS lo, (i * 800 + 1200)::DOUBLE AS hi
+  FROM range(0, 140) t(i)
+),
+pts AS (
+  SELECT FLOOR(l_extendedprice)::BIGINT AS price_d, l_quantity FROM lineitem
+)
+SELECT band_id, COUNT(*)::BIGINT AS n_items,
+       (SUM(l_quantity::DECIMAL(25,2)))::DOUBLE AS sum_qty
+FROM pts JOIN bands ON price_d >= lo AND price_d < hi
+GROUP BY band_id
+"""
+
+
 def _asof_events(spark, sf):
     """As-of join (operators/asof.py): for every purchase, the latest
     click of the same user at or before it (unmatched → NULLs). The
@@ -2202,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_sketch": _hll_sketch,
         "kmv_bottomk_sketch": _kmv_sketch,
         "asof_join_events": _asof_events,
+        "range_join_bands": _range_join_bands,
         "sessionize_events": _sessionize,
         "minhash_signatures": _minhash_sigs,
         "repetition_signals": _repetition,
@@ -2235,6 +2279,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_sketch": _HLL_SQL,
         "kmv_bottomk_sketch": _KMV_SQL,
         "asof_join_events": _ASOF_SQL,
+        "range_join_bands": _RANGE_JOIN_SQL,
         "lang_id": _lang_id_sql(),
         "simhash_pairs": _SIMHASH_SQL,
         "cross_modal_pairs": _cross_modal_sql(),
