@@ -1956,6 +1956,40 @@ GROUP BY band_id
 """
 
 
+def _cms_counts(spark, sf):
+    """Count-min sketch (operators/sketches.py): per-user event
+    frequency estimated from d=4 × w=256 counters — the distinct-user
+    set shares 256 buckets, so bucket collisions (the overcount
+    semantics) are exercised, not just the happy path. The oracle
+    re-derives the
+    registers AND the min-over-rows estimates entirely in SQL from the
+    same row-salted md5 hash contract."""
+    from tilegrab_spark.operators.sketches import cms_estimate, cms_sketch
+
+    ev = _t(spark, sf, "events")
+    regs = cms_sketch(ev, key_col="user_id", d=4, w=256)
+    return cms_estimate(regs, ev, key_col="user_id", d=4, w=256)
+
+
+_CMS_SQL = """
+WITH regs AS (
+  SELECT i AS ri,
+         (('0x' || substr(md5(CAST(user_id AS VARCHAR) || chr(31) || CAST(i AS VARCHAR)), 1, 15))::BIGINT & 255) AS bucket,
+         COUNT(*)::BIGINT AS cnt
+  FROM events, range(0, 4) t(i)
+  GROUP BY 1, 2
+),
+pp AS (
+  SELECT user_id, i AS ri,
+         (('0x' || substr(md5(CAST(user_id AS VARCHAR) || chr(31) || CAST(i AS VARCHAR)), 1, 15))::BIGINT & 255) AS bucket
+  FROM (SELECT DISTINCT user_id FROM events), range(0, 4) t(i)
+)
+SELECT p.user_id, MIN(COALESCE(r.cnt, 0))::BIGINT AS est_cnt
+FROM pp p LEFT JOIN regs r ON p.ri = r.ri AND p.bucket = r.bucket
+GROUP BY p.user_id
+"""
+
+
 def _asof_events(spark, sf):
     """As-of join (operators/asof.py): for every purchase, the latest
     click of the same user at or before it (unmatched → NULLs). The
@@ -2246,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_bottomk_sketch": _kmv_sketch,
         "asof_join_events": _asof_events,
         "range_join_bands": _range_join_bands,
+        "cms_frequencies": _cms_counts,
         "sessionize_events": _sessionize,
         "minhash_signatures": _minhash_sigs,
         "repetition_signals": _repetition,
@@ -2280,6 +2315,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_bottomk_sketch": _KMV_SQL,
         "asof_join_events": _ASOF_SQL,
         "range_join_bands": _RANGE_JOIN_SQL,
+        "cms_frequencies": _CMS_SQL,
         "lang_id": _lang_id_sql(),
         "simhash_pairs": _SIMHASH_SQL,
         "cross_modal_pairs": _cross_modal_sql(),

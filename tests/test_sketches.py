@@ -178,3 +178,85 @@ def test_kmv_validation(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(ValueError, match="k must be"):
         kmv_sketch(df, key_col="k", k=1)
+
+
+# ---------------------------------------------------------------------------
+# Count-min
+
+
+def _cms_py(keys, d, w):
+    """Python registers for a list of (key, count)."""
+    regs = {}
+    for key, c in keys:
+        for i in range(d):
+            h = int(hashlib.md5((str(key) + chr(31) + str(i)).encode()).hexdigest()[:15], 16)
+            b = h & (w - 1)
+            regs[(i, b)] = regs.get((i, b), 0) + c
+    return regs
+
+
+def test_cms_registers_match_python(spark):
+    from tilegrab_spark.operators.sketches import cms_sketch
+
+    rows = [(f"k{i % 7}", 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, c int")
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(df, key_col="k", d=3, w=64).collect()
+    }
+    assert got == _cms_py(rows, 3, 64)
+
+
+def test_cms_never_underestimates_and_is_tight_when_sparse(spark):
+    from tilegrab_spark.operators.sketches import cms_estimate, cms_sketch
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("u"), (F.col("id") % 50)).alias("k")
+    )  # 50 keys x 40 occurrences
+    regs = cms_sketch(df, key_col="k", d=4, w=1024)
+    est = cms_estimate(regs, df, key_col="k", d=4, w=1024).collect()
+    assert len(est) == 50
+    for r in est:
+        assert r["est_cnt"] >= 40
+    # with 50 keys in 1024 buckets x 4 rows, expect exactness
+    assert all(r["est_cnt"] == 40 for r in est)
+
+
+def test_cms_weighted_counts_and_merge(spark):
+    from tilegrab_spark.operators.sketches import cms_estimate, cms_merge, cms_sketch
+
+    a = spark.createDataFrame([("x", 5), ("y", 2)], "k string, c int")
+    b = spark.createDataFrame([("x", 3)], "k string, c int")
+    merged = cms_merge(
+        cms_sketch(a, key_col="k", count_col="c", d=2, w=32),
+        cms_sketch(b, key_col="k", count_col="c", d=2, w=32),
+    )
+    whole = cms_sketch(
+        a.unionByName(b), key_col="k", count_col="c", d=2, w=32
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    est = {
+        r["k"]: r["est_cnt"]
+        for r in cms_estimate(merged, a, key_col="k", d=2, w=32).collect()
+    }
+    assert est["x"] == 8 and est["y"] >= 2
+
+
+def test_cms_unseen_key_estimates_zero_when_no_collision(spark):
+    from tilegrab_spark.operators.sketches import cms_estimate, cms_sketch
+
+    data = spark.createDataFrame([("a", 1)], "k string, c int")
+    probe = spark.createDataFrame([("zzz",)], "k string")
+    regs = cms_sketch(data, key_col="k", d=4, w=1024)
+    r = cms_estimate(regs, probe, key_col="k", d=4, w=1024).collect()[0]
+    assert r["est_cnt"] == 0  # fixed keys, no collision at w=1024
+
+
+def test_cms_validation(spark):
+    from tilegrab_spark.operators.sketches import cms_sketch
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="power of two"):
+        cms_sketch(df, key_col="k", w=100)
+    with pytest.raises(ValueError, match="d must be"):
+        cms_sketch(df, key_col="k", d=0)

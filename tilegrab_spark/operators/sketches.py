@@ -48,6 +48,9 @@ __all__ = [
     "kmv_estimate",
     "kmv_merge",
     "kmv_set_estimates",
+    "cms_sketch",
+    "cms_merge",
+    "cms_estimate",
 ]
 
 #: scale exponent for the integer harmonic sum: each register contributes
@@ -287,6 +290,109 @@ def kmv_estimate(
         F.lit(float(k - 1) * float(1 << 60)) / F.col("kth_min").cast("double")
     )
     return agg.withColumn("n_distinct_est", est)
+
+
+def _cms_bucket(key_col: str, row: int, w: int):
+    # row-salted md5-low-15-hex hash; 0x1f separator keeps "ab"+"1" and
+    # "ab1"+"" distinct. w must be a power of two (low-bit mask).
+    salted = F.concat(F.col(key_col).cast("string"), F.lit(chr(31) + str(row)))
+    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    return h.bitwiseAND(F.lit(w - 1)).cast("int")
+
+
+def cms_sketch(
+    df: DataFrame,
+    *,
+    key_col: str,
+    count_col: str | None = None,
+    group_cols: Sequence[str] = (),
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Count-min sketch registers: ``[*group_cols, row:int, bucket:int,
+    cnt:long]`` — d×w counters answering "how often does key X occur?"
+    within overcount ≤ 2N/w at confidence 1-2^-d, in fixed space.
+
+    The mergeable frequency sketch (merge = per-counter SUM —
+    ``cms_merge``): token/URL/user frequency accounting over a 100 TB
+    corpus or a daily ingest without carrying the full key dictionary.
+    One map-side-combinable shuffle of ≤ |groups|·d·w counter rows.
+    ``count_col`` weights rows (default 1 each); NULL keys are ignored.
+    """
+    if d < 1 or d > 16:
+        raise ValueError(f"d must be in [1, 16], got {d}")
+    if w < 2 or w & (w - 1):
+        raise ValueError(f"w must be a power of two >= 2, got {w}")
+    gcols = list(group_cols)
+    cnt = F.col(count_col).cast("long") if count_col else F.lit(1).cast("long")
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"), _cms_bucket(key_col, i, w).alias("bucket")
+                )
+                for i in range(d)
+            ]
+        )
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*gcols, cnt.alias("_tg_c"), pairs.alias("_tg_p"))
+        .groupBy(*gcols, F.col("_tg_p.row").alias("row"), F.col("_tg_p.bucket").alias("bucket"))
+        .agg(F.sum("_tg_c").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame, *, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge two register tables built with the same (d, w): per-counter
+    SUM — exactly the sketch of the concatenated inputs."""
+    gcols = list(group_cols)
+    return (
+        a.unionByName(b)
+        .groupBy(*gcols, "row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    registers: DataFrame,
+    keys: DataFrame,
+    *,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point estimates for the distinct keys in ``keys``:
+    ``[*group_cols, key_col, est_cnt:long]`` with
+    ``est = min over rows of counter[row][hash_row(key)]`` (absent
+    counter = 0). Never under-estimates the true count. The register
+    table broadcasts when small (≤ d·w rows/group)."""
+    gcols = list(group_cols)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"), _cms_bucket(key_col, i, w).alias("bucket")
+                )
+                for i in range(d)
+            ]
+        )
+    )
+    probes = (
+        keys.filter(F.col(key_col).isNotNull())
+        .select(*gcols, key_col)
+        .distinct()
+        .select(*gcols, key_col, pairs.alias("_tg_p"))
+        .select(
+            *gcols, key_col,
+            F.col("_tg_p.row").alias("row"), F.col("_tg_p.bucket").alias("bucket"),
+        )
+    )
+    joined = probes.join(registers, [*gcols, "row", "bucket"], "left")
+    return joined.groupBy(*gcols, key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est_cnt")
+    )
 
 
 def kmv_set_estimates(
