@@ -1956,6 +1956,51 @@ GROUP BY band_id
 """
 
 
+def _incremental_hll(spark, sf):
+    """Incremental sketch store (streaming/sketch_stream.py): documents
+    ingested as TWO batches into a snapshot-backed HLL register table,
+    then folded — and the oracle recomputes the registers in ONE SQL
+    pass over the whole table. Equality proves delta ingest + per-bucket
+    MAX fold ≡ batch recompute, end to end through the snapshot layer."""
+    import tempfile
+
+    from tilegrab_spark.streaming.sketch_stream import SketchStore
+
+    docs = _t(spark, sf, "documents")
+    tmp = tempfile.mkdtemp(prefix="tg_hllstore_")
+    store = SketchStore(
+        spark, f"{tmp}/store", kind="hll", key_col="doc_id",
+        group_cols=["lang"], p=8,
+    )
+    store.ingest_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    store.ingest_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    return store.distinct_summary().select("lang", "zeros", "sum_rho", "harm_s40")
+
+
+_INCR_HLL_SQL = """
+WITH h AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS u
+  FROM documents
+),
+br AS (
+  SELECT lang, (u & 255::UBIGINT)::BIGINT AS bucket, (u >> 8)::BIGINT AS w FROM h
+),
+rr AS (
+  SELECT lang, bucket,
+         MAX(CASE WHEN w = 0 THEN 57
+             ELSE bit_count(((w & (-w)) - 1)::BIGINT) + 1 END)::BIGINT AS rho
+  FROM br GROUP BY lang, bucket
+)
+SELECT lang,
+       (256 - COUNT(*))::BIGINT AS zeros,
+       SUM(rho)::BIGINT AS sum_rho,
+       (SUM(CASE WHEN rho <= 40 THEN (1::BIGINT << (40 - rho)::INTEGER) ELSE 0::BIGINT END)
+        + (256 - COUNT(*)) * (1::BIGINT << 40))::BIGINT AS harm_s40
+FROM rr GROUP BY lang
+"""
+
+
 def _cms_counts(spark, sf):
     """Count-min sketch (operators/sketches.py): per-user event
     frequency estimated from d=4 × w=256 counters — the distinct-user
@@ -2281,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _asof_events,
         "range_join_bands": _range_join_bands,
         "cms_frequencies": _cms_counts,
+        "incremental_hll_store": _incremental_hll,
         "sessionize_events": _sessionize,
         "minhash_signatures": _minhash_sigs,
         "repetition_signals": _repetition,
@@ -2316,6 +2362,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events": _ASOF_SQL,
         "range_join_bands": _RANGE_JOIN_SQL,
         "cms_frequencies": _CMS_SQL,
+        "incremental_hll_store": _INCR_HLL_SQL,
         "lang_id": _lang_id_sql(),
         "simhash_pairs": _SIMHASH_SQL,
         "cross_modal_pairs": _cross_modal_sql(),

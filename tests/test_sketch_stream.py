@@ -1,0 +1,112 @@
+"""Incremental sketch store: batch-equivalence oracle, time travel,
+re-delivery idempotence (through compaction), parameter contract, and a
+real structured-streaming drive."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilegrab_spark.operators.sketches import cms_sketch, hll_registers
+from tilegrab_spark.plans.snapshots import SnapshotNotFound
+from tilegrab_spark.streaming.sketch_stream import SketchStore, stream_sketch_ingest
+
+
+def _batches(spark, n=3, rows=400):
+    return [
+        spark.range(i * rows, (i + 1) * rows).select(
+            F.concat(F.lit("user"), (F.col("id") % (rows // 2))).alias("k")
+        )
+        for i in range(n)
+    ]
+
+
+def _regs(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_hll_incremental_equals_batch_recompute(spark, tmp_path):
+    batches = _batches(spark)
+    store = SketchStore(spark, str(tmp_path / "hll"), kind="hll", key_col="k", p=10)
+    for i, b in enumerate(batches):
+        assert store.ingest_batch(b, i) == i + 1
+    whole = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    assert _regs(store.registers()) == _regs(hll_registers(whole, key_col="k", p=10))
+    est = store.distinct_summary().collect()[0]["n_distinct_est"]
+    exact = whole.distinct().count()
+    assert abs(est - exact) / exact < 0.15
+
+
+def test_cms_incremental_equals_batch_recompute(spark, tmp_path):
+    batches = _batches(spark)
+    store = SketchStore(
+        spark, str(tmp_path / "cms"), kind="cms", key_col="k", d=3, w=256
+    )
+    for i, b in enumerate(batches):
+        store.ingest_batch(b, i)
+    whole = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    assert _regs(store.registers()) == _regs(
+        cms_sketch(whole, key_col="k", d=3, w=256)
+    )
+    est = {
+        r["k"]: r["est_cnt"]
+        for r in store.frequency_estimates(whole.limit(50)).collect()
+    }
+    for v in est.values():
+        assert v >= 6  # every key occurs twice per batch x 3 batches
+
+def test_time_travel_register_state(spark, tmp_path):
+    batches = _batches(spark)
+    store = SketchStore(spark, str(tmp_path / "tt"), kind="hll", key_col="k", p=9)
+    seqs = [store.ingest_batch(b, i) for i, b in enumerate(batches)]
+    at_first = store.registers(as_of=seqs[0])
+    assert _regs(at_first) == _regs(hll_registers(batches[0], key_col="k", p=9))
+
+
+def test_redelivery_is_noop_even_after_compaction(spark, tmp_path):
+    batches = _batches(spark)
+    store = SketchStore(spark, str(tmp_path / "re"), kind="cms", key_col="k", d=2, w=64)
+    store.ingest_batch(batches[0], 0)
+    store.ingest_batch(batches[1], 1)
+    before = _regs(store.registers())
+    assert store.ingest_batch(batches[0], 0) is None  # straight re-delivery
+    assert _regs(store.registers()) == before
+    store.compact()
+    assert _regs(store.registers()) == before  # replace, not double-count
+    assert store.ingest_batch(batches[1], 1) is None  # re-delivery across compaction
+    assert _regs(store.registers()) == before
+    store.ingest_batch(batches[2], 2)  # new work still lands
+    whole = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    assert _regs(store.registers()) == _regs(cms_sketch(whole, key_col="k", d=2, w=64))
+
+
+def test_parameter_contract(spark, tmp_path):
+    store = SketchStore(spark, str(tmp_path / "pc"), kind="hll", key_col="k", p=10)
+    store.ingest_batch(_batches(spark, n=1)[0], 0)
+    with pytest.raises(ValueError, match="incompatible"):
+        SketchStore(spark, str(tmp_path / "pc"), kind="hll", key_col="k", p=12)
+    with pytest.raises(ValueError, match="incompatible"):
+        SketchStore(spark, str(tmp_path / "pc"), kind="cms", key_col="k")
+    with pytest.raises(ValueError, match="kind"):
+        SketchStore(spark, str(tmp_path / "x"), kind="bloom", key_col="k")
+
+
+def test_empty_store_raises(spark, tmp_path):
+    store = SketchStore(spark, str(tmp_path / "empty"), kind="hll", key_col="k")
+    with pytest.raises(SnapshotNotFound):
+        store.registers()
+
+
+def test_streaming_ingest_availablenow(spark, tmp_path):
+    src = str(tmp_path / "src")
+    batches = _batches(spark, n=2)
+    for b in batches:
+        b.write.mode("append").parquet(src)
+    store = SketchStore(
+        spark, str(tmp_path / "stream"), kind="hll", key_col="k", p=10
+    )
+    stream = spark.readStream.schema("k string").parquet(src)
+    q = stream_sketch_ingest(
+        stream, store, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    whole = batches[0].unionByName(batches[1])
+    assert _regs(store.registers()) == _regs(hll_registers(whole, key_col="k", p=10))

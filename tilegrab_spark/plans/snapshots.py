@@ -134,7 +134,10 @@ class SnapshotTable:
         n_manifests, parent_seq)."""
         out = []
         for seq in range(1, self.current_seq() + 1):
-            s = self._load_snapshot(seq)
+            try:
+                s = self._load_snapshot(seq)
+            except SnapshotNotFound:
+                continue  # expired below the retention horizon
             out.append(
                 {
                     "seq": s["seq"],
@@ -142,6 +145,7 @@ class SnapshotTable:
                     "operation": s["operation"],
                     "parent_seq": s["parent_seq"],
                     "n_manifests": len(s["manifests"]),
+                    "summary": s.get("summary", {}),
                 }
             )
         return out
@@ -260,7 +264,13 @@ class SnapshotTable:
         )
         return mname
 
-    def _commit(self, manifests: list[str], schema_json: str, operation: str) -> int:
+    def _commit(
+        self,
+        manifests: list[str],
+        schema_json: str,
+        operation: str,
+        summary: dict | None = None,
+    ) -> int:
         """CAS-commit a snapshot on the next sequence number."""
         parent = self.current_seq()
         seq = parent + 1
@@ -271,6 +281,7 @@ class SnapshotTable:
             "operation": operation,
             "manifests": manifests,
             "schema": schema_json,
+            "summary": {k: _jsonable(v) for k, v in (summary or {}).items()},
         }
         path = os.path.join(self.meta_dir, f"snap-{seq:08d}.json")
         # Write the complete json aside, then publish it with a hard
@@ -295,13 +306,53 @@ class SnapshotTable:
         *,
         stat_cols: tuple[str, ...] = (),
         max_retries: int = 5,
+        summary: dict | None = None,
     ) -> int:
         """Atomically append ``df`` as a new snapshot; returns its seq.
         Retries the (metadata-only) commit on concurrent-writer conflict
-        — the data files written once stay valid across retries."""
+        — the data files written once stay valid across retries.
+        ``summary`` rides the snapshot json (Iceberg-style commit
+        summary: batch ids, operation tags) and surfaces in
+        ``snapshots()``."""
+        return self._write_commit(
+            df, "append", stat_cols=stat_cols, max_retries=max_retries,
+            summary=summary,
+        )
+
+    def replace(
+        self,
+        df: DataFrame,
+        *,
+        stat_cols: tuple[str, ...] = (),
+        max_retries: int = 5,
+        summary: dict | None = None,
+    ) -> int:
+        """Commit ``df`` as the table's ENTIRE new content (prior files
+        drop out of the live snapshot but stay time-travelable until
+        ``expire_snapshots``). The compaction/rewrite primitive:
+        fold-and-replace for delta tables whose merge is a real
+        aggregation (register sums), where an append would double-count.
+        """
+        return self._write_commit(
+            df, "replace", stat_cols=stat_cols, max_retries=max_retries,
+            summary=summary,
+        )
+
+    def _write_commit(
+        self,
+        df: DataFrame,
+        operation: str,
+        *,
+        stat_cols: tuple[str, ...],
+        max_retries: int,
+        summary: dict | None,
+    ) -> int:
         os.makedirs(self.data_dir, exist_ok=True)
         cur_schema = self.schema()
-        if cur_schema is not None and df.schema != cur_schema:
+        # structural comparison (names + types): an aggregation fold of
+        # the table's own content flips nullability flags, which is not
+        # schema evolution
+        if cur_schema is not None and df.schema.simpleString() != cur_schema.simpleString():
             raise ValueError(
                 f"schema mismatch appending to {self.root}: "
                 f"{df.schema.simpleString()} != {cur_schema.simpleString()}"
@@ -309,12 +360,15 @@ class SnapshotTable:
         mname = self._write_data(df, stat_cols)
         schema_json = json.dumps(df.schema.jsonValue())
         for attempt in range(max_retries):
-            parent = self.current_seq()
-            base = (
-                self._load_snapshot(parent)["manifests"] if parent else []
-            )
+            if operation == "append":
+                parent = self.current_seq()
+                base = (
+                    self._load_snapshot(parent)["manifests"] if parent else []
+                )
+            else:
+                base = []
             try:
-                return self._commit(base + [mname], schema_json, "append")
+                return self._commit(base + [mname], schema_json, operation, summary)
             except (FileExistsError, CommitConflict):
                 if attempt == max_retries - 1:
                     raise CommitConflict(
