@@ -1245,6 +1245,91 @@ FROM leaf GROUP BY x
 """
 
 
+def _focal(spark, sf):
+    """Focal box stats (operators/focal.py): cross-tile (2r+1)² box
+    sums over the _DIFF_A 4×2 block — interior tiles take real halos
+    from up to 8 neighbors, boundary tiles fall back to edge
+    replication, and the surrounding ring surfaces as status='no_tile'.
+    FULLY oracled: the oracle builder recomputes every tile's canvas
+    from the FIXTURES pixel formula by direct neighbor-pixel indexing
+    (independent of the operator's strip-shipping), integral-images it,
+    and inlines the integer leaf stats; -1 sentinels for the ring rows
+    per the float/NULL policy."""
+    import tempfile
+
+    from tilegrab_spark.operators.focal import focal_box_stats
+    from tilegrab_spark.sources.images import (
+        read_image_table,
+        write_synthetic_image_table,
+    )
+
+    tmp = tempfile.mkdtemp()
+    write_synthetic_image_table(spark, f"{tmp}/imgs", _DIFF_A, n_buckets=2)
+    stats = focal_box_stats(read_image_table(spark, f"{tmp}/imgs"), radius=1)
+    x = F.shiftrightunsigned("key", 29).bitwiseAND(F.lit((1 << 29) - 1))
+    y = F.col("key").bitwiseAND(F.lit((1 << 29) - 1))
+    return stats.select(
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+        "status",
+        F.coalesce("n_px", F.lit(-1)).cast("long").alias("n_px"),
+        F.coalesce("box_sum", F.lit(-1)).cast("long").alias("box_sum"),
+        F.coalesce("box_min", F.lit(-1)).cast("int").alias("box_min"),
+        F.coalesce("box_max", F.lit(-1)).cast("int").alias("box_max"),
+    )
+
+
+def _focal_sql() -> str:
+    import numpy as np
+
+    from tilegrab_spark.kernels.png import synth_tile_pixels
+
+    cells = {(x, y) for (_z, x, y, _s) in _DIFF_A}
+    rows = []
+    for (x, y) in sorted(cells):
+        canvas = np.pad(
+            synth_tile_pixels(x, y, 16, 0), ((1, 1), (1, 1), (0, 0)), mode="edge"
+        )
+        for sy in (-1, 0, 1):
+            for sx in (-1, 0, 1):
+                if (sx, sy) == (0, 0) or (x + sx, y + sy) not in cells:
+                    continue
+                nb = synth_tile_pixels(x + sx, y + sy, 16, 0)
+                ys = slice(0, 1) if sy < 0 else slice(257, 258) if sy > 0 else slice(1, 257)
+                xs = slice(0, 1) if sx < 0 else slice(257, 258) if sx > 0 else slice(1, 257)
+                nys = slice(255, 256) if sy < 0 else slice(0, 1) if sy > 0 else slice(0, 256)
+                nxs = slice(255, 256) if sx < 0 else slice(0, 1) if sx > 0 else slice(0, 256)
+                canvas[ys, xs] = nb[nys, nxs]
+        chan = canvas.max(axis=2).astype(np.int64)
+        S = np.zeros((259, 259), dtype=np.int64)
+        S[1:, 1:] = chan.cumsum(0).cumsum(1)
+        box = S[3:, 3:] - S[:-3, 3:] - S[3:, :-3] + S[:-3, :-3]
+        rows.append(
+            (x, y, "ok", box.size, int(box.sum()), int(box.min()), int(box.max()))
+        )
+    ring = sorted(
+        {
+            (x + dx, y + dy)
+            for (x, y) in cells
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        }
+        - cells
+    )
+    rows += [(x, y, "no_tile", -1, -1, -1, -1) for (x, y) in ring]
+    vals = ", ".join(
+        f"({x}, {y}, '{st}', {n}, {s}, {mn}, {mx})"
+        for (x, y, st, n, s, mn, mx) in rows
+    )
+    return f"""
+WITH leaf(x, y, status, n_px, box_sum, box_min, box_max) AS (VALUES {vals})
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, status,
+       CAST(n_px AS BIGINT) AS n_px, CAST(box_sum AS BIGINT) AS box_sum,
+       CAST(box_min AS INTEGER) AS box_min, CAST(box_max AS INTEGER) AS box_max
+FROM leaf
+"""
+
+
 def _shard_pack(spark, sf):
     """Shard packing (operators/packing.py::pack_shards): distributed
     two-level prefix sum over the doc_id order — the training-export
@@ -2310,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_diff_epochs": _tile_diff,
         "dissolve_regions": _dissolve,
         "band_index_rollup": _band_rollup,
+        "focal_box_stats": _focal,
         "shard_pack": _shard_pack,
         "stratified_sample": _stratified_sample,
         "stratified_topn": _stratified_topn,
@@ -2369,6 +2455,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_diff_epochs": _tile_diff_sql(),
         "dissolve_regions": _DISSOLVE_SQL,
         "band_index_rollup": _band_rollup_sql(),
+        "focal_box_stats": _focal_sql(),
         "shard_pack": _SHARD_PACK_SQL,
         "stratified_sample": _stratified_sample_sql(),
         "stratified_topn": _STRATIFIED_TOPN_SQL,

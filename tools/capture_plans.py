@@ -83,6 +83,53 @@ def _dissolve_plan(spark, tiles):
         release_signature_caches()
 
 
+def _asof_plan(spark):
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts", "value"
+    )
+    return plan_of(
+        asof_join(buys, clicks, on="user_id", ts_col="ts",
+                  right_cols=["click_id", "value"])
+    )
+
+
+def _range_join_plan(spark):
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.rangejoin import range_join
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        F.floor("l_extendedprice").alias("price_d"), "l_quantity"
+    )
+    bands = spark.range(0, 140).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 800).cast("double").alias("lo"),
+        (F.col("id") * 800 + 1200).cast("double").alias("hi"),
+    )
+    return plan_of(
+        range_join(li, bands, point_col="price_d", lo_col="lo", hi_col="hi",
+                   bucket_width=1000)
+    )
+
+
+def _sketch_plan(spark):
+    from tilegrab_spark.operators.sketches import hll_distinct
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    return plan_of(
+        hll_distinct(orders, key_col="o_custkey",
+                     group_cols=["o_orderpriority"], p=12)
+    )
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -188,6 +235,24 @@ def main():
             "join on packed cell keys — blocked join, no cross product; "
             "feeds the iterative CC rounds)",
             _dissolve_plan(spark, tiles),
+        ),
+        (
+            "PLAN 11: as-of join (union-window rewrite — NO join node: "
+            "tagged union + one keyed window's last(payload, ignorenulls); "
+            "one shuffle on the key, each row touched once)",
+            _asof_plan(spark),
+        ),
+        (
+            "PLAN 12: range join (inequality join as a bucket EQUI-join — "
+            "intervals explode to covered buckets, points hash-join them; "
+            "no BroadcastNestedLoop/cartesian, AQE-compatible)",
+            _range_join_plan(spark),
+        ),
+        (
+            "PLAN 13: HLL distinct sketch (pure Catalyst: partial MAX(rho) "
+            "combines map-side before the (group, bucket) exchange; the "
+            "second exchange carries one row per group)",
+            _sketch_plan(spark),
         ),
     ]
 
