@@ -214,6 +214,19 @@ def main():
 
     timed("tile_diff", q_diff, cold=True)
 
+    # 3c. focal halo exchange over one epoch: decode + edge-strip
+    # emission + grouped assembly + integral-image box stats
+    # (operators/focal.py); every tile does full pixel work
+    def q_focal():
+        from tilegrab_spark.operators.focal import focal_box_stats
+
+        ep = images.filter(F.col("image_id").endswith("_0"))
+        return focal_box_stats(ep, radius=1).filter(
+            F.col("status") == "ok"
+        ).count()
+
+    timed("focal_box", q_focal, cold=True)
+
     # 4. kNN cell-ring expansion: 64 queries over the image grid
     def q_knn():
         qs = []
@@ -242,6 +255,10 @@ def main():
         "cosine_topk",
         "token_counts",
         "quality_score",
+        "asof_join_events",
+        "range_join_bands",
+        "hll_distinct_sketch",
+        "cms_frequencies",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

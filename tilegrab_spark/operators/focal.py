@@ -4,19 +4,29 @@ Focal ops — smoothing, box sums, local contrast — need each output
 pixel to see a (2r+1)² window, which CROSSES tile edges: tile-local
 evaluation is wrong along every border (map algebra in algebra.py is
 deliberately per-pixel for that reason). The distributed-raster answer
-is a HALO EXCHANGE, done here relationally in two Arrow stages:
+is a HALO EXCHANGE, done here relationally in two Arrow stages with an
+interior/border split so the expensive work never leaves the map side:
 
-1. **strip emission** (``mapInPandas``, one decode per tile): every
-   tile sends each of its 8 neighbors just the ``radius``-deep edge
-   strip that neighbor needs (≤ r·W pixels per side, r² per corner) and
-   forwards its own still-compressed payload to itself. Shuffle volume
-   is ~1.06× the input at r=1 — NOT the 9× of shipping whole tiles to
-   every neighbor, and no global mosaic is ever materialized.
-2. **assembly** (``groupBy(cell).applyInPandas``): pad the decoded
-   center by edge replication, overwrite with whichever neighbor strips
-   exist (absent neighbor ⇒ the replicated pixels stand — the
-   documented boundary rule), then box-filter via an int64 integral
-   image (exact, O(1) per pixel).
+1. **map stage** (``mapInPandas``, ONE decode per tile): windows for
+   output pixels ≥ r from the tile edge never cross it, so their box
+   stats — ~98% of the pixels at r=1 — are computed right here from an
+   int64 integral image and leave as three scalars. What ships to the
+   reduce is only PERIMETER data: the tile's own 2r-deep edge frame
+   plus the r-deep strips each of the 8 neighbors needs (≤ ~4·W·3r
+   pixels per tile — the compressed tile itself is never re-shuffled,
+   never re-decoded).
+2. **border assembly** (``groupBy(cell)`` collect + ``mapInPandas``,
+   many tiles per Arrow batch): rebuild just the 3r-deep ring — own
+   frame, neighbor strips where they exist, edge replication where they
+   don't (the documented boundary rule, identical to
+   ``np.pad(mode='edge')`` + strip overwrite) — box-filter the four
+   border bands, and merge with the interior partials.
+
+Work and shuffle in stage 2 scale with tile PERIMETER, not area: at a
+real 100 TB raster the reduce side handles ~2-6% of the pixels, and no
+global mosaic is ever materialized. Tiles too small for the split
+(min(h, w) < 2r+1) fall back to whole-tile assembly via their original
+compressed payload.
 
 Per-tile outputs are exact integers (box_sum/box_min/box_max over the
 max-channel), so an independent engine can re-derive them from the
@@ -37,7 +47,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from tilegrab_spark.kernels.geo import pack_cell_id, unpack_cell_id
+from tilegrab_spark.kernels.geo import pack_cell_id
 from tilegrab_spark.operators.multimodal import decode_payload
 
 __all__ = ["focal_box_stats"]
@@ -51,6 +61,9 @@ _PART_SCHEMA = T.StructType(
         T.StructField("pw", T.IntegerType(), False),
         T.StructField("ph", T.IntegerType(), False),
         T.StructField("fmt", T.StringType(), False),
+        T.StructField("isum", T.LongType(), True),
+        T.StructField("imin", T.LongType(), True),
+        T.StructField("imax", T.LongType(), True),
     ]
 )
 
@@ -78,40 +91,74 @@ def _strip(arr: np.ndarray, sx: int, sy: int, r: int) -> np.ndarray:
     return arr[ys, xs]
 
 
+def _box(chan: np.ndarray, k: int) -> np.ndarray:
+    """All k×k box sums of an int64 channel (valid positions only)."""
+    S = np.zeros((chan.shape[0] + 1, chan.shape[1] + 1), dtype=np.int64)
+    S[1:, 1:] = chan.cumsum(0).cumsum(1)
+    return S[k:, k:] - S[:-k, k:] - S[k:, :-k] + S[:-k, :-k]
+
+
+# own-frame band codes in the (sx, sy) columns: |2| marks "my own
+# 2r-deep edge band on that side" (vs |1| = a neighbor's halo strip)
+_BANDS = ((0, -2), (0, 2), (-2, 0), (2, 0))
+
+
 def focal_box_stats(images: DataFrame, *, radius: int = 1) -> DataFrame:
     """Per-tile exact stats of the (2r+1)² box sum over the max-channel,
     with true cross-tile halos: ``[key, status, n_px, box_sum, box_min,
     box_max, focal_mean]``. ``images`` needs (z, x, y, bytes, w, h, fmt)
     — the `read_image_table` shape. Duplicate cells must be deduped
     upstream (exact_dedup on (cell_id, phash), same rule as tile_diff).
+    Cells that only receive strips (sparse coverage ring) surface as
+    status='no_tile'.
     """
     if not 1 <= radius <= 64:
         raise ValueError(f"radius must be in [1, 64], got {radius}")
     r = radius
+    k = 2 * r + 1
     cols = ["z", "x", "y", "bytes", "w", "h", "fmt"]
     src = images.select(*cols)
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = list(_PART_SCHEMA.fieldNames())
         for pdf in batches:
-            out = {k: [] for k in ("tkey", "sx", "sy", "payload", "pw", "ph", "fmt")}
+            out = {n: [] for n in names}
 
-            def push(tk, sx, sy, payload, pw, ph, fmt):
+            def push(tk, sx, sy, payload, pw, ph, fmt, isum=None, imin=None, imax=None):
                 out["tkey"].append(int(tk)); out["sx"].append(sx)
                 out["sy"].append(sy); out["payload"].append(payload)
                 out["pw"].append(pw); out["ph"].append(ph); out["fmt"].append(fmt)
+                out["isum"].append(isum); out["imin"].append(imin)
+                out["imax"].append(imax)
 
             for row in pdf.itertuples(index=False):
                 z, x, y = int(row.z), int(row.x), int(row.y)
                 self_key = int(pack_cell_id(x, y, z))
-                # the center travels compressed; a second decode in the
-                # assembly stage is cheaper than shuffling raw pixels
-                push(self_key, 0, 0, bytes(row.bytes), int(row.w), int(row.h), row.fmt)
                 try:
                     arr = decode_payload(
                         bytes(row.bytes), row.fmt, int(row.w), int(row.h)
                     )
                 except (ValueError, NotImplementedError):
-                    continue  # the assembly stage reports the error status
+                    push(self_key, 0, 0, None, int(row.w), int(row.h), "decode_error")
+                    continue
+                # all downstream math is on the max-channel; reduce
+                # BEFORE slicing so strips/bands ship 1 byte/px, not 3
+                chan8 = arr.max(axis=2)
+                h, w = chan8.shape
+                if min(h, w) < k:
+                    # too small for the interior/border split: ship the
+                    # compressed tile, assemble whole in stage 2
+                    push(self_key, 0, 0, bytes(row.bytes), w, h, row.fmt)
+                else:
+                    inner = _box(chan8.astype(np.int64), k)  # outputs [r, h-r)
+                    push(
+                        self_key, 0, 0, None, w, h, "stats",
+                        int(inner.sum()), int(inner.min()), int(inner.max()),
+                    )
+                    for (sx, sy) in _BANDS:
+                        band = np.ascontiguousarray(_strip(chan8, -sx, -sy, 2 * r))
+                        push(self_key, sx, sy, band.tobytes(),
+                             band.shape[1], band.shape[0], "npy")
                 n = 1 << z
                 for sy in (-1, 0, 1):
                     for sx in (-1, 0, 1):
@@ -122,68 +169,135 @@ def focal_box_stats(images: DataFrame, *, radius: int = 1) -> DataFrame:
                             continue
                         # this tile sits at (-sx, -sy) relative to that
                         # neighbor; send the facing strip
-                        s = np.ascontiguousarray(_strip(arr, -sx, -sy, r))
+                        s = np.ascontiguousarray(_strip(chan8, -sx, -sy, r))
                         push(
                             int(pack_cell_id(nx, ny, z)), -sx, -sy,
                             s.tobytes(), s.shape[1], s.shape[0], "npy",
                         )
-            yield pd.DataFrame(out, columns=list(_PART_SCHEMA.fieldNames()))
+            yield pd.DataFrame(out, columns=names)
 
     parts = src.mapInPandas(emit, schema=_PART_SCHEMA)
 
-    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        key = int(pdf["tkey"].iloc[0])
+    def _canvas_from(chan8: np.ndarray, strips: list, r: int) -> np.ndarray:
+        """Whole-tile max-channel canvas: edge-replicated pad overwritten
+        by the neighbor strips that exist (the boundary rule)."""
+        h, w = chan8.shape
+        canvas = np.pad(chan8, ((r, r), (r, r)), mode="edge")
+        _paste_strips(canvas, strips, h, w, r)
+        return canvas
+
+    def _paste_strips(canvas, strips, h, w, r):
+        for (sx, sy, payload, pw, ph) in strips:
+            strip = np.frombuffer(payload, dtype=np.uint8).reshape(ph, pw)
+            ys = (
+                slice(0, r) if sy < 0
+                else slice(h + r, h + 2 * r) if sy > 0
+                else slice(r, h + r)
+            )
+            xs = (
+                slice(0, r) if sx < 0
+                else slice(w + r, w + 2 * r) if sx > 0
+                else slice(r, w + r)
+            )
+            canvas[ys, xs] = strip
+
+    def _one(key: int, group: list) -> dict:
         rec = {
             "key": key, "status": "error", "n_px": None, "box_sum": None,
             "box_min": None, "box_max": None, "focal_mean": None,
         }
-        selfrows = pdf[(pdf["sx"] == 0) & (pdf["sy"] == 0)]
-        if len(selfrows) == 0:
-            # strips arrived for a cell with no image row (sparse
-            # coverage edge) — nothing to compute
+        me = None
+        bands, strips = {}, []
+        for p in group:  # arrow list<struct> -> dict per element
+            sx, sy = int(p["sx"]), int(p["sy"])
+            if sx == 0 and sy == 0:
+                me = p
+            elif abs(sx) == 2 or abs(sy) == 2:
+                bands[(sx, sy)] = p
+            else:
+                strips.append((sx, sy, p["payload"], int(p["pw"]), int(p["ph"])))
+        if me is None:
             rec["status"] = "no_tile"
-            return pd.DataFrame([rec], columns=list(_OUT_SCHEMA.fieldNames()))
-        s0 = selfrows.iloc[0]
-        try:
-            center = decode_payload(
-                bytes(s0["payload"]), s0["fmt"], int(s0["pw"]), int(s0["ph"])
+            return rec
+        fmt = me["fmt"]
+        if fmt == "decode_error":
+            return rec
+        h, w = int(me["ph"]), int(me["pw"])
+
+        if fmt != "stats":
+            # small-tile fallback: whole-tile assembly
+            try:
+                center = decode_payload(bytes(me["payload"]), fmt, w, h)
+            except (ValueError, NotImplementedError):
+                return rec
+            box = _box(
+                _canvas_from(center.max(axis=2), strips, r).astype(np.int64), k
             )
-        except (ValueError, NotImplementedError):
-            return pd.DataFrame([rec], columns=list(_OUT_SCHEMA.fieldNames()))
-        h, w = center.shape[:2]
-        canvas = np.pad(center, ((r, r), (r, r), (0, 0)), mode="edge")
-        for row in pdf.itertuples(index=False):
-            if row.sx == 0 and row.sy == 0:
-                continue
-            strip = np.frombuffer(row.payload, dtype=np.uint8).reshape(
-                int(row.ph), int(row.pw), 3
+            rec.update(
+                status="ok", n_px=int(box.size), box_sum=int(box.sum()),
+                box_min=int(box.min()), box_max=int(box.max()),
+                focal_mean=float(box.mean() / (k * k)),
             )
-            ys = (
-                slice(0, r) if row.sy < 0
-                else slice(h + r, h + 2 * r) if row.sy > 0
-                else slice(r, h + r)
+            return rec
+
+        # border assembly on the 3r-deep ring only
+        canvas = np.zeros((h + 2 * r, w + 2 * r), dtype=np.uint8)
+        for (sx, sy), p in bands.items():
+            band = np.frombuffer(p["payload"], dtype=np.uint8).reshape(
+                int(p["ph"]), int(p["pw"])
             )
-            xs = (
-                slice(0, r) if row.sx < 0
-                else slice(w + r, w + 2 * r) if row.sx > 0
-                else slice(r, w + r)
-            )
-            canvas[ys, xs] = strip
-        chan = canvas.max(axis=2).astype(np.int64)
-        # integral image: box(i,j) = S[i+k][j+k] - ... with k = 2r+1
-        S = np.zeros((chan.shape[0] + 1, chan.shape[1] + 1), dtype=np.int64)
-        S[1:, 1:] = chan.cumsum(0).cumsum(1)
-        k = 2 * r + 1
-        box = S[k:, k:] - S[:-k, k:] - S[k:, :-k] + S[:-k, :-k]
-        assert box.shape == (h, w)
+            if sy == -2:
+                canvas[r:3 * r, r:w + r] = band
+            elif sy == 2:
+                canvas[h - r:h + r, r:w + r] = band
+            elif sx == -2:
+                canvas[r:h + r, r:3 * r] = band
+            else:
+                canvas[r:h + r, w - r:w + r] = band
+        # default margins = edge replication (np.pad(mode='edge')
+        # semantics: sides clamp, corners take the corner pixel)
+        canvas[r:h + r, 0:r] = canvas[r:h + r, r:r + 1]
+        canvas[r:h + r, w + r:w + 2 * r] = canvas[r:h + r, w + r - 1:w + r]
+        canvas[0:r, :] = canvas[r:r + 1, :]
+        canvas[h + r:h + 2 * r, :] = canvas[h + r - 1:h + r, :]
+        _paste_strips(canvas, strips, h, w, r)
+        chan = canvas.astype(np.int64)
+
+        # four border bands of outputs; windows stay inside the filled
+        # 3r-deep ring by construction
+        pieces = [
+            _box(chan[0:3 * r, :], k),              # outputs rows [0, r), all cols
+            _box(chan[h - r:h + 2 * r, :], k),      # rows [h-r, h), all cols
+            _box(chan[r:h + r, 0:3 * r], k),        # rows [r, h-r), cols [0, r)
+            _box(chan[r:h + r, w - r:w + 2 * r], k),  # rows [r, h-r), cols [w-r, w)
+        ]
+        bsum = sum(int(p.sum()) for p in pieces)
+        bmin = min(int(p.min()) for p in pieces)
+        bmax = max(int(p.max()) for p in pieces)
+        n_px = h * w
+        box_sum = int(me["isum"]) + bsum
         rec.update(
             status="ok",
-            n_px=int(box.size),
-            box_sum=int(box.sum()),
-            box_min=int(box.min()),
-            box_max=int(box.max()),
-            focal_mean=float(box.mean() / (k * k)),
+            n_px=n_px,
+            box_sum=box_sum,
+            box_min=int(min(int(me["imin"]), bmin)),
+            box_max=int(max(int(me["imax"]), bmax)),
+            focal_mean=float(box_sum / (k * k * n_px)),
         )
-        return pd.DataFrame([rec], columns=list(_OUT_SCHEMA.fieldNames()))
+        return rec
 
-    return parts.groupBy("tkey").applyInPandas(assemble, schema=_OUT_SCHEMA)
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one collect_list row per tile, many tiles per Arrow batch —
+        # the per-group pandas overhead of applyInPandas (~0.5 ms x
+        # 10^7 tiles) would dominate the border work
+        names = list(_OUT_SCHEMA.fieldNames())
+        for pdf in batches:
+            recs = [_one(int(t.tkey), t.parts) for t in pdf.itertuples(index=False)]
+            yield pd.DataFrame(recs, columns=names)
+
+    grouped = parts.groupBy("tkey").agg(
+        F.collect_list(
+            F.struct("sx", "sy", "payload", "pw", "ph", "fmt", "isum", "imin", "imax")
+        ).alias("parts")
+    )
+    return grouped.mapInPandas(assemble, schema=_OUT_SCHEMA)

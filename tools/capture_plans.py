@@ -130,6 +130,12 @@ def _sketch_plan(spark):
     )
 
 
+def _focal_plan(spark, images):
+    from tilegrab_spark.operators.focal import focal_box_stats
+
+    return plan_of(focal_box_stats(images, radius=1))
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -253,6 +259,14 @@ def main():
             "combines map-side before the (group, bucket) exchange; the "
             "second exchange carries one row per group)",
             _sketch_plan(spark),
+        ),
+        (
+            "PLAN 14: focal halo exchange (interior box stats computed "
+            "MAP-SIDE and shipped as scalars; the one exchange carries "
+            "only perimeter data — 1-channel own-frame bands + r-deep "
+            "neighbor strips — into the batched border assembly; "
+            "reduce-side work scales with tile perimeter, not area)",
+            _focal_plan(spark, images),
         ),
     ]
 
