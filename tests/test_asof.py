@@ -156,3 +156,33 @@ def test_collision_suffix_and_column_carry(spark, frames):
     l2 = left.withColumn("val", F.lit(0.0))
     out2 = asof_join(l2, right, on="user", ts_col="ts", right_cols=["rid", "val"])
     assert "val_r" in out2.columns and "val" in out2.columns
+
+
+def test_null_right_ts_and_keys_never_match(spark):
+    left = _mk(spark, [(1, 10, _ts(5)), (2, None, _ts(5))], "lid int, user int, ts timestamp")
+    right = _mk(
+        spark,
+        [(100, 10, None, 1.0), (101, None, _ts(1), 2.0)],
+        "rid int, user int, ts timestamp, val double",
+    )
+    for direction in ("backward", "forward"):
+        out = {
+            r["lid"]: r["rid"]
+            for r in asof_join(
+                left, right, on="user", ts_col="ts", direction=direction
+            ).collect()
+        }
+        # NULL right ts / NULL keys can satisfy no SQL comparison
+        assert out == {1: None, 2: None}, direction
+
+
+def test_null_left_ts_gets_no_match_either_direction(spark):
+    left = _mk(spark, [(1, 10, None)], "lid int, user int, ts timestamp")
+    right = _mk(
+        spark, [(100, 10, _ts(1), 1.0)], "rid int, user int, ts timestamp, val double"
+    )
+    for direction in ("backward", "forward"):
+        row = asof_join(
+            left, right, on="user", ts_col="ts", direction=direction
+        ).collect()[0]
+        assert row["rid"] is None, direction

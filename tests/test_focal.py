@@ -148,3 +148,34 @@ def test_corrupt_payload_surfaces_as_error(spark, tmp_path):
 def test_radius_validation(spark, grid_table):
     with pytest.raises(ValueError, match="radius"):
         focal_box_stats(grid_table, radius=0)
+
+
+def test_heterogeneous_neighbor_sizes_do_not_fail_tasks(spark):
+    """A neighbor of a different tile size can't align its strip with
+    this grid — the policy is edge replication, not a task crash."""
+    import io
+
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.kernels import png as pngk
+
+    rows = []
+    for (x, y, size) in [(X0, Y0, 256), (X0 + 1, Y0, 64)]:
+        arr = synth_tile_pixels(x, y, Z, 0)[:size, :size]
+        rows.append((f"{Z}_{x}_{y}", pngk.encode_png(arr), size, size, "png", Z, x, y))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, z int, x long, y long"
+    )
+    out = {r["key"]: r for r in focal_box_stats(df, radius=1).collect()}
+    big = out[int(pack_cell_id(X0, Y0, Z))]
+    assert big["status"] == "ok"
+    # the 64px neighbor's strip was skipped -> pure edge replication
+    chan = (
+        np.pad(synth_tile_pixels(X0, Y0, Z, 0), ((1, 1), (1, 1), (0, 0)), mode="edge")
+        .max(axis=2)
+        .astype(np.int64)
+    )
+    want = _box_stats(chan, 1, 1, 256, 256, 1)
+    assert (big["box_sum"], big["box_min"], big["box_max"]) == want
+    small = out[int(pack_cell_id(X0 + 1, Y0, Z))]
+    assert small["status"] == "ok"  # 64px tile computed too (its own grid)

@@ -110,3 +110,24 @@ def test_streaming_ingest_availablenow(spark, tmp_path):
     q.awaitTermination(120)
     whole = batches[0].unionByName(batches[1])
     assert _regs(store.registers()) == _regs(hll_registers(whole, key_col="k", p=10))
+
+
+def test_compaction_cas_refuses_to_drop_concurrent_delta(spark, tmp_path):
+    """replace(expected_parent=N) must fail if a delta landed after N
+    instead of silently erasing it."""
+    from tilegrab_spark.plans.snapshots import CommitConflict
+
+    store = SketchStore(spark, str(tmp_path / "cas"), kind="hll", key_col="k", p=8)
+    b = _batches(spark, n=3)
+    store.ingest_batch(b[0], 0)
+    head = store.table.current_seq()
+    folded = store.registers(as_of=head)
+    store.ingest_batch(b[1], 1)  # concurrent delta after the fold was planned
+    with pytest.raises(CommitConflict, match="concurrent"):
+        store.table.replace(
+            folded, summary={"compaction": True}, expected_parent=head
+        )
+    # a well-ordered compact() still works and keeps both batches
+    store.compact()
+    whole = b[0].unionByName(b[1])
+    assert _regs(store.registers()) == _regs(hll_registers(whole, key_col="k", p=8))

@@ -260,3 +260,29 @@ def test_cms_validation(spark):
         cms_sketch(df, key_col="k", w=100)
     with pytest.raises(ValueError, match="d must be"):
         cms_sketch(df, key_col="k", d=0)
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions
+
+
+def test_hll_p_bound_protects_integer_state(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match=r"p must be in \[4, 20\]"):
+        hll_registers(df, key_col="k", p=21)
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    df = spark.createDataFrame([], "k string")
+    row = hll_distinct(df, key_col="k", p=8).collect()[0]
+    assert row["zeros"] == 256 and row["sum_rho"] == 0
+    assert row["n_distinct_est"] == 0.0
+
+
+def test_cms_estimate_validates_parameters(spark):
+    from tilegrab_spark.operators.sketches import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([("a",)], "k string")
+    regs = cms_sketch(df, key_col="k", d=2, w=64)
+    with pytest.raises(ValueError, match="power of two"):
+        cms_estimate(regs, df, key_col="k", d=2, w=1000)

@@ -73,18 +73,28 @@ def asof_join(
     pay = F.struct(
         F.col(ts_col).alias("_tg_rts"), *[F.col(c).alias(c) for c in right_cols]
     )
+    # NULL keys never satisfy an equi-join and a NULL right ts never
+    # satisfies r.ts <= l.ts, so such right rows can match nothing —
+    # drop them up front (otherwise NULLS FIRST ordering would hand a
+    # NULL-ts payload to every left row)
+    r_valid = right.filter(F.col(ts_col).isNotNull())
+    for kcol in keys:
+        r_valid = r_valid.filter(F.col(kcol).isNotNull())
     r2 = (
-        right.groupBy(*keys, ts_col)
+        r_valid.groupBy(*keys, ts_col)
         .agg(F.max(pay).alias("_tg_pay"))
         .withColumn("_tg_side", F.lit(0))
     )
     l2 = left.withColumn("_tg_side", F.lit(1))
     unioned = l2.unionByName(r2, allowMissingColumns=True)
 
+    # nulls-FIRST in both directions: a left row with NULL ts sorts
+    # before every right row and therefore matches nothing (SQL
+    # comparison with NULL is never true)
     order = (
-        [F.col(ts_col).asc(), F.col("_tg_side").asc()]
+        [F.col(ts_col).asc_nulls_first(), F.col("_tg_side").asc()]
         if direction == "backward"
-        else [F.col(ts_col).desc(), F.col("_tg_side").asc()]
+        else [F.col(ts_col).desc_nulls_first(), F.col("_tg_side").asc()]
     )
     w = (
         Window.partitionBy(*keys)

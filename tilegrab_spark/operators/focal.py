@@ -188,7 +188,6 @@ def focal_box_stats(images: DataFrame, *, radius: int = 1) -> DataFrame:
 
     def _paste_strips(canvas, strips, h, w, r):
         for (sx, sy, payload, pw, ph) in strips:
-            strip = np.frombuffer(payload, dtype=np.uint8).reshape(ph, pw)
             ys = (
                 slice(0, r) if sy < 0
                 else slice(h + r, h + 2 * r) if sy > 0
@@ -199,7 +198,13 @@ def focal_box_stats(images: DataFrame, *, radius: int = 1) -> DataFrame:
                 else slice(w + r, w + 2 * r) if sx > 0
                 else slice(r, w + r)
             )
-            canvas[ys, xs] = strip
+            if (ph, pw) != (ys.stop - ys.start, xs.stop - xs.start):
+                # neighbor of a different tile size (or smaller than r):
+                # its strip can't align with this grid — leave the
+                # edge-replicated pixels in place rather than fail the
+                # task (never-task-failures policy)
+                continue
+            canvas[ys, xs] = np.frombuffer(payload, dtype=np.uint8).reshape(ph, pw)
 
     def _one(key: int, group: list) -> dict:
         rec = {

@@ -98,8 +98,11 @@ def hll_registers(
     ≤ |groups|·2^p rows. NULL keys are ignored (SQL COUNT DISTINCT
     semantics).
     """
-    if not 4 <= p <= 26:
-        raise ValueError(f"p must be in [4, 26], got {p}")
+    # upper bound 20 keeps the integer harmonic state overflow-proof:
+    # harm_s40 <= 2^p * 2^HARM_SCALE = 2^60 < int64 max (p=21+ could
+    # reach 2^63 under ANSI mode -> ArithmeticException mid-job)
+    if not 4 <= p <= 20:
+        raise ValueError(f"p must be in [4, 20], got {p}")
     gcols = list(group_cols)
     bucket, rho = _hash_cols(key_col, p)
     return (
@@ -145,10 +148,12 @@ def hll_summary(
         f"CASE WHEN rho <= {HARM_SCALE} THEN shiftleft(1L, {HARM_SCALE} - rho) "
         "ELSE 0L END"
     )
+    # coalesce: a zero-row global groupBy() yields one row with NULL
+    # sums — an empty input is a valid sketch (estimate 0), not NULLs
     agg = registers.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("_nb"),
-        F.sum("rho").cast("long").alias("sum_rho"),
-        F.sum(harm_term).cast("long").alias("_harm_nz"),
+        F.coalesce(F.sum("rho"), F.lit(0)).cast("long").alias("sum_rho"),
+        F.coalesce(F.sum(harm_term), F.lit(0)).cast("long").alias("_harm_nz"),
     )
     zeros = (F.lit(m) - F.col("_nb")).cast("long")
     harm = (F.col("_harm_nz") + zeros * F.lit(1 << HARM_SCALE)).cast("long")
@@ -204,9 +209,11 @@ def hll_error_bound(p: int) -> float:
 
 
 def _hash60(key_col: str):
-    return F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    # the ONE canonical md5-low-15 implementation (operators/sampling.py)
+    # — the DuckDB oracles re-derive this exact contract
+    from tilegrab_spark.operators.sampling import sample_hash
+
+    return sample_hash(key_col)
 
 
 def _bottom_k(hashes: DataFrame, gcols, k: int, prefilter_buckets: int) -> DataFrame:
@@ -293,11 +300,20 @@ def kmv_estimate(
 
 
 def _cms_bucket(key_col: str, row: int, w: int):
-    # row-salted md5-low-15-hex hash; 0x1f separator keeps "ab"+"1" and
-    # "ab1"+"" distinct. w must be a power of two (low-bit mask).
-    salted = F.concat(F.col(key_col).cast("string"), F.lit(chr(31) + str(row)))
-    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    # row-salted md5-low-15-hex hash (canonical sampling.sample_hash);
+    # 0x1f separator keeps "ab"+"1" and "ab1"+"" distinct. w must be a
+    # power of two (low-bit mask).
+    from tilegrab_spark.operators.sampling import sample_hash
+
+    h = sample_hash(key_col, chr(31) + str(row))
     return h.bitwiseAND(F.lit(w - 1)).cast("int")
+
+
+def _validate_cms(d: int, w: int) -> None:
+    if d < 1 or d > 16:
+        raise ValueError(f"d must be in [1, 16], got {d}")
+    if w < 2 or w & (w - 1):
+        raise ValueError(f"w must be a power of two >= 2, got {w}")
 
 
 def cms_sketch(
@@ -319,10 +335,7 @@ def cms_sketch(
     One map-side-combinable shuffle of ≤ |groups|·d·w counter rows.
     ``count_col`` weights rows (default 1 each); NULL keys are ignored.
     """
-    if d < 1 or d > 16:
-        raise ValueError(f"d must be in [1, 16], got {d}")
-    if w < 2 or w & (w - 1):
-        raise ValueError(f"w must be a power of two >= 2, got {w}")
+    _validate_cms(d, w)
     gcols = list(group_cols)
     cnt = F.col(count_col).cast("long") if count_col else F.lit(1).cast("long")
     pairs = F.explode(
@@ -366,8 +379,12 @@ def cms_estimate(
     """Point estimates for the distinct keys in ``keys``:
     ``[*group_cols, key_col, est_cnt:long]`` with
     ``est = min over rows of counter[row][hash_row(key)]`` (absent
-    counter = 0). Never under-estimates the true count. The register
+    counter = 0). Never under-estimates the true count — PROVIDED
+    (d, w) match the registers' build parameters (validated for shape
+    here; a mismatched-but-valid w would silently probe wrong buckets,
+    same contract as the sketch-store parameter pinning). The register
     table broadcasts when small (≤ d·w rows/group)."""
+    _validate_cms(d, w)
     gcols = list(group_cols)
     pairs = F.explode(
         F.array(

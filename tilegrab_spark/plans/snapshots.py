@@ -326,16 +326,22 @@ class SnapshotTable:
         stat_cols: tuple[str, ...] = (),
         max_retries: int = 5,
         summary: dict | None = None,
+        expected_parent: int | None = None,
     ) -> int:
         """Commit ``df`` as the table's ENTIRE new content (prior files
         drop out of the live snapshot but stay time-travelable until
         ``expire_snapshots``). The compaction/rewrite primitive:
         fold-and-replace for delta tables whose merge is a real
         aggregation (register sums), where an append would double-count.
+
+        ``expected_parent`` makes it a CAS: the commit fails with
+        ``CommitConflict`` (never retries onto a newer head) if any
+        other snapshot landed after that seq — so a rewrite computed
+        FROM snapshot N can't silently erase a concurrent append N+1.
         """
         return self._write_commit(
             df, "replace", stat_cols=stat_cols, max_retries=max_retries,
-            summary=summary,
+            summary=summary, expected_parent=expected_parent,
         )
 
     def _write_commit(
@@ -346,6 +352,7 @@ class SnapshotTable:
         stat_cols: tuple[str, ...],
         max_retries: int,
         summary: dict | None,
+        expected_parent: int | None = None,
     ) -> int:
         os.makedirs(self.data_dir, exist_ok=True)
         cur_schema = self.schema()
@@ -367,9 +374,23 @@ class SnapshotTable:
                 )
             else:
                 base = []
+                if (
+                    expected_parent is not None
+                    and self.current_seq() != expected_parent
+                ):
+                    raise CommitConflict(
+                        f"replace computed from snapshot {expected_parent} of "
+                        f"{self.root} but head is now {self.current_seq()} — "
+                        "rewriting would drop the concurrent commit(s)"
+                    )
             try:
                 return self._commit(base + [mname], schema_json, operation, summary)
             except (FileExistsError, CommitConflict):
+                if expected_parent is not None:
+                    raise CommitConflict(
+                        f"replace of {self.root} lost the CAS race at "
+                        f"seq {expected_parent + 1}"
+                    )
                 if attempt == max_retries - 1:
                     raise CommitConflict(
                         f"gave up appending to {self.root} after {max_retries} conflicts"

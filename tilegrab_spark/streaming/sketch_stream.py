@@ -66,6 +66,7 @@ class SketchStore:
         self.group_cols = list(group_cols)
         self.p, self.d, self.w, self.count_col = p, d, w, count_col
         self.table = SnapshotTable(spark, os.path.join(root, "deltas"))
+        self._seen: set[int] | None = None
         self._check_meta()
 
     # -- parameter contract -------------------------------------------------
@@ -118,28 +119,42 @@ class SketchStore:
             w=self.w,
         )
 
-    def ingested_batches(self) -> set[int]:
+    def ingested_batches(self, *, max_seq: int | None = None) -> set[int]:
         """Every batch id folded into the current state — directly
         committed or carried through a compaction's ``folded_batches``
         (so re-delivery stays a no-op even after history is expired)."""
         seen: set[int] = set()
         for s in self.table.snapshots():
+            if max_seq is not None and s["seq"] > max_seq:
+                continue
             sm = s.get("summary", {})
             if sm.get("batch_id") is not None:
                 seen.add(int(sm["batch_id"]))
             seen.update(int(b) for b in sm.get("folded_batches", []))
         return seen
 
+    def _seen_cached(self) -> set[int]:
+        # the store is the table's single writer (the foreachBatch sink
+        # runs batches serially), so the seen-set only grows through
+        # this instance — scan the snapshot metadata once, then
+        # maintain incrementally instead of re-reading every snapshot
+        # json per batch (O(batches²) driver I/O otherwise)
+        if self._seen is None:
+            self._seen = self.ingested_batches()
+        return self._seen
+
     def ingest_batch(self, batch_df: DataFrame, batch_id: int) -> int | None:
         """Commit one batch's register delta; returns the snapshot seq,
         or None when this batch_id already committed (retry/re-delivery
         — the exactly-once guard)."""
-        if int(batch_id) in self.ingested_batches():
+        if int(batch_id) in self._seen_cached():
             return None
         self._commit_meta()
-        return self.table.append(
+        seq = self.table.append(
             self._batch_delta(batch_df), summary={"batch_id": int(batch_id)}
         )
+        self._seen_cached().add(int(batch_id))
+        return seq
 
 
     # -- reads --------------------------------------------------------------
@@ -183,12 +198,19 @@ class SketchStore:
         content with the fold (an append would double-count the CMS
         sums), then expire old snapshots — query cost returns to
         O(registers). Batch idempotence info survives: already-ingested
-        batch ids are folded into the compaction commit's summary."""
-        if self.table.current_seq() == 0:
+        batch ids are folded into the compaction commit's summary. The
+        fold, its batch list and the replace are all pinned to ONE
+        snapshot (CAS via ``expected_parent``), so a delta committed
+        mid-compaction raises CommitConflict instead of being silently
+        dropped."""
+        head = self.table.current_seq()
+        if head == 0:
             return None
-        seen = sorted(self.ingested_batches())
+        seen = sorted(self.ingested_batches(max_seq=head))
         seq = self.table.replace(
-            self.registers(), summary={"compaction": True, "folded_batches": seen}
+            self.registers(as_of=head),
+            summary={"compaction": True, "folded_batches": seen},
+            expected_parent=head,
         )
         self.table.expire_snapshots(keep_last=1)
         return seq
@@ -200,9 +222,16 @@ def stream_sketch_ingest(
     *,
     checkpoint: str,
     query_name: str = "sketch_ingest",
+    trigger: dict | None = None,
 ) -> StreamingQuery:
     """Attach a SketchStore to a streaming frame: every micro-batch
-    commits its register delta (idempotent under epoch re-delivery)."""
+    commits its register delta (idempotent under epoch re-delivery).
+
+    ``trigger`` passes through to ``writeStream.trigger`` — default
+    ``{"availableNow": True}`` drains what exists and stops (the
+    batch-catchup shape); a long-running ingest passes e.g.
+    ``{"processingTime": "30 seconds"}``.
+    """
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         store.ingest_batch(batch_df, epoch_id)
@@ -211,6 +240,6 @@ def stream_sketch_ingest(
         stream_df.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint)
         .queryName(query_name)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
