@@ -40,6 +40,22 @@ from tilegrab_spark.operators.crossmodal import (
     cross_modal_pairs,
 )
 from tilegrab_spark.operators.algebra import band_math, compile_band_expr
+from tilegrab_spark.operators.asof import asof_join
+from tilegrab_spark.operators.focal import focal_box_stats
+from tilegrab_spark.operators.rangejoin import interval_join, range_join
+from tilegrab_spark.operators.sketches import (
+    cms_estimate,
+    cms_merge,
+    cms_sketch,
+    hll_distinct,
+    hll_merge,
+    hll_registers,
+    hll_summary,
+    kmv_estimate,
+    kmv_merge,
+    kmv_set_estimates,
+    kmv_sketch,
+)
 from tilegrab_spark.operators.change import change_summary, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
 from tilegrab_spark.operators.packing import pack_shards, shard_manifest
@@ -122,6 +138,24 @@ __all__ = [
     "with_repetition_signals",
     "with_clean_text",
     "with_pii_scrubbed",
+    # temporal / range joins
+    "asof_join",
+    "range_join",
+    "interval_join",
+    # focal raster
+    "focal_box_stats",
+    # sketches
+    "hll_registers",
+    "hll_summary",
+    "hll_distinct",
+    "hll_merge",
+    "kmv_sketch",
+    "kmv_estimate",
+    "kmv_merge",
+    "kmv_set_estimates",
+    "cms_sketch",
+    "cms_merge",
+    "cms_estimate",
     # multimodal
     "image_features",
     "resize_images",
