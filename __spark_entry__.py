@@ -2120,6 +2120,50 @@ GROUP BY p.user_id
 """
 
 
+def _kmv_overlap(spark, sf):
+    """KMV set-operation path (kmv_merge + kmv_set_estimates): overlap
+    evidence between the sketched viewer and clicker user sets. The
+    integer state (merged bottom-k size + how many of its members sit
+    in BOTH input sketches — exactly what the jaccard/intersection
+    estimators consume) is re-derived in SQL end-to-end: per-set
+    bottom-k, union bottom-k, membership flags. Float estimates are
+    pytest-covered per the float policy."""
+    from tilegrab_spark.operators.sketches import kmv_set_estimates, kmv_sketch
+
+    ev = _t(spark, sf, "events")
+    a = kmv_sketch(
+        ev.filter(F.col("event_type") == "view"), key_col="user_id", k=16
+    )
+    b = kmv_sketch(
+        ev.filter(F.col("event_type") == "click"), key_col="user_id", k=16
+    )
+    return kmv_set_estimates(a, b, k=16).select("n_merged", "n_both")
+
+
+_KMV_OVERLAP_SQL = """
+WITH ha AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'view'
+),
+hb AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'click'
+),
+sa AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ha) WHERE rn <= 16),
+sb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hb) WHERE rn <= 16),
+m AS (
+  SELECT h FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+    FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+  ) WHERE rn <= 16
+)
+SELECT COUNT(*)::BIGINT AS n_merged,
+       SUM(CASE WHEN m.h IN (SELECT h FROM sa) AND m.h IN (SELECT h FROM sb)
+           THEN 1 ELSE 0 END)::BIGINT AS n_both
+FROM m
+"""
+
+
 def _asof_events(spark, sf):
     """As-of join (operators/asof.py): for every purchase, the latest
     click of the same user at or before it (unmatched → NULLs). The
@@ -2409,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_hamming": _hamming_near_dup,
         "hll_distinct_sketch": _hll_sketch,
         "kmv_bottomk_sketch": _kmv_sketch,
+        "kmv_set_overlap": _kmv_overlap,
         "asof_join_events": _asof_events,
         "range_join_bands": _range_join_bands,
         "cms_frequencies": _cms_counts,
@@ -2445,6 +2490,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_hamming": _HAMMING_SQL,
         "hll_distinct_sketch": _HLL_SQL,
         "kmv_bottomk_sketch": _KMV_SQL,
+        "kmv_set_overlap": _KMV_OVERLAP_SQL,
         "asof_join_events": _ASOF_SQL,
         "range_join_bands": _RANGE_JOIN_SQL,
         "cms_frequencies": _CMS_SQL,
