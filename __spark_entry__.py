@@ -561,29 +561,41 @@ FROM tiles
 
 
 def _dedup_exact(spark, sf):
-    from tilegrab_spark.operators.dedup import exact_dedup
+    """Exact dedup + duplicate-group rollup in ONE contract row (driver
+    window economy): the kept representatives from ``exact_dedup``
+    left-joined with ``duplicate_groups``' per-hash counts (keep_id is
+    the join key, so the group→representative mapping is pinned too);
+    singletons get n_dups=1."""
+    from tilegrab_spark.operators.dedup import duplicate_groups, exact_dedup
 
     d = _t(spark, sf, "documents")
-    return exact_dedup(d).select("doc_id", "lang", "source", "n_chars")
+    kept = exact_dedup(d).select("doc_id", "lang", "source", "n_chars")
+    groups = duplicate_groups(d).select(
+        F.col("keep_id").alias("doc_id"), "n_dups"
+    )
+    return kept.join(groups, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.coalesce(F.col("n_dups"), F.lit(1)).cast("long").alias("n_dups"),
+    )
 
 
 _DEDUP_SQL = """
-SELECT doc_id, lang, source, n_chars FROM (
-  SELECT doc_id, lang, source, n_chars,
-         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-  FROM documents) WHERE rn = 1
-"""
-
-
-def _dup_groups(spark, sf):
-    from tilegrab_spark.operators.dedup import duplicate_groups
-
-    return duplicate_groups(_t(spark, sf, "documents"))
-
-
-_DUPG_SQL = """
-SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
-FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+WITH kept AS (
+  SELECT doc_id, lang, source, n_chars FROM (
+    SELECT doc_id, lang, source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+g AS (
+  SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+  FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+)
+SELECT k.doc_id, k.lang, k.source, k.n_chars,
+       COALESCE(g.n_dups, 1)::BIGINT AS n_dups
+FROM kept k LEFT JOIN g ON k.doc_id = g.keep_id
 """
 
 
@@ -611,16 +623,53 @@ WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.6
 """
 
 
-def _token_counts(spark, sf):
-    from tilegrab_spark.operators.text import with_token_counts
+def _text_signals(spark, sf):
+    """Per-document text-analysis signals in ONE contract row (driver
+    window economy): token counting, quality scoring, language-ID and
+    Gopher-style repetition — four operators over the same corpus,
+    joined on doc_id. Each sub-operator's full column set survives, so
+    the value hash pins all four independently-derived oracles at once."""
+    from tilegrab_spark.operators.text import (
+        with_lang_id,
+        with_quality_score,
+        with_repetition_signals,
+        with_token_counts,
+    )
 
     d = _t(spark, sf, "documents")
-    out = with_token_counts(d)
-    return out.select(
+    tk = with_token_counts(d).select(
         "doc_id",
         F.col("ws_tokens").cast("long").alias("ws_tokens"),
         F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
     )
+    q = with_quality_score(d).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "punct_ratio",
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+        "quality",
+    )
+    lg = with_lang_id(d).select("doc_id", "lang_pred")
+    rp = with_repetition_signals(d).select(
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        "dup_line_frac",
+        "top_word_frac",
+    )
+    return tk.join(q, "doc_id").join(lg, "doc_id").join(rp, "doc_id")
+
+
+def _text_signals_sql() -> str:
+    return f"""
+SELECT tk.doc_id, tk.ws_tokens, tk.bpe_tokens,
+       q.n_tokens, q.punct_ratio, q.n_stopwords, q.quality,
+       lg.lang_pred,
+       rp.n_lines, rp.dup_line_frac, rp.top_word_frac
+FROM ({_TOKENS_SQL}) tk
+JOIN ({_QUALITY_SQL}) q ON q.doc_id = tk.doc_id
+JOIN ({_lang_id_sql()}) lg ON lg.doc_id = tk.doc_id
+JOIN ({_REPETITION_SQL}) rp ON rp.doc_id = tk.doc_id
+"""
 
 
 _TOKENS_SQL = r"""
@@ -630,19 +679,6 @@ SELECT doc_id,
   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
 FROM documents
 """
-
-
-def _quality(spark, sf):
-    from tilegrab_spark.operators.text import with_quality_score
-
-    d = _t(spark, sf, "documents")
-    return with_quality_score(d).select(
-        "doc_id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        "punct_ratio",
-        F.col("n_stopwords").cast("long").alias("n_stopwords"),
-        "quality",
-    )
 
 
 _QUALITY_SQL = r"""
@@ -665,8 +701,24 @@ FROM base
 """
 
 
-def _cosine_topk_ranks(spark, sf):
-    from tilegrab_spark.operators.similarity import cosine_topk
+def _ann_topk(spark, sf):
+    """Both ANN paths in ONE contract row (driver window economy),
+    union-tagged by variant:
+
+    - ``exact``: brute-force cosine top-10 for 8 queries
+      (operators/similarity.py::cosine_topk) — the oracle baseline.
+    - ``ivf``: IVF ANN at FULL probe width (n_probe = n_centroids):
+      probing every inverted list makes the approximate path provably
+      identical to exact top-k, so the DuckDB exact-cosine oracle pins
+      the whole machinery — k-means assignment, probe routing, per-list
+      scan, ranking. The recall-gated PARTIAL-probe behaviour (the
+      actual scale path) is asserted in tests/test_similarity.py."""
+    from tilegrab_spark.operators.similarity import (
+        ann_topk_ivf,
+        assign_lists,
+        cosine_topk,
+        train_centroids,
+    )
 
     emb = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -674,21 +726,41 @@ def _cosine_topk_ranks(spark, sf):
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return cosine_topk(q, emb, k=10).select(
-        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    exact = cosine_topk(q, emb, k=10).select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.lit("exact").alias("variant"),
     )
+    cents = train_centroids(emb, n_centroids=8, iters=3)
+    wl = assign_lists(emb, cents)
+    q4 = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = ann_topk_ivf(q4, wl, cents, k=5, n_probe=8).select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.lit("ivf").alias("variant"),
+    )
+    return exact.unionByName(ivf)
 
 
-_COSINE_SQL = """
+_ANN_TOPK_SQL = """
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 8),
 scored AS (
   SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.v) AS cosine
   FROM q CROSS JOIN emb e)
-SELECT query_id, vec_id, rank FROM (
+SELECT query_id, vec_id, rank, 'exact' AS variant FROM (
   SELECT query_id, vec_id,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
   FROM scored) WHERE rank <= 10
+UNION ALL
+SELECT query_id, vec_id, rank, 'ivf' AS variant FROM (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored WHERE query_id < 4) WHERE rank <= 5
 """
 
 
@@ -943,11 +1015,41 @@ def _incremental_lsh_sql() -> str:
     )
 
 
-def _simhash(spark, sf):
-    from tilegrab_spark.operators.dedup import simhash_pairs
+def _hamming_family(spark, sf):
+    """Both hamming-family near-dup generators in ONE contract row
+    (driver window economy), union-tagged by variant:
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    return simhash_pairs(d, max_hamming=8)
+    - ``simhash``: SimHash-of-text pairs (operators/dedup.py::
+      simhash_pairs) at max_hamming=8.
+    - ``generic``: the raw int64-hamming pigeonhole join
+      (hamming_near_dup_pairs — the engine under phash image dedup);
+      the driver tables carry no phash column, so the surrogate key is
+      n_chars cast to int64. DuckDB re-derives both pair sets
+      exhaustively, proving the pigeonhole blocking missed nothing."""
+    from tilegrab_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+        simhash_pairs,
+    )
+
+    d = _t(spark, sf, "documents")
+    sh = simhash_pairs(d.filter(F.col("doc_id") < 200), max_hamming=8).select(
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("int").alias("hamming"),
+        F.lit("simhash").alias("variant"),
+    )
+    g = _t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("h64")
+    )
+    hn = hamming_near_dup_pairs(
+        g, hash_col="h64", id_col="doc_id", max_hamming=1
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("int").alias("hamming"),
+        F.lit("generic").alias("variant"),
+    )
+    return sh.unionByName(hn)
 
 
 # The oracle re-derives SimHash itself (md5-low-64 token hash — the
@@ -987,6 +1089,21 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM sg a JOIN sg b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+# hamming_pairs contract row: simhash variant (above, re-derived
+# exhaustively) unioned with the generic int64-hamming variant over the
+# n_chars surrogate key (also exhaustive - proving the pigeonhole
+# blocking in hamming_near_dup_pairs missed nothing).
+_HAMMING_FAMILY_SQL = f"""
+SELECT id_a, id_b, hamming, 'simhash' AS variant FROM ({_SIMHASH_SQL})
+UNION ALL
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.n_chars::BIGINT, b.n_chars::BIGINT)) AS INTEGER) AS hamming,
+       'generic' AS variant
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id
+ AND bit_count(xor(a.n_chars::BIGINT, b.n_chars::BIGINT)) <= 1
 """
 
 
@@ -1431,53 +1548,61 @@ FROM off GROUP BY 1
 _SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.8, "zh": 0.25, "fr": 0.0}
 
 
-def _stratified_sample(spark, sf):
-    """Deterministic per-stratum rate sampling (operators/sampling.py):
-    keep iff md5-60-bit-hash(doc_id||salt) < fraction * 2^60 per lang —
-    a pure map-side filter. FULLY oracled: DuckDB recomputes the same
-    hash and compares against the same integer thresholds (precomputed
-    here so float->int truncation can't diverge between engines).
-    'es' is deliberately unlisted -> default_fraction=1.0 keeps it all."""
-    from tilegrab_spark.operators.sampling import stratified_sample
+def _stratified_sampling(spark, sf):
+    """Both stratified-sampling operators in ONE contract row (driver
+    window economy), union-tagged by variant:
+
+    - ``rate``: deterministic per-stratum rate sampling
+      (operators/sampling.py::stratified_sample): keep iff
+      md5-60-bit-hash(doc_id||salt) < fraction * 2^60 per lang — a pure
+      map-side filter. 'es' is deliberately unlisted ->
+      default_fraction=1.0 keeps it all.
+    - ``topn``: exact per-stratum quota by deterministic hash order
+      (operators/sampling.py::stratified_topn).
+
+    FULLY oracled: DuckDB recomputes the same hash, the same integer
+    thresholds (precomputed so float->int truncation can't diverge) and
+    the row_number cut independently."""
+    from tilegrab_spark.operators.sampling import stratified_sample, stratified_topn
 
     d = _t(spark, sf, "documents").select("doc_id", "lang")
-    return stratified_sample(
+    rate = stratified_sample(
         d,
         id_col="doc_id",
         fractions=_SAMPLE_FRACTIONS,
         stratum_col="lang",
         default_fraction=1.0,
         salt="contract",
+    ).select(
+        "doc_id",
+        "lang",
+        F.lit(-1).cast("long").alias("sample_rank"),
+        F.lit("rate").alias("variant"),
     )
+    topn = stratified_topn(
+        d, id_col="doc_id", stratum_col="lang", n=25, salt="contract"
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+        F.lit("topn").alias("variant"),
+    )
+    return rate.unionByName(topn)
 
 
-def _stratified_sample_sql() -> str:
+def _stratified_sampling_sql() -> str:
     space = 1 << 60
     cases = " ".join(
         f"WHEN '{k}' THEN {int(v * space)}"
         for k, v in sorted(_SAMPLE_FRACTIONS.items())
     )
     return f"""
-SELECT doc_id, lang FROM documents
+SELECT doc_id, lang, -1::BIGINT AS sample_rank, 'rate' AS variant
+FROM documents
 WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'contract'), 1, 15))::BIGINT
       < CASE lang {cases} ELSE {space} END
-"""
-
-
-def _stratified_topn(spark, sf):
-    """Exact per-stratum quota by deterministic hash order
-    (operators/sampling.py::stratified_topn). FULLY oracled: DuckDB
-    re-derives the hash order and the row_number cut independently."""
-    from tilegrab_spark.operators.sampling import stratified_topn
-
-    d = _t(spark, sf, "documents").select("doc_id", "lang")
-    return stratified_topn(
-        d, id_col="doc_id", stratum_col="lang", n=25, salt="contract"
-    ).select("doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank"))
-
-
-_STRATIFIED_TOPN_SQL = """
-SELECT doc_id, lang, sample_rank FROM (
+UNION ALL
+SELECT doc_id, lang, sample_rank, 'topn' AS variant FROM (
   SELECT doc_id, lang,
          CAST(row_number() OVER (
            PARTITION BY lang
@@ -1486,51 +1611,6 @@ SELECT doc_id, lang, sample_rank FROM (
   FROM documents)
 WHERE sample_rank <= 25
 """
-
-
-def _ivf_ann(spark, sf):
-    """IVF ANN at FULL probe width (n_probe = n_centroids): probing every
-    inverted list makes the approximate path provably identical to exact
-    top-k, so the DuckDB exact-cosine oracle pins the whole machinery —
-    k-means assignment, probe routing, per-list scan, ranking. The
-    recall-gated PARTIAL-probe behaviour (the actual scale path) is
-    asserted in tests/test_similarity.py."""
-    from tilegrab_spark.operators.similarity import (
-        ann_topk_ivf,
-        assign_lists,
-        train_centroids,
-    )
-
-    emb = _t(spark, sf, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
-    cents = train_centroids(emb, n_centroids=8, iters=3)
-    wl = assign_lists(emb, cents)
-    q = emb.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ann_topk_ivf(q, wl, cents, k=5, n_probe=8).select(
-        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
-    )
-
-
-_IVF_FULLPROBE_SQL = """
-WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 4),
-scored AS (
-  SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qv, e.v) AS cosine
-  FROM q CROSS JOIN emb e)
-SELECT query_id, vec_id, rank FROM (
-  SELECT query_id, vec_id,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-  FROM scored) WHERE rank <= 5
-"""
-
-
-def _lang_id(spark, sf):
-    from tilegrab_spark.operators.text import with_lang_id
-
-    return with_lang_id(_t(spark, sf, "documents")).select("doc_id", "lang_pred")
 
 
 def _lang_id_sql() -> str:
@@ -1575,24 +1655,40 @@ FROM s
 """
 
 
-def _fingerprints(spark, sf):
-    """Winnowed Rabin-Karp fingerprints, exploded to (doc_id, i, v)
-    scalars. The oracle re-derives the whole thing in SQL: UTF-8 bytes
-    via hex-of-blob, every 16-byte rolling window as a sum of
-    byte*B^k products in HUGEINT (powers of B mod 2^64 inlined from the
-    same constants), unsigned-order winnowing to the 8 smallest."""
+def _text_fingerprints(spark, sf):
+    """Document fingerprinting in ONE contract row (driver window
+    economy), two independent signature families exploded to the same
+    (doc_id, i, v) scalar shape and tagged by variant:
+
+    - ``winnow``: winnowed Rabin-Karp fingerprints. The oracle
+      re-derives the whole thing in SQL: UTF-8 bytes via hex-of-blob,
+      every 16-byte rolling window as a sum of byte*B^k products in
+      HUGEINT (powers of B mod 2^64 inlined from the same constants),
+      unsigned-order winnowing to the 8 smallest.
+    - ``minhash``: MinHash signatures (the math under
+      minhash_lsh_pairs). The oracle re-derives shingling, the
+      md5-low-63-bit shingle hash, and all 16 (a*h+b) mod (2^61-1)
+      permutations with HUGEINT arithmetic — permutation constants
+      inlined from the SAME _perm_params(seed=42) the UDF uses."""
+    from tilegrab_spark.operators.dedup import with_minhash, with_shingles
     from tilegrab_spark.operators.text import with_fingerprint
 
     # both engines fingerprint the same 4096-CHAR prefix (substr semantics
     # are char-based in Spark and DuckDB alike), which bounds the oracle's
     # byte expansion at 4*4096 regardless of corpus — no silent divergence
     # on long documents
-    d = _t(spark, sf, "documents").withColumn(
-        "text", F.substring("text", 1, 4096)
+    d = _t(spark, sf, "documents")
+    wn = (
+        with_fingerprint(d.withColumn("text", F.substring("text", 1, 4096)))
+        .select("doc_id", F.posexplode("fingerprint").alias("i", "v"))
+        .withColumn("variant", F.lit("winnow"))
     )
-    return with_fingerprint(d).select(
-        "doc_id", F.posexplode("fingerprint").alias("i", "v")
+    mh = (
+        with_minhash(with_shingles(d.filter(F.col("doc_id") < 100)), num_hashes=16)
+        .select("doc_id", F.posexplode("minhash").alias("i", "v"))
+        .withColumn("variant", F.lit("minhash"))
     )
+    return wn.unionByName(mh)
 
 
 def _fingerprint_sql() -> str:
@@ -1640,20 +1736,6 @@ sig AS (
 )
 SELECT doc_id, (rk - 1)::INTEGER AS i, v FROM sig WHERE rk <= 8
 """
-
-
-def _repetition(spark, sf):
-    """Gopher-style repetition signals: dup-line fraction (native) +
-    top-word fraction (relational explode+agg). Fractions are ratios of
-    integers — bit-exact across engines."""
-    from tilegrab_spark.operators.text import with_repetition_signals
-
-    return with_repetition_signals(_t(spark, sf, "documents")).select(
-        "doc_id",
-        F.col("n_lines").cast("int").alias("n_lines"),
-        "dup_line_frac",
-        "top_word_frac",
-    )
 
 
 _REPETITION_SQL = r"""
@@ -1857,18 +1939,12 @@ FROM g JOIN px ON g.gx = px.gx AND g.gy = px.gy
 """
 
 
-def _minhash_sigs(spark, sf):
-    """MinHash signatures (the math under minhash_lsh_pairs), exploded to
-    (doc_id, i, v) scalars for unambiguous cross-engine hashing. The
-    oracle re-derives shingling, the md5-low-63-bit shingle hash, and
-    all 16 (a*h+b) mod (2^61-1) permutations with HUGEINT arithmetic —
-    permutation constants are inlined from the SAME _perm_params(seed=42)
-    the UDF uses."""
-    from tilegrab_spark.operators.dedup import with_minhash, with_shingles
-
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
-    m = with_minhash(with_shingles(d), num_hashes=16)
-    return m.select("doc_id", F.posexplode("minhash").alias("i", "v"))
+def _text_fingerprints_sql() -> str:
+    return f"""
+SELECT doc_id, i, v, 'winnow' AS variant FROM ({_fingerprint_sql()})
+UNION ALL
+SELECT doc_id, i, v, 'minhash' AS variant FROM ({_minhash_sql()})
+"""
 
 
 def _minhash_sql() -> str:
@@ -1933,23 +2009,6 @@ SELECT user_id, session_idx, COUNT(*) AS n_events,
        (SUM(value::DECIMAL(25,6)))::DOUBLE AS sum_value
 FROM sess GROUP BY user_id, session_idx
 """
-
-
-def _hamming_near_dup(spark, sf):
-    """Exact int64-hamming near-dup pairs (the pigeonhole blocked join
-    behind SimHash text dedup and phash image dedup —
-    operators/dedup.py::hamming_near_dup_pairs / phash_near_dup_pairs).
-    The driver tables carry no phash column, so the surrogate key is
-    n_chars cast to int64 — the operator is hash-generic, and DuckDB
-    re-derives the full pair set independently with xor+bit_count."""
-    from tilegrab_spark.operators.dedup import hamming_near_dup_pairs
-
-    d = _t(spark, sf, "documents").select(
-        "doc_id", F.col("n_chars").cast("long").alias("h64")
-    )
-    return hamming_near_dup_pairs(
-        d, hash_col="h64", id_col="doc_id", max_hamming=1
-    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def _hll_sketch(spark, sf):
@@ -2120,28 +2179,49 @@ GROUP BY p.user_id
 """
 
 
-def _kmv_overlap(spark, sf):
-    """KMV set-operation path (kmv_merge + kmv_set_estimates): overlap
-    evidence between the sketched viewer and clicker user sets. The
-    integer state (merged bottom-k size + how many of its members sit
-    in BOTH input sketches — exactly what the jaccard/intersection
-    estimators consume) is re-derived in SQL end-to-end: per-set
-    bottom-k, union bottom-k, membership flags. Float estimates are
-    pytest-covered per the float policy."""
+def _kmv_sketch_ops(spark, sf):
+    """The whole KMV surface in ONE contract row (driver window
+    economy): per-event-type bottom-k sketches (the state IS the output:
+    the k smallest md5-low-15-hex hashes with ranks — pinning the hash
+    contract, distinct, per-group bottom-k ranking, AND the salted
+    skew-bounding pre-top-k rewrite via prefilter_buckets=8) union-tagged
+    with the set-operation path (kmv_merge + kmv_set_estimates): overlap
+    evidence between the sketched viewer and clicker user sets, encoded
+    as one extra row (event_type='overlap:view,click', pos=n_merged,
+    h=n_both). Everything integer, re-derived in SQL end-to-end; float
+    estimates are pytest-covered per the float policy."""
     from tilegrab_spark.operators.sketches import kmv_set_estimates, kmv_sketch
 
     ev = _t(spark, sf, "events")
+    sk = kmv_sketch(
+        ev, key_col="user_id", group_cols=["event_type"], k=16, prefilter_buckets=8
+    ).select("event_type", F.col("pos").cast("int").alias("pos"), "h")
     a = kmv_sketch(
         ev.filter(F.col("event_type") == "view"), key_col="user_id", k=16
     )
     b = kmv_sketch(
         ev.filter(F.col("event_type") == "click"), key_col="user_id", k=16
     )
-    return kmv_set_estimates(a, b, k=16).select("n_merged", "n_both")
+    ov = kmv_set_estimates(a, b, k=16).select(
+        F.lit("overlap:view,click").alias("event_type"),
+        F.col("n_merged").cast("int").alias("pos"),
+        F.col("n_both").cast("long").alias("h"),
+    )
+    return sk.unionByName(ov)
 
 
-_KMV_OVERLAP_SQL = """
-WITH ha AS (
+_KMV_OPS_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS pos
+  FROM h
+),
+ha AS (
   SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
   FROM events WHERE event_type = 'view'
 ),
@@ -2157,9 +2237,12 @@ m AS (
     FROM (SELECT h FROM sa UNION SELECT h FROM sb)
   ) WHERE rn <= 16
 )
-SELECT COUNT(*)::BIGINT AS n_merged,
+SELECT event_type, pos::INTEGER AS pos, h FROM r WHERE pos <= 16
+UNION ALL
+SELECT 'overlap:view,click' AS event_type,
+       COUNT(*)::INTEGER AS pos,
        SUM(CASE WHEN m.h IN (SELECT h FROM sa) AND m.h IN (SELECT h FROM sb)
-           THEN 1 ELSE 0 END)::BIGINT AS n_both
+           THEN 1 ELSE 0 END)::BIGINT AS h
 FROM m
 """
 
@@ -2215,49 +2298,6 @@ SELECT b.buy_id, b.user_id,
        COALESCE(epoch_us(b.ts) - epoch_us(c.ts), -1)::BIGINT AS lag_us
 FROM buys b ASOF LEFT JOIN clicks c
   ON b.user_id = c.user_id AND c.ts <= b.ts
-"""
-
-
-def _kmv_sketch(spark, sf):
-    """KMV bottom-k distinct sketch (operators/sketches.py) — per-event-
-    type sketch of the distinct-user set. The state IS the output: the
-    k smallest md5-low-15-hex hashes with ranks, so the oracle pins the
-    entire sketch (hash contract, distinct, per-group bottom-k ranking)
-    with pure integers; estimates/set-operations are exercised in
-    test_sketches.py. Uses the skew-bounding salted pre-top-k path
-    (prefilter_buckets=8) so the contract also covers that rewrite."""
-    from tilegrab_spark.operators.sketches import kmv_sketch
-
-    return kmv_sketch(
-        _t(spark, sf, "events"),
-        key_col="user_id",
-        group_cols=["event_type"],
-        k=16,
-        prefilter_buckets=8,
-    )
-
-
-_KMV_SQL = """
-WITH h AS (
-  SELECT DISTINCT event_type,
-         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-  FROM events
-),
-r AS (
-  SELECT event_type, h,
-         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS pos
-  FROM h
-)
-SELECT event_type, pos::INTEGER AS pos, h FROM r WHERE pos <= 16
-"""
-
-
-_HAMMING_SQL = """
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.n_chars::BIGINT, b.n_chars::BIGINT)) AS INTEGER) AS hamming
-FROM documents a JOIN documents b
-  ON a.doc_id < b.doc_id
- AND bit_count(xor(a.n_chars::BIGINT, b.n_chars::BIGINT)) <= 1
 """
 
 
@@ -2422,11 +2462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_interop_keys": _tile_interop,
         "bbox_enum_f1": _bbox_enum,
         "dedup_exact": _dedup_exact,
-        "duplicate_groups": _dup_groups,
         "word_jaccard_pairs": _word_jaccard,
-        "token_counts": _token_counts,
-        "quality_score": _quality,
-        "cosine_topk": _cosine_topk_ranks,
+        "text_signals": _text_signals,
+        "ann_topk": _ann_topk,
         "knn_cell_ring": _knn_cells,
         "connected_components": _cc_islands,
         "embedding_cosine_pairs": _embedding_pairs,
@@ -2434,33 +2472,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _minhash_pairs,
         "incremental_lsh_pairs": _incremental_lsh,
         "sql_surface_tile_math": _sql_surface,
-        "simhash_pairs": _simhash,
+        "hamming_pairs": _hamming_family,
         "cross_modal_pairs": _cross_modal,
         "tile_diff_epochs": _tile_diff,
         "dissolve_regions": _dissolve,
         "band_index_rollup": _band_rollup,
         "focal_box_stats": _focal,
         "shard_pack": _shard_pack,
-        "stratified_sample": _stratified_sample,
-        "stratified_topn": _stratified_topn,
+        "stratified_sampling": _stratified_sampling,
         "export_pipeline": _export_pipeline,
-        "ivf_ann_topk": _ivf_ann,
-        "lang_id": _lang_id,
-        "doc_fingerprint": _fingerprints,
+        "text_fingerprints": _text_fingerprints,
         "mosaic_pipeline": _mosaic_meta,
         "mosaic_plan_w1": _mosaic_plan,
         "zonal_stats_t": _zonal_stats_t,
-        "near_dup_hamming": _hamming_near_dup,
         "hll_distinct_sketch": _hll_sketch,
-        "kmv_bottomk_sketch": _kmv_sketch,
-        "kmv_set_overlap": _kmv_overlap,
+        "kmv_sketch_ops": _kmv_sketch_ops,
         "asof_join_events": _asof_events,
         "range_join_bands": _range_join_bands,
         "cms_frequencies": _cms_counts,
         "incremental_hll_store": _incremental_hll,
         "sessionize_events": _sessionize,
-        "minhash_signatures": _minhash_sigs,
-        "repetition_signals": _repetition,
         "pii_clean_scrub": _clean_scrub,
     }
 
@@ -2487,34 +2518,27 @@ def oracle_sql() -> dict[str, str]:
         "bbox_enum_f1": _BBOX_SQL,
         "mosaic_plan_w1": _MOSAIC_PLAN_SQL,
         "zonal_stats_t": _zonal_sql(),
-        "near_dup_hamming": _HAMMING_SQL,
         "hll_distinct_sketch": _HLL_SQL,
-        "kmv_bottomk_sketch": _KMV_SQL,
-        "kmv_set_overlap": _KMV_OVERLAP_SQL,
+        "kmv_sketch_ops": _KMV_OPS_SQL,
         "asof_join_events": _ASOF_SQL,
         "range_join_bands": _RANGE_JOIN_SQL,
         "cms_frequencies": _CMS_SQL,
         "incremental_hll_store": _INCR_HLL_SQL,
-        "lang_id": _lang_id_sql(),
-        "simhash_pairs": _SIMHASH_SQL,
+        "hamming_pairs": _HAMMING_FAMILY_SQL,
         "cross_modal_pairs": _cross_modal_sql(),
         "tile_diff_epochs": _tile_diff_sql(),
         "dissolve_regions": _DISSOLVE_SQL,
         "band_index_rollup": _band_rollup_sql(),
         "focal_box_stats": _focal_sql(),
         "shard_pack": _SHARD_PACK_SQL,
-        "stratified_sample": _stratified_sample_sql(),
-        "stratified_topn": _STRATIFIED_TOPN_SQL,
+        "stratified_sampling": _stratified_sampling_sql(),
         "export_pipeline": _export_pipeline_sql(),
         "sessionize_events": _SESSION_SQL,
-        "minhash_signatures": _minhash_sql(),
-        "doc_fingerprint": _fingerprint_sql(),
+        "text_fingerprints": _text_fingerprints_sql(),
         "dedup_exact": _DEDUP_SQL,
-        "duplicate_groups": _DUPG_SQL,
         "word_jaccard_pairs": _JACCARD_SQL,
-        "token_counts": _TOKENS_SQL,
-        "quality_score": _QUALITY_SQL,
-        "cosine_topk": _COSINE_SQL,
+        "text_signals": _text_signals_sql(),
+        "ann_topk": _ANN_TOPK_SQL,
         "knn_cell_ring": _knn_sql(),
         "connected_components": _CC_SQL,
         "embedding_cosine_pairs": _EMB_PAIRS_SQL,
@@ -2522,8 +2546,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_sql(),
         "incremental_lsh_pairs": _incremental_lsh_sql(),
         "sql_surface_tile_math": _sql_surface_sql(),
-        "ivf_ann_topk": _IVF_FULLPROBE_SQL,
         "mosaic_pipeline": _mosaic_pixels_sql(),
-        "repetition_signals": _REPETITION_SQL,
         "pii_clean_scrub": _clean_scrub_sql(),
     }

@@ -252,9 +252,8 @@ def main():
         "tile_encode_p1",
         "dedup_exact",
         "word_jaccard_pairs",
-        "cosine_topk",
-        "token_counts",
-        "quality_score",
+        "ann_topk",
+        "text_signals",
         "asof_join_events",
         "range_join_bands",
         "hll_distinct_sketch",

@@ -147,6 +147,14 @@ def test_validation(spark, frames):
         asof_join(left, right, on="user", direction="sideways")
     with pytest.raises(ValueError, match="missing"):
         asof_join(left, right, on="nope")
+    # tolerance is interpolated into an INTERVAL expr — only strict
+    # interval literals pass the whitelist (injection surface otherwise)
+    for bad in ("10 fortnights", "1 minute) OR (1=1", "minutes 10", ""):
+        with pytest.raises(ValueError, match="interval"):
+            asof_join(left, right, on="user", tolerance=bad)
+    # the whitelisted forms still work
+    asof_join(left, right, on="user", tolerance="10 minutes").collect()
+    asof_join(left, right, on="user", tolerance="1 Second").collect()
 
 
 def test_collision_suffix_and_column_carry(spark, frames):

@@ -177,5 +177,8 @@ def test_heterogeneous_neighbor_sizes_do_not_fail_tasks(spark):
     )
     want = _box_stats(chan, 1, 1, 256, 256, 1)
     assert (big["box_sum"], big["box_min"], big["box_max"]) == want
+    # the approximation is AUDITABLE: the dropped strip is counted
+    assert big["replicated_sides"] == 1
     small = out[int(pack_cell_id(X0 + 1, Y0, Z))]
     assert small["status"] == "ok"  # 64px tile computed too (its own grid)
+    assert small["replicated_sides"] == 1  # the 256px strip misaligned too

@@ -50,10 +50,34 @@ def test_audio_features_fake_pcm(spark):
     df = spark.createDataFrame(
         [("c0", bytearray(payload), 16000)], "clip_id string, bytes binary, sr int"
     )
-    r = mm.audio_features(df).collect()[0]
+    # raw-PCM interpretation of headerless bytes is an explicit opt-in
+    r = mm.audio_features(df, fake_decode=True).collect()[0]
     pcm = np.frombuffer(payload, dtype="<i2").astype(np.float64)
     assert r.n_samples == 2048
     assert r.rms == pytest.approx(float(np.sqrt((pcm**2).mean())))
+
+
+def test_audio_features_default_surfaces_non_wav(spark):
+    """Default path is HONEST: non-WAV bytes (an MP3-shaped payload) come
+    back decode_ok=false with zeroed features, never raw-PCM garbage
+    marked ok."""
+    mp3ish = b"\xff\xfb\x90\x00" + bytes(range(256)) * 4  # MPEG frame sync
+    df = spark.createDataFrame(
+        [("c0", bytearray(mp3ish), 44100)], "clip_id string, bytes binary, sr int"
+    )
+    r = mm.audio_features(df).collect()[0]
+    assert not r.decode_ok and r.n_samples == 0 and r.rms == 0.0
+
+
+def test_sample_frames_default_surfaces_non_avi(spark):
+    """Default path for non-AVI video bytes: one frame_idx=-1 sentinel
+    row per input, not fake frames."""
+    df = spark.createDataFrame(
+        [("v0", bytearray(b"\x00\x00\x00\x18ftypmp42" + b"z" * 500), 3000)],
+        "video_id string, bytes binary, duration_ms long",
+    )
+    out = mm.sample_frames(df, every_ms=1000).collect()
+    assert len(out) == 1 and out[0].frame_idx == -1 and out[0].frame is None
 
 
 def test_frame_sampling_fanout(spark):
@@ -61,7 +85,8 @@ def test_frame_sampling_fanout(spark):
         [("v0", bytearray(bytes(range(256)) * 8), 5500), ("v1", bytearray(b"xy" * 100), 800)],
         "video_id string, bytes binary, duration_ms long",
     )
-    out = mm.sample_frames(df, every_ms=1000).collect()
+    # fake 8x8-slice decoder is an explicit opt-in (plumbing test path)
+    out = mm.sample_frames(df, every_ms=1000, fake_decode=True).collect()
     v0 = [r for r in out if r.video_id == "v0"]
     v1 = [r for r in out if r.video_id == "v1"]
     assert len(v0) == 5 and len(v1) == 1

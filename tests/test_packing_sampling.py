@@ -90,6 +90,94 @@ def test_shard_manifest(spark):
     }
 
 
+def test_pack_shards_repeat_run_stress(spark):
+    """Byte-identical output across ≥10 executions with AQE toggled and
+    shuffle-partition counts varied — the determinism property behind the
+    one red CORRECTNESS_r03 row. Bucket identity is a pure function of
+    the key (driver-computed boundaries), so no run configuration may
+    change the assignment."""
+    rows = [((i * 2654435761) % 100003, 10 + (i * 31) % 500) for i in range(2000)]
+    # keys are unique under this multiplier/mod for the range used
+    assert len({k for k, _ in rows}) == len(rows)
+    df = spark.createDataFrame(rows, "k long, sz long").repartition(11)
+    expect = _pack_oracle(rows, 4096)
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        outs = []
+        for run in range(10):
+            spark.conf.set("spark.sql.adaptive.enabled", str(run % 2 == 0).lower())
+            spark.conf.set("spark.sql.shuffle.partitions", str([1, 3, 4, 7, 32][run % 5]))
+            got = {
+                r.k: (r.start_offset, r.shard_id)
+                for r in pack_shards(
+                    df, size_col="sz", order_col="k", shard_bytes=4096, n_buckets=8
+                ).collect()
+            }
+            outs.append(got)
+        assert all(o == expect for o in outs)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def test_pack_shards_string_keys_and_explicit_boundaries(spark):
+    """Generic orderable keys (strings) + caller-supplied boundaries give
+    the same assignment as derived boundaries."""
+    rows = [(f"doc-{i:05d}", 40 + i % 13) for i in range(800)]
+    df = spark.createDataFrame(rows, "k string, sz long")
+    expect = _pack_oracle(rows, 1000)
+    derived = {
+        r.k: (r.start_offset, r.shard_id)
+        for r in pack_shards(df, size_col="sz", order_col="k", shard_bytes=1000).collect()
+    }
+    explicit = {
+        r.k: (r.start_offset, r.shard_id)
+        for r in pack_shards(
+            df,
+            size_col="sz",
+            order_col="k",
+            shard_bytes=1000,
+            boundaries=["doc-00200", "doc-00400", "doc-00600"],
+        ).collect()
+    }
+    assert derived == explicit == expect
+    with pytest.raises(ValueError):
+        pack_shards(
+            df, size_col="sz", order_col="k", shard_bytes=1000, boundaries=["b", "a"]
+        )
+
+
+def test_export_resume_shard_membership(spark, tmp_path):
+    """End-to-end resume property: pack → write first N shards → 'crash'
+    → re-pack the same corpus → remaining shards' membership is
+    byte-identical to what a single uninterrupted run would have written.
+    This is what makes packing resumable at 100 TB: shard membership is a
+    pure function of the corpus, so a restart ships only missing shards."""
+    rows = [((i * 48271) % 30011, 64 + (i * 17) % 200) for i in range(1500)]
+    assert len({k for k, _ in rows}) == len(rows)
+    df = spark.createDataFrame(rows, "k long, sz long")
+
+    def membership():
+        packed = pack_shards(df, size_col="sz", order_col="k", shard_bytes=2048)
+        out: dict = {}
+        for r in packed.collect():
+            out.setdefault(r.shard_id, []).append((r.start_offset, r.k))
+        return {s: sorted(v) for s, v in out.items()}
+
+    full = membership()
+    done = sorted(full)[: len(full) // 3]  # "crash" after the first third
+    import json
+
+    ckpt = tmp_path / "shards_done.json"
+    ckpt.write_text(json.dumps(done))
+    # resume: recompute, skip shards recorded in the checkpoint
+    resumed = {s: v for s, v in membership().items() if s not in set(json.loads(ckpt.read_text()))}
+    assert resumed == {s: v for s, v in full.items() if s not in set(done)}
+    # and the union of done + resumed reconstructs the uninterrupted run
+    assert set(done) | set(resumed) == set(full)
+
+
 # ---------------------------------------------------------------------------
 # sampling
 # ---------------------------------------------------------------------------

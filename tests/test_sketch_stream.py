@@ -78,6 +78,28 @@ def test_redelivery_is_noop_even_after_compaction(spark, tmp_path):
     assert _regs(store.registers()) == _regs(cms_sketch(whole, key_col="k", d=2, w=64))
 
 
+def test_two_writers_same_batch_no_double_count(spark, tmp_path):
+    """Defense in depth beyond the single-writer contract: a second
+    store instance on the same root re-delivering an already-committed
+    batch_id is a no-op — its stale in-memory cache is refreshed from
+    disk, not trusted (CMS sums would otherwise double-count)."""
+    batches = _batches(spark, n=2)
+    root = str(tmp_path / "two")
+    a = SketchStore(spark, root, kind="cms", key_col="k", d=2, w=64)
+    b = SketchStore(spark, root, kind="cms", key_col="k", d=2, w=64)
+    # b builds (and caches) its EMPTY seen-set BEFORE a commits batch 0
+    assert b._seen_cached() == set()
+    assert a.ingest_batch(batches[0], 0) == 1
+    state = _regs(a.registers())
+    # b's cache is stale (doesn't know batch 0) but the disk check wins
+    assert b.ingest_batch(batches[0], 0) is None
+    assert _regs(b.registers()) == state
+    # a genuinely new batch from b still lands
+    assert b.ingest_batch(batches[1], 1) == 2
+    whole = batches[0].unionByName(batches[1])
+    assert _regs(b.registers()) == _regs(cms_sketch(whole, key_col="k", d=2, w=64))
+
+
 def test_parameter_contract(spark, tmp_path):
     store = SketchStore(spark, str(tmp_path / "pc"), kind="hll", key_col="k", p=10)
     store.ingest_batch(_batches(spark, n=1)[0], 0)

@@ -34,11 +34,21 @@ to earliest-at-or-after by reversing the window order.
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["asof_join"]
+
+# tolerance is interpolated into F.expr(f"INTERVAL {tolerance}"), so it
+# must be a strict interval literal, never an arbitrary expression —
+# config-sourced strings would otherwise be an injection surface (same
+# whitelisting policy as algebra.py's expression surface).
+_INTERVAL_RE = re.compile(
+    r"^\d+\s+(microsecond|millisecond|second|minute|hour|day|week)s?$",
+    re.IGNORECASE,
+)
 
 
 def asof_join(
@@ -62,6 +72,11 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if tolerance is not None and not _INTERVAL_RE.match(tolerance.strip()):
+        raise ValueError(
+            f"tolerance must be a plain interval literal like '10 minutes', "
+            f"got {tolerance!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != ts_col]

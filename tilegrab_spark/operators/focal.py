@@ -76,6 +76,12 @@ _OUT_SCHEMA = T.StructType(
         T.StructField("box_min", T.IntegerType(), True),
         T.StructField("box_max", T.IntegerType(), True),
         T.StructField("focal_mean", T.DoubleType(), True),
+        # strips a present-but-misaligned neighbor donated that had to be
+        # dropped (mixed tile sizes, or neighbor smaller than r): those
+        # margins fell back to edge replication. 0 = exact halos; >0 =
+        # auditable approximation (the status stays 'ok' — values are
+        # still well-defined under the documented boundary rule).
+        T.StructField("replicated_sides", T.IntegerType(), True),
     ]
 )
 
@@ -106,7 +112,10 @@ _BANDS = ((0, -2), (0, 2), (-2, 0), (2, 0))
 def focal_box_stats(images: DataFrame, *, radius: int = 1) -> DataFrame:
     """Per-tile exact stats of the (2r+1)² box sum over the max-channel,
     with true cross-tile halos: ``[key, status, n_px, box_sum, box_min,
-    box_max, focal_mean]``. ``images`` needs (z, x, y, bytes, w, h, fmt)
+    box_max, focal_mean, replicated_sides]`` (the last counts neighbor
+    strips dropped for shape mismatch — margins that silently fell back
+    to edge replication; 0 means exact halos). ``images`` needs
+    (z, x, y, bytes, w, h, fmt)
     — the `read_image_table` shape. Duplicate cells must be deduped
     upstream (exact_dedup on (cell_id, phash), same rule as tile_diff).
     Cells that only receive strips (sparse coverage ring) surface as
@@ -178,15 +187,17 @@ def focal_box_stats(images: DataFrame, *, radius: int = 1) -> DataFrame:
 
     parts = src.mapInPandas(emit, schema=_PART_SCHEMA)
 
-    def _canvas_from(chan8: np.ndarray, strips: list, r: int) -> np.ndarray:
+    def _canvas_from(chan8: np.ndarray, strips: list, r: int):
         """Whole-tile max-channel canvas: edge-replicated pad overwritten
-        by the neighbor strips that exist (the boundary rule)."""
+        by the neighbor strips that exist (the boundary rule). Returns
+        (canvas, n_dropped_strips)."""
         h, w = chan8.shape
         canvas = np.pad(chan8, ((r, r), (r, r)), mode="edge")
-        _paste_strips(canvas, strips, h, w, r)
-        return canvas
+        dropped = _paste_strips(canvas, strips, h, w, r)
+        return canvas, dropped
 
-    def _paste_strips(canvas, strips, h, w, r):
+    def _paste_strips(canvas, strips, h, w, r) -> int:
+        dropped = 0
         for (sx, sy, payload, pw, ph) in strips:
             ys = (
                 slice(0, r) if sy < 0
@@ -202,14 +213,18 @@ def focal_box_stats(images: DataFrame, *, radius: int = 1) -> DataFrame:
                 # neighbor of a different tile size (or smaller than r):
                 # its strip can't align with this grid — leave the
                 # edge-replicated pixels in place rather than fail the
-                # task (never-task-failures policy)
+                # task (never-task-failures policy); counted so the
+                # approximation is visible in replicated_sides
+                dropped += 1
                 continue
             canvas[ys, xs] = np.frombuffer(payload, dtype=np.uint8).reshape(ph, pw)
+        return dropped
 
     def _one(key: int, group: list) -> dict:
         rec = {
             "key": key, "status": "error", "n_px": None, "box_sum": None,
             "box_min": None, "box_max": None, "focal_mean": None,
+            "replicated_sides": None,
         }
         me = None
         bands, strips = {}, []
@@ -235,13 +250,13 @@ def focal_box_stats(images: DataFrame, *, radius: int = 1) -> DataFrame:
                 center = decode_payload(bytes(me["payload"]), fmt, w, h)
             except (ValueError, NotImplementedError):
                 return rec
-            box = _box(
-                _canvas_from(center.max(axis=2), strips, r).astype(np.int64), k
-            )
+            canvas, dropped = _canvas_from(center.max(axis=2), strips, r)
+            box = _box(canvas.astype(np.int64), k)
             rec.update(
                 status="ok", n_px=int(box.size), box_sum=int(box.sum()),
                 box_min=int(box.min()), box_max=int(box.max()),
                 focal_mean=float(box.mean() / (k * k)),
+                replicated_sides=int(dropped),
             )
             return rec
 
@@ -265,7 +280,7 @@ def focal_box_stats(images: DataFrame, *, radius: int = 1) -> DataFrame:
         canvas[r:h + r, w + r:w + 2 * r] = canvas[r:h + r, w + r - 1:w + r]
         canvas[0:r, :] = canvas[r:r + 1, :]
         canvas[h + r:h + 2 * r, :] = canvas[h + r - 1:h + r, :]
-        _paste_strips(canvas, strips, h, w, r)
+        dropped = _paste_strips(canvas, strips, h, w, r)
         chan = canvas.astype(np.int64)
 
         # four border bands of outputs; windows stay inside the filled
@@ -288,6 +303,7 @@ def focal_box_stats(images: DataFrame, *, radius: int = 1) -> DataFrame:
             box_min=int(min(int(me["imin"]), bmin)),
             box_max=int(max(int(me["imax"]), bmax)),
             focal_mean=float(box_sum / (k * k * n_px)),
+            replicated_sides=int(dropped),
         )
         return rec
 

@@ -146,15 +146,18 @@ AUDIO_FEATURES_SCHEMA = (
 FRAME_SAMPLE_SCHEMA = "video_id string, frame_idx int, ts_ms long, frame binary"
 
 
-def audio_features(df: DataFrame, *, fake_decode: bool = True) -> DataFrame:
+def audio_features(df: DataFrame, *, fake_decode: bool = False) -> DataFrame:
     """RMS/zero-crossing-rate per clip.  RIFF/WAVE payloads are decoded
     for real (kernels/wav.py — PCM 8/16/24/32, IEEE float, mu-law,
     A-law; sample rate comes from the file, channels mono-mixed).
-    Non-WAV payloads: ``fake_decode=True`` (default) interprets them as
-    raw int16 PCM at the row's ``sr`` (the established plumbing path);
-    with ``fake_decode=False`` they are SURFACED as decode_ok=false
-    rows (compressed audio needs ffmpeg-class codecs; failures never
-    kill the executor — same policy as image_features)."""
+    Non-WAV payloads are SURFACED as decode_ok=false rows by default
+    (compressed audio needs ffmpeg-class codecs the container doesn't
+    ship; failures never kill the executor — same policy as
+    image_features).  ``fake_decode=True`` is an explicit OPT-IN that
+    interprets non-WAV bytes as headerless raw int16 PCM at the row's
+    ``sr`` — only correct when the payload really is raw PCM; it would
+    mark e.g. MP3 bytes decode_ok=true with garbage features, which is
+    why it is not the default."""
     from tilegrab_spark.kernels import wav
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -192,15 +195,17 @@ def audio_features(df: DataFrame, *, fake_decode: bool = True) -> DataFrame:
     )
 
 
-def sample_frames(df: DataFrame, *, every_ms: int = 1000, fake_decode: bool = True) -> DataFrame:
+def sample_frames(df: DataFrame, *, every_ms: int = 1000, fake_decode: bool = False) -> DataFrame:
     """1-row-in, N-rows-out frame sampling (UDTF shape).  RIFF/AVI
     payloads with an MJPEG video stream are sampled for REAL: frame
     timing from strh/avih, the selected frames decoded with the
     engine's JPEG codec and emitted as PNG bytes (self-describing).
-    Non-AVI payloads: the deterministic fake decoder (8x8 slices) keeps
-    row multiplication/ordering testable; with ``fake_decode=False``
-    they are surfaced as a frame_idx=-1 sentinel row (inter-coded video
-    needs ffmpeg; failures never kill the executor)."""
+    Non-AVI payloads are surfaced as a frame_idx=-1 sentinel row by
+    default (inter-coded video needs ffmpeg; failures never kill the
+    executor).  ``fake_decode=True`` is an explicit OPT-IN that runs a
+    deterministic fake decoder (8x8 byte slices) so the row
+    multiplication / ordering plumbing stays testable without real
+    video payloads — never use it on production data."""
     from tilegrab_spark.kernels import avi as avik
     from tilegrab_spark.kernels import jpeg as jpegk
 

@@ -10,18 +10,26 @@ single task and dies at scale.
 ``pack_shards`` computes the same assignment with the classic
 distributed two-level scan:
 
-1. range-repartition + sort by the (unique) order key — Spark's
-   RangePartitioner samples the key distribution, so partitions are
-   balanced without tuning and partition ids are ordered by key;
-2. per-partition local running totals (a window WITHIN each partition —
+1. assign each row a range BUCKET by comparing its (unique) order key
+   against boundaries computed ONCE on the driver from a seeded sample —
+   the bucket id is a pure function of the key, so every sub-plan that
+   re-derives it agrees by construction (no reliance on Spark exchange
+   reuse, AQE replanning, or ``spark_partition_id`` stability — the
+   nondeterminism class that made the repartitionByRange formulation of
+   this operator flaky);
+2. per-bucket local running totals (a window WITHIN each bucket —
    parallel, no global collapse);
-3. per-partition totals (one tiny row per partition) prefix-summed with
-   a window over that TINY frame and broadcast-joined back.
+3. per-bucket totals (one tiny row per bucket) prefix-summed with a
+   window over that TINY frame and broadcast-joined back.
 
-Every row's global byte offset = partition offset + local running total,
-all relational, no driver loop, no ``collect``. A row lands in the shard
-containing its START offset (``offset DIV shard_bytes``) — rows larger
-than ``shard_bytes`` occupy their own shard span, never split.
+Every row's global byte offset = bucket offset + local running total,
+all relational, no driver loop over data. The only driver-side work is
+one ``count()`` and one bounded boundary-sample collect (≤ ~128 keys
+per bucket). Output is a pure function of the input rows: independent
+of input partitioning, AQE, ``spark.sql.shuffle.partitions``, and task
+retries. A row lands in the shard containing its START offset
+(``offset DIV shard_bytes``) — rows larger than ``shard_bytes`` occupy
+their own shard span, never split.
 
 The reference has no analogue (it writes one file per tile); this is
 part of the training-data operator suite from the driver brief.
@@ -29,9 +37,59 @@ part of the training-data operator suite from the driver brief.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from typing import Optional, Sequence
 
-__all__ = ["pack_shards", "shard_manifest"]
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["pack_shards", "shard_manifest", "range_bucket_boundaries"]
+
+# Sample keys per bucket when deriving boundaries — 128 gives equal-
+# frequency cuts within a few percent of exact, which only affects
+# balance, never correctness (offsets are boundary-invariant).
+_OVERSAMPLE = 128
+
+
+def range_bucket_boundaries(
+    df: DataFrame,
+    order_col: str,
+    n_buckets: int,
+    *,
+    seed: int = 42,
+) -> list:
+    """Compute ``n_buckets - 1`` ascending cut keys for ``order_col`` by
+    equal-frequency cuts over a seeded sample, collected once on the
+    driver. Works for any orderable column type (ints, strings, Morton
+    keys). The sample size is bounded at ``n_buckets * 128`` expected
+    keys, so the collect is tiny regardless of table size."""
+    n = df.count()
+    if n == 0 or n_buckets <= 1:
+        return []
+    target = n_buckets * _OVERSAMPLE
+    fraction = min(1.0, target / n)
+    keys = sorted(
+        r[0]
+        for r in df.select(order_col).sample(False, fraction, seed=seed).collect()
+        if r[0] is not None
+    )
+    if not keys:
+        return []
+    cuts = []
+    for i in range(1, n_buckets):
+        cut = keys[min(len(keys) - 1, (i * len(keys)) // n_buckets)]
+        if not cuts or cut > cuts[-1]:
+            cuts.append(cut)
+    return cuts
+
+
+def _bucket_expr(order_col: str, boundaries: Sequence) -> Column:
+    """Bucket id = number of boundaries strictly below the key — a pure
+    deterministic expression (chained comparisons, whole-stage codegen).
+    O(len(boundaries)) per row; boundary counts track cluster
+    parallelism (hundreds to low thousands), not data size."""
+    b: Column = F.lit(0)
+    for cut in boundaries:
+        b = b + F.when(F.col(order_col) > F.lit(cut), F.lit(1)).otherwise(F.lit(0))
+    return b
 
 
 def pack_shards(
@@ -40,6 +98,8 @@ def pack_shards(
     size_col: str,
     order_col: str,
     shard_bytes: int,
+    n_buckets: Optional[int] = None,
+    boundaries: Optional[Sequence] = None,
 ) -> DataFrame:
     """Assign each row a ``shard_id`` + ``start_offset`` by packing rows
     in ``order_col`` order into ``shard_bytes``-sized shards.
@@ -49,36 +109,55 @@ def pack_shards(
     assignment a pure function of the data, independent of partitioning.
     Output: input columns + ``start_offset`` (global byte offset of the
     row, 0-based) + ``shard_id`` (``start_offset DIV shard_bytes``).
+
+    ``boundaries`` (optional, ascending) lets callers supply precomputed
+    range cuts (e.g. reused across epochs of the same corpus); otherwise
+    they are derived once on the driver via
+    :func:`range_bucket_boundaries`. Either way the bucket assignment is
+    a deterministic expression over ``order_col``, so the output is
+    byte-identical across runs, AQE settings, and shuffle-partition
+    counts.
     """
     if shard_bytes <= 0:
         raise ValueError(f"shard_bytes must be positive, got {shard_bytes}")
-    ranged = df.repartitionByRange(F.col(order_col)).sortWithinPartitions(order_col)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    # 2. local inclusive running total per partition (parallel windows)
+    if boundaries is None:
+        if n_buckets is None:
+            n_buckets = max(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")), 1)
+        boundaries = range_bucket_boundaries(df, order_col, n_buckets)
+    else:
+        boundaries = list(boundaries)
+        if any(boundaries[i] >= boundaries[i + 1] for i in range(len(boundaries) - 1)):
+            raise ValueError("boundaries must be strictly ascending")
+    bucketed = df.withColumn("_bkt", _bucket_expr(order_col, boundaries))
+    # 2. local inclusive running total per bucket (parallel windows)
     local_w = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_bkt")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = with_pid.withColumn(
+    local = bucketed.withColumn(
         "_local_end", F.sum(F.col(size_col).cast("long")).over(local_w)
     )
-    # 3. exclusive prefix over the per-partition totals — one row per
-    # partition, so the single-task window is over a frame of size
-    # O(num partitions), not O(rows); broadcast it back
-    totals = local.groupBy("_pid").agg(F.sum(F.col(size_col).cast("long")).alias("_tot"))
-    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # 3. exclusive prefix over the per-bucket totals — one row per
+    # bucket, so the single-task window is over a frame of size
+    # O(num buckets), not O(rows); broadcast it back. Both this branch
+    # and the probe side recompute `_bkt` from the same literal
+    # boundaries, so they agree even without exchange reuse.
+    totals = bucketed.groupBy("_bkt").agg(
+        F.sum(F.col(size_col).cast("long")).alias("_tot")
+    )
+    off_w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
-        "_poff", F.coalesce(F.sum("_tot").over(off_w), F.lit(0))
-    ).select("_pid", "_poff")
+        "_boff", F.coalesce(F.sum("_tot").over(off_w), F.lit(0))
+    ).select("_bkt", "_boff")
     out = (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets), "_bkt")
         .withColumn(
             "start_offset",
-            F.col("_poff") + F.col("_local_end") - F.col(size_col).cast("long"),
+            F.col("_boff") + F.col("_local_end") - F.col(size_col).cast("long"),
         )
         .withColumn("shard_id", F.expr(f"start_offset DIV {int(shard_bytes)}"))
-        .drop("_pid", "_local_end", "_poff")
+        .drop("_bkt", "_local_end", "_boff")
     )
     return out
 

@@ -157,7 +157,10 @@ def hll_summary(
     )
     zeros = (F.lit(m) - F.col("_nb")).cast("long")
     harm = (F.col("_harm_nz") + zeros * F.lit(1 << HARM_SCALE)).cast("long")
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # standard HLL bias constants (Flajolet et al. 2007): exact values
+    # for the small register counts where the asymptotic formula is
+    # visibly biased, asymptotic form for m >= 128
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
     raw = F.lit(alpha * m * m * float(1 << HARM_SCALE)) / F.col("harm_s40").cast("double")
     est = F.when(
         (raw <= 2.5 * m) & (F.col("zeros") > 0),

@@ -32,7 +32,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from tilegrab_spark.operators.sketches import cms_estimate, cms_sketch, hll_registers, hll_summary
-from tilegrab_spark.plans.snapshots import SnapshotTable, _atomic_write_text
+from tilegrab_spark.plans.snapshots import (
+    CommitConflict,
+    SnapshotTable,
+    _atomic_write_text,
+)
 
 __all__ = ["SketchStore", "stream_sketch_ingest"]
 
@@ -67,6 +71,7 @@ class SketchStore:
         self.p, self.d, self.w, self.count_col = p, d, w, count_col
         self.table = SnapshotTable(spark, os.path.join(root, "deltas"))
         self._seen: set[int] | None = None
+        self._seen_seq: int = 0
         self._check_meta()
 
     # -- parameter contract -------------------------------------------------
@@ -138,22 +143,59 @@ class SketchStore:
         # runs batches serially), so the seen-set only grows through
         # this instance — scan the snapshot metadata once, then
         # maintain incrementally instead of re-reading every snapshot
-        # json per batch (O(batches²) driver I/O otherwise)
-        if self._seen is None:
+        # json per batch (O(batches²) driver I/O otherwise).
+        # _seen_seq records the head the cache reflects: when the head
+        # on disk has moved past it (another writer — a violation of the
+        # single-writer contract), the cache is stale and is rebuilt
+        # from disk instead of trusted.
+        head = self.table.current_seq() or 0
+        if self._seen is None or head != self._seen_seq:
             self._seen = self.ingested_batches()
+            self._seen_seq = head
         return self._seen
 
     def ingest_batch(self, batch_df: DataFrame, batch_id: int) -> int | None:
         """Commit one batch's register delta; returns the snapshot seq,
         or None when this batch_id already committed (retry/re-delivery
-        — the exactly-once guard)."""
+        — the exactly-once guard).
+
+        The fast-path guard is the in-memory ``_seen`` cache (valid under
+        the documented single-writer contract: the foreachBatch sink runs
+        batches serially through one store instance). Defense in depth
+        for the contract being violated — two store instances on the same
+        root ingesting concurrently: on ``CommitConflict`` the cache is
+        invalidated and re-read FROM DISK; if the competing writer landed
+        this very batch_id, the retry becomes a no-op instead of a
+        double-count (CMS sums are not idempotent under re-append)."""
         if int(batch_id) in self._seen_cached():
             return None
         self._commit_meta()
-        seq = self.table.append(
-            self._batch_delta(batch_df), summary={"batch_id": int(batch_id)}
-        )
-        self._seen_cached().add(int(batch_id))
+        delta = self._batch_delta(batch_df)
+        seq = None
+        for _ in range(10):
+            try:
+                # max_retries=1: a head moved by another writer must NOT
+                # be silently retried onto (append's default) — it has to
+                # surface here so the batch-id check can run first
+                seq = self.table.append(
+                    delta, summary={"batch_id": int(batch_id)}, max_retries=1
+                )
+                break
+            except CommitConflict:
+                self._seen = None  # another writer moved the head: resync
+                if int(batch_id) in self._seen_cached():
+                    return None
+        else:
+            raise CommitConflict(
+                f"batch {batch_id}: head of {self.table.root} kept moving "
+                "across 10 commit attempts"
+            )
+        # our own commit moved the head: advance the cache marker in
+        # lockstep so the next batch's check stays O(1), no disk rescan
+        if self._seen is None:
+            self._seen = self.ingested_batches()
+        self._seen.add(int(batch_id))
+        self._seen_seq = seq
         return seq
 
 
@@ -213,6 +255,11 @@ class SketchStore:
             expected_parent=head,
         )
         self.table.expire_snapshots(keep_last=1)
+        # the compaction advanced the head but folded the same batch
+        # set: keep the cache marker in sync so the next ingest doesn't
+        # misread our own commit as a foreign writer
+        self._seen = set(seen) if self._seen is None else self._seen
+        self._seen_seq = seq
         return seq
 
 
