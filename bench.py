@@ -107,7 +107,7 @@ def main():
     img_path = f"/tmp/tilegrab_bench/images_e{edge}_z{zoom}" + (
         f"_s{nsrcs}" if nsrcs != 2 else ""
     )
-    if stages != "llm":
+    if stages not in ("llm", "cc"):
         ensure_images(spark, img_path, edge, zoom, nsrcs)
 
     # warmup: spin up JVM codegen + Python workers so the first timed
@@ -160,8 +160,8 @@ def main():
         log(f"{name}: {best:.2f}s ({c} rows)")
         return c
 
-    images = read_image_table(spark, img_path) if stages != "llm" else None
-    if stages == "llm":
+    images = read_image_table(spark, img_path) if stages not in ("llm", "cc") else None
+    if stages in ("llm", "cc"):
         n_docs = _llm_stages(spark, sf_dir, timed, stages)
         _emit(timings, counts, None, sf, cpus, n_docs=n_docs)
         spark.stop()
@@ -294,6 +294,29 @@ def _llm_stages(spark, sf_dir, timed, stages):
             .withColumn("doc_id", F.col("doc_id") + F.col("_r") * F.lit(10_000_000))
             .drop("_r")
         )
+
+    if stages == "cc":
+        # CC-only W-dominated run (VERDICT r3 #6): BENCH_CC_DEGREE k-
+        # neighbor chain edges per doc (>=10^6 edges at MULT=64, k=4) so
+        # the scalable per-round work W/c dominates the per-round fixed
+        # task-launch cost f that flattens the sandbox-scale profile.
+        degree = int(os.environ.get("BENCH_CC_DEGREE", "4"))
+        def q_cc_scale():
+            d = docs.select("doc_id", "lang")
+            a, b = d.alias("a"), d.alias("b")
+            edges = None
+            for k in range(1, degree + 1):
+                e = a.join(
+                    b,
+                    (F.col("b.doc_id") == F.col("a.doc_id") + k)
+                    & (F.col("a.lang") == F.col("b.lang")),
+                ).select(F.col("a.doc_id").alias("id_a"),
+                         F.col("b.doc_id").alias("id_b"))
+                edges = e if edges is None else edges.unionByName(e)
+            return connected_components(edges).count()
+
+        timed("connected_components_scale", q_cc_scale)
+        return docs.count()
 
     if stages == "all":
         def q_fingerprint():

@@ -181,5 +181,48 @@ def main_llm():
     print(json.dumps(section))
 
 
+def main_cc():
+    """Connected components at W-DOMINATED scale (VERDICT r3 #6):
+    BENCH_DOCS_MULT=64 x BENCH_CC_DEGREE=4 k-neighbor edges over the
+    sf0.1 documents table -> ~1.27M edges, so the scalable per-round
+    work W/c dominates the per-round fixed task-launch cost f that made
+    the sandbox-scale CC profile flat (t@8 < t@2 < t@32). Shows t
+    scaling with W and the 2->8 efficiency recovering."""
+    os.environ.setdefault("BENCH_DOCS_MULT", "64")
+    os.environ.setdefault("BENCH_CC_DEGREE", "4")
+    stage = "connected_components_scale"
+    results = {}
+    for cpus in (32, 8, 2):
+        print(f"=== cc-scale bench at local[{cpus}] ===", file=sys.stderr, flush=True)
+        a = run_bench(cpus, 0, suite="cc")
+        b = run_bench(cpus, 0, suite="cc")
+        results[cpus] = {
+            "secs": min(a["queries"][stage], b["queries"][stage]),
+            "components": a["rows"][stage],
+        }
+
+    def eff(lo, hi):
+        return round((results[lo]["secs"] / results[hi]["secs"]) / (hi / lo), 3)
+
+    section = {
+        "docs_mult": int(os.environ["BENCH_DOCS_MULT"]),
+        "cc_degree": int(os.environ["BENCH_CC_DEGREE"]),
+        "levels": {str(c): d for c, d in results.items()},
+        "efficiency": {"2_to_8": eff(2, 8), "8_to_32": eff(8, 32)},
+    }
+    path = os.path.join(os.path.dirname(__file__), "BENCH_SCALING.json")
+    report = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            report = json.load(f)
+    report["cc_scale"] = section
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(section))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_SUITE") == "cc":
+        main_cc()
+    else:
+        main()
