@@ -291,7 +291,10 @@ def _llm_stages(spark, sf_dir, timed, stages):
         # scale the per-core work so fixed per-job costs amortize
         docs = (
             docs.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
-            .withColumn("doc_id", F.col("doc_id") + F.col("_r") * F.lit(10_000_000))
+            .withColumn(
+                "doc_id",
+                F.col("doc_id") + F.col("_r").cast("long") * F.lit(10_000_000).cast("long"),
+            )
             .drop("_r")
         )
 

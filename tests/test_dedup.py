@@ -368,3 +368,69 @@ def test_release_signature_caches(spark, docs_df):
     released = dedup.release_signature_caches()
     assert released >= 2
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+class TestSemanticDedup:
+    """SemDeDup-style cluster-blocked semantic dedup (semantic_dedup)."""
+
+    def _corpus(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(17)
+        # three well-separated unit directions in R^8
+        dirs = np.eye(8)[:3]
+        rows = []
+        vid = 0
+        expected_groups = []
+        for d in range(3):
+            # 4 near-duplicate groups of 3 + 4 singletons per direction,
+            # all tightly around the direction (same cluster), groups
+            # separated enough that cross-group cosine < 0.999
+            for g in range(4):
+                base = dirs[d] + 0.05 * rng.standard_normal(8) * (g + 1)
+                ids = []
+                for _ in range(3):
+                    v = base + 1e-4 * rng.standard_normal(8)
+                    rows.append((vid, [float(x) for x in v]))
+                    ids.append(vid)
+                    vid += 1
+                expected_groups.append(tuple(sorted(ids)))
+            for _ in range(4):
+                v = dirs[d] + 0.2 * rng.standard_normal(8)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        return df, expected_groups
+
+    def test_groups_get_min_id_representative(self, spark):
+        df, groups = self._corpus(spark)
+        out = dedup.semantic_dedup(
+            df, n_centroids=3, threshold=0.999, iters=4
+        ).toPandas().set_index("vec_id")
+        for ids in groups:
+            keep = min(ids)
+            for i in ids:
+                assert out.loc[i, "keep_id"] == keep, (i, ids)
+                assert bool(out.loc[i, "is_kept"]) == (i == keep)
+
+    def test_singletons_kept_and_total_rows(self, spark):
+        df, groups = self._corpus(spark)
+        out = dedup.semantic_dedup(df, n_centroids=3, threshold=0.999, iters=4)
+        pdf = out.toPandas()
+        assert len(pdf) == df.count()  # one row per input
+        grouped_ids = {i for ids in groups for i in ids}
+        singles = pdf[~pdf.vec_id.isin(grouped_ids)]
+        assert singles.is_kept.all()
+        assert (singles.keep_id == singles.vec_id).all()
+        # dedup rate: each group of 3 keeps exactly 1
+        assert int(pdf.is_kept.sum()) == len(pdf) - 2 * len(groups)
+
+    def test_blocking_never_crosses_clusters(self, spark):
+        """Representatives and members share a list_id — pairs are only
+        generated within clusters (the scale contract)."""
+        df, _ = self._corpus(spark)
+        out = dedup.semantic_dedup(df, n_centroids=3, threshold=0.999, iters=4)
+        a = out.select("vec_id", "list_id", "keep_id")
+        b = out.select(F.col("vec_id").alias("keep_id"), F.col("list_id").alias("keep_list"))
+        joined = a.join(b, "keep_id")
+        assert joined.filter(F.col("list_id") != F.col("keep_list")).count() == 0

@@ -630,3 +630,80 @@ def _with_hyperplane_bucket(df: DataFrame, vec_col: str, n_bits: int, seed: int)
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return df.withColumn("_bucket", bucket)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    threshold: float = 0.95,
+    iters: int = 3,
+    seed: int = 42,
+    max_iter: int = 50,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, arXiv:2303.09540 — public method): k-means
+    cluster BLOCKING -> exact cosine pairs WITHIN each cluster ->
+    connected components over the near-dup graph -> keep the min-id
+    representative per semantic group.
+
+    Returns ``(id_col, list_id, keep_id, is_kept)`` for every input
+    row; downstream filters on ``is_kept`` to obtain the deduplicated
+    corpus, or joins on ``keep_id`` to map duplicates to their
+    representative.
+
+    Scale shape: the only join is an equi-join on ``list_id`` (cluster
+    blocking — per-cluster work is quadratic in the CLUSTER size
+    ~n/n_centroids, never in the corpus; on 10^12 rows n_centroids
+    scales up so clusters stay bounded), and the component pass runs
+    pointer-jumping over the near-dup pair list only. Pairs whose
+    members land in different clusters are not candidates — the
+    documented SemDeDup trade-off (boundary near-dups are missed with
+    probability falling as the duplicate distance shrinks); raise
+    n_centroids for speed, lower it for recall.
+    """
+    from tilegrab_spark.operators.components import connected_components
+    from tilegrab_spark.operators.similarity import assign_lists, train_centroids
+
+    cents = train_centroids(
+        df, n_centroids=n_centroids, iters=iters, seed=seed, vec_col=vec_col
+    )
+    wl = assign_lists(df, cents, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("_id"), "list_id", F.col(vec_col).alias("_raw")
+    )
+    norm = F.sqrt(F.aggregate("_raw", F.lit(0.0), lambda acc, v: acc + v * v))
+    base = wl.select("_id", "list_id", F.transform("_raw", lambda v: v / norm).alias("_v"))
+    l, r = base.alias("l"), base.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l._v"), F.col("r._v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.list_id") == F.col("r.list_id"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            dot.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs, max_iter=max_iter).select(
+        F.col("node").alias("_id"), F.col("component").alias("keep_id")
+    )
+    out = base.select("_id", "list_id").join(comp, "_id", "left")
+    return out.select(
+        F.col("_id").alias(id_col),
+        "list_id",
+        F.coalesce(F.col("keep_id"), F.col("_id")).alias("keep_id"),
+        (F.coalesce(F.col("keep_id"), F.col("_id")) == F.col("_id")).alias("is_kept"),
+    )
