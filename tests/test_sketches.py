@@ -286,3 +286,88 @@ def test_cms_estimate_validates_parameters(spark):
     regs = cms_sketch(df, key_col="k", d=2, w=64)
     with pytest.raises(ValueError, match="power of two"):
         cms_estimate(regs, df, key_col="k", d=2, w=1000)
+
+
+class TestQuantileSketch:
+    """Mergeable bottom-k-by-row-hash quantile sketch."""
+
+    def _events(self, spark, n=20000):
+        from pyspark.sql import functions as F
+
+        # skewed values: exp-ish via pow of uniform rank, two groups
+        return (
+            spark.range(n)
+            .withColumn("grp", (F.col("id") % 2).cast("int"))
+            .withColumn("val", F.pow(F.col("id") % 1000 + 1, F.lit(1.7)))
+        )
+
+    def test_small_group_exact(self, spark):
+        from tilegrab_spark.operators.sketches import quantile_estimate, quantile_sketch
+
+        df = self._events(spark, 300)  # 150 rows/group < k
+        sk = quantile_sketch(df, value_col="val", id_col="id", group_cols=["grp"], k=256)
+        est = quantile_estimate(sk, qs=(0.5, 0.9), group_cols=["grp"]).toPandas()
+        pdf = df.toPandas()
+        for grp in (0, 1):
+            vals = sorted(pdf[pdf.grp == grp].val)
+            n = len(vals)
+            for q in (0.5, 0.9):
+                import math
+                exact = vals[max(1, min(n, math.ceil(q * n))) - 1]
+                got = float(est[(est.grp == grp) & (abs(est.q - q) < 1e-9)].value.iloc[0])
+                assert got == exact
+
+    def test_rank_accuracy_large(self, spark):
+        from tilegrab_spark.operators.sketches import quantile_estimate, quantile_sketch
+
+        df = self._events(spark)
+        k = 512
+        sk = quantile_sketch(df, value_col="val", id_col="id", group_cols=["grp"], k=k)
+        assert sk.groupBy("grp").count().toPandas()["count"].max() == k
+        est = quantile_estimate(sk, qs=(0.25, 0.5, 0.9), group_cols=["grp"]).toPandas()
+        pdf = df.toPandas()
+        import numpy as np
+
+        for grp in (0, 1):
+            vals = np.sort(pdf[pdf.grp == grp].val.values)
+            for q in (0.25, 0.5, 0.9):
+                got = float(est[(est.grp == grp) & (abs(est.q - q) < 1e-9)].value.iloc[0])
+                # rank-space error: where the estimate falls in the TRUE cdf
+                frac = np.searchsorted(vals, got, side="right") / len(vals)
+                assert abs(frac - q) < 4.5 / (k ** 0.5), (grp, q, frac)
+
+    def test_merge_equals_sketch_of_union(self, spark):
+        from pyspark.sql import functions as F
+
+        from tilegrab_spark.operators.sketches import quantile_merge, quantile_sketch
+
+        df = self._events(spark, 4000)
+        a = df.filter(F.col("id") < 2000)
+        b = df.filter(F.col("id") >= 2000)
+        k = 128
+        ska = quantile_sketch(a, value_col="val", id_col="id", group_cols=["grp"], k=k)
+        skb = quantile_sketch(b, value_col="val", id_col="id", group_cols=["grp"], k=k)
+        merged = quantile_merge(ska, skb, group_cols=["grp"], k=k).toPandas()
+        full = quantile_sketch(df, value_col="val", id_col="id", group_cols=["grp"], k=k).toPandas()
+        key = ["grp", "pos", "h", "v"]
+        assert merged.sort_values(key).reset_index(drop=True).equals(
+            full.sort_values(key).reset_index(drop=True))
+
+    def test_duplicates_keep_multiplicity_and_validation(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from tilegrab_spark.operators.sketches import quantile_estimate, quantile_sketch
+
+        # 90% of rows share ONE value; median must be that value (a
+        # value-hashed sketch would collapse them and get this wrong)
+        df = spark.range(1000).withColumn(
+            "val", F.when(F.col("id") % 10 < 9, F.lit(7.0)).otherwise(F.col("id").cast("double"))
+        )
+        sk = quantile_sketch(df, value_col="val", id_col="id", k=256)
+        est = quantile_estimate(sk, qs=(0.5,)).toPandas()
+        assert float(est.value.iloc[0]) == 7.0
+        with _pytest.raises(ValueError):
+            quantile_sketch(df, value_col="val", id_col="id", k=1)
+        with _pytest.raises(ValueError):
+            quantile_estimate(sk, qs=(0.0,))

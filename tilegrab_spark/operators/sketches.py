@@ -51,6 +51,9 @@ __all__ = [
     "cms_sketch",
     "cms_merge",
     "cms_estimate",
+    "quantile_sketch",
+    "quantile_merge",
+    "quantile_estimate",
 ]
 
 #: scale exponent for the integer harmonic sum: each register contributes
@@ -459,4 +462,109 @@ def kmv_set_estimates(
             *gcols, "n_merged", "n_both", "jaccard_est", "n_union_est",
             "n_intersect_est",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch: deterministic bottom-k-by-row-hash uniform sample
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch(
+    df: DataFrame,
+    *,
+    value_col: str,
+    id_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 256,
+) -> DataFrame:
+    """Per-group mergeable QUANTILE sketch: a deterministic uniform
+    k-row sample — the k rows whose md5-60-bit ROW-ID hash is smallest —
+    carrying the value: ``[*group_cols, pos:int (1..k by hash), h:long,
+    v:double]``.
+
+    Hashing the row IDENTITY (``id_col``), never the value, keeps
+    duplicate values at their true multiplicity (hashing values would
+    collapse them and bias every quantile). Because membership is
+    "h among the k smallest", two sketches over disjoint row sets merge
+    exactly (``quantile_merge``) — the classic bottom-k sample, the
+    same mergeability argument as KMV. Rank error of the q-quantile
+    from a uniform k-sample is O(sqrt(q(1-q)/k)).
+
+    Scale shape: identical to ``kmv_sketch`` — Catalyst's rank-limit
+    pushdown (WindowGroupLimit Partial) ships at most k rows per group
+    per map task; a 10^12-row group never lands raw on one task.
+    NULL values are ignored (aggregate semantics).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols,
+        _hash60(id_col).alias("h"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    w = Window.partitionBy(*gcols).orderBy("h")
+    return (
+        rows.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(*gcols, "pos", "h", "v")
+    )
+
+
+def quantile_merge(
+    a: DataFrame, b: DataFrame, *, group_cols: Sequence[str] = (), k: int = 256
+) -> DataFrame:
+    """Merge two quantile sketches built with the same hash contract
+    over DISJOINT row sets (e.g. two partitions/epochs of a table) and
+    k' >= k: bottom-k of the union == the sketch of the unioned input."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    merged = (
+        a.select(*gcols, "h", "v")
+        .unionByName(b.select(*gcols, "h", "v"))
+        .dropDuplicates(gcols + ["h"])
+    )
+    w = Window.partitionBy(*gcols).orderBy("h")
+    return (
+        merged.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select(*gcols, "pos", "h", "v")
+    )
+
+
+def quantile_estimate(
+    sketch: DataFrame,
+    *,
+    qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Collapse a quantile sketch to ``[*group_cols, q:double,
+    value:double]`` — the type-1 empirical quantile of the sample
+    (value at rank ceil(q*n), clamped to [1, n]). A group whose row
+    count never exceeded k holds ALL its rows, so estimates there are
+    the EXACT corpus quantiles."""
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy("v", "h")
+    n_w = Window.partitionBy(*gcols)
+    ranked = sketch.withColumn("_vr", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(n_w)
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in sorted(qs)])
+    return (
+        ranked.withColumn("q", F.explode(qarr))
+        .withColumn(
+            "_target",
+            F.greatest(F.lit(1), F.least(F.col("_n"), F.ceil(F.col("q") * F.col("_n")).cast("int"))),
+        )
+        .filter(F.col("_vr") == F.col("_target"))
+        .select(*gcols, "q", F.col("v").alias("value"))
     )
