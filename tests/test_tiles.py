@@ -153,3 +153,87 @@ def test_coverage_footprints_geojson(spark, t_geom, image_table):
             for i in range(len(ring) - 1)
         )
         assert area2 > 0, "exterior ring must be counterclockwise"
+
+
+class TestBufferedSelection:
+    """P9 geometry buffer, re-expressed as an exact distance predicate
+    (the reference exposes --buffer but no-ops it, SURVEY §8 Q7 — here
+    the semantics are real: select tiles intersecting the buffered
+    geometry)."""
+
+    def test_kernel_distance_exact_vs_bruteforce(self):
+        import numpy as np
+
+        from tilegrab_spark.kernels import geo
+
+        rng = np.random.default_rng(5)
+        # a triangle and a box grid around it
+        tri = [np.array([[0.0, 0.0], [10.0, 0.0], [5.0, 8.0], [0.0, 0.0]])]
+        polys = [tri]
+        bx0 = rng.uniform(-20, 25, 60); by0 = rng.uniform(-20, 25, 60)
+        bx1 = bx0 + rng.uniform(0.5, 5, 60); by1 = by0 + rng.uniform(0.5, 5, 60)
+        for dist in (0.0, 1.0, 3.5, 8.0):
+            got = geo.boxes_within_distance_of_polygons(bx0, by0, bx1, by1, polys, dist)
+            # brute force: dense samples on the triangle boundary+interior
+            t = np.linspace(0, 1, 2001)
+            边 = []
+            ring = tri[0]
+            for i in range(3):
+                a, b = ring[i], ring[i + 1]
+                边.append(a[None, :] + t[:, None] * (b - a)[None, :])
+            pts = np.vstack(边)
+            dx = np.maximum(np.maximum(bx0[:, None] - pts[None, :, 0], 0),
+                            pts[None, :, 0] - bx1[:, None])
+            dy = np.maximum(np.maximum(by0[:, None] - pts[None, :, 1], 0),
+                            pts[None, :, 1] - by1[:, None])
+            dmin = np.hypot(dx, dy).min(axis=1)
+            inter = geo.boxes_intersect_polygons(bx0, by0, bx1, by1, polys)
+            want = inter | (dmin <= dist + 1e-9)
+            # sampling can only OVER-estimate distance slightly; allow the
+            # sampled reference to miss by < one sample step near the cut
+            disagree = got != want
+            if disagree.any():
+                assert (np.abs(dmin[disagree] - dist) < 0.02).all()
+
+    def test_buffer_zero_equals_plain_refine(self, spark, t_geom):
+        from tilegrab_spark.operators.tiles import enumerate_tiles, refine_by_shape
+
+        base = enumerate_tiles(spark, t_geom, 16)
+        plain = {(r.x, r.y) for r in refine_by_shape(base, t_geom).collect()}
+        buf0 = {(r.x, r.y) for r in refine_by_shape(base, t_geom, buffer_m=0.0).collect()}
+        assert plain == buf0 == set(T_SHAPE_Z16)
+
+    def test_buffer_monotone_and_superset(self, spark, t_geom):
+        from tilegrab_spark.operators.tiles import tiles_for
+
+        sets = {}
+        for buf in (0.0, 30.0, 120.0, 500.0):
+            sets[buf] = {(r.x, r.y) for r in
+                         tiles_for(spark, t_geom, 16, by="shape", buffer_m=buf).collect()}
+        assert sets[0.0] == set(T_SHAPE_Z16)
+        assert sets[0.0] <= sets[30.0] <= sets[120.0] <= sets[500.0]
+        # a 500 m buffer at z16 (~600 m tiles, cos-scaled) must grow the set
+        assert len(sets[500.0]) > len(sets[0.0])
+
+    def test_buffer_crosses_enumeration_bbox(self, spark, t_geom):
+        """The expanded enumeration must contribute tiles OUTSIDE the
+        unbuffered bbox (a refine-only implementation would silently cap
+        the buffer at the bbox edge)."""
+        from tilegrab_spark.operators.tiles import tiles_for
+
+        plain_bbox = {(r.x, r.y) for r in
+                      tiles_for(spark, t_geom, 16, by="bbox").collect()}
+        buffered = {(r.x, r.y) for r in
+                    tiles_for(spark, t_geom, 16, by="shape", buffer_m=2000.0).collect()}
+        assert buffered - plain_bbox, "2 km buffer must escape the raw bbox"
+
+    def test_buffer_validation(self, spark, t_geom):
+        import pytest as _pytest
+
+        from tilegrab_spark.operators.tiles import enumerate_tiles, refine_by_shape
+
+        base = enumerate_tiles(spark, t_geom, 16)
+        with _pytest.raises(ValueError):
+            refine_by_shape(base, t_geom, buffer_m=-1.0)
+        with _pytest.raises(ValueError):
+            enumerate_tiles(spark, t_geom, 16, buffer_m=-5.0)

@@ -268,6 +268,84 @@ def boxes_intersect_polygons(bx0, by0, bx1, by1, polygons):
     return result
 
 
+def _point_to_box_dist(px, py, bx0, by0, bx1, by1):
+    """Distance from points (M,) to boxes (N,), broadcast (N, M). Zero
+    for points inside a box."""
+    dx = np.maximum(np.maximum(bx0[:, None] - px[None, :], 0.0),
+                    px[None, :] - bx1[:, None])
+    dy = np.maximum(np.maximum(by0[:, None] - py[None, :], 0.0),
+                    py[None, :] - by1[:, None])
+    return np.hypot(dx, dy)
+
+
+def _points_to_segments_dist(px, py, segs):
+    """Distance from points (K,) to segments (M,4), broadcast (K, M):
+    classic clamped projection onto each segment."""
+    x1, y1 = segs[:, 0][None, :], segs[:, 1][None, :]
+    dx = (segs[:, 2] - segs[:, 0])[None, :]
+    dy = (segs[:, 3] - segs[:, 1])[None, :]
+    wx = px[:, None] - x1
+    wy = py[:, None] - y1
+    L2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(L2 > 0, (wx * dx + wy * dy) / np.where(L2 > 0, L2, 1.0), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    return np.hypot(wx - t * dx, wy - t * dy)
+
+
+def boxes_within_distance_of_polygons(bx0, by0, bx1, by1, polygons, dist):
+    """Batch test: for each axis-aligned box, is it within ``dist`` of ANY
+    polygon (boundary or interior)? Equivalent to intersecting the
+    ``dist``-buffered geometry (P9 buffer, re-expressed as a distance
+    predicate — exact for the tile-selection use, no Minkowski-sum
+    geometry is ever constructed).
+
+    selected iff box intersects the polygon
+             OR min-distance(box, polygon boundary) <= dist.
+
+    For a disjoint convex box vs a segment, the minimum distance is
+    attained at a vertex of one of them, so
+    min(point_to_box(seg endpoints), point_to_segment(box corners)) is
+    EXACT — no sampling. Coordinates must be in a metric space (callers
+    project to Web-Mercator meters first; note 3857 meters scale by
+    cos(lat) vs ground meters, the standard slippy-map convention).
+    """
+    if dist < 0:
+        raise ValueError(f"dist must be >= 0, got {dist}")
+    bx0 = np.atleast_1d(np.asarray(bx0, dtype=np.float64))
+    by0 = np.atleast_1d(np.asarray(by0, dtype=np.float64))
+    bx1 = np.atleast_1d(np.asarray(bx1, dtype=np.float64))
+    by1 = np.atleast_1d(np.asarray(by1, dtype=np.float64))
+    result = boxes_intersect_polygons(bx0, by0, bx1, by1, polygons)
+    if dist == 0:
+        return result
+    corners_x = np.stack([bx0, bx1, bx0, bx1], axis=1)  # (N, 4)
+    corners_y = np.stack([by0, by0, by1, by1], axis=1)
+    for poly in polygons:
+        todo = ~result
+        if not todo.any():
+            break
+        segs = []
+        for r in poly:
+            r = np.asarray(r, dtype=np.float64)
+            if not (r[0] == r[-1]).all():
+                r = np.vstack([r, r[:1]])
+            segs.append(np.column_stack([r[:-1, 0], r[:-1, 1], r[1:, 0], r[1:, 1]]))
+        allsegs = np.vstack(segs)
+        # segment endpoints to boxes
+        epx = np.concatenate([allsegs[:, 0], allsegs[:, 2]])
+        epy = np.concatenate([allsegs[:, 1], allsegs[:, 3]])
+        d_ep = _point_to_box_dist(epx, epy, bx0[todo], by0[todo], bx1[todo], by1[todo]).min(axis=1)
+        # box corners to segments
+        cx = corners_x[todo].ravel()
+        cy = corners_y[todo].ravel()
+        d_co = _points_to_segments_dist(cx, cy, allsegs).min(axis=1).reshape(-1, 4).min(axis=1)
+        near = np.minimum(d_ep, d_co) <= dist
+        idx = np.nonzero(todo)[0]
+        result[idx[near]] = True
+    return result
+
+
 # ---------------------------------------------------------------------------
 # kNN support: ring neighborhoods on the XYZ grid (the analogue of H3
 # grid_ring; SURVEY.md §2.4 J-kNN). Pure index math.

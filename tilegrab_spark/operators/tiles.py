@@ -39,14 +39,40 @@ def enumerate_tiles(
     zoom: int,
     *,
     num_partitions: int | None = None,
+    buffer_m: float = 0.0,
 ) -> DataFrame:
     """Tiles covering ``geom``'s bbox at ``zoom`` (F1+F4), in the
     reference's generation order (x-major, y-minor) encoded as the range
     index so downstream ``limit`` keeps the same prefix (L1 parity).
 
+    ``buffer_m > 0`` expands the bbox by that many Web-Mercator meters
+    before enumeration (P9 support — the generate-as-predicate stage of
+    a buffered selection; ``refine_by_shape(buffer_m=...)`` applies the
+    exact distance refine).
+
     Columns: geom_id, z, x, y, cell_id, min_lon, min_lat, max_lon, max_lat.
     """
-    x0, x1, y0, y1 = geom.tile_range(zoom)
+    if buffer_m < 0:
+        raise ValueError(f"buffer_m must be >= 0, got {buffer_m}")
+    if buffer_m > 0:
+        import numpy as np
+
+        w, sl, e, n = geom.bbox
+        mx, my = geo.lonlat_to_mercator(
+            np.array([w, e]), np.array([max(sl, -geo.MERCATOR_LAT_LIMIT),
+                                        min(n, geo.MERCATOR_LAT_LIMIT)])
+        )
+        lon2, lat2 = geo.mercator_to_lonlat(
+            np.array([mx[0] - buffer_m, mx[1] + buffer_m]),
+            np.array([my[0] - buffer_m, my[1] + buffer_m]),
+        )
+        w2 = max(-180.0, float(lon2[0]))
+        e2 = min(180.0, float(lon2[1]))
+        s2 = max(-geo.MERCATOR_LAT_LIMIT, float(lat2[0]))
+        n2 = min(geo.MERCATOR_LAT_LIMIT, float(lat2[1]))
+        x0, x1, y0, y1 = geo.bbox_tile_range(w2, s2, e2, n2, zoom)
+    else:
+        x0, x1, y0, y1 = geom.tile_range(zoom)
     nx, ny = x1 - x0 + 1, y1 - y0 + 1
     rng = spark.range(nx * ny, numPartitions=num_partitions)
     df = (
@@ -109,13 +135,26 @@ def refine_by_shape(
     geoms: list[GeometrySet] | GeometrySet,
     *,
     invert: bool = False,
+    buffer_m: float = 0.0,
 ) -> DataFrame:
     """Exact tile-box ∩ geometry filter (F2/F3 ≙ J2 semi / J3 anti join).
 
     ``shapely box.intersects(geometry).any()`` at collection.py:145
     becomes a vectorized Arrow UDF over the four bound columns against the
     broadcast geometry rings — executors get the (small) geometry once.
+
+    ``buffer_m > 0`` selects tiles intersecting the BUFFERED geometry
+    (P9 — the reference exposes a buffer parameter but no-ops it,
+    SURVEY §8 Q7; here it is real): re-expressed as an exact
+    distance-to-geometry predicate in Web-Mercator meters
+    (``geo.boxes_within_distance_of_polygons``) — no Minkowski-sum
+    polygon is ever constructed, so there are no offset-robustness
+    failure modes. EPSG:3857 meters scale by cos(lat) vs ground meters
+    (the standard slippy-map convention; at |lat|<60° the factor is
+    ≤2×). Negative buffers (erosion) are not supported.
     """
+    if buffer_m < 0:
+        raise ValueError(f"buffer_m must be >= 0, got {buffer_m}")
     if isinstance(geoms, GeometrySet):
         geoms = [geoms]
     spark = tiles_df.sparkSession
@@ -123,6 +162,7 @@ def refine_by_shape(
         g.geom_id: [[r.tolist() for r in poly] for poly in g.polygons] for g in geoms
     }
     bc = spark.sparkContext.broadcast(payload)
+    buf = float(buffer_m)
 
     @F.pandas_udf("boolean")
     def intersects(
@@ -140,13 +180,28 @@ def refine_by_shape(
             polys = polys_by_id.get(gid)
             if not polys:
                 continue
-            hit = geo.boxes_intersect_polygons(
-                mnl[idx].to_numpy(np.float64),
-                mnt[idx].to_numpy(np.float64),
-                mxl[idx].to_numpy(np.float64),
-                mxt[idx].to_numpy(np.float64),
-                polys,
-            )
+            a0 = mnl[idx].to_numpy(np.float64)
+            b0 = mnt[idx].to_numpy(np.float64)
+            a1 = mxl[idx].to_numpy(np.float64)
+            b1 = mxt[idx].to_numpy(np.float64)
+            if buf > 0:
+                # metric space: project boxes + rings to 3857 meters
+                # (y(lat) is monotonic, so lon/lat boxes map to boxes)
+                a0, b0 = geo.lonlat_to_mercator(a0, b0)
+                a1, b1 = geo.lonlat_to_mercator(a1, b1)
+                mpolys = []
+                for poly in polys:
+                    mrings = []
+                    for r in poly:
+                        arr = np.asarray(r, dtype=np.float64)
+                        mx, my = geo.lonlat_to_mercator(arr[:, 0], arr[:, 1])
+                        mrings.append(np.column_stack([mx, my]))
+                    mpolys.append(mrings)
+                hit = geo.boxes_within_distance_of_polygons(
+                    a0, b0, a1, b1, mpolys, buf
+                )
+            else:
+                hit = geo.boxes_intersect_polygons(a0, b0, a1, b1, polys)
             out[idx] = hit
         return out
 
@@ -162,15 +217,16 @@ def tiles_for(
     by: str = "shape",
     invert: bool = False,
     safe_limit: int | None = DEFAULT_SAFE_LIMIT,
+    buffer_m: float = 0.0,
 ) -> DataFrame:
     """Full tile-selection query ≙ ``TilesByBBox`` / ``TilesByShape``
     (tiles/selectors.py:10-36 + collection.py:37-61): enumerate, optionally
     refine by exact shape (inverted = anti), truncate to ``safe_limit`` in
     generation order.
     """
-    df = enumerate_tiles(spark, geom, zoom)
+    df = enumerate_tiles(spark, geom, zoom, buffer_m=buffer_m)
     if by == "shape":
-        df = refine_by_shape(df, geom, invert=invert)
+        df = refine_by_shape(df, geom, invert=invert, buffer_m=buffer_m)
     elif by != "bbox":
         raise ValueError(f"by must be 'shape' or 'bbox', got {by!r}")
     if safe_limit is not None:

@@ -58,9 +58,14 @@ class Engine:
         by: str = "shape",
         invert: bool = False,
         safe_limit: int | None = DEFAULT_SAFE_LIMIT,
+        buffer_m: float = 0.0,
     ) -> DataFrame:
+        # buffer_m: REAL buffered selection (the reference's
+        # Dataset.buffer at dataset.py:71-73 discards its result —
+        # SURVEY §8 Q7; here buffering actually widens the tile set)
         return tiles_for(
-            self.spark, geom, zoom, by=by, invert=invert, safe_limit=safe_limit
+            self.spark, geom, zoom, by=by, invert=invert,
+            safe_limit=safe_limit, buffer_m=buffer_m,
         )
 
     # --- stage 2: keyed fetch (E1 step 5 / E3 load_images) ---
