@@ -214,6 +214,23 @@ def main():
 
     timed("tile_diff", q_diff, cold=True)
 
+    # 3b-2. the REALISTIC monitoring shape: consecutive crawls are
+    # mostly bit-identical — the byte-equality fast path answers those
+    # JVM-side (no decode, no Python). Same join, same kernel plan;
+    # only the payload content differs from 3b.
+    def q_diff_same():
+        from tilegrab_spark.operators.change import tile_diff
+        from tilegrab_spark.sources.images import cell_id_col
+
+        j = join_images(
+            shape_tiles,
+            images.filter(F.col("image_id").endswith("_0")).drop("cell_id"),
+        ).withColumn("cell_id", cell_id_col("z", "x", "y"))
+        d = tile_diff(j, j)
+        return d.filter(F.col("status") == "unchanged").count()
+
+    timed("tile_diff_unchanged", q_diff_same, cold=True)
+
     # 3c. focal halo exchange over one epoch: decode + edge-strip
     # emission + grouped assembly + integral-image box stats
     # (operators/focal.py); every tile does full pixel work

@@ -108,3 +108,42 @@ def test_tile_diff_on_synthetic_image_table(spark, tmp_path):
     }
     for x in range(47439, 47445):
         assert by_x[x] == ("changed" if x % 2 else "unchanged")
+
+
+def test_byte_identical_fast_path(spark, monkeypatch):
+    """Bit-identical payloads short-circuit JVM-side: status=unchanged
+    with zero diff stats — even for payloads the decoder cannot read
+    (proof no decode ran on the fast path)."""
+    from tilegrab_spark.operators.change import tile_diff
+
+    garbage = bytes(range(64)) * 8  # not a decodable image
+    rows_a = [(1, garbage, 16, 16, "png"), (2, garbage, 16, 16, "png")]
+    rows_b = [(1, garbage, 16, 16, "png"), (2, b"\x00" + garbage, 16, 16, "png")]
+    schema = "cell_id long, bytes binary, w int, h int, fmt string"
+    a = spark.createDataFrame(rows_a, schema)
+    b = spark.createDataFrame(rows_b, schema)
+    out = {r.key: r for r in tile_diff(a, b).collect()}
+    assert out[1].status == "unchanged"
+    assert out[1].n_px == 256 and out[1].changed_frac == 0.0
+    assert out[1].mean_abs_diff == 0.0 and out[1].psnr_db is None
+    # differing undecodable payloads still surface as error via the kernel
+    assert out[2].status == "error"
+
+
+def test_equal_bytes_mismatched_dims_go_slow_path(spark, image_table):
+    """Equal bytes but disagreeing declared dims must NOT trust
+    metadata — they route to the decoding kernel."""
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.change import tile_diff
+    from tilegrab_spark.kernels.png import encode_png, synth_tile_pixels
+
+    px = synth_tile_pixels(5, 6, 10, 0)
+    payload = encode_png(px)
+    schema = "cell_id long, bytes binary, w int, h int, fmt string"
+    a = spark.createDataFrame([(9, payload, 256, 256, "png")], schema)
+    b = spark.createDataFrame([(9, payload, 128, 256, "png")], schema)
+    r = tile_diff(a, b).collect()[0]
+    # decoded: both streams identical -> unchanged, n_px from the DECODE
+    assert r.status == "unchanged"
+    assert r.n_px == px.shape[0] * px.shape[1]
