@@ -134,8 +134,16 @@ def main():
         "2_to_8": round(cal[8] / cal[2] / 4, 3),
         "8_to_32": round(cal[32] / cal[8] / 4, 3),
     }
-    with open(os.path.join(os.path.dirname(__file__), "BENCH_SCALING.json"), "w") as f:
-        json.dump(report, f, indent=2)
+    # MERGE into the existing file — the llm / cc_scale suites keep
+    # their own sections (this used to overwrite and drop them)
+    path = os.path.join(os.path.dirname(__file__), "BENCH_SCALING.json")
+    full = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            full = json.load(f)
+    full.update(report)
+    with open(path, "w") as f:
+        json.dump(full, f, indent=2)
     print(json.dumps(report))
 
 
