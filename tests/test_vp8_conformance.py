@@ -189,3 +189,32 @@ def test_roundtrip_still_exact_with_genuine_tables():
     frame = vp8.encode_vp8(img, qindex=0)
     out = vp8.decode_vp8(frame)
     assert out.shape == (32, 32, 3)
+
+
+@needs_libwebp
+@pytest.mark.parametrize("kind,h,w", [
+    ("flat", 16, 16),
+    ("gradient", 32, 48),
+    ("noise", 33, 31),      # odd dims
+    ("photo", 64, 64),
+    ("photo", 72, 100),
+])
+def test_foreign_lossless_vp8l_bit_exact(kind, h, w):
+    """libwebp LOSSLESS (VP8L) streams: the engine's webp.py decoder
+    must reproduce the source pixels exactly (losslessness makes the
+    oracle absolute — any deviation is a conformance bug)."""
+    from tilegrab_spark.kernels import webp as webpk
+
+    rng = np.random.default_rng(h * 100 + w)
+    img = _content(rng, kind, h, w)
+    _LIBWEBP.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+    _LIBWEBP.WebPEncodeLosslessRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = _LIBWEBP.WebPEncodeLosslessRGB(img.tobytes(), w, h, w * 3, ctypes.byref(out))
+    assert n > 0
+    buf = bytes(bytearray(ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8 * n)).contents))
+    decoded = webpk.decode_webp(buf)
+    np.testing.assert_array_equal(decoded[:, :, :3], img)
