@@ -197,3 +197,51 @@ def test_engine_progressive_jpeg_decoded_by_foreign():
     mine = jpegk.decode_jpeg(data)
     d = np.abs(mine[:, :, :3].astype(int) - ref.astype(int))
     assert d.max() <= 6, d.max()
+
+
+@needs_gd
+def test_foreign_palette_png_decodes_bit_exact():
+    """libpng PALETTE-coded stream (gdImageCreate = 8-bit indexed) ->
+    engine decode == source pixels."""
+    _GD.gdImageCreate.restype = ctypes.c_void_p
+    _GD.gdImageCreate.argtypes = [ctypes.c_int, ctypes.c_int]
+    _GD.gdImageColorAllocate.restype = ctypes.c_int
+    _GD.gdImageColorAllocate.argtypes = [ctypes.c_void_p] + [ctypes.c_int] * 3
+    h = w = 32
+    rng = np.random.default_rng(21)
+    palette = rng.integers(0, 256, (16, 3))
+    idx = rng.integers(0, 16, (h, w))
+    im = _GD.gdImageCreate(w, h)
+    colors = [
+        _GD.gdImageColorAllocate(im, int(r), int(g), int(b))
+        for r, g, b in palette
+    ]
+    for y in range(h):
+        for x in range(w):
+            _GD.gdImageSetPixel(im, x, y, colors[idx[y, x]])
+    size = ctypes.c_int()
+    ptr = _GD.gdImagePngPtr(im, ctypes.byref(size))
+    data = ctypes.string_at(ptr, size.value)
+    _GD.gdFree(ptr)
+    _GD.gdImageDestroy(im)
+    out = pngk.decode_png(data)
+    expected = palette[idx].astype(np.uint8)
+    np.testing.assert_array_equal(out[:, :, :3], expected)
+
+
+@needs_gd
+def test_foreign_interlaced_png_decodes_bit_exact():
+    """libpng ADAM7-interlaced stream (gdImageInterlace) -> engine
+    decode == source pixels."""
+    _GD.gdImageInterlace.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    src = _content("photo", 37, 53, seed=23)  # odd dims stress the passes
+    im = _gd_image_from(src)
+    _GD.gdImageInterlace(im, 1)
+    size = ctypes.c_int()
+    ptr = _GD.gdImagePngPtr(im, ctypes.byref(size))
+    data = ctypes.string_at(ptr, size.value)
+    _GD.gdFree(ptr)
+    _GD.gdImageDestroy(im)
+    assert data[28] == 1, "stream is not interlaced"  # IHDR interlace byte
+    out = pngk.decode_png(data)
+    np.testing.assert_array_equal(out[:, :, :3], src)
