@@ -191,32 +191,43 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
-def _limit_topk(spark, sf):
+def _limit_set_except(spark, sf):
+    """L1 (safe_limit in deterministic generation order) and SURVEY
+    §2.8 set algebra (EXCEPT ALL) evidenced in ONE contract row (driver
+    window economy): ordered top-10 of orders UNION-tagged with the
+    part-table set difference."""
     o = _t(spark, sf, "orders")
-    return (
+    top = (
         o.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
         .limit(10)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_totalprice").alias("val"),
+            F.lit("limit").alias("variant"),
+        )
     )
-
-
-_LIMIT_SQL = """
-SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-"""
-
-
-def _set_except(spark, sf):
     p = _t(spark, sf, "part")
     small = p.filter(F.col("p_size") < 25).select("p_partkey")
     b13 = p.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
-    return small.exceptAll(b13)
+    ex = small.exceptAll(b13).select(
+        F.col("p_partkey").alias("key"),
+        F.lit(0.0).alias("val"),
+        F.lit("except").alias("variant"),
+    )
+    return top.unionByName(ex)
 
 
-_SET_SQL = """
-SELECT p_partkey FROM part WHERE p_size < 25
-EXCEPT ALL
-SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'
+_LIMIT_SET_SQL = """
+SELECT o_orderkey AS key, o_totalprice AS val, 'limit' AS variant FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+_LIMIT_SET_SQL = f"""
+SELECT * FROM ({_LIMIT_SET_SQL})
+UNION ALL
+SELECT key, 0.0 AS val, 'except' AS variant FROM (
+  SELECT p_partkey AS key FROM part WHERE p_size < 25
+  EXCEPT ALL
+  SELECT p_partkey AS key FROM part WHERE p_brand = 'Brand#13')
 """
 
 
@@ -359,14 +370,22 @@ SELECT * FROM (
 # --- tile math (P1/F1/cell-id) with SQL oracles on the same formulas ---
 
 def _tile_encode(spark, sf):
-    from tilegrab_spark.functions.cells import cell_encode_cols
+    """P1 lon/lat->tile encode AND the packed int64 cell id (formerly
+    the separate cell_pack row) in ONE contract row: the pack runs over
+    the encoded xtile/ytile, so one oracle pins both the Mercator
+    formula and the z<<58|x<<29|y bit layout."""
+    from tilegrab_spark.functions.cells import cell_encode_cols, cell_id_col
 
     li = _t(spark, sf, "lineitem")
     lon = (F.pmod(F.col("l_orderkey") * 7, F.lit(360000)) / 1000.0) - 180.0
     lat = (F.pmod(F.col("l_partkey") * 13, F.lit(170000)) / 1000.0) - 85.0
     x, y = cell_encode_cols(lon, lat, 12)
     return li.select(
-        "l_orderkey", "l_linenumber", x.alias("xtile"), y.alias("ytile")
+        "l_orderkey",
+        "l_linenumber",
+        x.alias("xtile"),
+        y.alias("ytile"),
+        cell_id_col(F.lit(12), x, y).alias("cell_id"),
     )
 
 
@@ -381,33 +400,126 @@ enc AS (
     lon / 360.0 + 0.5 AS xf,
     0.5 - 0.25 * ln((1.0 + sin(radians(lat))) / (1.0 - sin(radians(lat)))) / pi() AS yf
   FROM pts)
-SELECT l_orderkey, l_linenumber,
-  CASE WHEN xf <= 0 THEN 0 WHEN xf >= 1 THEN 4095
-       ELSE CAST(floor((xf + {EPS}) * 4096.0) AS BIGINT) END AS xtile,
-  CASE WHEN yf <= 0 THEN 0 WHEN yf >= 1 THEN 4095
-       ELSE CAST(floor((yf + {EPS}) * 4096.0) AS BIGINT) END AS ytile
-FROM enc
+SELECT l_orderkey, l_linenumber, xtile, ytile,
+  (12::BIGINT << 58) | (xtile << 29) | ytile AS cell_id
+FROM (
+  SELECT l_orderkey, l_linenumber,
+    CASE WHEN xf <= 0 THEN 0 WHEN xf >= 1 THEN 4095
+         ELSE CAST(floor((xf + {EPS}) * 4096.0) AS BIGINT) END AS xtile,
+    CASE WHEN yf <= 0 THEN 0 WHEN yf >= 1 THEN 4095
+         ELSE CAST(floor((yf + {EPS}) * 4096.0) AS BIGINT) END AS ytile
+  FROM enc)
 """
 
 
-def _cell_pack(spark, sf):
-    from tilegrab_spark.functions.cells import cell_id_col
+def _decontaminate_hits(spark, sf):
+    """Benchmark decontamination (operators/decontaminate.py): the eval
+    set is a deterministic slice of the corpus itself (doc_id % 97 == 0)
+    so every eval doc must at minimum flag its own corpus copy; n=13 is
+    the GPT-3/PaLM convention, and eval docs shorter than 13 tokens
+    exercise the whole-sequence-gram rule. Eval side broadcast; the
+    corpus is never shuffled (the one exchange carries hit rows only)."""
+    from tilegrab_spark.operators.decontaminate import contamination_hits
 
-    li = _t(spark, sf, "lineitem")
-    d = li.select(
-        F.lit(12).alias("z"),
-        F.pmod(F.col("l_orderkey"), F.lit(4096)).alias("x"),
-        F.pmod(F.col("l_partkey"), F.lit(4096)).alias("y"),
-        "l_orderkey",
-        "l_linenumber",
+    d = _t(spark, sf, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
     )
-    return d.select("l_orderkey", "l_linenumber", cell_id_col("z", "x", "y").alias("cell_id"))
+    return contamination_hits(d, ev, n=13, min_hits=1)
 
 
-_PACK_SQL = """
-SELECT l_orderkey, l_linenumber,
-  (12::BIGINT << 58) | ((l_orderkey % 4096)::BIGINT << 29) | (l_partkey % 4096)::BIGINT AS cell_id
-FROM lineitem
+_DECON_SQL = """
+WITH eval_v AS (
+  SELECT doc_id AS eval_id, text FROM documents WHERE doc_id % 97 = 0
+),
+ks AS (
+  SELECT list(DISTINCT least(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 13)) AS klist
+  FROM eval_v
+),
+dt AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents
+),
+dg AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_distinct(flatten(
+      [[array_to_string(toks[i : i + k - 1], ' ')
+        for i in range(1, greatest(len(toks) - k + 1, 1) + 1)]
+       for k in (SELECT klist FROM ks)]
+    ))) AS gram
+  FROM dt
+),
+et AS (
+  SELECT eval_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM eval_v
+),
+eg AS (
+  SELECT DISTINCT eval_id,
+    unnest([array_to_string(toks[i : i + least(len(toks), 13) - 1], ' ')
+            for i in range(1, greatest(len(toks) - least(len(toks), 13) + 1, 1) + 1)]) AS gram
+  FROM et
+),
+hits AS (
+  SELECT d.doc_id, d.gram, e.eval_id
+  FROM (SELECT * FROM dg WHERE length(gram) > 0) d
+  JOIN (SELECT * FROM eg WHERE length(gram) > 0) e USING (gram)
+)
+SELECT doc_id,
+       count(DISTINCT gram) AS n_hits,
+       count(DISTINCT eval_id) AS n_eval_docs
+FROM hits GROUP BY doc_id
+HAVING count(DISTINCT gram) >= 1
+"""
+
+# Exact binary-fraction weights (0.5 + 0.25 + 0.25 == 1.0 in ANY summation
+# order) and a budget small enough that NO language exhausts at any test
+# SF: the water-fill solver then terminates in one proportional round,
+# which is what makes the per-language keep rate — and therefore the
+# int(rate * 2^60) hash threshold — bit-identically re-derivable in SQL.
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.25, "fr": 0.25}
+_MIX_BUDGET = 40_000
+
+
+def _mixture_sample(spark, sf):
+    """Token-budget mixture sampling (operators/sampling.py::
+    sample_mixture): ~40k chars at en:de:fr = 2:1:1, weighted by
+    n_chars. Deterministic md5 hash-threshold keep — the oracle
+    re-derives totals, rates and thresholds independently (the capped /
+    water-filling path is pinned by tests/test_mixture.py)."""
+    from tilegrab_spark.operators.sampling import sample_mixture
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return sample_mixture(
+        d,
+        id_col="doc_id",
+        group_col="lang",
+        token_col="n_chars",
+        weights=_MIX_WEIGHTS,
+        budget_tokens=_MIX_BUDGET,
+        salt="mix",
+    )
+
+
+def _mixture_sql() -> str:
+    space = 1 << 60
+    vals = ", ".join(f"('{k}', {v!r})" for k, v in sorted(_MIX_WEIGHTS.items()))
+    return f"""
+WITH w(lang, wt) AS (VALUES {vals}),
+tot AS (
+  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS total
+  FROM documents GROUP BY lang
+),
+act AS (
+  SELECT t.lang, w.wt, t.total FROM tot t JOIN w ON t.lang = w.lang
+  WHERE t.total > 0
+),
+ws AS (SELECT SUM(wt) AS wsum FROM act),
+thr AS (
+  SELECT a.lang,
+         CAST(floor((({_MIX_BUDGET}.0 * a.wt / ws.wsum) / a.total) * {float(space)!r}) AS BIGINT) AS cut
+  FROM act a CROSS JOIN ws
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT < thr.cut
 """
 
 
@@ -2449,8 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_j2": _semi_join,
         "anti_join_j3": _anti_join,
         "extent_agg_a1": _extent_agg,
-        "limit_l1": _limit_topk,
-        "set_except": _set_except,
+        "limit_set_except": _limit_set_except,
         "window_row_number": _window_topn,
         "regexp_projection_p6": _regexp_proj,
         "url_render_s4": _url_render,
@@ -2458,7 +2569,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_anti_f5": _resume_anti,
         "snapshot_time_travel": _snapshot_time_travel,
         "tile_encode_p1": _tile_encode,
-        "cell_pack": _cell_pack,
         "tile_interop_keys": _tile_interop,
         "bbox_enum_f1": _bbox_enum,
         "dedup_exact": _dedup_exact,
@@ -2493,6 +2603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_hll_store": _incremental_hll,
         "sessionize_events": _sessionize,
         "pii_clean_scrub": _clean_scrub,
+        "decontaminate_hits": _decontaminate_hits,
+        "mixture_sample": _mixture_sample,
     }
 
 
@@ -2504,8 +2616,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_j2": _SEMI_SQL,
         "anti_join_j3": _ANTI_SQL,
         "extent_agg_a1": _EXTENT_SQL,
-        "limit_l1": _LIMIT_SQL,
-        "set_except": _SET_SQL,
+        "limit_set_except": _LIMIT_SET_SQL,
         "window_row_number": _WINDOW_SQL,
         "regexp_projection_p6": _REGEXP_SQL,
         "url_render_s4": _URL_SQL,
@@ -2513,7 +2624,6 @@ def oracle_sql() -> dict[str, str]:
         "resume_anti_f5": _RESUME_SQL,
         "snapshot_time_travel": _SNAPSHOT_SQL,
         "tile_encode_p1": _ENCODE_SQL,
-        "cell_pack": _PACK_SQL,
         "tile_interop_keys": _interop_sql(),
         "bbox_enum_f1": _BBOX_SQL,
         "mosaic_plan_w1": _MOSAIC_PLAN_SQL,
@@ -2548,4 +2658,6 @@ def oracle_sql() -> dict[str, str]:
         "sql_surface_tile_math": _sql_surface_sql(),
         "mosaic_pipeline": _mosaic_pixels_sql(),
         "pii_clean_scrub": _clean_scrub_sql(),
+        "decontaminate_hits": _DECON_SQL,
+        "mixture_sample": _mixture_sql(),
     }

@@ -357,6 +357,16 @@ def _llm_stages(spark, sf_dir, timed, stages):
 
         timed("simhash_pairs_full", q_simhash)
 
+        def q_decon():
+            from tilegrab_spark.operators.decontaminate import contamination_hits
+
+            ev = docs.filter(F.col("doc_id") % 97 == 0).select(
+                F.col("doc_id").alias("eval_id"), "text"
+            )
+            return contamination_hits(docs, ev).count()
+
+        timed("decontaminate_full", q_decon)
+
     def q_cc():
         d = docs.select("doc_id", "lang")
         a, b = d.alias("a"), d.alias("b")

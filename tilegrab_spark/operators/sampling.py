@@ -30,7 +30,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["sample_hash", "stratified_sample", "stratified_topn"]
+__all__ = [
+    "sample_hash",
+    "stratified_sample",
+    "stratified_topn",
+    "mixture_rates",
+    "sample_mixture",
+]
 
 _HASH_BITS = 60
 _HASH_SPACE = 1 << _HASH_BITS
@@ -122,4 +128,103 @@ def stratified_topn(
     return (
         d.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n)
+    )
+
+
+def mixture_rates(
+    group_tokens: dict,
+    weights: dict,
+    budget_tokens: int,
+) -> dict:
+    """Water-filling rate solver for token-budget data mixing.
+
+    Given per-group available tokens, target mixture ``weights`` and a
+    total ``budget_tokens``, return ``{group: rate}`` with
+    ``rate in [0, 1]`` such that expected sampled tokens per group are
+    proportional to the weights — except where a group is EXHAUSTED
+    (rate capped at 1.0); its unmet share is redistributed across the
+    remaining groups in weight proportion, iterated to fixpoint (the
+    classic water-filling loop; terminates in <= len(groups) rounds
+    because each round caps at least one new group or stops).
+
+    Pure driver arithmetic over one tiny dict (groups are languages /
+    domains / sources — thousands at most, never data-sized): the
+    expensive part of mixing stays map-side in :func:`sample_mixture`.
+    Groups with no weight entry get weight 0 (rate 0.0). A budget at or
+    above the weighted-reachable total simply caps every weighted group
+    at 1.0 (you cannot sample tokens that do not exist).
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    bad = {g: w for g, w in weights.items() if w < 0}
+    if bad:
+        raise ValueError(f"weights must be >= 0, got {bad}")
+    rates = {g: 0.0 for g in group_tokens}
+    active = {
+        g
+        for g, tok in group_tokens.items()
+        if weights.get(g, 0.0) > 0 and tok > 0
+    }
+    remaining = float(budget_tokens)
+    while active and remaining > 0:
+        wsum = sum(weights[g] for g in active)
+        newly_capped = set()
+        for g in active:
+            target = remaining * weights[g] / wsum
+            if target >= group_tokens[g]:
+                rates[g] = 1.0
+                newly_capped.add(g)
+        if not newly_capped:
+            for g in active:
+                rates[g] = (remaining * weights[g] / wsum) / group_tokens[g]
+            break
+        remaining -= sum(group_tokens[g] for g in newly_capped)
+        active -= newly_capped
+    return rates
+
+
+def sample_mixture(
+    df: DataFrame,
+    *,
+    id_col: str,
+    group_col: str,
+    token_col: str,
+    weights: dict,
+    budget_tokens: int,
+    salt: str = "",
+) -> DataFrame:
+    """Token-budget mixture sampling — "give me ~N tokens at these
+    domain/language proportions", the data-mixing step every training
+    run starts with.
+
+    Two stages: (1) one map-side-combinable aggregation collects the
+    per-group token totals to the driver (bounded: one row per group),
+    and :func:`mixture_rates` water-fills the budget into per-group
+    keep rates; (2) the rates are inlined as a literal map and applied
+    as the same deterministic ``sample_hash`` threshold filter as
+    :func:`stratified_sample` — pure map-side, no shuffle of the
+    corpus, reproducible row-for-row across runs/resumes/engines.
+
+    Expected sampled tokens ≈ ``budget_tokens`` (exact in expectation;
+    variance ~ 1/sqrt(docs per group)). Rows whose group has no weight
+    are dropped.
+    """
+    totals = {
+        r[0]: int(r[1])
+        for r in df.groupBy(group_col)
+        .agg(F.sum(F.col(token_col).cast("long")))
+        .collect()
+        if r[0] is not None and r[1] is not None
+    }
+    rates = mixture_rates(totals, weights, budget_tokens)
+    keep = {g: r for g, r in rates.items() if r > 0}
+    if not keep:
+        return df.filter(F.lit(False))
+    return stratified_sample(
+        df,
+        id_col=id_col,
+        fractions=keep,
+        stratum_col=group_col,
+        default_fraction=0.0,
+        salt=salt,
     )
