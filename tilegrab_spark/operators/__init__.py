@@ -60,9 +60,17 @@ from tilegrab_spark.operators.change import change_summary, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
 from tilegrab_spark.operators.packing import pack_shards, shard_manifest
 from tilegrab_spark.operators.sampling import (
+    mixture_rates,
     sample_hash,
+    sample_mixture,
     stratified_sample,
     stratified_topn,
+)
+from tilegrab_spark.operators.decontaminate import contamination_hits, decontaminate
+from tilegrab_spark.operators.heavyhitters import (
+    heavy_hitters,
+    mg_candidates,
+    skew_profile,
 )
 from tilegrab_spark.operators.similarity import (
     ann_topk_ivf,
@@ -130,6 +138,19 @@ __all__ = [
     "ann_topk_ivf",
     "build_ivf_index",
     "search_ivf_index",
+    # sampling / mixing / packing / scrubbing
+    "sample_hash",
+    "stratified_sample",
+    "stratified_topn",
+    "mixture_rates",
+    "sample_mixture",
+    "pack_shards",
+    "shard_manifest",
+    "contamination_hits",
+    "decontaminate",
+    "heavy_hitters",
+    "mg_candidates",
+    "skew_profile",
     # text analysis
     "with_token_counts",
     "with_quality_score",

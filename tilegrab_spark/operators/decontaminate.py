@@ -49,8 +49,18 @@ def _grams(
     in ``ks``, one projection pass (no per-k scan). A document shorter
     than k yields its whole token sequence for that k (``F.slice``
     clamps), which can only ever match an equal-length gram; empty
-    grams are dropped (an all-whitespace document yields no rows)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams are dropped (an all-whitespace document yields no rows).
+
+    The token split is materialized in its own projection BEFORE the
+    higher-order transforms: Catalyst does not common-subexpression-
+    eliminate across lambda boundaries, so referencing the split
+    expression inside the per-position lambda re-runs the regex split
+    once per gram position per k — measured 4-6x slower at sf0.1."""
+    df = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+    toks = F.col("__toks")
     size = F.size(toks)
 
     # one-arg closure factory: a 2-arg lambda would make F.transform bind
