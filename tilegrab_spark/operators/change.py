@@ -79,13 +79,20 @@ def tile_diff(
     # 10^12-tile lake: most tiles are bit-identical): byte-equal
     # payloads with matching declared (fmt, w, h) are `unchanged` BY
     # DEFINITION — a deterministic decoder maps equal bytes to equal
-    # pixels — so they never enter the Python kernel and never decode.
-    # The comparison is a JVM-side memcmp (microseconds vs ~ms/decode).
+    # pixels — so they never decode and never ship payload bytes to
+    # Python. The comparison is a JVM-side memcmp (µs vs ~ms/decode).
     # n_px on this path comes from the declared dims (the image-table
     # contract; mismatched declarations route to the slow path which
     # decodes). Identical-but-undecodable payloads also report
     # `unchanged` here — "did anything change" is answered without
     # decoding; payload health is `verify`'s job, not the differ's.
+    # The routing happens in ONE projection on the single join — NOT as
+    # two filtered branches unioned back together, which would execute
+    # the full-outer join (the job's heaviest exchange, carrying every
+    # payload byte) twice. Byte-equal rows keep only the flag and their
+    # declared dims; their payloads are nulled JVM-side so they cross
+    # the Arrow boundary as null-bitmap entries (no byte transfer) and
+    # take a vectorized no-decode path in the kernel.
     same = F.coalesce(
         F.col("bytes_a").isNotNull()
         & F.col("bytes_b").isNotNull()
@@ -95,18 +102,32 @@ def tile_diff(
         & (F.col("bytes_a") == F.col("bytes_b")),
         F.lit(False),
     )
-    fast = joined.filter(same).select(
-        F.col("key"),
-        F.lit("unchanged").alias("status"),
-        (F.col("w_a").cast("long") * F.col("h_a").cast("long")).alias("n_px"),
-        F.lit(0.0).alias("changed_frac"),
-        F.lit(0.0).alias("mean_abs_diff"),
-        F.lit(None).cast("double").alias("psnr_db"),
+    joined = (
+        joined.withColumn("_same", same)
+        .withColumn("bytes_a", F.when(~F.col("_same"), F.col("bytes_a")))
+        .withColumn("bytes_b", F.when(~F.col("_same"), F.col("bytes_b")))
     )
-    joined = joined.filter(~same)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DIFF_SCHEMA.fields]
         for pdf in batches:
+            fast_mask = pdf["_same"].fillna(False).astype(bool)
+            if fast_mask.any():
+                fp = pdf[fast_mask]
+                yield pd.DataFrame(
+                    {
+                        "key": fp["key"].astype("int64"),
+                        "status": "unchanged",
+                        "n_px": (
+                            fp["w_a"].astype("int64") * fp["h_a"].astype("int64")
+                        ),
+                        "changed_frac": 0.0,
+                        "mean_abs_diff": 0.0,
+                        "psnr_db": np.nan,
+                    },
+                    columns=cols,
+                )
+            pdf = pdf[~fast_mask]
             out = []
             for row in pdf.itertuples(index=False):
                 rec = {
@@ -149,9 +170,10 @@ def tile_diff(
                         rec["status"] = "changed"
                         rec["psnr_db"] = float(10.0 * np.log10(255.0**2 / mse))
                 out.append(rec)
-            yield pd.DataFrame(out, columns=[f.name for f in DIFF_SCHEMA.fields])
+            if out:
+                yield pd.DataFrame(out, columns=cols)
 
-    return joined.mapInPandas(kernel, schema=DIFF_SCHEMA).unionByName(fast)
+    return joined.mapInPandas(kernel, schema=DIFF_SCHEMA)
 
 
 def change_summary(diff: DataFrame) -> DataFrame:
