@@ -78,6 +78,12 @@ from tilegrab_spark.operators.similarity import (
     cosine_topk,
     search_ivf_index,
 )
+from tilegrab_spark.operators.quantization import (
+    encode_pq,
+    pq_topk,
+    rerank_exact,
+    train_pq,
+)
 from tilegrab_spark.operators.text import (
     with_clean_text,
     with_fingerprint,
@@ -138,6 +144,10 @@ __all__ = [
     "ann_topk_ivf",
     "build_ivf_index",
     "search_ivf_index",
+    "train_pq",
+    "encode_pq",
+    "pq_topk",
+    "rerank_exact",
     # sampling / mixing / packing / scrubbing
     "sample_hash",
     "stratified_sample",
