@@ -155,3 +155,47 @@ def test_validation(spark, corpus):
             encode_pq(corpus, books),
             books,
         )
+
+
+def test_ivfpq_index_end_to_end(spark, corpus, tmp_path):
+    from tilegrab_spark.operators.quantization import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(
+        corpus, path, n_centroids=8, m=8, nbits=6, sample=320, iters=6
+    )
+    q_rows = [(i, r["embedding"]) for i, r in enumerate(corpus.limit(6).collect())]
+    queries = spark.createDataFrame(q_rows, "query_id long, embedding array<float>")
+    # partition pruning reaches the scan
+    out = search_ivfpq_index(spark, path, queries, k=5, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    rows = out.collect()
+    assert len(rows) == 30
+    top1 = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert sum(1 for q, v in top1.items() if q == v) >= 5
+    # re-ranked search returns exact-cosine ordering within candidates
+    rer = search_ivfpq_index(spark, path, queries, k=5, n_probe=4, rerank=40)
+    assert {r["query_id"] for r in rer.collect()} == set(range(6))
+    assert "cosine" in rer.columns
+
+
+def test_ivfpq_rerank_requires_vectors(spark, corpus, tmp_path):
+    from tilegrab_spark.operators.quantization import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    path = str(tmp_path / "ivfpq_novec")
+    build_ivfpq_index(
+        corpus, path, n_centroids=4, m=4, nbits=4, sample=160, iters=3,
+        keep_vectors=False,
+    )
+    q_rows = [(0, corpus.first()["embedding"])]
+    queries = spark.createDataFrame(q_rows, "query_id long, embedding array<float>")
+    assert search_ivfpq_index(spark, path, queries, k=3, n_probe=2).count() == 3
+    with pytest.raises(ValueError, match="keep_vectors"):
+        search_ivfpq_index(spark, path, queries, k=3, n_probe=2, rerank=10)

@@ -79,9 +79,11 @@ from tilegrab_spark.operators.similarity import (
     search_ivf_index,
 )
 from tilegrab_spark.operators.quantization import (
+    build_ivfpq_index,
     encode_pq,
     pq_topk,
     rerank_exact,
+    search_ivfpq_index,
     train_pq,
 )
 from tilegrab_spark.operators.text import (
@@ -148,6 +150,8 @@ __all__ = [
     "encode_pq",
     "pq_topk",
     "rerank_exact",
+    "build_ivfpq_index",
+    "search_ivfpq_index",
     # sampling / mixing / packing / scrubbing
     "sample_hash",
     "stratified_sample",

@@ -51,6 +51,8 @@ __all__ = [
     "rerank_exact",
     "save_codebooks",
     "load_codebooks",
+    "build_ivfpq_index",
+    "search_ivfpq_index",
 ]
 
 
@@ -271,3 +273,120 @@ def load_codebooks(spark, path: str) -> np.ndarray:
     for r in pdf.itertuples(index=False):
         out[r.subspace, r.centroid_id] = np.asarray(r.centroid)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Composed IVF-PQ index: coarse lists prune WHICH rows, PQ compresses WHAT
+# each scanned row costs. The persisted layout at 10^12 rows:
+#   path/codes      — (vec_id, pq_code[, embedding]) partitioned by list_id
+#   path/_centroids — the coarse quantizer (similarity.py format)
+#   path/_codebooks — the PQ codebooks (save_codebooks format)
+# A query batch prunes to its probed list directories (parquet
+# PartitionFilters), ADC-scans only those codes, and (optionally)
+# re-ranks its candidate ids against the raw vectors stored alongside —
+# a pointed lookup into the same pruned partitions.
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vectors: bool = True,
+    **train_kw,
+) -> tuple:
+    """Train coarse centroids + PQ codebooks, encode, and persist the
+    list-partitioned code table. ``keep_vectors=True`` stores the raw
+    vector next to its code so re-rank is a pruned-partition lookup (at
+    10^12 rows set False and serve re-ranks from the primary store).
+    Returns (centroids, codebooks)."""
+    from tilegrab_spark.operators.similarity import assign_lists, train_centroids
+
+    spark = corpus.sparkSession
+    cents = train_centroids(
+        corpus, vec_col=vec_col, n_centroids=n_centroids, **train_kw
+    )
+    books = train_pq(corpus, vec_col=vec_col, m=m, nbits=nbits, **train_kw)
+    assigned = assign_lists(corpus, cents, id_col=id_col, vec_col=vec_col)
+    keep = ("list_id", vec_col) if keep_vectors else ("list_id",)
+    codes = encode_pq(assigned, books, id_col=id_col, vec_col=vec_col, keep_cols=keep)
+    codes.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/codes")
+    cdf = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
+        "list_id int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    save_codebooks(spark, books, f"{path}/_codebooks")
+    return cents, books
+
+
+def search_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 0,
+    q_id: str = "query_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Search the on-disk IVF-PQ index. The batch's probed-list union
+    becomes a partition filter (only those directories are scanned);
+    ADC scores the pruned codes; with ``rerank=R > 0`` the PQ top-R
+    candidates per query are re-scored exactly against the stored
+    vectors and the exact top-k is returned (requires
+    ``keep_vectors=True`` at build).
+
+    Scoping note: ADC scores every query against the UNION of the
+    batch's probed lists (out-of-list candidates can only improve a
+    query's top-k — PQ distance ranks them out if they're far). This
+    keeps the scan one pass; per-query list scoping would re-shuffle
+    the codes.
+    """
+    from tilegrab_spark.operators.similarity import (
+        _probe_lists_udf,
+        load_ivf_centroids,
+    )
+
+    cents = load_ivf_centroids(spark, path)
+    books = load_codebooks(spark, f"{path}/_codebooks")
+    probed_rows = (
+        queries.select(
+            F.explode(
+                _probe_lists_udf(cents, n_probe, queries.sparkSession)(F.col(q_vec))
+            ).alias("list_id")
+        )
+        .agg(F.collect_set("list_id").alias("_lists"))
+        .collect()
+    )
+    probed = sorted(int(v) for v in (probed_rows[0]["_lists"] if probed_rows else []))
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("list_id").isin(probed)  # -> parquet PartitionFilters
+    )
+    if rerank <= 0:
+        return pq_topk(queries, codes, books, k=k, q_id=q_id, q_vec=q_vec, c_id=c_id)
+    if c_vec not in codes.columns:
+        raise ValueError(
+            "rerank needs stored vectors — build with keep_vectors=True"
+        )
+    cand = pq_topk(
+        queries, codes, books, k=max(k, rerank), q_id=q_id, q_vec=q_vec, c_id=c_id
+    )
+    return rerank_exact(
+        cand,
+        queries,
+        codes.select(F.col(c_id), F.col(c_vec)),
+        k=k,
+        q_id=q_id,
+        q_vec=q_vec,
+        c_id=c_id,
+        c_vec=c_vec,
+    )
