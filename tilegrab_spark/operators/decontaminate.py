@@ -116,9 +116,14 @@ def contamination_hits(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_hits < 1:
         raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+    from tilegrab_spark.operators.dedup import _with_min_parallelism
+
     ks = _eval_gram_lengths(eval_df, eval_text, n)
     eval_grams = _grams(eval_df, eval_id, eval_text, [n], "_eval_id")
-    corpus_grams = _grams(docs, doc_id, doc_text, ks, doc_id)
+    # gram extraction is the CPU-heavy pass: guard against a
+    # fewer-partitions-than-cores scan (single small parquet file = one
+    # serial pass; a no-op on any real multi-split table)
+    corpus_grams = _grams(_with_min_parallelism(docs), doc_id, doc_text, ks, doc_id)
     hits = corpus_grams.join(F.broadcast(eval_grams), "gram")
     return (
         hits.groupBy(doc_id)
