@@ -77,3 +77,27 @@ def test_skew_aware_join_matches_plain(spark):
     a = sorted((r.x, r.y, r.image_id) for r in skew.collect())
     b = sorted((r.x, r.y, r.image_id) for r in plain.collect())
     assert a == b and len(a) == 500 + 30
+
+
+def test_identify_hot_cells_mg_matches_groupby(spark):
+    from tilegrab_spark.operators.image_join import identify_hot_cells
+
+    rows = [(10, 5, 5, f"a{i}") for i in range(500)]
+    rows += [(11, 9, 3, f"b{i}") for i in range(150)]
+    rows += [(10, 100 + i, 100 + i, f"c{i}") for i in range(80)]
+    images = spark.createDataFrame(
+        rows, "z int, x long, y long, image_id string"
+    ).repartition(9)
+    want = sorted(
+        (r.z, r.x, r.y, r.n_rows)
+        for r in identify_hot_cells(images, threshold=100).collect()
+    )
+    got = sorted(
+        (r.z, r.x, r.y, r.n_rows)
+        for r in identify_hot_cells(images, threshold=100, via="mg").collect()
+    )
+    assert got == want == [(10, 5, 5, 500), (11, 9, 3, 150)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        identify_hot_cells(images, via="nope")

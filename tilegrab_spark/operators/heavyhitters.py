@@ -131,6 +131,9 @@ def heavy_hitters(
     if min_count is not None and min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
 
+    from tilegrab_spark.operators.dedup import _with_min_parallelism
+
+    df = _with_min_parallelism(df)  # single-file scan -> serial MG otherwise
     total = df.filter(F.col(key_col).isNotNull()).count()
     if total == 0:
         return (

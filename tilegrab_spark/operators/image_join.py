@@ -51,12 +51,47 @@ def join_images(
     return joined.drop("_salt") if salt > 1 else joined
 
 
-def identify_hot_cells(images_df: DataFrame, *, threshold: int = 10_000) -> DataFrame:
+def identify_hot_cells(
+    images_df: DataFrame, *, threshold: int = 10_000, via: str = "groupby"
+) -> DataFrame:
     """Cheap pre-pass (SURVEY.md §4): per-cell row counts over the image
     table, keeping cells above ``threshold`` — the dense-urban keys that
     need explicit salting. Scans only the join-key columns (parquet
-    prunes everything else); at 10^12 rows this is a map-side-combined
-    count, and the result is tiny (broadcastable) by construction."""
+    prunes everything else).
+
+    ``via="groupby"`` (default): map-side-combined count — the exchange
+    carries one row per DISTINCT cell, fine up to ~10^9 distinct keys.
+    ``via="mg"``: the exact heavy-hitters path
+    (``operators/heavyhitters.py`` — per-partition Misra-Gries
+    candidates over the packed cell key + broadcast-semi-join verify):
+    the exchange is bounded by partitions x capacity regardless of key
+    cardinality — the right shape when the distinct-cell count itself
+    is shuffle-dominating. Both return the same exact result.
+
+    Capacity caveat: MG's per-partition state is ~2 x N/threshold
+    counters, so ``via="mg"`` fits SKEW detection (threshold a
+    meaningful fraction of the table — a few dominant keys); for
+    sub-ppm absolute thresholds over 10^12 rows the groupby count is
+    the cheaper exact path."""
+    if via == "mg":
+        from tilegrab_spark.operators.heavyhitters import heavy_hitters
+        from tilegrab_spark.sources.images import cell_id_col
+
+        packed = images_df.select(
+            cell_id_col(*JOIN_KEY).alias("_cell_key")
+        )
+        hh = heavy_hitters(packed, "_cell_key", min_count=threshold)
+        mask29 = (1 << 29) - 1
+        return hh.select(
+            F.shiftrightunsigned(F.col("_cell_key"), 58).cast("int").alias("z"),
+            F.shiftrightunsigned(F.col("_cell_key"), 29)
+            .bitwiseAND(F.lit(mask29))
+            .alias("x"),
+            F.col("_cell_key").bitwiseAND(F.lit(mask29)).alias("y"),
+            F.col("cnt").alias("n_rows"),
+        )
+    if via != "groupby":
+        raise ValueError(f"via must be 'groupby' or 'mg', got {via!r}")
     return (
         images_df.groupBy(*JOIN_KEY)
         .count()

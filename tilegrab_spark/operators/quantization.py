@@ -120,6 +120,9 @@ def encode_pq(
     """``[id_col, *keep_cols, pq_code]`` — each vector L2-normalized and
     mapped to its per-subspace nearest centroid ids (one Arrow pass).
     The code column is the m-byte representation the search scans."""
+    from tilegrab_spark.operators.dedup import _with_min_parallelism
+
+    df = _with_min_parallelism(df)  # single-file scan -> serial encode otherwise
     m, _, dsub = codebooks.shape
     bc = df.sparkSession.sparkContext.broadcast(codebooks)
 
@@ -169,6 +172,9 @@ def pq_topk(
     so the single exchange is candidate-sized."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    from tilegrab_spark.operators.dedup import _with_min_parallelism
+
+    codes = _with_min_parallelism(codes)  # single-file scan -> serial ADC otherwise
     qpdf = queries.select(q_id, q_vec).toPandas()
     if qpdf.empty:
         raise ValueError("queries is empty")
