@@ -180,3 +180,101 @@ def test_engine_metrics_format_snapshot(spark, tmp_path):
     assert isinstance(eng.metrics, SnapshotMetricsStore)
     with pytest.raises(ValueError, match="metrics_format"):
         Engine(spark, metrics_path=str(tmp_path / "m2"), metrics_format="bogus")
+
+
+# ---------------------------------------------------------------- merge/delete
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "m"))
+    t.append(_df(spark, range(10)), stat_cols=("id",))
+    upd = spark.createDataFrame(
+        [(3, "NEW3"), (7, "NEW7"), (42, "INS42")], "id long, v string"
+    )
+    seq = t.merge_rows(upd, ("id",), stat_cols=("id",))
+    got = {r.id: r.v for r in t.read().collect()}
+    want = {i: f"v{i}" for i in range(10)}
+    want.update({3: "NEW3", 7: "NEW7", 42: "INS42"})
+    assert got == want
+    # time travel: pre-merge content intact
+    assert {r.id: r.v for r in t.read(as_of=1).collect()} == {
+        i: f"v{i}" for i in range(10)
+    }
+    assert t.snapshots()[-1]["operation"] == "merge"
+    assert seq == 2
+
+
+def test_merge_rewrites_only_overlapping_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "p"))
+    # three appends with DISJOINT id ranges -> three file sets with stats
+    t.append(_df(spark, range(0, 100)).coalesce(1), stat_cols=("id",))
+    t.append(_df(spark, range(100, 200)).coalesce(1), stat_cols=("id",))
+    t.append(_df(spark, range(200, 300)).coalesce(1), stat_cols=("id",))
+    before = {e["path"] for e in t.scan_files()}
+    upd = spark.createDataFrame([(150, "X")], "id long, v string")
+    t.merge_rows(upd, ("id",), stat_cols=("id",))
+    after = t.scan_files()
+    after_paths = {e["path"] for e in after}
+    # the two disjoint files' entries survive VERBATIM (no rewrite)
+    untouched = {p for p in before if "data/" in p}
+    kept = before & after_paths
+    assert len(kept) == 2, (before, after_paths)
+    summary = t.snapshots()[-1]["summary"]
+    assert summary["files_kept"] == 2 and summary["files_rewritten"] == 1
+    assert {r.v for r in t.read().collect() if r.id == 150} == {"X"}
+    assert t.read().count() == 300
+
+
+def test_delete_rows_and_noop_paths(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "d"))
+    t.append(_df(spark, range(0, 50)).coalesce(1), stat_cols=("id",))
+    t.append(_df(spark, range(100, 150)).coalesce(1), stat_cols=("id",))
+    keys = spark.createDataFrame([(10,), (11,)], "id long")
+    t.delete_rows(keys, ("id",), stat_cols=("id",))
+    assert t.read().count() == 98
+    assert t.snapshots()[-1]["operation"] == "delete"
+    assert t.snapshots()[-1]["summary"]["files_kept"] == 1
+    # delete of keys disjoint from every file: metadata no-op (same seq)
+    head = t.current_seq()
+    assert t.delete_rows(
+        spark.createDataFrame([(999,)], "id long"), ("id",), stat_cols=("id",)
+    ) == head
+    # empty updates: no-op
+    assert t.merge_rows(
+        spark.createDataFrame([], "id long, v string"), ("id",)
+    ) == head
+
+
+def test_merge_on_empty_table_appends(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "e"))
+    seq = t.merge_rows(_df(spark, [1, 2]), ("id",), stat_cols=("id",))
+    assert seq == 1 and t.read().count() == 2
+    with pytest.raises(SnapshotNotFound):
+        SnapshotTable(spark, str(tmp_path / "e2")).delete_rows(
+            spark.createDataFrame([(1,)], "id long"), ("id",)
+        )
+
+
+def test_merge_cas_conflict(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "c"))
+    t.append(_df(spark, range(5)), stat_cols=("id",))
+    # simulate a concurrent commit between plan-time and commit-time by
+    # monkeypatching current_seq to report a moved head at the CAS check
+    upd = spark.createDataFrame([(1, "X")], "id long, v string")
+    real = t.current_seq
+    calls = {"n": 0}
+
+    def moving_head():
+        calls["n"] += 1
+        return real() + (1 if calls["n"] > 2 else 0)
+
+    t.current_seq = moving_head
+    with pytest.raises(CommitConflict):
+        t.merge_rows(upd, ("id",), stat_cols=("id",))
+
+
+def test_merge_schema_mismatch_rejected(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "s"))
+    t.append(_df(spark, [1]))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.merge_rows(spark.createDataFrame([(1.0,)], "x double"), ("x",))

@@ -344,6 +344,129 @@ class SnapshotTable:
             summary=summary, expected_parent=expected_parent,
         )
 
+    def _keep_manifest(self, entries: list[dict]) -> str:
+        """Publish a manifest listing EXISTING (already-committed) data
+        files verbatim — the kept side of a copy-on-write rewrite. The
+        files are not touched; only their manifest membership moves."""
+        mname = f"manifest-{uuid.uuid4().hex[:16]}.json"
+        _atomic_write_text(
+            os.path.join(self.meta_dir, mname), json.dumps({"files": entries})
+        )
+        return mname
+
+    def merge_rows(
+        self,
+        updates: DataFrame,
+        key_cols: tuple[str, ...],
+        *,
+        stat_cols: tuple[str, ...] = (),
+        summary: dict | None = None,
+        _deletes_only: bool = False,
+    ) -> int:
+        """Iceberg-shaped copy-on-write MERGE (upsert) keyed on
+        ``key_cols``: rows in ``updates`` replace same-key rows; new
+        keys insert. Only AFFECTED data files are rewritten — a file
+        whose recorded [min, max] for any key column is provably
+        disjoint from the updates' key envelope keeps its manifest
+        entry verbatim (zero data movement for it); at 10^12 rows with
+        key-clustered files (Z-order layout + ``stat_cols`` on the key)
+        a point-update batch rewrites a handful of files, not the
+        table. Files without key stats are conservatively rewritten —
+        pass the key in ``stat_cols`` on every write to keep pruning
+        effective.
+
+        The commit is a CAS against the snapshot the merge was computed
+        from: a concurrent commit raises ``CommitConflict`` (retrying a
+        merge on a moved head must re-read, not re-link). ``updates``
+        must be unique per key (keep-last upstream otherwise)."""
+        parent = self.current_seq()
+        if parent == 0:
+            if _deletes_only:
+                raise SnapshotNotFound(f"empty table at {self.root}")
+            return self.append(updates, stat_cols=stat_cols, summary=summary)
+        cur_schema = self.schema()
+        if (
+            not _deletes_only
+            and updates.schema.simpleString() != cur_schema.simpleString()
+        ):
+            raise ValueError(
+                f"schema mismatch merging into {self.root}: "
+                f"{updates.schema.simpleString()} != {cur_schema.simpleString()}"
+            )
+        keys = updates.select(*key_cols).distinct()
+        env = keys.agg(
+            *[
+                f
+                for k in key_cols
+                for f in (F.min(k).alias(f"_mn_{k}"), F.max(k).alias(f"_mx_{k}"))
+            ]
+        ).collect()[0]
+        if all(env[f"_mn_{k}"] is None for k in key_cols):
+            return parent  # empty updates: nothing to do
+        entries = self._manifest_entries(self._load_snapshot(parent))
+        affected, kept = [], []
+        for e in entries:
+            disjoint = False
+            for k in key_cols:
+                st = e.get("stats", {}).get(k)
+                mn, mx = env[f"_mn_{k}"], env[f"_mx_{k}"]
+                if st and st[0] is not None and mn is not None:
+                    if st[1] < mn or st[0] > mx:
+                        disjoint = True
+                        break
+            (kept if disjoint else affected).append(e)
+
+        operation = "delete" if _deletes_only else "merge"
+        new_df = None
+        if affected:
+            paths = [os.path.join(self.root, e["path"]) for e in affected]
+            cur = self.spark.read.schema(cur_schema).parquet(*paths)
+            new_df = cur.join(F.broadcast(keys), list(key_cols), "left_anti")
+        if not _deletes_only:
+            new_df = updates if new_df is None else new_df.unionByName(updates)
+        if new_df is None:  # delete with zero affected files: no-op
+            return parent
+
+        mnames = [self._keep_manifest(kept)] if kept else []
+        mnames.append(self._write_data(new_df, stat_cols))
+        base_summary = {
+            "files_kept": len(kept),
+            "files_rewritten": len(affected),
+            **(summary or {}),
+        }
+        if self.current_seq() != parent:
+            raise CommitConflict(
+                f"merge into {self.root} computed from snapshot {parent} "
+                f"but head is now {self.current_seq()}"
+            )
+        try:
+            return self._commit(
+                mnames, json.dumps(cur_schema.jsonValue()), operation, base_summary
+            )
+        except FileExistsError:
+            raise CommitConflict(
+                f"merge into {self.root} lost the CAS race at seq {parent + 1}"
+            )
+
+    def delete_rows(
+        self,
+        keys: DataFrame,
+        key_cols: tuple[str, ...],
+        *,
+        stat_cols: tuple[str, ...] = (),
+        summary: dict | None = None,
+    ) -> int:
+        """Copy-on-write DELETE by key: same file-pruned rewrite as
+        ``merge_rows`` with no inserted rows. ``keys`` needs only the
+        key columns."""
+        return self.merge_rows(
+            keys.select(*key_cols),
+            key_cols,
+            stat_cols=stat_cols,
+            summary=summary,
+            _deletes_only=True,
+        )
+
     def _write_commit(
         self,
         df: DataFrame,
