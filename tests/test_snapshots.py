@@ -278,3 +278,74 @@ def test_merge_schema_mismatch_rejected(spark, tmp_path):
     t.append(_df(spark, [1]))
     with pytest.raises(ValueError, match="schema mismatch"):
         t.merge_rows(spark.createDataFrame([(1.0,)], "x double"), ("x",))
+
+
+# ------------------------------------------------------------ merge-on-read
+
+
+def test_mor_delete_read_and_materialize(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "mor"))
+    t.append(_df(spark, range(10)), stat_cols=("id",))
+    keys = spark.createDataFrame([(3,), (7,)], "id long")
+    s = t.delete_rows(keys, ("id",), mode="mor")
+    assert t.snapshots()[-1]["operation"] == "delete-mor"
+    # tombstones applied at read; data files untouched on disk
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
+    # time travel BEFORE the delete sees everything
+    assert t.read(as_of=1).count() == 10
+    # sequence semantics: re-appending a deleted key makes it visible
+    t.append(spark.createDataFrame([(3, "BACK")], "id long, v string"))
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[3] == "BACK" and 7 not in got
+    # materialize folds the debt; content identical, tombstones gone
+    before = {(r.id, r.v) for r in t.read().collect()}
+    t.materialize_deletes(stat_cols=("id",))
+    assert {(r.id, r.v) for r in t.read().collect()} == before
+    assert t.snapshots()[-1]["summary"]["materialized_deletes"] is True
+    # after materialization CoW merges are allowed again
+    t.merge_rows(
+        spark.createDataFrame([(0, "Z")], "id long, v string"),
+        ("id",),
+        stat_cols=("id",),
+    )
+    assert {r.v for r in t.read().collect() if r.id == 0} == {"Z"}
+
+
+def test_mor_blocks_cow_until_materialized(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "mor2"))
+    t.append(_df(spark, range(5)), stat_cols=("id",))
+    t.delete_rows(spark.createDataFrame([(1,)], "id long"), ("id",), mode="mor")
+    with pytest.raises(ValueError, match="materialize_deletes"):
+        t.merge_rows(
+            spark.createDataFrame([(2, "X")], "id long, v string"),
+            ("id",),
+            stat_cols=("id",),
+        )
+    with pytest.raises(ValueError, match="materialize_deletes"):
+        # changing the tombstone key set is also blocked
+        t.delete_rows(
+            spark.createDataFrame([("v1",)], "v string"), ("v",), mode="mor"
+        )
+    t.materialize_deletes(stat_cols=("id",))
+    assert sorted(r.id for r in t.read().collect()) == [0, 2, 3, 4]
+
+
+def test_mor_tombstones_survive_compaction_and_travel(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "mor3"))
+    t.append(_df(spark, range(6)), stat_cols=("id",))
+    t.delete_rows(spark.createDataFrame([(0,)], "id long"), ("id",), mode="mor")
+    t.append(_df(spark, [100]))
+    t.compact_manifests()
+    # compaction preserves per-entry seqs: tombstone (seq 2) still only
+    # hides seq-1 data; the seq-3 append and the re-read agree
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3, 4, 5, 100]
+    assert sorted(r.id for r in t.read(as_of=2).collect()) == [1, 2, 3, 4, 5]
+    # validation paths
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.delete_rows(
+            spark.createDataFrame([(1,)], "nope long"), ("nope",), mode="mor"
+        )
+    with pytest.raises(ValueError, match="mode"):
+        t.delete_rows(
+            spark.createDataFrame([(1,)], "id long"), ("id",), mode="bogus"
+        )

@@ -151,11 +151,27 @@ class SnapshotTable:
         return out
 
     def _manifest_entries(self, snap: dict) -> list[dict]:
+        """All file entries of a snapshot, annotated with ``_seq`` (the
+        commit the file FIRST appeared in — per-entry ``seq`` written by
+        compaction/kept-manifests wins over the manifest's map; legacy
+        snapshots without a map default to 0 = oldest) and with data
+        entries separated from merge-on-read delete entries by their
+        ``content`` field (absent = data)."""
+        mseqs = snap.get("manifest_seqs", {})
         files: list[dict] = []
         for mname in snap["manifests"]:
             with open(os.path.join(self.meta_dir, mname)) as f:
-                files.extend(json.load(f)["files"])
+                for e in json.load(f)["files"]:
+                    e = dict(e)
+                    e["_seq"] = e.get("seq", mseqs.get(mname, 0))
+                    files.append(e)
         return files
+
+    @staticmethod
+    def _split_entries(entries: list[dict]) -> tuple[list[dict], list[dict]]:
+        data = [e for e in entries if e.get("content", "data") == "data"]
+        dels = [e for e in entries if e.get("content") == "deletes"]
+        return data, dels
 
     def scan_files(
         self,
@@ -172,7 +188,9 @@ class SnapshotTable:
         seq = self.current_seq() if as_of is None else as_of
         if seq == 0:
             return []
-        entries = self._manifest_entries(self._load_snapshot(seq))
+        entries, _ = self._split_entries(
+            self._manifest_entries(self._load_snapshot(seq))
+        )
         if not key_ranges or not key_col:
             return entries
         kept = []
@@ -201,17 +219,60 @@ class SnapshotTable:
     ) -> DataFrame:
         """Read the table at a snapshot (default: latest). Only files in
         the snapshot's manifests are scanned — concurrent or crashed
-        writers' data directories are invisible."""
+        writers' data directories are invisible. Merge-on-read delete
+        tombstones (``delete_rows(mode="mor")``) are applied here:
+        a tombstone removes matching-key rows from data files committed
+        STRICTLY BEFORE it (Iceberg sequence semantics — re-appending a
+        deleted key makes it visible again)."""
         entries = self.scan_files(as_of=as_of, key_col=key_col, key_ranges=key_ranges)
         schema = self.schema(as_of=as_of)
         if not entries:
             if schema is None:
                 raise SnapshotNotFound(f"empty table at {self.root}")
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, e["path"]) for e in entries]
-        # Pin the snapshot schema so late schema evolution can't leak
-        # into a time-travel read via parquet schema merging.
-        return self.spark.read.schema(schema).parquet(*paths)
+        seq = self.current_seq() if as_of is None else as_of
+        _, dels = self._split_entries(
+            self._manifest_entries(self._load_snapshot(seq))
+        )
+        if not dels:
+            paths = [os.path.join(self.root, e["path"]) for e in entries]
+            # Pin the snapshot schema so late schema evolution can't leak
+            # into a time-travel read via parquet schema merging.
+            return self.spark.read.schema(schema).parquet(*paths)
+
+        # group data files by commit seq (a handful of groups — bounded
+        # by commit count, collapsed by compaction) so each row carries
+        # its file's seq as a literal, then one anti-join per scan:
+        # keys equal AND tombstone newer than the row's file.
+        key_cols = tuple(dels[0]["key_cols"])
+        by_seq: dict[int, list[str]] = {}
+        for e in entries:
+            by_seq.setdefault(int(e["_seq"]), []).append(
+                os.path.join(self.root, e["path"])
+            )
+        data = None
+        for s, paths in sorted(by_seq.items()):
+            part = self.spark.read.schema(schema).parquet(*paths).withColumn(
+                "_dseq", F.lit(s)
+            )
+            data = part if data is None else data.unionByName(part)
+        dby_seq: dict[int, list[str]] = {}
+        for e in dels:
+            dby_seq.setdefault(int(e["_seq"]), []).append(
+                os.path.join(self.root, e["path"])
+            )
+        del_df = None
+        for s, paths in sorted(dby_seq.items()):
+            part = self.spark.read.parquet(*paths).withColumn("_tseq", F.lit(s))
+            del_df = part if del_df is None else del_df.unionByName(part)
+        d = del_df.select(
+            *[F.col(k).alias(f"_t_{k}") for k in key_cols], "_tseq"
+        ).distinct()
+        cond = F.lit(True)
+        for k in key_cols:
+            cond = cond & (F.col(k) == F.col(f"_t_{k}"))
+        cond = cond & (F.col("_tseq") > F.col("_dseq"))
+        return data.join(F.broadcast(d), on=cond, how="left_anti").drop("_dseq")
 
     # --------------------------------------------------------------- writes
 
@@ -270,16 +331,27 @@ class SnapshotTable:
         schema_json: str,
         operation: str,
         summary: dict | None = None,
+        manifest_seqs: dict | None = None,
     ) -> int:
-        """CAS-commit a snapshot on the next sequence number."""
+        """CAS-commit a snapshot on the next sequence number.
+
+        ``manifest_seqs`` records the sequence number each manifest was
+        FIRST committed at (inherited manifests keep their original
+        seq; manifests absent from the map are new and get this commit's
+        seq). This is what scopes merge-on-read delete files: a delete
+        tombstone applies only to data committed strictly BEFORE it."""
         parent = self.current_seq()
         seq = parent + 1
+        mseqs = dict(manifest_seqs or {})
+        for m in manifests:
+            mseqs.setdefault(m, seq)
         snap = {
             "seq": seq,
             "snapshot_id": uuid.uuid4().hex,
             "parent_seq": parent or None,
             "operation": operation,
             "manifests": manifests,
+            "manifest_seqs": {m: mseqs[m] for m in manifests},
             "schema": schema_json,
             "summary": {k: _jsonable(v) for k, v in (summary or {}).items()},
         }
@@ -344,13 +416,23 @@ class SnapshotTable:
             summary=summary, expected_parent=expected_parent,
         )
 
+    @staticmethod
+    def _durable_entry(e: dict) -> dict:
+        """Entry dict for re-serialization into a new manifest: the
+        runtime ``_seq`` annotation becomes the persisted per-entry
+        ``seq`` (so provenance survives manifest folding)."""
+        out = {k: v for k, v in e.items() if k != "_seq"}
+        out["seq"] = int(e["_seq"])
+        return out
+
     def _keep_manifest(self, entries: list[dict]) -> str:
         """Publish a manifest listing EXISTING (already-committed) data
         files verbatim — the kept side of a copy-on-write rewrite. The
         files are not touched; only their manifest membership moves."""
         mname = f"manifest-{uuid.uuid4().hex[:16]}.json"
         _atomic_write_text(
-            os.path.join(self.meta_dir, mname), json.dumps({"files": entries})
+            os.path.join(self.meta_dir, mname),
+            json.dumps({"files": [self._durable_entry(e) for e in entries]}),
         )
         return mname
 
@@ -403,7 +485,14 @@ class SnapshotTable:
         ).collect()[0]
         if all(env[f"_mn_{k}"] is None for k in key_cols):
             return parent  # empty updates: nothing to do
-        entries = self._manifest_entries(self._load_snapshot(parent))
+        entries, tombs = self._split_entries(
+            self._manifest_entries(self._load_snapshot(parent))
+        )
+        if tombs:
+            raise ValueError(
+                f"{self.root} has merge-on-read delete tombstones; run "
+                "materialize_deletes() before a copy-on-write merge"
+            )
         affected, kept = [], []
         for e in entries:
             disjoint = False
@@ -453,18 +542,90 @@ class SnapshotTable:
         keys: DataFrame,
         key_cols: tuple[str, ...],
         *,
+        mode: str = "cow",
         stat_cols: tuple[str, ...] = (),
         summary: dict | None = None,
     ) -> int:
-        """Copy-on-write DELETE by key: same file-pruned rewrite as
-        ``merge_rows`` with no inserted rows. ``keys`` needs only the
-        key columns."""
-        return self.merge_rows(
-            keys.select(*key_cols),
-            key_cols,
+        """DELETE by key. ``keys`` needs only the key columns.
+
+        ``mode="cow"``: file-pruned rewrite (same machinery as
+        ``merge_rows``) — pay the rewrite now, reads stay scan-only.
+        ``mode="mor"`` (merge-on-read): commit the keys as a TOMBSTONE
+        file — O(keys) write regardless of table size, the right shape
+        for high-frequency small deletes at 10^12 rows; ``read()``
+        anti-joins tombstones against data files committed strictly
+        before them (Iceberg sequence semantics: re-appending a deleted
+        key makes it visible again), and ``materialize_deletes()``
+        folds the debt back into scan-only reads."""
+        if mode == "cow":
+            return self.merge_rows(
+                keys.select(*key_cols),
+                key_cols,
+                stat_cols=stat_cols,
+                summary=summary,
+                _deletes_only=True,
+            )
+        if mode != "mor":
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        parent = self.current_seq()
+        if parent == 0:
+            raise SnapshotNotFound(f"empty table at {self.root}")
+        schema = self.schema()
+        names = {f.name for f in schema.fields}
+        missing = [k for k in key_cols if k not in names]
+        if missing:
+            raise ValueError(f"key cols {missing} not in table schema")
+        prev = self._split_entries(
+            self._manifest_entries(self._load_snapshot(parent))
+        )[1]
+        if prev and tuple(prev[0]["key_cols"]) != tuple(key_cols):
+            raise ValueError(
+                f"existing tombstones key on {prev[0]['key_cols']}; "
+                "materialize_deletes() before changing the delete key"
+            )
+        mname = self._write_data(keys.select(*key_cols).distinct(), tuple(key_cols))
+        # re-mark the freshly written entries as delete content
+        mpath = os.path.join(self.meta_dir, mname)
+        with open(mpath) as f:
+            m = json.load(f)
+        for e in m["files"]:
+            e["content"] = "deletes"
+            e["key_cols"] = list(key_cols)
+        _atomic_write_text(mpath, json.dumps(m))
+        psnap = self._load_snapshot(parent)
+        if self.current_seq() != parent:
+            raise CommitConflict(
+                f"mor-delete on {self.root} computed from snapshot {parent} "
+                f"but head is now {self.current_seq()}"
+            )
+        try:
+            return self._commit(
+                psnap["manifests"] + [mname],
+                psnap["schema"],
+                "delete-mor",
+                {"tombstone_batches": len(m["files"]), **(summary or {})},
+                manifest_seqs=psnap.get("manifest_seqs", {}),
+            )
+        except FileExistsError:
+            raise CommitConflict(
+                f"mor-delete on {self.root} lost the CAS race at seq {parent + 1}"
+            )
+
+    def materialize_deletes(
+        self, *, stat_cols: tuple[str, ...] = (), summary: dict | None = None
+    ) -> int:
+        """Fold merge-on-read tombstones back into plain data files:
+        commit ``read()``'s result as the table's full content (replace
+        with an ``expected_parent`` CAS). After this, reads are
+        scan-only again and copy-on-write merges are allowed."""
+        parent = self.current_seq()
+        if parent == 0:
+            raise SnapshotNotFound(f"empty table at {self.root}")
+        return self.replace(
+            self.read(),
             stat_cols=stat_cols,
-            summary=summary,
-            _deletes_only=True,
+            summary={"materialized_deletes": True, **(summary or {})},
+            expected_parent=parent,
         )
 
     def _write_commit(
@@ -490,11 +651,15 @@ class SnapshotTable:
         mname = self._write_data(df, stat_cols)
         schema_json = json.dumps(df.schema.jsonValue())
         for attempt in range(max_retries):
+            mseqs: dict = {}
             if operation == "append":
                 parent = self.current_seq()
-                base = (
-                    self._load_snapshot(parent)["manifests"] if parent else []
-                )
+                if parent:
+                    psnap = self._load_snapshot(parent)
+                    base = psnap["manifests"]
+                    mseqs = psnap.get("manifest_seqs", {})
+                else:
+                    base = []
             else:
                 base = []
                 if (
@@ -507,7 +672,10 @@ class SnapshotTable:
                         "rewriting would drop the concurrent commit(s)"
                     )
             try:
-                return self._commit(base + [mname], schema_json, operation, summary)
+                return self._commit(
+                    base + [mname], schema_json, operation, summary,
+                    manifest_seqs=mseqs,
+                )
             except (FileExistsError, CommitConflict):
                 if expected_parent is not None:
                     raise CommitConflict(
@@ -525,7 +693,10 @@ class SnapshotTable:
         ``seq`` (history stays intact — this is a forward-moving undo,
         like Iceberg's rollback)."""
         snap = self._load_snapshot(seq)
-        return self._commit(list(snap["manifests"]), snap["schema"], "rollback")
+        return self._commit(
+            list(snap["manifests"]), snap["schema"], "rollback",
+            manifest_seqs=snap.get("manifest_seqs", {}),
+        )
 
     def compact_manifests(self) -> int:
         """Fold the current manifest list into a single manifest file and
@@ -538,7 +709,8 @@ class SnapshotTable:
         entries = self._manifest_entries(snap)
         mname = f"manifest-{uuid.uuid4().hex[:16]}.json"
         _atomic_write_text(
-            os.path.join(self.meta_dir, mname), json.dumps({"files": entries})
+            os.path.join(self.meta_dir, mname),
+            json.dumps({"files": [self._durable_entry(e) for e in entries]}),
         )
         return self._commit([mname], snap["schema"], "compact")
 
