@@ -349,3 +349,42 @@ def test_mor_tombstones_survive_compaction_and_travel(spark, tmp_path):
         t.delete_rows(
             spark.createDataFrame([(1,)], "id long"), ("id",), mode="bogus"
         )
+
+
+# ---------------------------------------------------------- schema evolution
+
+
+def test_widening_schema_evolution(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ev"))
+    t.append(_df(spark, range(3)), stat_cols=("id",))
+    wide = spark.createDataFrame(
+        [(100, "v100", 0.5)], "id long, v string, score double"
+    )
+    # rejected without the flag
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(wide)
+    t.append(wide, allow_schema_evolution=True)
+    cur = t.read()
+    assert [f.name for f in cur.schema.fields] == ["id", "v", "score"]
+    rows = {r.id: r.score for r in cur.collect()}
+    # old rows read as NULL for the added column
+    assert rows[100] == 0.5 and rows[0] is None and len(rows) == 4
+    # time travel below the evolution shows the OLD shape
+    old = t.read(as_of=1)
+    assert [f.name for f in old.schema.fields] == ["id", "v"]
+    # subsequent appends must use the evolved schema
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(_df(spark, [200]))
+    # drops and type changes are rejected even with the flag
+    with pytest.raises(ValueError, match="widening"):
+        t.append(
+            spark.createDataFrame([(1, 2.0)], "id long, score double"),
+            allow_schema_evolution=True,
+        )
+    with pytest.raises(ValueError, match="widening"):
+        t.append(
+            spark.createDataFrame(
+                [(1, "x", 1)], "id long, v string, score long"
+            ),
+            allow_schema_evolution=True,
+        )

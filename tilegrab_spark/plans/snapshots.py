@@ -379,16 +379,25 @@ class SnapshotTable:
         stat_cols: tuple[str, ...] = (),
         max_retries: int = 5,
         summary: dict | None = None,
+        allow_schema_evolution: bool = False,
     ) -> int:
         """Atomically append ``df`` as a new snapshot; returns its seq.
         Retries the (metadata-only) commit on concurrent-writer conflict
         — the data files written once stay valid across retries.
         ``summary`` rides the snapshot json (Iceberg-style commit
         summary: batch ids, operation tags) and surfaces in
-        ``snapshots()``."""
+        ``snapshots()``.
+
+        ``allow_schema_evolution=True`` accepts a WIDENING schema: every
+        existing column must keep its exact type; new columns are
+        allowed and become the table schema from this snapshot on.
+        Older data files read as NULL for the added columns (the read
+        pins the snapshot schema, so time travel below this snapshot
+        still shows the old shape). Type changes and column drops are
+        rejected — a drop is a rewrite (``replace``), not an append."""
         return self._write_commit(
             df, "append", stat_cols=stat_cols, max_retries=max_retries,
-            summary=summary,
+            summary=summary, allow_schema_evolution=allow_schema_evolution,
         )
 
     def replace(
@@ -637,6 +646,7 @@ class SnapshotTable:
         max_retries: int,
         summary: dict | None,
         expected_parent: int | None = None,
+        allow_schema_evolution: bool = False,
     ) -> int:
         os.makedirs(self.data_dir, exist_ok=True)
         cur_schema = self.schema()
@@ -644,10 +654,20 @@ class SnapshotTable:
         # the table's own content flips nullability flags, which is not
         # schema evolution
         if cur_schema is not None and df.schema.simpleString() != cur_schema.simpleString():
-            raise ValueError(
-                f"schema mismatch appending to {self.root}: "
-                f"{df.schema.simpleString()} != {cur_schema.simpleString()}"
-            )
+            if not allow_schema_evolution:
+                raise ValueError(
+                    f"schema mismatch appending to {self.root}: "
+                    f"{df.schema.simpleString()} != {cur_schema.simpleString()}"
+                )
+            old = {f.name: f.dataType.simpleString() for f in cur_schema.fields}
+            new = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            dropped = [n for n in old if n not in new]
+            retyped = [n for n in old if n in new and new[n] != old[n]]
+            if dropped or retyped:
+                raise ValueError(
+                    f"schema evolution on {self.root} must be widening: "
+                    f"dropped={dropped} retyped={retyped}"
+                )
         mname = self._write_data(df, stat_cols)
         schema_json = json.dumps(df.schema.jsonValue())
         for attempt in range(max_retries):
