@@ -67,6 +67,7 @@ from tilegrab_spark.operators.sampling import (
     stratified_topn,
 )
 from tilegrab_spark.operators.decontaminate import contamination_hits, decontaminate
+from tilegrab_spark.operators.profile import profile_table
 from tilegrab_spark.operators.heavyhitters import (
     heavy_hitters,
     mg_candidates,
@@ -165,6 +166,7 @@ __all__ = [
     "heavy_hitters",
     "mg_candidates",
     "skew_profile",
+    "profile_table",
     # text analysis
     "with_token_counts",
     "with_quality_score",
