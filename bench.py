@@ -212,7 +212,7 @@ def main():
         d = tile_diff(epoch("_0"), epoch("_1"))
         return d.filter(F.col("status") == "changed").count()
 
-    timed("tile_diff", q_diff, cold=True)
+    timed("tile_diff", q_diff, cold=True, repeats=2)
 
     # 3b-2. the REALISTIC monitoring shape: consecutive crawls are
     # mostly bit-identical — the byte-equality fast path answers those
@@ -229,7 +229,7 @@ def main():
         d = tile_diff(j, j)
         return d.filter(F.col("status") == "unchanged").count()
 
-    timed("tile_diff_unchanged", q_diff_same, cold=True)
+    timed("tile_diff_unchanged", q_diff_same, cold=True, repeats=2)
 
     # 3c. focal halo exchange over one epoch: decode + edge-strip
     # emission + grouped assembly + integral-image box stats
@@ -242,7 +242,7 @@ def main():
             F.col("status") == "ok"
         ).count()
 
-    timed("focal_box", q_focal, cold=True)
+    timed("focal_box", q_focal, cold=True, repeats=2)
 
     # 4. kNN cell-ring expansion: 64 queries over the image grid
     def q_knn():

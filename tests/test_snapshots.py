@@ -388,3 +388,25 @@ def test_widening_schema_evolution(spark, tmp_path):
             ),
             allow_schema_evolution=True,
         )
+
+
+def test_merge_pruning_with_zorder_clustered_table(spark, tmp_path):
+    """Cross-feature: a Z-order-clustered snapshot table gives merge_rows
+    tight per-file morton ranges, so a spatially-local update batch
+    rewrites only the files covering its neighborhood."""
+    from tilegrab_spark.operators.layout import cluster_by_space, with_morton_key
+
+    t = SnapshotTable(spark, str(tmp_path / "zm"))
+    rows = [(5, x, y, f"p{x}_{y}") for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "z int, x long, y long, payload string")
+    clustered = cluster_by_space(df, num_partitions=4)
+    t.append(clustered, stat_cols=("morton_key",))
+    # spatially-local update: one corner tile
+    upd = with_morton_key(
+        spark.createDataFrame([(5, 0, 0, "NEW")], "z int, x long, y long, payload string")
+    ).select(*clustered.columns)
+    t.merge_rows(upd, ("morton_key",), stat_cols=("morton_key",))
+    s = t.snapshots()[-1]["summary"]
+    assert s["files_rewritten"] < 4 and s["files_kept"] >= 1, s
+    got = {(r.x, r.y): r.payload for r in t.read().collect()}
+    assert got[(0, 0)] == "NEW" and got[(15, 15)] == "p15_15" and len(got) == 256
