@@ -58,7 +58,12 @@ from tilegrab_spark.operators.sketches import (
 )
 from tilegrab_spark.operators.change import change_summary, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
-from tilegrab_spark.operators.packing import pack_shards, shard_manifest
+from tilegrab_spark.operators.packing import (
+    pack_sequences,
+    pack_shards,
+    sequence_manifest,
+    shard_manifest,
+)
 from tilegrab_spark.operators.sampling import (
     mixture_rates,
     sample_hash,
@@ -161,6 +166,8 @@ __all__ = [
     "sample_mixture",
     "pack_shards",
     "shard_manifest",
+    "pack_sequences",
+    "sequence_manifest",
     "contamination_hits",
     "decontaminate",
     "heavy_hitters",

@@ -41,7 +41,13 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["pack_shards", "shard_manifest", "range_bucket_boundaries"]
+__all__ = [
+    "pack_shards",
+    "shard_manifest",
+    "range_bucket_boundaries",
+    "pack_sequences",
+    "sequence_manifest",
+]
 
 # Sample keys per bucket when deriving boundaries — 128 gives equal-
 # frequency cuts within a few percent of exact, which only affects
@@ -177,4 +183,123 @@ def shard_manifest(
         F.sum(F.col(size_col).cast("long")).alias("bytes"),
         F.min(order_col).alias("first_key"),
         F.max(order_col).alias("last_key"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    context_len: int,
+    n_buckets: Optional[int] = None,
+    boundaries: Optional[Sequence] = None,
+) -> DataFrame:
+    """Sequence packing — bin documents into fixed ``context_len``-token
+    training sequences (the pretraining batch-assembly step: concatenate
+    short documents so ~every context is full instead of padded).
+
+    Output: input columns + ``seq_id`` (long, globally unique) +
+    ``seq_pos`` (0-based slot of the doc within its sequence) +
+    ``oversize`` (doc longer than the context: it gets a sequence of its
+    own, flagged — truncation policy belongs to the trainer, not the
+    packer).
+
+    Distribution and determinism use the same recipe as
+    :func:`pack_shards`: documents are range-bucketed by the unique
+    ``id_col`` against driver-derived literal boundaries (bucket = pure
+    function of the id), and each bucket runs first-fit-decreasing in
+    one Arrow-grouped pass — so the packing is byte-identical across
+    partitionings, AQE settings and retries, and resumable exports
+    re-ship the same sequences. FFD is applied PER BUCKET: each bucket
+    independently carries the FFD guarantee (<= 11/9 OPT + 1 bins), and
+    cross-bucket waste stays bounded because every bucket but its last
+    open bins are near-full; global-optimal packing would serialize the
+    corpus and is not the trade a 10^12-row export wants.
+    """
+    import pandas as pd
+
+    if context_len <= 0:
+        raise ValueError(f"context_len must be positive, got {context_len}")
+    if boundaries is None:
+        if n_buckets is None:
+            n_buckets = max(
+                int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+                1,
+            )
+        boundaries = range_bucket_boundaries(df, id_col, n_buckets)
+    else:
+        boundaries = list(boundaries)
+        if any(boundaries[i] >= boundaries[i + 1] for i in range(len(boundaries) - 1)):
+            raise ValueError("boundaries must be strictly ascending")
+    bucketed = df.withColumn("_bkt", _bucket_expr(id_col, boundaries))
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("seq_id", T.LongType(), False),
+            T.StructField("seq_pos", T.IntegerType(), False),
+            T.StructField("oversize", T.BooleanType(), False),
+        ]
+    )
+
+    L = int(context_len)
+
+    def ffd(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bkt = int(key[0])
+        base = bkt << 40
+        p = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        fills: list = []   # remaining capacity per open bin
+        counts: list = []  # docs placed per bin
+        seq_ids, seq_poss, overs = [], [], []
+        for tok in p[token_col].astype("int64"):
+            t = int(tok)
+            if t > L:
+                fills.append(-1)  # oversize bin: never reused
+                counts.append(1)
+                seq_ids.append(base + len(fills) - 1)
+                seq_poss.append(0)
+                overs.append(True)
+                continue
+            placed = False
+            for b in range(len(fills)):
+                if fills[b] >= t:
+                    seq_ids.append(base + b)
+                    seq_poss.append(counts[b])
+                    overs.append(False)
+                    fills[b] -= t
+                    counts[b] += 1
+                    placed = True
+                    break
+            if not placed:
+                fills.append(L - t)
+                counts.append(1)
+                seq_ids.append(base + len(fills) - 1)
+                seq_poss.append(0)
+                overs.append(False)
+        p["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        p["seq_pos"] = pd.Series(seq_poss, dtype="int32")
+        p["oversize"] = pd.Series(overs, dtype="bool")
+        return p.drop(columns=["_bkt"])
+
+    return bucketed.groupBy("_bkt").applyInPandas(ffd, out_schema)
+
+
+def sequence_manifest(packed: DataFrame, *, token_col: str, context_len: int) -> DataFrame:
+    """Per-sequence rollup of a :func:`pack_sequences` output:
+    ``[seq_id, n_docs, fill_tokens, waste_tokens, oversize]`` — the
+    padding-efficiency report (sum(waste)/sum(L) is the padding rate a
+    trainer would eat)."""
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(token_col).cast("long")).alias("fill_tokens"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.lit(int(context_len)) - F.sum(F.col(token_col).cast("long")),
+        ).alias("waste_tokens"),
+        F.max("oversize").alias("oversize"),
     )
