@@ -410,3 +410,30 @@ def test_merge_pruning_with_zorder_clustered_table(spark, tmp_path):
     assert s["files_rewritten"] < 4 and s["files_kept"] >= 1, s
     got = {(r.x, r.y): r.payload for r in t.read().collect()}
     assert got[(0, 0)] == "NEW" and got[(15, 15)] == "p15_15" and len(got) == 256
+
+
+def test_compact_data_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "cd"))
+    # many tiny appends -> many tiny files
+    for i in range(6):
+        t.append(_df(spark, range(i * 10, i * 10 + 10)).coalesce(1), stat_cols=("id",))
+    assert len(t.scan_files()) == 6
+    before = sorted((r.id, r.v) for r in t.read().collect())
+    t.compact_data_files(target_bytes=10**9, stat_cols=("id",), sort_cols=("id",))
+    after_entries = t.scan_files()
+    assert len(after_entries) == 1
+    assert sorted((r.id, r.v) for r in t.read().collect()) == before
+    s = t.snapshots()[-1]["summary"]
+    assert s["compacted_from_files"] == 6
+    # re-clustered: the single file's id stats span the full range
+    assert after_entries[0]["stats"]["id"] == [0, 59]
+    # idempotent: already-compacted table is a metadata no-op
+    head = t.current_seq()
+    assert t.compact_data_files(target_bytes=1, stat_cols=("id",)) == head
+    # folds MoR tombstones as a side effect
+    t.delete_rows(spark.createDataFrame([(5,)], "id long"), ("id",), mode="mor")
+    t.compact_data_files(target_bytes=10**9, stat_cols=("id",))
+    assert t.read().count() == 59
+    assert not SnapshotTable._split_entries(
+        t._manifest_entries(t._load_snapshot(t.current_seq()))
+    )[1]

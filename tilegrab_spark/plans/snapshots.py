@@ -620,6 +620,54 @@ class SnapshotTable:
                 f"mor-delete on {self.root} lost the CAS race at seq {parent + 1}"
             )
 
+    def compact_data_files(
+        self,
+        *,
+        target_bytes: int = 128 * 1024 * 1024,
+        stat_cols: tuple[str, ...] = (),
+        sort_cols: tuple[str, ...] = (),
+        summary: dict | None = None,
+    ) -> int:
+        """Rewrite the table's content into ~``target_bytes`` data files
+        — the small-files answer (a streaming ingest or many tiny merges
+        leave thousands of KB-sized files whose per-file open/footer
+        cost dominates scans). Folds merge-on-read tombstones as a side
+        effect (the rewrite IS a materialization). ``sort_cols`` re-
+        clusters rows during the rewrite (e.g. the Morton key) so the
+        new files regain tight min/max stats for pruning. CAS against
+        the current snapshot; a no-op returns the current seq when the
+        table already has no file smaller than ``target_bytes/2``."""
+        if target_bytes <= 0:
+            raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+        parent = self.current_seq()
+        if parent == 0:
+            raise SnapshotNotFound(f"empty table at {self.root}")
+        entries, tombs = self._split_entries(
+            self._manifest_entries(self._load_snapshot(parent))
+        )
+        if not tombs and all(
+            e["byte_size"] >= target_bytes // 2 for e in entries
+        ):
+            return parent
+        total = sum(e["byte_size"] for e in entries)
+        n_files = max(1, -(-total // target_bytes))
+        df = self.read()
+        if sort_cols:
+            df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+            df = df.sortWithinPartitions(*sort_cols)
+        else:
+            df = df.coalesce(n_files) if df.rdd.getNumPartitions() > n_files else df
+        return self.replace(
+            df,
+            stat_cols=stat_cols,
+            summary={
+                "compacted_from_files": len(entries),
+                "target_bytes": int(target_bytes),
+                **(summary or {}),
+            },
+            expected_parent=parent,
+        )
+
     def materialize_deletes(
         self, *, stat_cols: tuple[str, ...] = (), summary: dict | None = None
     ) -> int:
