@@ -216,6 +216,11 @@ def pack_sequences(
     cross-bucket waste stays bounded because every bucket but its last
     open bins are near-full; global-optimal packing would serialize the
     corpus and is not the trade a 10^12-row export wants.
+
+    Cost note: the in-bucket first-fit scan is O(docs x open bins); size
+    ``n_buckets`` so a bucket holds ~10^4-10^5 docs (open-bin counts stay
+    small because decreasing order closes bins quickly). Buckets are
+    independent tasks — more buckets = more parallelism AND cheaper FFD.
     """
     import pandas as pd
 
