@@ -73,6 +73,7 @@ from tilegrab_spark.operators.sampling import (
 )
 from tilegrab_spark.operators.decontaminate import contamination_hits, decontaminate
 from tilegrab_spark.operators.profile import profile_table
+from tilegrab_spark.operators.spans import duplicate_spans, scrub_spans
 from tilegrab_spark.operators.heavyhitters import (
     heavy_hitters,
     mg_candidates,
@@ -174,6 +175,8 @@ __all__ = [
     "mg_candidates",
     "skew_profile",
     "profile_table",
+    "duplicate_spans",
+    "scrub_spans",
     # text analysis
     "with_token_counts",
     "with_quality_score",
