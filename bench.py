@@ -367,6 +367,21 @@ def _llm_stages(spark, sf_dir, timed, stages):
 
         timed("decontaminate_full", q_decon)
 
+        def q_spans():
+            from tilegrab_spark.operators.spans import duplicate_spans
+
+            # k=20 over the synthetic ~60-token docs so real spans exist
+            return duplicate_spans(docs, k=20, min_docs=2).count()
+
+        timed("duplicate_spans_full", q_spans)
+
+        def q_hh():
+            from tilegrab_spark.operators.heavyhitters import heavy_hitters
+
+            return heavy_hitters(docs, "lang", min_frac=0.05).count()
+
+        timed("heavy_hitters_full", q_hh)
+
     def q_cc():
         d = docs.select("doc_id", "lang")
         a, b = d.alias("a"), d.alias("b")
