@@ -42,43 +42,6 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["contamination_hits", "decontaminate"]
 
 
-def _grams(
-    df: DataFrame, id_col: str, text_col: str, ks: list[int], out_id: str
-) -> DataFrame:
-    """[out_id, gram] — distinct word k-grams per document for every k
-    in ``ks``, one projection pass (no per-k scan). A document shorter
-    than k yields its whole token sequence for that k (``F.slice``
-    clamps), which can only ever match an equal-length gram; empty
-    grams are dropped (an all-whitespace document yields no rows).
-
-    The token split is materialized in its own projection BEFORE the
-    higher-order transforms: Catalyst does not common-subexpression-
-    eliminate across lambda boundaries, so referencing the split
-    expression inside the per-position lambda re-runs the regex split
-    once per gram position per k — measured 4-6x slower at sf0.1."""
-    df = df.select(
-        F.col(id_col),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
-    )
-    toks = F.col("__toks")
-    size = F.size(toks)
-
-    # one-arg closure factory: a 2-arg lambda would make F.transform bind
-    # the second parameter to the ARRAY POSITION, not the captured k
-    def gram_at(k: int):
-        return lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
-
-    per_k = [
-        F.transform(F.sequence(F.lit(0), F.greatest(size - k, F.lit(0))), gram_at(k))
-        for k in ks
-    ]
-    grams = F.array_distinct(F.flatten(F.array(*per_k)))
-    return (
-        df.select(F.col(id_col).alias(out_id), F.explode(grams).alias("gram"))
-        .filter(F.length("gram") > 0)
-    )
-
-
 def _eval_gram_lengths(eval_df: DataFrame, eval_text: str, n: int) -> list[int]:
     """Distinct ``min(n, token_count)`` over the eval set — the gram
     lengths the corpus must produce. Bounded collect (<= n values)."""
@@ -109,26 +72,44 @@ def contamination_hits(
     from. Docs with fewer than ``min_hits`` overlapping grams are
     absent (the clean majority never leaves the map side).
 
-    The eval side produces ``min(n, len)``-grams (ks=[n]: the slice
-    clamp IS that rule); the corpus side produces k-grams for every
-    length the eval set actually needs — see module docstring."""
+    The eval side produces ``min(n, len)``-grams (``clamp_short`` IS
+    that rule); the corpus side produces k-grams for every length the
+    eval set actually needs — see module docstring. The match runs in
+    64-bit rolling-hash space (``spans.rolling_gram_hashes`` — the hash
+    depends only on the token sequence, so clamped whole-document grams
+    meet eval grams of the same tokens; equality is exact w.h.p. at
+    ~2^-64 per compared pair, the suite's standard trade) — measured
+    3.5x over the prior Catalyst higher-order extraction at 80k docs
+    (7.3 -> 2.1 s, local[32]; the sf0.1 figure is fixed-cost-bound),
+    and the 8-byte hashes are what broadcasts, never gram text."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if min_hits < 1:
         raise ValueError(f"min_hits must be >= 1, got {min_hits}")
     from tilegrab_spark.operators.dedup import _with_min_parallelism
+    from tilegrab_spark.operators.spans import rolling_gram_hashes
 
     ks = _eval_gram_lengths(eval_df, eval_text, n)
-    eval_grams = _grams(eval_df, eval_id, eval_text, [n], "_eval_id")
+    eval_grams = (
+        rolling_gram_hashes(
+            eval_df, eval_id, eval_text, [n], out_id="_eval_id",
+            clamp_short=True,
+        )
+        .select("_eval_id", "h")
+        .distinct()
+    )
     # gram extraction is the CPU-heavy pass: guard against a
     # fewer-partitions-than-cores scan (single small parquet file = one
     # serial pass; a no-op on any real multi-split table)
-    corpus_grams = _grams(_with_min_parallelism(docs), doc_id, doc_text, ks, doc_id)
-    hits = corpus_grams.join(F.broadcast(eval_grams), "gram")
+    corpus_grams = rolling_gram_hashes(
+        _with_min_parallelism(docs), doc_id, doc_text, ks, out_id=doc_id,
+        clamp_short=True,
+    ).select(doc_id, "h")
+    hits = corpus_grams.join(F.broadcast(eval_grams), "h")
     return (
         hits.groupBy(doc_id)
         .agg(
-            F.countDistinct("gram").alias("n_hits"),
+            F.countDistinct("h").alias("n_hits"),
             F.countDistinct("_eval_id").alias("n_eval_docs"),
         )
         .filter(F.col("n_hits") >= min_hits)

@@ -42,7 +42,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from tilegrab_spark.operators.decontaminate import _eval_gram_lengths, _grams
+from tilegrab_spark.operators.decontaminate import _eval_gram_lengths
+from tilegrab_spark.operators.spans import rolling_gram_hashes
 
 __all__ = ["DeconStore"]
 
@@ -50,9 +51,17 @@ __all__ = ["DeconStore"]
 def _hashed_grams(
     df: DataFrame, id_col: str, text_col: str, ks: list[int], out_id: str
 ) -> DataFrame:
-    """[out_id, gram_hash] — distinct xxhash64'd word k-grams per doc."""
-    g = _grams(df, id_col, text_col, ks, out_id)
-    return g.select(out_id, F.xxhash64("gram").alias("gram_hash")).distinct()
+    """[out_id, k, gram_hash] — distinct rolling-hashed word k-grams per
+    doc for every k in ``ks``, ONE kernel pass (spans.rolling_gram_hashes
+    — the hash depends only on the token sequence, so the
+    decontamination clamp rule composes across store generations).
+    NOTE: the hash contract changed in round 4 from xxhash64-of-text to
+    the rolling polynomial; stores persisted under the old contract must
+    be rebuilt (mixed-contract tables would silently never match)."""
+    g = rolling_gram_hashes(
+        df, id_col, text_col, ks, out_id=out_id, clamp_short=True
+    )
+    return g.select(out_id, "k", F.col("h").alias("gram_hash")).distinct()
 
 
 class DeconStore:
@@ -117,19 +126,13 @@ class DeconStore:
         probe is a broadcast join (eval grams are benchmark-sized); the
         batch is never shuffled."""
         ks = self.ks_needed()
-        grams = _hashed_grams(new_docs, doc_id, text_col, ks, "doc_id")
-        # index k per gram so a later new-k reindex knows what's covered
-        per_k = [
-            _hashed_grams(new_docs, doc_id, text_col, [k], "doc_id")
-            .withColumn("k", F.lit(k))
-            for k in ks
-        ]
-        idx = per_k[0]
-        for p in per_k[1:]:
-            idx = idx.unionByName(p)
+        # one kernel pass emits (doc, k, hash) for every k — the k
+        # column is the reindex bookkeeping
+        idx = _hashed_grams(new_docs, doc_id, text_col, ks, "doc_id")
         idx.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
             "append"
         ).parquet(self._gram_path)
+        grams = idx.select("doc_id", "gram_hash").distinct()
 
         ev = self._read(self._eval_path)
         if ev is None:
@@ -180,21 +183,19 @@ class DeconStore:
                     f"eval batch needs corpus {missing}-grams which were never "
                     "indexed; pass corpus_df to allow the one-off reindex"
                 )
-            per_k = [
-                _hashed_grams(
-                    corpus_df, corpus_doc_id, corpus_text_col, [k], "doc_id"
-                ).withColumn("k", F.lit(k))
-                for k in missing
-            ]
-            add = per_k[0]
-            for p in per_k[1:]:
-                add = add.unionByName(p)
+            add = _hashed_grams(
+                corpus_df, corpus_doc_id, corpus_text_col, missing, "doc_id"
+            )
             add.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
                 "append"
             ).parquet(self._gram_path)
             g_index = self._read(self._gram_path)
 
-        ev_grams = _hashed_grams(new_eval, eval_id, text_col, [self.n], "eval_id")
+        # the kernel's k column is the REQUESTED k (= n); the store
+        # tracks the EFFECTIVE per-eval-doc k (min(n, len)) via ev_k
+        ev_grams = _hashed_grams(
+            new_eval, eval_id, text_col, [self.n], "eval_id"
+        ).select("eval_id", "gram_hash")
         ev_k = (
             new_eval.select(
                 F.col(eval_id).alias("eval_id"),
