@@ -45,12 +45,14 @@ from tilegrab_spark.operators.focal import focal_box_stats
 from tilegrab_spark.operators.rangejoin import interval_join, range_join
 from tilegrab_spark.operators.sketches import (
     cms_estimate,
+    cms_inner_product,
     cms_merge,
     cms_sketch,
     hll_distinct,
     hll_merge,
     hll_registers,
     hll_summary,
+    join_size_estimate,
     kmv_estimate,
     kmv_merge,
     kmv_set_estimates,
@@ -203,6 +205,8 @@ __all__ = [
     "cms_sketch",
     "cms_merge",
     "cms_estimate",
+    "cms_inner_product",
+    "join_size_estimate",
     # multimodal
     "image_features",
     "resize_images",

@@ -51,6 +51,8 @@ __all__ = [
     "cms_sketch",
     "cms_merge",
     "cms_estimate",
+    "cms_inner_product",
+    "join_size_estimate",
     "quantile_sketch",
     "quantile_merge",
     "quantile_estimate",
@@ -568,3 +570,66 @@ def quantile_estimate(
         .filter(F.col("_vr") == F.col("_target"))
         .select(*gcols, "q", F.col("v").alias("value"))
     )
+
+
+def cms_inner_product(
+    a: DataFrame, b: DataFrame, *, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """JOIN-SIZE estimation from two CMS register tables (the classic
+    AMS/CMS inner-product result): ``|A JOIN B ON key|`` equals
+    ``sum_k f_A(k) * f_B(k)``, and the per-row register dot product
+    ``sum_b a[r,b]*b[r,b]`` overcounts it by at most ``N_A*N_B/w`` in
+    expectation — so ``MIN`` over the d rows is an upper-biased
+    estimate that NEVER undercounts. Output: ``[*group_cols,
+    join_size_est]``.
+
+    Why it matters at 100 TB: the estimate costs two fixed-size
+    sketches (one map-side-combinable pass each, or reuse of sketches
+    a daily pipeline already persists) and decides the expensive
+    question BEFORE the join runs — broadcast vs shuffle vs salt, or
+    "this join explodes 1000x, stop". Both sketches must share (d, w)
+    and the engine's bucket-hash contract (``cms_sketch`` defaults);
+    absent buckets are zero, so the sparse registers inner-join.
+    """
+    gcols = list(group_cols)
+    # a hash row with NO matching buckets has inner product 0 — it must
+    # win the MIN, but the sparse inner join drops it entirely. Guard by
+    # the register depth: fewer present rows than d means some row had
+    # zero intersection, so the estimate is 0 (exact on that row).
+    d_max = a.agg(F.max("row")).first()[0]
+    if d_max is None:
+        return a.select(
+            *gcols, F.lit(0).cast("long").alias("join_size_est")
+        ).limit(0)
+    d = int(d_max) + 1
+    an = a.select(*gcols, "row", "bucket", F.col("cnt").alias("_ca"))
+    bn = b.select(*gcols, "row", "bucket", F.col("cnt").alias("_cb"))
+    prods = an.join(bn, on=gcols + ["row", "bucket"]).withColumn(
+        "_p", F.col("_ca") * F.col("_cb")
+    )
+    row_sums = prods.groupBy(*gcols, "row").agg(F.sum("_p").alias("_rs"))
+    return row_sums.groupBy(*gcols).agg(
+        F.when(F.count(F.lit(1)) >= F.lit(d), F.min("_rs"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("join_size_est")
+    )
+
+
+def join_size_estimate(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    *,
+    key_a: str,
+    key_b: str | None = None,
+    d: int = 4,
+    w: int = 8192,
+) -> int:
+    """Convenience one-shot: sketch both sides and return the estimated
+    equi-join output row count (an int; never undercounts, overcount
+    ~ N_A*N_B/w). For repeated planning, persist the sketches with
+    ``cms_sketch`` and call :func:`cms_inner_product` directly."""
+    sa = cms_sketch(df_a, key_col=key_a, d=d, w=w)
+    sb = cms_sketch(df_b, key_col=key_b or key_a, d=d, w=w)
+    rows = cms_inner_product(sa, sb).collect()
+    return int(rows[0]["join_size_est"]) if rows else 0
