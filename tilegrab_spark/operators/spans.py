@@ -38,12 +38,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["duplicate_spans", "scrub_spans"]
+__all__ = ["duplicate_spans", "scrub_spans", "rolling_gram_hashes"]
 
 
-def _gram_hits(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """[_id, pos, h] — a 64-bit rolling-polynomial hash of every k-gram
-    with its token position; documents shorter than k emit nothing.
+def rolling_gram_hashes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ks: list[int],
+    *,
+    out_id: str = "_id",
+    clamp_short: bool = False,
+) -> DataFrame:
+    """[out_id, k, pos, h] — a 64-bit rolling-polynomial hash of every
+    k-token-gram for every k in ``ks``, with token position. The hash
+    depends only on the token SEQUENCE (not on k), so a clamped
+    whole-document gram equals an eval-side gram of the same tokens.
+
+    ``clamp_short=True`` applies the decontamination convention: a
+    document shorter than k emits its whole token sequence as one gram
+    at pos 0 for that k; ``False`` (the span-dedup convention) emits
+    nothing. All-whitespace/empty documents emit nothing either way.
 
     This is an Arrow kernel, not a Catalyst higher-order expression: a
     per-position slice+concat+hash lambda evaluates interpreted at
@@ -60,10 +75,14 @@ def _gram_hits(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError(f"ks must be non-empty positive ints, got {ks}")
+    ks = sorted(set(int(k) for k in ks))
     id_field = df.schema[id_col]
     out_schema = T.StructType(
         [
-            T.StructField("_id", id_field.dataType, True),
+            T.StructField(out_id, id_field.dataType, True),
+            T.StructField("k", T.IntegerType(), False),
             T.StructField("pos", T.IntegerType(), False),
             T.StructField("h", T.LongType(), False),
         ]
@@ -74,41 +93,56 @@ def _gram_hits(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         with np.errstate(over="ignore"):
             for pdf in batches:
-                ids, poss, flat_tokens, doc_of, start_of = [], [], [], [], []
+                flat_tokens, doc_of, start_of = [], [], []
                 for did, text in zip(pdf[id_col], pdf[text_col]):
-                    toks = ws.split(text.strip().lower()) if text is not None else [""]
-                    n = len(toks)
-                    if n < k:
+                    s = text.strip().lower() if text is not None else ""
+                    if not s:
                         continue
+                    toks = ws.split(s)
                     start_of.append(len(flat_tokens))
                     flat_tokens.extend(toks)
-                    doc_of.append((did, n))
+                    doc_of.append((did, len(toks)))
                 if not doc_of:
                     continue
                 th = pd.util.hash_array(
                     np.asarray(flat_tokens, dtype=object)
                 ).astype(np.uint64)
-                out_id, out_pos, out_h = [], [], []
-                for (did, n), s in zip(doc_of, start_of):
-                    hs = th[s : s + n]
-                    npos = n - k + 1
-                    acc = np.zeros(npos, dtype=np.uint64)
-                    for j in range(k):
-                        acc = acc * B + hs[j : j + npos]
-                    out_id.append(np.full(npos, did, dtype=object))
-                    out_pos.append(np.arange(npos, dtype=np.int32))
-                    out_h.append(acc.view(np.int64))
-                yield pd.DataFrame(
-                    {
-                        "_id": np.concatenate(out_id),
-                        "pos": np.concatenate(out_pos),
-                        "h": np.concatenate(out_h),
-                    }
-                )
+                out_id_v, out_k, out_pos, out_h = [], [], [], []
+                for (did, n), s0 in zip(doc_of, start_of):
+                    hs = th[s0 : s0 + n]
+                    for k in ks:
+                        kk = min(k, n) if clamp_short else k
+                        if n < kk:
+                            continue
+                        npos = n - kk + 1
+                        if clamp_short and n < k:
+                            npos = 1  # the single whole-sequence gram
+                        acc = np.zeros(npos, dtype=np.uint64)
+                        for j in range(kk):
+                            acc = acc * B + hs[j : j + npos]
+                        out_id_v.append(np.full(npos, did, dtype=object))
+                        out_k.append(np.full(npos, k, dtype=np.int32))
+                        out_pos.append(np.arange(npos, dtype=np.int32))
+                        out_h.append(acc.view(np.int64))
+                if out_h:
+                    yield pd.DataFrame(
+                        {
+                            out_id: np.concatenate(out_id_v),
+                            "k": np.concatenate(out_k),
+                            "pos": np.concatenate(out_pos),
+                            "h": np.concatenate(out_h),
+                        }
+                    )
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         kernel, out_schema
     )
+
+
+def _gram_hits(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """[_id, pos, h] — every k-gram's rolling hash with position;
+    documents shorter than k emit nothing (no span of length k)."""
+    return rolling_gram_hashes(df, id_col, text_col, [k]).drop("k")
 
 
 def duplicate_spans(
