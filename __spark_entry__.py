@@ -824,7 +824,13 @@ def _ann_topk(spark, sf):
       identical to exact top-k, so the DuckDB exact-cosine oracle pins
       the whole machinery — k-means assignment, probe routing, per-list
       scan, ranking. The recall-gated PARTIAL-probe behaviour (the
-      actual scale path) is asserted in tests/test_similarity.py."""
+      actual scale path) is asserted in tests/test_similarity.py.
+    - ``pq``: product-quantization search (operators/quantization.py)
+      with a FULL-WIDTH candidate list: pq_topk at k >= N makes the
+      exact-cosine re-rank provably identical to exact top-k, so the
+      same oracle pins codebook training, encoding, the ADC scan and
+      the re-rank join. ADC *pruning* quality (the scale path: small
+      candidate lists) is asserted in tests/test_quantization.py."""
     from tilegrab_spark.operators.similarity import (
         ann_topk_ivf,
         assign_lists,
@@ -855,7 +861,26 @@ def _ann_topk(spark, sf):
         F.col("rank").cast("long").alias("rank"),
         F.lit("ivf").alias("variant"),
     )
-    return exact.unionByName(ivf)
+    from tilegrab_spark.operators.quantization import (
+        encode_pq,
+        pq_topk,
+        rerank_exact,
+        train_pq,
+    )
+
+    books = train_pq(emb, m=8, nbits=4, iters=3, sample=512)
+    codes = encode_pq(emb, books)
+    q6 = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = pq_topk(q6, codes, books, k=1_000_000)  # full width: re-rank is exact
+    pq = rerank_exact(cand, q6, emb, k=7).select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.lit("pq").alias("variant"),
+    )
+    return exact.unionByName(ivf).unionByName(pq)
 
 
 _ANN_TOPK_SQL = """
@@ -873,6 +898,11 @@ SELECT query_id, vec_id, rank, 'ivf' AS variant FROM (
   SELECT query_id, vec_id,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
   FROM scored WHERE query_id < 4) WHERE rank <= 5
+UNION ALL
+SELECT query_id, vec_id, rank, 'pq' AS variant FROM (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored WHERE query_id < 6) WHERE rank <= 7
 """
 
 
@@ -2553,13 +2583,235 @@ FROM leaf GROUP BY band
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 contract rows: union-tagged folds (driver window economy) + the
+# round-4 operator suite (span dedup, exact heavy hitters, table profiling).
+
+
+def _semi_anti_joins(spark, sf):
+    """J2 semi + J3 anti in ONE union-tagged row (driver window economy;
+    both were individually green in CORRECTNESS_r03). Variant columns:
+    ``val_s`` carries the semi row's mktsegment, ``val_d`` the anti
+    row's acctbal; the unused slot is NULL."""
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    big = o.filter(F.col("o_totalprice") > 100000)
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_mktsegment").alias("val_s"),
+        F.lit(None).cast("double").alias("val_d"),
+        F.lit("semi").alias("variant"),
+    )
+    big3 = o.filter(F.col("o_totalprice") > 300000)
+    anti = c.join(big3, c.c_custkey == big3.o_custkey, "left_anti").select(
+        "c_custkey",
+        "c_name",
+        F.lit(None).cast("string").alias("val_s"),
+        F.col("c_acctbal").cast("double").alias("val_d"),
+        F.lit("anti").alias("variant"),
+    )
+    return semi.unionByName(anti)
+
+
+_SEMI_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment AS val_s,
+       CAST(NULL AS DOUBLE) AS val_d, 'semi' AS variant
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+UNION ALL
+SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS val_s,
+       c_acctbal::DOUBLE AS val_d, 'anti' AS variant
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+def _hll_sketch_rows(spark, sf):
+    """Both HLL surfaces in ONE union-tagged row: the one-shot grouped
+    sketch (operators/sketches.py, orders/o_custkey registers) and the
+    snapshot-backed incremental store folded across two ingest batches
+    (streaming/sketch_stream.py, documents/doc_id). Register-level
+    equality with the SQL re-derivation pins hash, bucket split, rank,
+    per-bucket MAX and the fold path — see the per-variant docstrings
+    on ``_hll_sketch`` / ``_incremental_hll``."""
+    a = _hll_sketch(spark, sf).select(
+        F.col("o_orderpriority").alias("grp"),
+        "zeros",
+        "sum_rho",
+        "harm_s40",
+        F.lit("grouped").alias("variant"),
+    )
+    b = _incremental_hll(spark, sf).select(
+        F.col("lang").alias("grp"),
+        "zeros",
+        "sum_rho",
+        "harm_s40",
+        F.lit("incremental").alias("variant"),
+    )
+    return a.unionByName(b)
+
+
+def _hll_sketch_rows_sql() -> str:
+    return f"""
+SELECT o_orderpriority AS grp, zeros, sum_rho, harm_s40, 'grouped' AS variant
+FROM ({_HLL_SQL})
+UNION ALL
+SELECT lang AS grp, zeros, sum_rho, harm_s40, 'incremental' AS variant
+FROM ({_INCR_HLL_SQL})
+"""
+
+
+def _jaccard_lsh_pairs(spark, sf):
+    """Both text near-dup pair generators in ONE union-tagged row:
+    exact word-Jaccard via the inverted-index blocked join and
+    MinHash-LSH banding verified by exact Jaccard (same threshold
+    machinery, fully re-derived by the oracle — see ``_word_jaccard`` /
+    ``_minhash_pairs``)."""
+    a = _word_jaccard(spark, sf).withColumn("variant", F.lit("word"))
+    b = _minhash_pairs(spark, sf).withColumn("variant", F.lit("lsh"))
+    return a.unionByName(b)
+
+
+def _jaccard_lsh_sql() -> str:
+    return f"""
+SELECT id_a, id_b, jaccard, 'word' AS variant FROM ({_JACCARD_SQL})
+UNION ALL
+SELECT id_a, id_b, jaccard, 'lsh' AS variant FROM ({_minhash_lsh_sql()})
+"""
+
+
+def _span_dedup(spark, sf):
+    """Duplicated-span detection (operators/spans.py::duplicate_spans,
+    the ExactSubstr-style pass): maximal token intervals covered by
+    20-grams that occur >= 2 times corpus-wide in >= 2 distinct
+    documents. The oracle re-derives grams as STRINGS (the engine's
+    64-bit rolling hash equality == string equality, collision-free at
+    any test SF) and replays the same gaps-and-islands merge in SQL
+    window functions — positions, interval bounds and gram counts all
+    pinned exactly."""
+    from tilegrab_spark.operators.spans import duplicate_spans
+
+    d = _t(spark, sf, "documents")
+    return duplicate_spans(d, k=20, min_count=2, min_docs=2)
+
+
+_SPAN_SQL = r"""
+WITH dt AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+g AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 20 + 1)) AS i
+  FROM dt WHERE len(toks) >= 20
+),
+grams AS (
+  SELECT doc_id, (i - 1)::INTEGER AS pos,
+         array_to_string(toks[i : i + 19], ' ') AS gram
+  FROM g
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING count(*) >= 2 AND count(DISTINCT doc_id) >= 2
+),
+marked AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 20
+              THEN 1 ELSE 0 END AS newf
+  FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+)
+SELECT doc_id, min(pos) AS start_tok, (max(pos) + 20)::INTEGER AS end_tok,
+       count(*)::BIGINT AS n_grams
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+def _heavy_hitters(spark, sf):
+    """Exact corpus-wide heavy hitters over word tokens
+    (operators/heavyhitters.py): per-partition Misra-Gries summaries ->
+    candidate set -> broadcast-semi-join exact verify, identical to
+    GROUP BY w HAVING count >= ceil(min_frac * N) without ever
+    shuffling the full key space. The oracle IS that GROUP BY."""
+    from tilegrab_spark.operators.heavyhitters import heavy_hitters
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    return heavy_hitters(toks, "w", min_frac=0.034)
+
+
+_HH_SQL = r"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+t AS (SELECT CAST(CEIL(0.034 * count(*)) AS BIGINT) AS thr FROM w)
+SELECT w, count(*)::BIGINT AS cnt FROM w GROUP BY w
+HAVING count(*) >= (SELECT thr FROM t)
+"""
+
+
+def _profile_table(spark, sf):
+    """One-pass table profiling (operators/profile.py): per-column row/
+    null/exact-distinct counts, stringified min/max, avg string length —
+    the scan-planning stats a 100 TB ingest wants before choosing
+    partition keys. ``exact=True`` so the oracle can re-derive every
+    number with plain aggregates."""
+    from tilegrab_spark.operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf, "documents"),
+        ["doc_id", "lang", "source", "n_chars", "text"],
+        exact=True,
+    )
+
+
+_PROFILE_SQL = """
+SELECT 'doc_id' AS "column", 'bigint' AS dtype, count(*)::BIGINT AS n_rows,
+       (count(*) - count(doc_id))::BIGINT AS n_null,
+       count(DISTINCT doc_id)::BIGINT AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_value,
+       CAST(max(doc_id) AS VARCHAR) AS max_value,
+       CAST(NULL AS DOUBLE) AS avg_str_len
+FROM documents
+UNION ALL
+SELECT 'lang', 'string', count(*)::BIGINT, (count(*) - count(lang))::BIGINT,
+       count(DISTINCT lang)::BIGINT, min(lang), max(lang),
+       avg(length(lang))::DOUBLE
+FROM documents
+UNION ALL
+SELECT 'source', 'string', count(*)::BIGINT, (count(*) - count(source))::BIGINT,
+       count(DISTINCT source)::BIGINT, min(source), max(source),
+       avg(length(source))::DOUBLE
+FROM documents
+UNION ALL
+SELECT 'n_chars', 'bigint', count(*)::BIGINT, (count(*) - count(n_chars))::BIGINT,
+       count(DISTINCT n_chars)::BIGINT,
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+       CAST(NULL AS DOUBLE)
+FROM documents
+UNION ALL
+SELECT 'text', 'string', count(*)::BIGINT, (count(*) - count(text))::BIGINT,
+       count(DISTINCT text)::BIGINT, min(text), max(text),
+       avg(length(text))::DOUBLE
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
         "q3_shipping_priority": _q3_shipping,
         "equi_join_j1": _equi_join,
-        "semi_join_j2": _semi_join,
-        "anti_join_j3": _anti_join,
+        "semi_anti_joins": _semi_anti_joins,
         "extent_agg_a1": _extent_agg,
         "limit_set_except": _limit_set_except,
         "window_row_number": _window_topn,
@@ -2572,14 +2824,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_interop_keys": _tile_interop,
         "bbox_enum_f1": _bbox_enum,
         "dedup_exact": _dedup_exact,
-        "word_jaccard_pairs": _word_jaccard,
+        "jaccard_lsh_pairs": _jaccard_lsh_pairs,
         "text_signals": _text_signals,
         "ann_topk": _ann_topk,
         "knn_cell_ring": _knn_cells,
         "connected_components": _cc_islands,
         "embedding_cosine_pairs": _embedding_pairs,
         "clean_corpus_pipeline": _clean_corpus,
-        "minhash_lsh_pairs": _minhash_pairs,
         "incremental_lsh_pairs": _incremental_lsh,
         "sql_surface_tile_math": _sql_surface,
         "hamming_pairs": _hamming_family,
@@ -2595,16 +2846,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_pipeline": _mosaic_meta,
         "mosaic_plan_w1": _mosaic_plan,
         "zonal_stats_t": _zonal_stats_t,
-        "hll_distinct_sketch": _hll_sketch,
+        "hll_sketch_rows": _hll_sketch_rows,
         "kmv_sketch_ops": _kmv_sketch_ops,
         "asof_join_events": _asof_events,
         "range_join_bands": _range_join_bands,
         "cms_frequencies": _cms_counts,
-        "incremental_hll_store": _incremental_hll,
         "sessionize_events": _sessionize,
         "pii_clean_scrub": _clean_scrub,
         "decontaminate_hits": _decontaminate_hits,
         "mixture_sample": _mixture_sample,
+        "span_dedup": _span_dedup,
+        "heavy_hitters": _heavy_hitters,
+        "profile_table": _profile_table,
     }
 
 
@@ -2613,8 +2866,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": _Q1_SQL,
         "q3_shipping_priority": _Q3_SQL,
         "equi_join_j1": _EQUI_SQL,
-        "semi_join_j2": _SEMI_SQL,
-        "anti_join_j3": _ANTI_SQL,
+        "semi_anti_joins": _SEMI_ANTI_SQL,
         "extent_agg_a1": _EXTENT_SQL,
         "limit_set_except": _LIMIT_SET_SQL,
         "window_row_number": _WINDOW_SQL,
@@ -2628,12 +2880,11 @@ def oracle_sql() -> dict[str, str]:
         "bbox_enum_f1": _BBOX_SQL,
         "mosaic_plan_w1": _MOSAIC_PLAN_SQL,
         "zonal_stats_t": _zonal_sql(),
-        "hll_distinct_sketch": _HLL_SQL,
+        "hll_sketch_rows": _hll_sketch_rows_sql(),
         "kmv_sketch_ops": _KMV_OPS_SQL,
         "asof_join_events": _ASOF_SQL,
         "range_join_bands": _RANGE_JOIN_SQL,
         "cms_frequencies": _CMS_SQL,
-        "incremental_hll_store": _INCR_HLL_SQL,
         "hamming_pairs": _HAMMING_FAMILY_SQL,
         "cross_modal_pairs": _cross_modal_sql(),
         "tile_diff_epochs": _tile_diff_sql(),
@@ -2646,18 +2897,20 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _SESSION_SQL,
         "text_fingerprints": _text_fingerprints_sql(),
         "dedup_exact": _DEDUP_SQL,
-        "word_jaccard_pairs": _JACCARD_SQL,
+        "jaccard_lsh_pairs": _jaccard_lsh_sql(),
         "text_signals": _text_signals_sql(),
         "ann_topk": _ANN_TOPK_SQL,
         "knn_cell_ring": _knn_sql(),
         "connected_components": _CC_SQL,
         "embedding_cosine_pairs": _EMB_PAIRS_SQL,
         "clean_corpus_pipeline": _CLEAN_SQL,
-        "minhash_lsh_pairs": _minhash_lsh_sql(),
         "incremental_lsh_pairs": _incremental_lsh_sql(),
         "sql_surface_tile_math": _sql_surface_sql(),
         "mosaic_pipeline": _mosaic_pixels_sql(),
         "pii_clean_scrub": _clean_scrub_sql(),
         "decontaminate_hits": _DECON_SQL,
         "mixture_sample": _mixture_sql(),
+        "span_dedup": _SPAN_SQL,
+        "heavy_hitters": _HH_SQL,
+        "profile_table": _PROFILE_SQL,
     }

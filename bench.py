@@ -262,6 +262,14 @@ def main():
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # word_jaccard_pairs / hll_distinct_sketch keep their historical
+    # bench names (comparable across BENCH_r* rounds) though the
+    # contract registry now folds them into union-tagged rows
+    qs = dict(
+        qs,
+        word_jaccard_pairs=entrymod._word_jaccard,
+        hll_distinct_sketch=entrymod._hll_sketch,
+    )
     for name in () if stages != "all" else (
         "q1_pricing_summary",
         "equi_join_j1",
