@@ -136,6 +136,57 @@ def _focal_plan(spark, images):
     return plan_of(focal_box_stats(images, radius=1))
 
 
+def _decon_plan(spark):
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.decontaminate import contamination_hits
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return plan_of(contamination_hits(docs, ev, n=8))
+
+
+def _heavy_plan(spark):
+    from tilegrab_spark.operators.heavyhitters import heavy_hitters
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    return plan_of(heavy_hitters(docs, "lang", min_frac=0.05))
+
+
+def _ivfpq_plan(spark):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.quantization import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    tmp = tempfile.mkdtemp(prefix="tg_plan_ivfpq_")
+    try:
+        build_ivfpq_index(emb, tmp, n_centroids=8, m=4)
+        queries = emb.filter(F.col("vec_id") % 101 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return plan_of(
+            search_ivfpq_index(spark, tmp, queries, k=5, n_probe=2, rerank=20)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _span_plan(spark):
+    from tilegrab_spark.operators.spans import duplicate_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    return plan_of(duplicate_spans(docs, k=8))
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -230,10 +281,11 @@ def main():
             _tile_diff_plan(spark, images, tiles),
         ),
         (
-            "PLAN 9: shard packing (distributed prefix sum — range "
-            "repartition by key, per-partition window, tiny per-partition "
-            "totals window broadcast-joined back; no global single-task "
-            "window over the data)",
+            "PLAN 9: shard packing (deterministic distributed prefix sum — "
+            "bucket id is a LITERAL comparison chain over the order key, "
+            "computed from driver-derived range boundaries; per-bucket "
+            "window + tiny per-bucket totals broadcast-joined back; no "
+            "global single-task window, no repartitionByRange)",
             _shard_pack_plan(spark),
         ),
         (
@@ -267,6 +319,35 @@ def main():
             "neighbor strips — into the batched border assembly; "
             "reduce-side work scales with tile perimeter, not area)",
             _focal_plan(spark, images),
+        ),
+        (
+            "PLAN 15: benchmark decontamination (eval grams BROADCAST — the "
+            "corpus-side gram explode is never shuffled; both exchanges are "
+            "the countDistinct two-phase over HIT rows only — output-sized, "
+            "never corpus-sized)",
+            _decon_plan(spark),
+        ),
+        (
+            "PLAN 16: exact heavy hitters (per-partition Misra-Gries "
+            "MapInPandas summaries -> candidate distinct; the corpus-side "
+            "verify is a BROADCAST LEFT-SEMI (zero corpus shuffle) + "
+            "map-side partial count on candidate keys only)",
+            _heavy_plan(spark),
+        ),
+        (
+            "PLAN 17: IVF-PQ search (probed-list union as parquet "
+            "PartitionFilters on the code table; ADC MapInPandas emits "
+            "per-partition top-k candidates — the only exchange is the "
+            "candidate-sized window input)",
+            _ivfpq_plan(spark),
+        ),
+        (
+            "PLAN 18: span dedup (duplicated-span detection — the rolling-"
+            "gram explode ships (id, pos, hash) scalars only; duplicated "
+            "grams found by one map-side-combinable groupBy and BROADCAST "
+            "back onto the hit stream; islands form inside one per-doc "
+            "window — corpus text itself never shuffles)",
+            _span_plan(spark),
         ),
     ]
 
