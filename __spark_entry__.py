@@ -587,6 +587,22 @@ FROM t
 
 
 def _bbox_enum(spark, sf):
+    """F1 bbox enumeration + the multi-resolution cover pair in ONE
+    contract row (driver window economy), union-tagged by variant:
+
+    - ``enum``: the original F1 generate-as-predicate enumeration of
+      the T bbox at z=16;
+    - ``compact``: compact_cover (operators/cover.py) of the SAME bbox
+      enumerated at z=20 (~2,000 tiles — deep enough for 4 promotion
+      levels) with ~1% deterministic holes punched via the md5
+      sampling-hash contract — complete sibling quads collapse to
+      parents down to z=16, hole-adjacent quads stay expanded;
+    - ``uncompact``: the cover expanded back to z=20 — provably equal
+      to the holey set iff the cover is exact, so the oracle (which
+      compacts and expands independently in SQL) pins BOTH directions
+      round-trip."""
+    from tilegrab_spark.operators.cover import compact_cover, uncompact_cover
+    from tilegrab_spark.operators.sampling import sample_hash
     from tilegrab_spark.operators.tiles import enumerate_tiles
     from tilegrab_spark.sources.geometries import GeometrySet
     import numpy as np
@@ -596,7 +612,17 @@ def _bbox_enum(spark, sf):
         [[minx, miny], [minx, maxy], [maxx, maxy], [maxx, miny], [minx, miny]]
     )
     geom = GeometrySet(geom_id="T", polygons=[[ring]])
-    return enumerate_tiles(spark, geom, 16).select("z", "x", "y", "cell_id")
+    base = enumerate_tiles(spark, geom, 16).select("z", "x", "y", "cell_id")
+    deep = enumerate_tiles(spark, geom, 20).select("z", "x", "y", "cell_id")
+    holey = deep.filter(sample_hash(F.col("cell_id"), "cover") % 97 != 0)
+    cover = compact_cover(holey, 20, min_zoom=16)
+    back = uncompact_cover(cover, 20)
+    cols = [F.col("z").cast("int").alias("z"), "x", "y", "cell_id"]
+    return (
+        base.select(F.lit("enum").alias("variant"), *cols)
+        .unionByName(cover.select(F.lit("compact").alias("variant"), *cols))
+        .unionByName(back.select(F.lit("uncompact").alias("variant"), *cols))
+    )
 
 
 _BBOX_SQL = f"""
@@ -606,11 +632,63 @@ WITH corners AS (
     CAST(floor((({T_BBOX[2]} - {LL_EPS}) / 360.0 + 0.5 + {EPS}) * 65536.0) AS BIGINT) AS x1,
     CAST(floor((0.5 - 0.25 * ln((1.0 + sin(radians({T_BBOX[3]}))) / (1.0 - sin(radians({T_BBOX[3]})))) / pi() + {EPS}) * 65536.0) AS BIGINT) AS y0,
     CAST(floor((0.5 - 0.25 * ln((1.0 + sin(radians({T_BBOX[1]} + {LL_EPS}))) / (1.0 - sin(radians({T_BBOX[1]} + {LL_EPS})))) / pi() + {EPS}) * 65536.0) AS BIGINT) AS y1
-)
-SELECT 16 AS z, x0 + dxs.generate_series AS x, y0 + dys.generate_series AS y,
-  (16::BIGINT << 58) | ((x0 + dxs.generate_series) << 29) | (y0 + dys.generate_series) AS cell_id
-FROM corners, generate_series(0, 255) dxs, generate_series(0, 255) dys
-WHERE x0 + dxs.generate_series <= x1 AND y0 + dys.generate_series <= y1
+),
+corners20 AS (
+  SELECT
+    CAST(floor(({T_BBOX[0]} / 360.0 + 0.5 + {EPS}) * 1048576.0) AS BIGINT) AS x0,
+    CAST(floor((({T_BBOX[2]} - {LL_EPS}) / 360.0 + 0.5 + {EPS}) * 1048576.0) AS BIGINT) AS x1,
+    CAST(floor((0.5 - 0.25 * ln((1.0 + sin(radians({T_BBOX[3]}))) / (1.0 - sin(radians({T_BBOX[3]})))) / pi() + {EPS}) * 1048576.0) AS BIGINT) AS y0,
+    CAST(floor((0.5 - 0.25 * ln((1.0 + sin(radians({T_BBOX[1]} + {LL_EPS}))) / (1.0 - sin(radians({T_BBOX[1]} + {LL_EPS})))) / pi() + {EPS}) * 1048576.0) AS BIGINT) AS y1
+),
+base AS (
+  SELECT 16 AS z, x0 + dxs.generate_series AS x, y0 + dys.generate_series AS y,
+    (16::BIGINT << 58) | ((x0 + dxs.generate_series) << 29) | (y0 + dys.generate_series) AS cell_id
+  FROM corners, generate_series(0, 255) dxs, generate_series(0, 255) dys
+  WHERE x0 + dxs.generate_series <= x1 AND y0 + dys.generate_series <= y1
+),
+deep AS (
+  SELECT x0 + dxs.generate_series AS x, y0 + dys.generate_series AS y,
+    (20::BIGINT << 58) | ((x0 + dxs.generate_series) << 29) | (y0 + dys.generate_series) AS cell_id
+  FROM corners20, generate_series(0, 127) dxs, generate_series(0, 127) dys
+  WHERE x0 + dxs.generate_series <= x1 AND y0 + dys.generate_series <= y1
+),
+holey AS (
+  SELECT x, y FROM deep
+  WHERE ('0x' || substr(md5(cell_id::VARCHAR || 'cover'), 1, 15))::BIGINT % 97 <> 0
+),
+c20 AS (SELECT x >> 1 AS px, y >> 1 AS py, count(*) AS c FROM holey GROUP BY 1, 2),
+e20 AS (SELECT 20 AS z, f.x, f.y FROM holey f
+        JOIN c20 ON c20.px = f.x >> 1 AND c20.py = f.y >> 1 WHERE c20.c < 4),
+f19 AS (SELECT px AS x, py AS y FROM c20 WHERE c = 4),
+c19 AS (SELECT x >> 1 AS px, y >> 1 AS py, count(*) AS c FROM f19 GROUP BY 1, 2),
+e19 AS (SELECT 19 AS z, f.x, f.y FROM f19 f
+        JOIN c19 ON c19.px = f.x >> 1 AND c19.py = f.y >> 1 WHERE c19.c < 4),
+f18 AS (SELECT px AS x, py AS y FROM c19 WHERE c = 4),
+c18 AS (SELECT x >> 1 AS px, y >> 1 AS py, count(*) AS c FROM f18 GROUP BY 1, 2),
+e18 AS (SELECT 18 AS z, f.x, f.y FROM f18 f
+        JOIN c18 ON c18.px = f.x >> 1 AND c18.py = f.y >> 1 WHERE c18.c < 4),
+f17 AS (SELECT px AS x, py AS y FROM c18 WHERE c = 4),
+c17 AS (SELECT x >> 1 AS px, y >> 1 AS py, count(*) AS c FROM f17 GROUP BY 1, 2),
+e17 AS (SELECT 17 AS z, f.x, f.y FROM f17 f
+        JOIN c17 ON c17.px = f.x >> 1 AND c17.py = f.y >> 1 WHERE c17.c < 4),
+f16 AS (SELECT px AS x, py AS y FROM c17 WHERE c = 4),
+compact AS (
+  SELECT * FROM e20 UNION ALL SELECT * FROM e19 UNION ALL SELECT * FROM e18
+  UNION ALL SELECT * FROM e17 UNION ALL SELECT 16 AS z, x, y FROM f16
+),
+cid AS (SELECT z, x, y, (z::BIGINT << 58) | (x << 29) | y AS cell_id FROM compact)
+SELECT 'enum' AS variant, z, x, y, cell_id FROM base
+UNION ALL
+SELECT 'compact' AS variant, z, x, y, cell_id FROM cid
+UNION ALL
+SELECT 'uncompact' AS variant, 20 AS z,
+       c.x * (1 << (20 - c.z)) + dx.u AS x,
+       c.y * (1 << (20 - c.z)) + dy.u AS y,
+       (20::BIGINT << 58) | ((c.x * (1 << (20 - c.z)) + dx.u) << 29)
+         | (c.y * (1 << (20 - c.z)) + dy.u) AS cell_id
+FROM cid c,
+     LATERAL unnest(range(0, 1 << (20 - c.z))) AS dx(u),
+     LATERAL unnest(range(0, 1 << (20 - c.z))) AS dy(u)
 """
 
 
@@ -737,10 +815,12 @@ WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.6
 
 def _text_signals(spark, sf):
     """Per-document text-analysis signals in ONE contract row (driver
-    window economy): token counting, quality scoring, language-ID and
-    Gopher-style repetition — four operators over the same corpus,
-    joined on doc_id. Each sub-operator's full column set survives, so
-    the value hash pins all four independently-derived oracles at once."""
+    window economy): token counting, quality scoring, language-ID,
+    Gopher-style repetition and the hashed-linear classifier margin
+    (operators/classifier.py, deterministic integer test weights) —
+    five operators over the same corpus, joined on doc_id. Each
+    sub-operator's full column set survives, so the value hash pins
+    all five independently-derived oracles at once."""
     from tilegrab_spark.operators.text import (
         with_lang_id,
         with_quality_score,
@@ -768,7 +848,29 @@ def _text_signals(spark, sf):
         "dup_line_frac",
         "top_word_frac",
     )
-    return tk.join(q, "doc_id").join(lg, "doc_id").join(rp, "doc_id")
+    import hashlib
+
+    import numpy as np
+
+    from tilegrab_spark.operators.classifier import score_documents
+
+    w = np.array(
+        [
+            int(hashlib.md5(f"{i}w".encode()).hexdigest()[:15], 16) % 2001
+            - 1000
+            for i in range(64)
+        ],
+        dtype=np.int64,
+    )
+    cl = score_documents(d, w).select(
+        "doc_id", F.col("margin").alias("clf_margin")
+    )
+    return (
+        tk.join(q, "doc_id")
+        .join(lg, "doc_id")
+        .join(rp, "doc_id")
+        .join(cl, "doc_id")
+    )
 
 
 def _text_signals_sql() -> str:
@@ -776,11 +878,38 @@ def _text_signals_sql() -> str:
 SELECT tk.doc_id, tk.ws_tokens, tk.bpe_tokens,
        q.n_tokens, q.punct_ratio, q.n_stopwords, q.quality,
        lg.lang_pred,
-       rp.n_lines, rp.dup_line_frac, rp.top_word_frac
+       rp.n_lines, rp.dup_line_frac, rp.top_word_frac,
+       cl.clf_margin
 FROM ({_TOKENS_SQL}) tk
 JOIN ({_QUALITY_SQL}) q ON q.doc_id = tk.doc_id
 JOIN ({_lang_id_sql()}) lg ON lg.doc_id = tk.doc_id
 JOIN ({_REPETITION_SQL}) rp ON rp.doc_id = tk.doc_id
+JOIN ({_CLF_SQL}) cl ON cl.doc_id = tk.doc_id
+"""
+
+
+# hashed-linear classifier margin (operators/classifier.py) with the
+# deterministic integer test weights w[i] = md5_60(i||'w') % 2001 - 1000
+# over 64 features: integer arithmetic end-to-end, so the margin pins
+# tokenization, the md5 feature-hash contract, and the weighted sum
+# bit-for-bit (the sigmoid is a pure function of the margin, pytest-pinned)
+_CLF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       t -> t <> '')) AS tok
+  FROM documents),
+idxd AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(tok || 'qc'), 1, 15))::BIGINT % 64 AS idx
+  FROM toks),
+summed AS (
+  SELECT doc_id,
+    SUM((('0x' || substr(md5(idx::VARCHAR || 'w'), 1, 15))::BIGINT % 2001)
+        - 1000) AS m
+  FROM idxd GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.m, 0) AS clf_margin
+FROM documents d LEFT JOIN summed s ON s.doc_id = d.doc_id
 """
 
 
@@ -2330,8 +2459,16 @@ def _kmv_sketch_ops(spark, sf):
     with the set-operation path (kmv_merge + kmv_set_estimates): overlap
     evidence between the sketched viewer and clicker user sets, encoded
     as one extra row (event_type='overlap:view,click', pos=n_merged,
-    h=n_both). Everything integer, re-derived in SQL end-to-end; float
-    estimates are pytest-covered per the float policy."""
+    h=n_both). Round 4 adds the BLOOM FILTER variants on the same
+    (variant, pos, h) shape: 'bloom:view' rows ARE the register table
+    over viewer user_ids (pos=word_idx, h=the int64 word — pinning the
+    k-position md5 contract and the bit_or build end-to-end), and
+    'bloom_probe:click' is the probe summary (pos=#maybe-present
+    distinct clickers, h=#definitely-absent) — pinning the full probe
+    path incl. the no-false-negative guarantee relationally. Everything
+    integer, re-derived in SQL end-to-end; float estimates are
+    pytest-covered per the float policy."""
+    from tilegrab_spark.operators.bloom import bloom_build, bloom_probe
     from tilegrab_spark.operators.sketches import kmv_set_estimates, kmv_sketch
 
     ev = _t(spark, sf, "events")
@@ -2349,7 +2486,27 @@ def _kmv_sketch_ops(spark, sf):
         F.col("n_merged").cast("int").alias("pos"),
         F.col("n_both").cast("long").alias("h"),
     )
-    return sk.unionByName(ov)
+    views = ev.filter(F.col("event_type") == "view")
+    sketch = bloom_build(views, "user_id", m_bits=512, k_hashes=3)
+    bl = sketch.select(
+        F.lit("bloom:view").alias("event_type"),
+        F.col("word_idx").cast("int").alias("pos"),
+        F.col("bits").alias("h"),
+    )
+    clickers = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+    )
+    pr = (
+        bloom_probe(clickers, sketch, "user_id", m_bits=512, k_hashes=3)
+        .agg(
+            F.sum(F.col("maybe_present").cast("int")).cast("int").alias("pos"),
+            F.sum((~F.col("maybe_present")).cast("int")).cast("long").alias("h"),
+        )
+        .select(F.lit("bloom_probe:click").alias("event_type"), "pos", "h")
+    )
+    return sk.unionByName(ov).unionByName(bl).unionByName(pr)
 
 
 _KMV_OPS_SQL = """
@@ -2386,6 +2543,42 @@ SELECT 'overlap:view,click' AS event_type,
        SUM(CASE WHEN m.h IN (SELECT h FROM sa) AND m.h IN (SELECT h FROM sb)
            THEN 1 ELSE 0 END)::BIGINT AS h
 FROM m
+UNION ALL
+SELECT 'bloom:view' AS event_type, (bp >> 6)::INTEGER AS pos,
+       bit_or(CASE WHEN bp % 64 = 63 THEN -9223372036854775807 - 1
+                   ELSE 1::BIGINT << (bp % 64)::INTEGER END) AS h
+FROM (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'bloom' || j::VARCHAR), 1, 15))::BIGINT % 512 AS bp
+  FROM events, unnest([0, 1, 2]) AS t(j)
+  WHERE event_type = 'view'
+)
+GROUP BY 1, 2
+UNION ALL
+SELECT 'bloom_probe:click' AS event_type,
+       SUM(maybe)::INTEGER AS pos, SUM(1 - maybe)::BIGINT AS h
+FROM (
+  SELECT u, MIN(CASE WHEN (COALESCE(regs.bits, 0)
+             & (CASE WHEN pp.bp % 64 = 63 THEN -9223372036854775807 - 1
+                     ELSE 1::BIGINT << (pp.bp % 64)::INTEGER END)) <> 0
+             THEN 1 ELSE 0 END) AS maybe
+  FROM (
+    SELECT u, ('0x' || substr(md5(CAST(u AS VARCHAR) || 'bloom' || j::VARCHAR), 1, 15))::BIGINT % 512 AS bp
+    FROM (SELECT DISTINCT user_id AS u FROM events WHERE event_type = 'click'),
+         unnest([0, 1, 2]) AS t(j)
+  ) pp
+  LEFT JOIN (
+    SELECT (bp >> 6) AS w,
+           bit_or(CASE WHEN bp % 64 = 63 THEN -9223372036854775807 - 1
+                       ELSE 1::BIGINT << (bp % 64)::INTEGER END) AS bits
+    FROM (
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'bloom' || j::VARCHAR), 1, 15))::BIGINT % 512 AS bp
+      FROM events, unnest([0, 1, 2]) AS t(j)
+      WHERE event_type = 'view'
+    )
+    GROUP BY 1
+  ) regs ON regs.w = pp.bp >> 6
+  GROUP BY u
+)
 """
 
 

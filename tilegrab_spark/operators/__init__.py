@@ -10,6 +10,19 @@ from tilegrab_spark.operators.knn import knn_join
 from tilegrab_spark.operators.components import connected_components, dedup_by_components
 from tilegrab_spark.operators.pyramid import build_parent_level, build_pyramid
 from tilegrab_spark.operators.footprint import coverage_footprints
+from tilegrab_spark.operators.cover import compact_cover, uncompact_cover
+from tilegrab_spark.operators.classifier import (
+    hashed_token_features,
+    score_documents,
+    train_quality_classifier,
+)
+from tilegrab_spark.operators.bloom import (
+    bloom_anti_join,
+    bloom_build,
+    bloom_merge,
+    bloom_parameters,
+    bloom_probe,
+)
 from tilegrab_spark.operators.layout import (
     cluster_by_space,
     morton_bbox_predicate,

@@ -1,0 +1,155 @@
+"""Multi-resolution tile-cover compaction — the H3 ``compactCells`` /
+``uncompactCells`` pair re-expressed over slippy-map XYZ quadtree cells
+(reference scope: the tile sets produced by tiles/collection.py are
+always single-zoom; compaction is the standard engine extension that
+makes a billion-tile coverage storable and joinable as a few million
+mixed-zoom cells).
+
+``compact_cover`` replaces every complete sibling quad (all 4 children
+of one parent present) with the parent, recursively, down to
+``min_zoom``.  ``uncompact_cover`` expands a mixed-zoom cover back to a
+single target zoom.  ``uncompact_cover(compact_cover(S, z), z) == S``
+for any single-zoom tile set — the round-trip invariant the tests and
+the driver oracle pin.
+
+Shape notes for scale (the 100 TB argument):
+- level-synchronous bottom-up sweep, ``zoom - min_zoom`` rounds; the
+  frontier SHRINKS at least 4x per promoted level, so total shuffled
+  bytes are a geometric series dominated by the first round — O(|S|)
+  regardless of depth;
+- each round is ONE hash exchange on the parent key: the per-parent
+  child count and the child->parent join are co-partitioned on
+  (px, py), so Catalyst plans a single Exchange per round reused by
+  both sides (no broadcast of anything data-sized, no driver
+  round-trips — the round count is a pure function of the two zoom
+  arguments, never of the data);
+- ``uncompact_cover`` is a pure-Catalyst explode: each cover cell emits
+  its 4^(dz) descendants from two ``sequence`` generators JVM-side;
+  output size is exactly the covered-tile count, and generation is
+  embarrassingly parallel (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from tilegrab_spark.sources.images import cell_id_col
+
+__all__ = ["compact_cover", "uncompact_cover"]
+
+
+def _validated_zooms(zoom: int, min_zoom: int) -> tuple[int, int]:
+    zoom, min_zoom = int(zoom), int(min_zoom)
+    if not 0 <= zoom <= 29:
+        raise ValueError(f"zoom must be in [0, 29], got {zoom}")
+    if not 0 <= min_zoom <= zoom:
+        raise ValueError(
+            f"min_zoom must be in [0, zoom={zoom}], got {min_zoom}"
+        )
+    return zoom, min_zoom
+
+
+def compact_cover(
+    tiles: DataFrame,
+    zoom: int,
+    *,
+    min_zoom: int = 0,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Minimal mixed-zoom cover ``[z, x, y, cell_id]`` of a single-zoom
+    tile set.  ``tiles`` holds (x_col, y_col) tile indices all at
+    ``zoom`` (duplicates are fine — the cover is a set); parents are
+    only formed down to ``min_zoom``.  Every input tile is covered by
+    exactly one output cell, and no output cell covers a tile outside
+    the input (exact cover, not an approximation)."""
+    zoom, min_zoom = _validated_zooms(zoom, min_zoom)
+    frontier = (
+        tiles.select(
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+        )
+        .distinct()
+    )
+    out: DataFrame | None = None
+    for level in range(zoom, min_zoom, -1):
+        with_parent = frontier.select(
+            "x", "y",
+            F.shiftright("x", 1).alias("px"),
+            F.shiftright("y", 1).alias("py"),
+        )
+        counts = with_parent.groupBy("px", "py").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        # co-partitioned on (px, py) with `counts` — one exchange per
+        # round, reused by both join sides
+        joined = with_parent.join(counts, ["px", "py"])
+        emit = joined.filter(F.col("_c") < 4).select(
+            F.lit(level).cast("int").alias("z"), "x", "y"
+        )
+        out = emit if out is None else out.unionByName(emit)
+        frontier = counts.filter(F.col("_c") == 4).select(
+            F.col("px").alias("x"), F.col("py").alias("y")
+        )
+    root = frontier.select(
+        F.lit(min_zoom).cast("int").alias("z"), "x", "y"
+    )
+    out = root if out is None else out.unionByName(root)
+    return out.withColumn("cell_id", cell_id_col())
+
+
+def uncompact_cover(
+    cover: DataFrame,
+    zoom: int,
+    *,
+    z_col: str = "z",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Expand a mixed-zoom cover to its descendant tiles at ``zoom``:
+    ``[z, x, y, cell_id]`` with every row at ``zoom``.  Cells already
+    at ``zoom`` pass through; cells deeper than ``zoom`` raise (this is
+    a descent, not an aggregation — compact first)."""
+    zoom, _ = _validated_zooms(zoom, 0)
+    # the guard lives inside `side` (a consumed expression) so column
+    # pruning can't optimize the depth check away
+    side = (
+        F.when(
+            F.col("_cz") > F.lit(zoom),
+            F.raise_error(
+                F.format_string(
+                    "uncompact_cover: cell at z=%s is deeper than target "
+                    f"zoom {zoom}",
+                    F.col("_cz"),
+                )
+            ),
+        )
+        .otherwise(F.expr(f"shiftleft(CAST(1 AS BIGINT), {zoom} - _cz)"))
+        .cast("long")
+    )
+    expanded = (
+        cover.select(
+            F.col(z_col).cast("int").alias("_cz"),
+            F.col(x_col).cast("long").alias("_cx"),
+            F.col(y_col).cast("long").alias("_cy"),
+        )
+        .select("_cx", "_cy", side.alias("_side"))
+        .select(
+            "_cx", "_cy", "_side",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("_side") - 1)
+            ).alias("_dx"),
+        )
+        .select(
+            "_cx", "_cy", "_side", "_dx",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("_side") - 1)
+            ).alias("_dy"),
+        )
+        .select(
+            F.lit(zoom).cast("int").alias("z"),
+            (F.col("_cx") * F.col("_side") + F.col("_dx")).alias("x"),
+            (F.col("_cy") * F.col("_side") + F.col("_dy")).alias("y"),
+        )
+    )
+    return expanded.withColumn("cell_id", cell_id_col())
