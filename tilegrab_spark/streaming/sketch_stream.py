@@ -1,12 +1,16 @@
 """Incremental / streaming sketch accounting over a snapshot table.
 
 The daily-ingest counterpart of operators/sketches.py: a 100 TB corpus
-is never re-scanned to answer "how many distinct users so far?" or "how
-often has this token occurred?" — each batch contributes a fixed-size
-register DELTA, and because both sketches merge relationally (HLL =
-per-bucket MAX, CMS = per-counter SUM) the current state is a fold over
-the deltas, not a recompute over history. Work per batch is O(batch);
-query cost is O(deltas) until ``compact()`` folds them back to one.
+is never re-scanned to answer "how many distinct users so far?", "how
+often has this token occurred?" or "might this key already exist?" —
+each batch contributes a fixed-size register DELTA, and because all
+three sketches merge relationally (HLL = per-bucket MAX, CMS =
+per-counter SUM, Bloom = per-word BIT_OR) the current state is a fold
+over the deltas, not a recompute over history. Work per batch is
+O(batch); query cost is O(deltas) until ``compact()`` folds them back
+to one.  ``kind="bloom"`` + ``membership()`` is the incremental-dedup
+prefilter: a new batch probes every key ever ingested without joining
+history.
 
 Deltas commit through ``plans/snapshots.py::SnapshotTable``, which buys
 the same guarantees the lineage store gets: a killed batch's
@@ -42,10 +46,12 @@ __all__ = ["SketchStore", "stream_sketch_ingest"]
 
 
 class SketchStore:
-    """Persisted incremental sketch — ``kind`` is ``"hll"`` or ``"cms"``.
+    """Persisted incremental sketch — ``kind`` is ``"hll"``, ``"cms"``
+    or ``"bloom"``.
 
     HLL params: ``p``. CMS params: ``d``, ``w`` (and optional
-    ``count_col`` weighting per batch row). ``group_cols`` key both.
+    ``count_col`` weighting per batch row). Bloom params: ``m_bits``,
+    ``k_hashes``, ``bloom_salt``. ``group_cols`` key all three.
     """
 
     def __init__(
@@ -60,15 +66,19 @@ class SketchStore:
         d: int = 4,
         w: int = 1024,
         count_col: str | None = None,
+        m_bits: int = 1 << 16,
+        k_hashes: int = 5,
+        bloom_salt: str = "bloom",
     ):
-        if kind not in ("hll", "cms"):
-            raise ValueError(f"kind must be hll|cms, got {kind!r}")
+        if kind not in ("hll", "cms", "bloom"):
+            raise ValueError(f"kind must be hll|cms|bloom, got {kind!r}")
         self.spark = spark
         self.root = root
         self.kind = kind
         self.key_col = key_col
         self.group_cols = list(group_cols)
         self.p, self.d, self.w, self.count_col = p, d, w, count_col
+        self.m_bits, self.k_hashes, self.bloom_salt = m_bits, k_hashes, bloom_salt
         self.table = SnapshotTable(spark, os.path.join(root, "deltas"))
         self._seen: set[int] | None = None
         self._seen_seq: int = 0
@@ -82,9 +92,18 @@ class SketchStore:
             "key_col": self.key_col,
             "group_cols": self.group_cols,
         }
-        m.update(
-            {"p": self.p} if self.kind == "hll" else {"d": self.d, "w": self.w}
-        )
+        if self.kind == "hll":
+            m.update({"p": self.p})
+        elif self.kind == "cms":
+            m.update({"d": self.d, "w": self.w})
+        else:
+            m.update(
+                {
+                    "m_bits": self.m_bits,
+                    "k_hashes": self.k_hashes,
+                    "salt": self.bloom_salt,
+                }
+            )
         return m
 
     def _meta_path(self) -> str:
@@ -114,6 +133,17 @@ class SketchStore:
         if self.kind == "hll":
             return hll_registers(
                 batch_df, key_col=self.key_col, group_cols=self.group_cols, p=self.p
+            )
+        if self.kind == "bloom":
+            from tilegrab_spark.operators.bloom import bloom_build
+
+            return bloom_build(
+                batch_df,
+                self.key_col,
+                m_bits=self.m_bits,
+                k_hashes=self.k_hashes,
+                salt=self.bloom_salt,
+                group_cols=tuple(self.group_cols),
             )
         return cms_sketch(
             batch_df,
@@ -210,6 +240,10 @@ class SketchStore:
             return deltas.groupBy(*self.group_cols, "bucket").agg(
                 F.max("rho").alias("rho")
             )
+        if self.kind == "bloom":
+            return deltas.groupBy(*self.group_cols, "word_idx").agg(
+                F.bit_or("bits").alias("bits")
+            )
         return deltas.groupBy(*self.group_cols, "row", "bucket").agg(
             F.sum("cnt").alias("cnt")
         )
@@ -233,6 +267,34 @@ class SketchStore:
             group_cols=self.group_cols,
             d=self.d,
             w=self.w,
+        )
+
+    def membership(
+        self, keys: DataFrame, *, as_of: int | None = None,
+        out_col: str = "maybe_present",
+    ) -> DataFrame:
+        """``keys`` + boolean ``out_col`` probed against every key ever
+        ingested (False = definitely never seen — the incremental-dedup
+        prefilter). ``kind='bloom'`` without group_cols only (a grouped
+        probe is a per-group register join — read ``registers()`` and
+        compose)."""
+        if self.kind != "bloom":
+            raise ValueError("membership is for kind='bloom'")
+        if self.group_cols:
+            raise ValueError(
+                "membership requires group_cols=(); probe grouped "
+                "registers() directly"
+            )
+        from tilegrab_spark.operators.bloom import bloom_probe
+
+        return bloom_probe(
+            keys,
+            self.registers(as_of=as_of),
+            self.key_col,
+            m_bits=self.m_bits,
+            k_hashes=self.k_hashes,
+            salt=self.bloom_salt,
+            out_col=out_col,
         )
 
     def compact(self) -> int | None:
