@@ -390,6 +390,32 @@ def _llm_stages(spark, sf_dir, timed, stages):
 
         timed("heavy_hitters_full", q_hh)
 
+        def q_clf():
+            import numpy as np
+
+            from tilegrab_spark.operators.classifier import score_documents
+
+            rng = np.random.default_rng(0)
+            w = rng.standard_normal(1 << 16)
+            return score_documents(docs, w).select(
+                F.count("*"), F.sum("score")
+            ).collect()[0][0]
+
+        timed("clf_score_full", q_clf)
+
+        def q_bloom():
+            from tilegrab_spark.operators.bloom import bloom_anti_join, bloom_build
+
+            sketch = bloom_build(
+                docs.filter(F.col("doc_id") % 2 == 0), "doc_id",
+                m_bits=1 << 16, k_hashes=5,
+            )
+            return bloom_anti_join(
+                docs, sketch, "doc_id", m_bits=1 << 16, k_hashes=5
+            ).count()
+
+        timed("bloom_filter_full", q_bloom)
+
     def q_cc():
         d = docs.select("doc_id", "lang")
         a, b = d.alias("a"), d.alias("b")

@@ -71,7 +71,9 @@ def hashed_token_features(
     md5-60 contract hash of ``token || salt`` mod ``n_features``."""
     if n_features < 1:
         raise ValueError(f"n_features must be >= 1, got {n_features}")
-    tok = df.select(
+    from tilegrab_spark.operators.dedup import _with_min_parallelism
+
+    tok = _with_min_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(_tokens(text_col)).alias("_tok"),
     )
@@ -84,12 +86,18 @@ def hashed_token_features(
 
 
 def _weights_df(spark, weights: np.ndarray, int_weights: bool):
+    """Arrow-path conversion (one batchful of columns, no per-row Python
+    serialization — a 2^18-weight table ships in milliseconds)."""
+    import pandas as pd
+
     n = int(weights.shape[0])
-    if int_weights:
-        rows = [(i, int(w)) for i, w in enumerate(weights)]
-        return spark.createDataFrame(rows, "idx long, w long"), n
-    rows = [(i, float(w)) for i, w in enumerate(weights)]
-    return spark.createDataFrame(rows, "idx long, w double"), n
+    pdf = pd.DataFrame(
+        {
+            "idx": np.arange(n, dtype=np.int64),
+            "w": weights.astype(np.int64 if int_weights else np.float64),
+        }
+    )
+    return spark.createDataFrame(pdf), n
 
 
 def score_documents(
@@ -117,8 +125,15 @@ def score_documents(
     margin_t = "long" if int_weights else "double"
     # token INSTANCES join the broadcast weight table directly (no
     # intermediate (doc, idx) count shuffle); the groupBy(doc) partial
-    # sum collapses map-side, so the one exchange is document-sized
-    tok = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("_tok"))
+    # sum collapses map-side, so the one exchange is document-sized.
+    # The min-parallelism guard repartitions only when the scan arrives
+    # with fewer splits than cores (toy single-file inputs — a serial
+    # explode otherwise); a real table's scan makes it a no-op.
+    from tilegrab_spark.operators.dedup import _with_min_parallelism
+
+    tok = _with_min_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("_tok")
+    )
     sums = (
         tok.select(
             id_col, (sample_hash(F.col("_tok"), salt) % n_features).alias("idx")

@@ -187,6 +187,30 @@ def _span_plan(spark):
     return plan_of(duplicate_spans(docs, k=8))
 
 
+def _clf_plan(spark):
+    import numpy as np
+
+    from tilegrab_spark.operators.classifier import score_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    return plan_of(score_documents(docs, np.zeros(1 << 12)))
+
+
+def _bloom_plan(spark):
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sketch = bloom_build(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id",
+        m_bits=1 << 14, k_hashes=5,
+    )
+    return plan_of(
+        bloom_probe(docs, sketch, "doc_id", m_bits=1 << 14, k_hashes=5)
+    )
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -348,6 +372,20 @@ def main():
             "back onto the hit stream; islands form inside one per-doc "
             "window — corpus text itself never shuffles)",
             _span_plan(spark),
+        ),
+        (
+            "PLAN 19: classifier scoring (token explode -> hashed index -> "
+            "BROADCAST weight-table join -> groupBy(doc) with map-side "
+            "partial sums: the one exchange is document-sized, never "
+            "token-sized; no Python anywhere)",
+            _clf_plan(spark),
+        ),
+        (
+            "PLAN 20: bloom probe (the fixed-size register table "
+            "BROADCASTs; probe keys explode to k (word, mask) scalars and "
+            "collapse back map-side — the one exchange is probe-sized; "
+            "the big side never shuffles)",
+            _bloom_plan(spark),
         ),
     ]
 
