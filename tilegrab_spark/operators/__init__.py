@@ -16,6 +16,7 @@ from tilegrab_spark.operators.classifier import (
     score_documents,
     train_quality_classifier,
 )
+from tilegrab_spark.operators.terrain import terrain_stats
 from tilegrab_spark.operators.bloom import (
     bloom_anti_join,
     bloom_build,
