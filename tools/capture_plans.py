@@ -387,6 +387,15 @@ def main():
             "the big side never shuffles)",
             _bloom_plan(spark),
         ),
+        (
+            "PLAN 21: terrain halo exchange (same shape as PLAN 14: "
+            "interior Horn gradients leave the map side as scalars; the "
+            "one exchange carries only 2-deep own bands + 1-deep neighbor "
+            "strips into the batched border assembly)",
+            plan_of(__import__(
+                "tilegrab_spark.operators.terrain", fromlist=["terrain_stats"]
+            ).terrain_stats(images)),
+        ),
     ]
 
     md_path = REPO / "PLANS.md"
