@@ -17,6 +17,7 @@ from tilegrab_spark.operators.classifier import (
     train_quality_classifier,
 )
 from tilegrab_spark.operators.terrain import terrain_stats
+from tilegrab_spark.operators.ngram_lm import perplexity_score, train_bigram_lm
 from tilegrab_spark.operators.bloom import (
     bloom_anti_join,
     bloom_build,
