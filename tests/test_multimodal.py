@@ -116,3 +116,52 @@ def test_decode_summary_surfaces_undecodable(spark):
     assert s["png"].n == 2 and s["png"].n_decoded == 1 and s["png"].n_failed == 1
     assert s["webp"].n == 1 and s["webp"].n_decoded == 0 and s["webp"].n_failed == 1
     assert s["webp"].decode_rate == 0.0
+
+
+def test_image_quality_signals(img_df):
+    out = {r.image_id: r for r in mm.image_quality_signals(img_df).collect()}
+    assert len(out) == 5
+    for i in range(4):
+        r = out[f"img{i}"]
+        arr = png.synth_tile_pixels(i, i + 1, 5, 0)
+        gray = arr.mean(axis=2)
+        lap = (
+            4.0 * gray[1:-1, 1:-1]
+            - gray[:-2, 1:-1] - gray[2:, 1:-1]
+            - gray[1:-1, :-2] - gray[1:-1, 2:]
+        )
+        hist = np.bincount(
+            np.clip(np.rint(gray), 0, 255).astype(np.int64).ravel(), minlength=256
+        )
+        p = hist[hist > 0] / gray.size
+        assert r.decode_ok
+        assert r.sharpness == pytest.approx(lap.var(), rel=1e-12)
+        assert r.entropy_bits == pytest.approx(-(p * np.log2(p)).sum(), abs=1e-12)
+        assert r.contrast == pytest.approx(gray.std(), rel=1e-12)
+        assert r.brightness == pytest.approx(gray.mean(), rel=1e-12)
+        assert r.n_dark == int((arr < 10).all(axis=2).sum())
+        assert r.n_bright == int((arr > 245).all(axis=2).sum())
+        assert r.n_px == 256 * 256
+    assert out["bad"].decode_ok is False and out["bad"].sharpness is None
+
+
+def test_image_quality_flags_flat_and_clipped(spark):
+    flat = np.full((32, 32, 3), 128, dtype=np.uint8)       # zero entropy, blur
+    dark = np.zeros((32, 32, 3), dtype=np.uint8)           # all-dark clip
+    noise = (np.random.default_rng(0).integers(0, 256, (32, 32, 3))
+             .astype(np.uint8))
+    rows = [
+        ("flat", bytearray(png.encode_png(flat)), 32, 32, "png"),
+        ("dark", bytearray(png.encode_png(dark)), 32, 32, "png"),
+        ("noise", bytearray(png.encode_png(noise)), 32, 32, "png"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    out = {r.image_id: r for r in mm.image_quality_signals(df).collect()}
+    assert out["flat"].sharpness == 0.0 and out["flat"].entropy_bits == 0.0
+    assert out["dark"].n_dark == 32 * 32 and out["dark"].n_bright == 0
+    # real texture: sharper, higher-entropy than the flat card
+    assert out["noise"].sharpness > 100.0
+    assert out["noise"].entropy_bits > 4.0
+    assert out["noise"].saturation > out["flat"].saturation

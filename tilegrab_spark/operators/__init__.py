@@ -123,6 +123,7 @@ from tilegrab_spark.operators.multimodal import (
     audio_features,
     decode_summary,
     image_features,
+    image_quality_signals,
     resize_images,
     sample_frames,
 )
@@ -224,6 +225,7 @@ __all__ = [
     "join_size_estimate",
     # multimodal
     "image_features",
+    "image_quality_signals",
     "resize_images",
     "decode_summary",
     "audio_features",

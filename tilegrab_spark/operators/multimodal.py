@@ -28,6 +28,13 @@ IMAGE_FEATURES_SCHEMA = (
 
 THUMB_SCHEMA = "image_id string, tw int, th int, thumb binary"
 
+IMAGE_QUALITY_SCHEMA = (
+    "image_id string, decode_ok boolean, "
+    "sharpness double, entropy_bits double, contrast double, "
+    "brightness double, saturation double, "
+    "n_dark long, n_bright long, n_px long"
+)
+
 
 def decode_payload(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     """Decode a binary payload to (H,W,3) uint8. PNG, baseline +
@@ -78,6 +85,76 @@ def image_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select(*cols).mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def image_quality_signals(df: DataFrame) -> DataFrame:
+    """Per-image curation signals — the multimodal counterpart of the
+    text quality filters (drop blurry / flat / clipped images before
+    training): ``[image_id, decode_ok, sharpness, entropy_bits,
+    contrast, brightness, saturation, n_dark, n_bright, n_px]``.
+
+    Signal contract (documented, deterministic):
+    - gray = mean of the three channels (float64);
+    - ``sharpness`` = variance of the 4-neighbor Laplacian of gray
+      (the classic variance-of-Laplacian blur score — low = blurry);
+    - ``entropy_bits`` = Shannon entropy of the 256-bin rounded-gray
+      histogram (low = flat/synthetic);
+    - ``contrast`` = gray std; ``brightness`` = gray mean;
+    - ``saturation`` = mean of (max-min) across channels;
+    - ``n_dark`` / ``n_bright`` = EXACT counts of pixels with every
+      channel < 10 / > 245 (clipping audit, integers).
+
+    One decode per image inside the Arrow batch (mapInPandas — bytes
+    never visit the driver); undecodable payloads surface as
+    decode_ok=false rows, never task failures."""
+    cols = ["image_id", "bytes", "w", "h", "fmt"]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                row = {
+                    "image_id": iid, "decode_ok": False, "sharpness": None,
+                    "entropy_bits": None, "contrast": None, "brightness": None,
+                    "saturation": None, "n_dark": None, "n_bright": None,
+                    "n_px": None,
+                }
+                try:
+                    arr = decode_payload(bytes(data), fmt, int(w), int(h))
+                except (NotImplementedError, ValueError):
+                    out.append(row)
+                    continue
+                gray = arr.mean(axis=2)
+                lap = (
+                    4.0 * gray[1:-1, 1:-1]
+                    - gray[:-2, 1:-1] - gray[2:, 1:-1]
+                    - gray[1:-1, :-2] - gray[1:-1, 2:]
+                ) if min(gray.shape) >= 3 else np.zeros((0, 0))
+                hist = np.bincount(
+                    np.clip(np.rint(gray), 0, 255).astype(np.int64).ravel(),
+                    minlength=256,
+                )
+                p = hist[hist > 0] / gray.size
+                row.update(
+                    decode_ok=True,
+                    sharpness=float(lap.var()) if lap.size else 0.0,
+                    entropy_bits=float(-(p * np.log2(p)).sum()),
+                    contrast=float(gray.std()),
+                    brightness=float(gray.mean()),
+                    saturation=float(
+                        (arr.max(axis=2).astype(np.int64)
+                         - arr.min(axis=2).astype(np.int64)).mean()
+                    ),
+                    n_dark=int((arr < 10).all(axis=2).sum()),
+                    n_bright=int((arr > 245).all(axis=2).sum()),
+                    n_px=int(gray.size),
+                )
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(kernel, schema=IMAGE_QUALITY_SCHEMA)
 
 
 def decode_summary(features: DataFrame) -> DataFrame:
