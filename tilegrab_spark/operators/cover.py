@@ -56,13 +56,23 @@ def compact_cover(
     min_zoom: int = 0,
     x_col: str = "x",
     y_col: str = "y",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Minimal mixed-zoom cover ``[z, x, y, cell_id]`` of a single-zoom
     tile set.  ``tiles`` holds (x_col, y_col) tile indices all at
     ``zoom`` (duplicates are fine — the cover is a set); parents are
     only formed down to ``min_zoom``.  Every input tile is covered by
     exactly one output cell, and no output cell covers a tile outside
-    the input (exact cover, not an approximation)."""
+    the input (exact cover, not an approximation).
+
+    ``checkpoint=True`` (default) materializes each round's per-parent
+    counts via ``localCheckpoint`` — the same recipe as
+    connected_components.  Without it, every level's emit branch
+    re-derives the whole chain from the source scan (measured: d+1
+    scans and ~7 exchanges per level for a d-level sweep), turning the
+    geometric series into O(d·|S|); with it each level is one job over
+    the (≥4x-per-level shrinking) frontier.  ``checkpoint=False`` keeps
+    the operator fully lazy for tiny covers or plan inspection."""
     zoom, min_zoom = _validated_zooms(zoom, min_zoom)
     frontier = (
         tiles.select(
@@ -81,6 +91,11 @@ def compact_cover(
         counts = with_parent.groupBy("px", "py").agg(
             F.count(F.lit(1)).alias("_c")
         )
+        if checkpoint:
+            # truncate lineage: both consumers (the emit join below and
+            # the next level's frontier) read the materialized counts
+            # instead of recomputing the whole prefix chain
+            counts = counts.localCheckpoint(eager=True)
         # co-partitioned on (px, py) with `counts` — one exchange per
         # round, reused by both join sides
         joined = with_parent.join(counts, ["px", "py"])
