@@ -180,6 +180,23 @@ def _ivfpq_plan(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _cover_plan(spark):
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.cover import compact_cover, uncompact_cover
+
+    tiles = spark.range(0, 1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    compact_1lvl = compact_cover(tiles, 5, min_zoom=4, checkpoint=False)
+    cov = spark.createDataFrame([(2, 1, 2)], "z int, x long, y long")
+    return (
+        plan_of(uncompact_cover(cov, 6))
+        + "\n\n-- one compact level (checkpoint=False, lazy form) --\n"
+        + plan_of(compact_1lvl)
+    )
+
+
 def _span_plan(spark):
     from tilegrab_spark.operators.spans import duplicate_spans
 
@@ -395,6 +412,15 @@ def main():
             plan_of(__import__(
                 "tilegrab_spark.operators.terrain", fromlist=["terrain_stats"]
             ).terrain_stats(images)),
+        ),
+        (
+            "PLAN 22: multi-resolution cover (uncompact: pure-Catalyst "
+            "double-sequence explode, ZERO exchanges — and one compact "
+            "level: count + emit-join co-partitioned on the parent key; "
+            "the default checkpoint=True materializes each level so the "
+            "d-level sweep is d jobs over a >=4x-shrinking frontier, "
+            "never a re-derived prefix chain)",
+            _cover_plan(spark),
         ),
     ]
 
