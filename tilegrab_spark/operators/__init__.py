@@ -75,6 +75,12 @@ from tilegrab_spark.operators.sketches import (
 )
 from tilegrab_spark.operators.change import change_summary, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
+from tilegrab_spark.operators.spatialstats import (
+    getis_ord_gi,
+    local_morans,
+    morans_i,
+    spatial_lag,
+)
 from tilegrab_spark.operators.packing import (
     pack_sequences,
     pack_shards,
@@ -209,6 +215,15 @@ __all__ = [
     "interval_join",
     # focal raster
     "focal_box_stats",
+    # dissolve / change / spatial statistics
+    "adjacency_edges",
+    "dissolve_tiles",
+    "tile_diff",
+    "change_summary",
+    "spatial_lag",
+    "morans_i",
+    "local_morans",
+    "getis_ord_gi",
     # sketches
     "hll_registers",
     "hll_summary",

@@ -228,6 +228,19 @@ def _bloom_plan(spark):
     )
 
 
+def _spatialstats_plan(spark, tiles):
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.dedup import release_signature_caches
+    from tilegrab_spark.operators.spatialstats import morans_i
+
+    valued = tiles.select("z", "x", "y", (F.col("x") + F.col("y")).cast("double").alias("val"))
+    try:
+        return plan_of(morans_i(valued, "val"))
+    finally:
+        release_signature_caches()
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -421,6 +434,14 @@ def main():
             "d-level sweep is d jobs over a >=4x-shrinking frontier, "
             "never a re-derived prefix chain)",
             _cover_plan(spark),
+        ),
+        (
+            "PLAN 23: global Moran's I (weights = tile adjacency: the same "
+            "forward-probe LEFT-SEMI self-joins as dissolve; value/edge/"
+            "degree moments reduce to ONE-ROW frames map-side-combined, "
+            "then BROADCAST cross-joined — every post-join frame is "
+            "scalar-sized, no N x N weight matrix anywhere)",
+            _spatialstats_plan(spark, tiles),
         ),
     ]
 
