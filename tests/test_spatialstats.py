@@ -35,18 +35,21 @@ def _oracle_global(cells, vals, diagonal=False):
     m2 = float((z * z).sum())
     idx = {c: i for i, c in enumerate(cells)}
     cross = sum(z[idx[c]] * z[idx[d]] for c in cells for d in nb[c])  # ordered pairs
+    sq = sum((x[idx[c]] - x[idx[d]]) ** 2 for c in cells for d in nb[c])  # ordered
     e_dir = sum(len(v) for v in nb.values())  # = 2 * undirected edges
     s0 = float(e_dir)
     s1 = 2.0 * e_dir  # binary symmetric: (w_ij + w_ji)^2 = 4 per undirected pair
     s2 = float(sum((2 * len(v)) ** 2 for v in nb.values()))
     if e_dir == 0 or m2 == 0 or n < 2:
         return dict(n=n, edges=e_dir // 2, s0=int(s0), s1=int(s1), s2=int(s2),
-                    I=None, E=None, V=None, zscore=None)
+                    I=None, E=None, V=None, zscore=None, C=None)
     i_stat = (n / s0) * cross / m2
     e_i = -1.0 / (n - 1)
     v_i = (n * n * s1 - n * s2 + 3 * s0 * s0) / ((n * n - 1) * s0 * s0) - e_i * e_i
+    gearys = (n - 1) * sq / (2.0 * s0 * m2)
     return dict(n=n, edges=e_dir // 2, s0=int(s0), s1=int(s1), s2=int(s2),
-                I=i_stat, E=e_i, V=v_i, zscore=(i_stat - e_i) / math.sqrt(v_i))
+                I=i_stat, E=e_i, V=v_i, zscore=(i_stat - e_i) / math.sqrt(v_i),
+                C=gearys)
 
 
 def _oracle_lisa(cells, vals, diagonal=False):
@@ -117,7 +120,8 @@ def test_global_moran_vs_oracle(spark, diagonal):
     assert got.n == want["n"] and got.n_edges == want["edges"]
     assert (got.s0, got.s1, got.s2) == (want["s0"], want["s1"], want["s2"])
     for a, b in [(got.morans_i, want["I"]), (got.expected_i, want["E"]),
-                 (got.variance_i, want["V"]), (got.z_score, want["zscore"])]:
+                 (got.variance_i, want["V"]), (got.z_score, want["zscore"]),
+                 (got.gearys_c, want["C"])]:
         assert a == pytest.approx(b, abs=1e-9)
 
 
@@ -155,6 +159,7 @@ def test_checkerboard_is_negative(spark):
     got = morans_i(_df(spark, cells, vals), "val").collect()[0]
     assert got.morans_i < -0.9  # perfect rook alternation -> I == -1
     assert got.z_score < -5
+    assert got.gearys_c > 1.5  # C > 1 = negative spatial association
 
 
 def test_constant_surface_is_null(spark):

@@ -104,8 +104,8 @@ def morans_i(tiles: DataFrame, value_col: str, *, diagonal: bool = False) -> Dat
     default, queen with ``diagonal=True``).
 
     Returns ONE row: ``[n, n_edges, s0, s1, s2, morans_i, expected_i,
-    variance_i, z_score]``. ``variance_i``/``z_score`` are under the
-    normality assumption; all three statistic columns are NULL when
+    variance_i, z_score, gearys_c]``. ``variance_i``/``z_score`` are
+    under the normality assumption; the statistic columns are NULL when
     undefined (no edges, constant surface, or n < 2) rather than NaN.
 
     Plan: the adjacency self-join, then two scalar aggregations (values
@@ -124,6 +124,10 @@ def morans_i(tiles: DataFrame, value_col: str, *, diagonal: bool = False) -> Dat
             F.count(F.lit(1)).cast("long").alias("n_edges"),
             F.coalesce(F.sum(F.col("va") * F.col("vb")), F.lit(0.0)).alias("sab"),
             F.coalesce(F.sum(F.col("va") + F.col("vb")), F.lit(0.0)).alias("sa_plus_b"),
+            F.coalesce(
+                F.sum((F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))),
+                F.lit(0.0),
+            ).alias("sdiff2"),
         )
     )
     deg2 = (
@@ -164,6 +168,12 @@ def morans_i(tiles: DataFrame, value_col: str, *, diagonal: bool = False) -> Dat
         _guard(e_i).alias("expected_i"),
         _guard(var_i).alias("variance_i"),
         _guard((i_stat - e_i) / F.sqrt(var_i)).alias("z_score"),
+        # Geary's C — Moran's companion statistic (E[C]=1; C<1 positive
+        # association, C>1 negative; more sensitive to local
+        # heterogeneity). For symmetric binary weights the ordered-pair
+        # squared-difference sum is twice the undirected edge sum, so:
+        # C = (n-1) * SUM_edges (va-vb)^2 / (S0 * m2).
+        _guard((n - 1.0) * F.col("sdiff2") / (s0 * m2)).alias("gearys_c"),
     )
 
 
