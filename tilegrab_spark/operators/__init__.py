@@ -75,6 +75,7 @@ from tilegrab_spark.operators.sketches import (
 )
 from tilegrab_spark.operators.change import change_summary, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
+from tilegrab_spark.operators.cluster import cluster_summary, grid_dbscan
 from tilegrab_spark.operators.spatialstats import (
     getis_ord_gi,
     local_morans,
@@ -224,6 +225,8 @@ __all__ = [
     "morans_i",
     "local_morans",
     "getis_ord_gi",
+    "grid_dbscan",
+    "cluster_summary",
     # sketches
     "hll_registers",
     "hll_summary",

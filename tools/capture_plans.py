@@ -241,6 +241,26 @@ def _spatialstats_plan(spark, tiles):
         release_signature_caches()
 
 
+def _dbscan_plan(spark):
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.cluster import grid_dbscan
+    from tilegrab_spark.operators.dedup import release_signature_caches
+
+    pts = (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("point_id"),
+            (F.col("id") % 200 / 100.0 + 10.0).alias("lon"),
+            (F.col("id") % 137 / 100.0 + 45.0).alias("lat"),
+        )
+    )
+    try:
+        return plan_of(grid_dbscan(pts, eps_m=5000.0, min_pts=4))
+    finally:
+        release_signature_caches()
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -442,6 +462,14 @@ def main():
             "then BROADCAST cross-joined — every post-join frame is "
             "scalar-sized, no N x N weight matrix anywhere)",
             _spatialstats_plan(spark, tiles),
+        ),
+        (
+            "PLAN 24: grid DBSCAN (candidate pairs = ONE equi-join of the "
+            "9-cell probe explode against the cell-keyed points — scalar "
+            "(id, mx, my) columns only, never all-pairs; neighbor counts / "
+            "core filter / border assignment are map-side-combinable "
+            "groupBys; CC rounds run on the core edge list)",
+            _dbscan_plan(spark),
         ),
     ]
 
