@@ -76,6 +76,7 @@ from tilegrab_spark.operators.sketches import (
 from tilegrab_spark.operators.change import change_summary, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
 from tilegrab_spark.operators.cluster import cluster_summary, grid_dbscan
+from tilegrab_spark.operators.render import bin_points, render_density_tiles
 from tilegrab_spark.operators.spatialstats import (
     getis_ord_gi,
     local_morans,
@@ -227,6 +228,8 @@ __all__ = [
     "getis_ord_gi",
     "grid_dbscan",
     "cluster_summary",
+    "bin_points",
+    "render_density_tiles",
     # sketches
     "hll_registers",
     "hll_summary",

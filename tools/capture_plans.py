@@ -241,6 +241,18 @@ def _spatialstats_plan(spark, tiles):
         release_signature_caches()
 
 
+def _render_plan(spark):
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.render import render_density_tiles
+
+    pts = spark.range(100000).select(
+        (F.col("id") % 3600 / 10.0 - 180.0).alias("lon"),
+        (F.col("id") % 1600 / 10.0 - 80.0).alias("lat"),
+    )
+    return plan_of(render_density_tiles(pts, zoom=8))
+
+
 def _dbscan_plan(spark):
     from pyspark.sql import functions as F
 
@@ -470,6 +482,14 @@ def main():
             "core filter / border assignment are map-side-combinable "
             "groupBys; CC rounds run on the core edge list)",
             _dbscan_plan(spark),
+        ),
+        (
+            "PLAN 25: density tile rendering (pure-Catalyst pixel binning "
+            "with a MAP-SIDE partial_sum — the one exchange carries "
+            "(x, y, px, py, weight) rows bounded by touched pixels, never "
+            "input points; the Arrow grouped map paints one tile per "
+            "group and emits IMAGE_SCHEMA rows)",
+            _render_plan(spark),
         ),
     ]
 
