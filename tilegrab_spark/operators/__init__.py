@@ -77,6 +77,12 @@ from tilegrab_spark.operators.change import change_summary, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
 from tilegrab_spark.operators.cluster import cluster_summary, grid_dbscan
 from tilegrab_spark.operators.render import bin_points, render_density_tiles
+from tilegrab_spark.operators.contour import (
+    assemble_contours,
+    contour_lonlat,
+    extract_contours,
+    link_contours,
+)
 from tilegrab_spark.operators.spatialstats import (
     getis_ord_gi,
     local_morans,
@@ -230,6 +236,10 @@ __all__ = [
     "cluster_summary",
     "bin_points",
     "render_density_tiles",
+    "extract_contours",
+    "link_contours",
+    "assemble_contours",
+    "contour_lonlat",
     # sketches
     "hll_registers",
     "hll_summary",

@@ -241,6 +241,12 @@ def _spatialstats_plan(spark, tiles):
         release_signature_caches()
 
 
+def _contour_plan(spark, images):
+    from tilegrab_spark.operators.contour import extract_contours
+
+    return plan_of(extract_contours(images, levels=[100.0]))
+
+
 def _render_plan(spark):
     from pyspark.sql import functions as F
 
@@ -490,6 +496,14 @@ def main():
             "input points; the Arrow grouped map paints one tile per "
             "group and emits IMAGE_SCHEMA rows)",
             _render_plan(spark),
+        ),
+        (
+            "PLAN 26: contour extraction (interior marching squares runs "
+            "inside the MapInPandas map stage; the one exchange groups "
+            "segment payloads + perimeter float strips — own last "
+            "row/col, neighbor row-0/col-0/corner — never tile pixels; "
+            "same halo shape as PLANs 14/21)",
+            _contour_plan(spark, images),
         ),
     ]
 
