@@ -8,10 +8,12 @@ import pytest
 from tilegrab_spark.kernels.contour import marching_squares
 from tilegrab_spark.kernels.png import encode_png
 from tilegrab_spark.operators.contour import (
+    _dp_keep_mask,
     assemble_contours,
     contour_lonlat,
     extract_contours,
     link_contours,
+    simplify_contours,
 )
 from tilegrab_spark.operators.dedup import release_signature_caches
 
@@ -143,6 +145,60 @@ def test_lonlat_conversion(spark):
         assert r.lon1 == pytest.approx((r.x1 / n_px - 0.5) * 360.0, abs=1e-9)
         want_lat = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * r.y1 / n_px))))
         assert r.lat1 == pytest.approx(want_lat, abs=1e-9)
+
+
+def _dp_oracle(pts, tol):
+    """Recursive Douglas-Peucker (independent formulation)."""
+    if len(pts) <= 2:
+        return list(pts)
+    (x1, y1), (x2, y2) = pts[0], pts[-1]
+    dx, dy = x2 - x1, y2 - y1
+    L = math.hypot(dx, dy)
+    best_d, best_i = -1.0, None
+    for i in range(1, len(pts) - 1):
+        px, py = pts[i]
+        if L == 0:
+            d = math.hypot(px - x1, py - y1)
+        else:
+            d = abs((px - x1) * dy - (py - y1) * dx) / L
+        if d > best_d + 1e-15:
+            best_d, best_i = d, i
+    if best_d > tol:
+        left = _dp_oracle(pts[: best_i + 1], tol)
+        return left[:-1] + _dp_oracle(pts[best_i:], tol)
+    return [pts[0], pts[-1]]
+
+
+def test_simplify_matches_dp_oracle(spark):
+    rng = np.random.default_rng(2)
+    walks = []
+    for _ in range(5):
+        steps = rng.normal(0, 1.0, size=(40, 2)).cumsum(axis=0)
+        walks.append([(float(x), float(y)) for x, y in steps])
+    df = spark.createDataFrame(
+        [(i, Z, 1.0, False, len(w), 0.0, [p[0] for p in w], [p[1] for p in w])
+         for i, w in enumerate(walks)],
+        "contour_id long, z int, level double, closed boolean, "
+        "n_vertices int, length_px double, xs array<double>, ys array<double>",
+    )
+    got = {r.contour_id: list(zip(r.xs, r.ys)) for r in
+           simplify_contours(df, tolerance_px=0.8).collect()}
+    for i, w in enumerate(walks):
+        assert got[i] == _dp_oracle(w, 0.8)
+
+
+def test_simplify_straightens_the_gradient_cut(spark):
+    V = np.tile((np.arange(2 * TS) * 8).astype(np.uint8), (2 * TS, 1))
+    segs = extract_contours(_tiles_df(spark, V), levels=[59.5])
+    try:
+        asm = assemble_contours(link_contours(segs))
+        simp = simplify_contours(asm, tolerance_px=0.01).collect()
+    finally:
+        release_signature_caches()
+    # the iso-line of a pure x-gradient is a straight vertical cut:
+    # DP collapses it to its two endpoints
+    assert len(simp) == 1 and simp[0].n_vertices == 2
+    assert simp[0].length_px == pytest.approx(2 * TS - 1)
 
 
 def test_levels_validation(spark):

@@ -82,6 +82,7 @@ from tilegrab_spark.operators.contour import (
     contour_lonlat,
     extract_contours,
     link_contours,
+    simplify_contours,
 )
 from tilegrab_spark.operators.spatialstats import (
     getis_ord_gi,
@@ -239,6 +240,7 @@ __all__ = [
     "extract_contours",
     "link_contours",
     "assemble_contours",
+    "simplify_contours",
     "contour_lonlat",
     # sketches
     "hll_registers",

@@ -62,6 +62,7 @@ __all__ = [
     "extract_contours",
     "link_contours",
     "assemble_contours",
+    "simplify_contours",
     "contour_lonlat",
 ]
 
@@ -341,6 +342,72 @@ def assemble_contours(labeled: DataFrame) -> DataFrame:
         )
 
     return labeled.groupBy("contour_id").applyInPandas(one, out_schema)
+
+
+def _dp_keep_mask(xs: np.ndarray, ys: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask, iterative (explicit stack). Endpoints
+    always kept; a vertex is kept when its perpendicular distance to
+    the current chord exceeds ``tol`` (ties dropped). Deterministic:
+    the max-distance vertex with the LOWEST index splits."""
+    n = xs.shape[0]
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    tol2 = tol * tol
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        px, py = xs[i + 1: j], ys[i + 1: j]
+        dx, dy = xs[j] - xs[i], ys[j] - ys[i]
+        L2 = dx * dx + dy * dy
+        if L2 == 0.0:
+            d2 = (px - xs[i]) ** 2 + (py - ys[i]) ** 2
+        else:
+            cross = (px - xs[i]) * dy - (py - ys[i]) * dx
+            d2 = cross * cross / L2
+        k = int(np.argmax(d2))
+        if d2[k] > tol2:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep
+
+
+def simplify_contours(assembled: DataFrame, *, tolerance_px: float) -> DataFrame:
+    """Douglas-Peucker simplification of ``assemble_contours`` output:
+    same columns, with ``xs/ys/n_vertices/length_px`` replaced by the
+    simplified polyline (endpoints pinned; closed loops keep the
+    repeated first-vertex-last convention and are split at their first
+    vertex — the standard ring treatment). One Arrow-vectorized scalar
+    pass, no shuffle: each row is simplified independently, so the
+    stage is embarrassingly parallel at any table size."""
+    if tolerance_px < 0:
+        raise ValueError(f"tolerance_px must be >= 0, got {tolerance_px}")
+    tol = float(tolerance_px)
+    out_schema = assembled.schema
+
+    def simp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            new_xs, new_ys, nv, ln = [], [], [], []
+            for xs, ys in zip(pdf["xs"], pdf["ys"]):
+                x = np.asarray(list(xs), dtype=np.float64)
+                y = np.asarray(list(ys), dtype=np.float64)
+                if x.shape[0] > 2:
+                    m = _dp_keep_mask(x, y, tol)
+                    x, y = x[m], y[m]
+                new_xs.append(list(x))
+                new_ys.append(list(y))
+                nv.append(len(x))
+                ln.append(float(np.hypot(np.diff(x), np.diff(y)).sum()))
+            pdf = pdf.copy()
+            pdf["xs"], pdf["ys"] = new_xs, new_ys
+            pdf["n_vertices"] = pd.Series(nv, dtype="int32", index=pdf.index)
+            pdf["length_px"] = pd.Series(ln, dtype="float64", index=pdf.index)
+            yield pdf
+
+    return assembled.mapInPandas(simp, out_schema)
 
 
 def contour_lonlat(segments: DataFrame, *, tile_px: int = 256) -> DataFrame:
