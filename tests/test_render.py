@@ -13,6 +13,7 @@ from tilegrab_spark.operators.render import (
     FIRE_RAMP,
     _ramp_lut,
     bin_points,
+    interpolate_idw_tiles,
     render_density_tiles,
 )
 
@@ -152,6 +153,106 @@ def test_feeds_mosaic_unchanged(spark):
     assert len(m) == 1
     assert (m[0].w, m[0].h) == (512, 512)
     assert m[0].n_tiles == 4
+
+
+def _idw_oracle(samples, zoom, vmin, vmax, radius, power, tiles, tp):
+    """Direct per-tile IDW field + quantization (independent loop)."""
+    out = {}
+    for tx, ty in tiles:
+        field = np.full((tp, tp), np.nan)
+        for r in range(tp):
+            for c in range(tp):
+                cx, cy = tx * tp + c + 0.5, ty * tp + r + 0.5
+                num = den = 0.0
+                exact = []
+                for lon, lat, v in samples:
+                    wx = (lon / 360.0 + 0.5) * (1 << zoom) * tp
+                    s = math.sin(math.radians(lat))
+                    wy = (0.5 - 0.25 * math.log((1 + s) / (1 - s)) / math.pi) * (1 << zoom) * tp
+                    d2 = (wx - cx) ** 2 + (wy - cy) ** 2
+                    if d2 > radius * radius:
+                        continue
+                    if d2 == 0.0:
+                        exact.append(v)
+                    else:
+                        w = d2 ** (-power / 2.0)
+                        num += w * v
+                        den += w
+                if exact:
+                    field[r, c] = sum(exact) / len(exact)
+                elif den > 0:
+                    field[r, c] = num / den
+        idx = np.zeros((tp, tp), dtype=np.uint8)
+        ok = ~np.isnan(field)
+        idx[ok] = np.clip(np.round((field[ok] - vmin) / (vmax - vmin) * 255), 0, 255).astype(np.uint8)
+        out[(tx, ty)] = idx
+    return out
+
+
+def test_idw_matches_oracle(spark):
+    zoom = 3
+    rng = np.random.default_rng(6)
+    samples = [
+        (float(rng.uniform(0.0, 30.0)), float(rng.uniform(20.0, 45.0)), float(rng.uniform(0, 100)))
+        for _ in range(6)
+    ]
+    df = spark.createDataFrame(samples, "lon double, lat double, val double")
+    rows = interpolate_idw_tiles(
+        df, zoom=zoom, value_col="val", vmin=0.0, vmax=100.0, radius_px=12.0,
+        tile_px=32,
+    ).collect()
+    got = {}
+    for r in rows:
+        tx, ty = (int(v) for v in r.image_id.split("_")[1:3])
+        got[(tx, ty)] = decode_png(bytes(r.bytes))[:, :, 0]
+    want = _idw_oracle(samples, zoom, 0.0, 100.0, 12.0, 2.0, got.keys(), 32)
+    # only compare tiles the oracle says have coverage; distributed
+    # must produce exactly the touched-tile set
+    covered = {t for t, a in want.items() if a.any()}
+    assert covered <= set(got)
+    for t in got:
+        assert np.array_equal(got[t], want[t]), t
+
+
+def test_idw_exact_sample_pins_pixel(spark):
+    zoom = 3
+    # a sample exactly on a pixel center: world px (100.5, 80.5)
+    n_px = (1 << zoom) * 256
+    lon = (100.5 / n_px - 0.5) * 360.0
+    lat = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * 80.5 / n_px))))
+    df = spark.createDataFrame([(lon, lat, 50.0)], "lon double, lat double, val double")
+    rows = interpolate_idw_tiles(
+        df, zoom=zoom, value_col="val", vmin=0.0, vmax=100.0, radius_px=10.0
+    ).collect()
+    img = {tuple(int(v) for v in r.image_id.split("_")[1:3]): decode_png(bytes(r.bytes))
+           for r in rows}[(0, 0)]
+    assert img[80, 100, 0] == 128  # round(50/100*255)
+    assert img[0, 0, 0] == 0  # out of radius -> nodata
+
+
+def test_idw_deterministic_across_partitionings(spark):
+    zoom = 4
+    rng = np.random.default_rng(8)
+    samples = [
+        (float(rng.uniform(0, 40)), float(rng.uniform(10, 50)), float(rng.uniform(0, 9)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(samples, "lon double, lat double, val double")
+
+    def digest(d):
+        return {r.image_id: hashlib.md5(bytes(r.bytes)).hexdigest()
+                for r in interpolate_idw_tiles(
+                    d, zoom=zoom, value_col="val", vmin=0.0, vmax=9.0,
+                    radius_px=100.0).collect()}
+    assert digest(df) == digest(df.repartition(11))
+
+
+def test_idw_validation(spark):
+    df = spark.createDataFrame([(0.0, 0.0, 1.0)], "lon double, lat double, val double")
+    with pytest.raises(ValueError):
+        interpolate_idw_tiles(df, zoom=3, value_col="val", vmin=1.0, vmax=1.0)
+    with pytest.raises(ValueError):
+        interpolate_idw_tiles(df, zoom=3, value_col="val", vmin=0.0, vmax=1.0, radius_px=0)
 
 
 def test_validation(spark):

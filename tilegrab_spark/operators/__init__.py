@@ -76,7 +76,11 @@ from tilegrab_spark.operators.sketches import (
 from tilegrab_spark.operators.change import change_summary, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
 from tilegrab_spark.operators.cluster import cluster_summary, grid_dbscan
-from tilegrab_spark.operators.render import bin_points, render_density_tiles
+from tilegrab_spark.operators.render import (
+    bin_points,
+    interpolate_idw_tiles,
+    render_density_tiles,
+)
 from tilegrab_spark.operators.contour import (
     assemble_contours,
     contour_lonlat,
@@ -237,6 +241,7 @@ __all__ = [
     "cluster_summary",
     "bin_points",
     "render_density_tiles",
+    "interpolate_idw_tiles",
     "extract_contours",
     "link_contours",
     "assemble_contours",

@@ -50,7 +50,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from tilegrab_spark.sources.images import IMAGE_SCHEMA
 
-__all__ = ["bin_points", "render_density_tiles", "FIRE_RAMP"]
+__all__ = [
+    "bin_points",
+    "render_density_tiles",
+    "interpolate_idw_tiles",
+    "FIRE_RAMP",
+]
 
 _EPSILON = 1e-14  # reference: tiles/collection.py:13
 
@@ -199,3 +204,162 @@ def render_density_tiles(
         )
 
     return binned.groupBy("x", "y").applyInPandas(paint, IMAGE_SCHEMA)
+
+
+def interpolate_idw_tiles(
+    points: DataFrame,
+    *,
+    zoom: int,
+    value_col: str,
+    vmin: float,
+    vmax: float,
+    radius_px: float = 64.0,
+    power: float = 2.0,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    tile_px: int = 256,
+    src: int = 8,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Inverse-distance-weighted surface tiles from scattered point
+    samples (the gdal_grid/`r.surf.idw` operation, Spark-first): each
+    output pixel is the ``1/d^power``-weighted mean of the samples
+    within ``radius_px`` world pixels; pixels with no sample in range
+    stay black (nodata). Output rows are IMAGE_SCHEMA grayscale tiles
+    (value linearly mapped from the REQUIRED explicit ``[vmin, vmax]``
+    — an explicit scale is what keeps tiles comparable across the
+    layer and re-runs byte-identical).
+
+    Plan shape: points project to fractional world-pixel coordinates
+    (pure Catalyst, same P1 math as ``bin_points``) and EXPLODE to the
+    tiles their radius disc touches — a bounded ``sequence`` explode of
+    ``(1 + 2·radius/tile_px)²`` candidates (1-4 rows at the default
+    radius), the same blocked-join discipline as grid_dbscan's 9-cell
+    probe. One Arrow grouped map per tile then evaluates the IDW field
+    vectorized. Per-tile cost is O(tile_px² × local samples); dense
+    hot tiles are the skew axis (same knob as everywhere: radius and
+    zoom bound the fan-in; upstream aggregation/sampling bounds points
+    per pixel).
+
+    A sample exactly on a pixel center (d = 0) pins that pixel to its
+    value (ties: mean of the zero-distance samples).
+    """
+    if vmax <= vmin:
+        raise ValueError(f"vmax must exceed vmin, got [{vmin}, {vmax}]")
+    if radius_px <= 0 or power <= 0:
+        raise ValueError("radius_px and power must be positive")
+    if not (0 <= zoom <= 22):
+        raise ValueError(f"zoom must be in [0, 22], got {zoom}")
+    n_px = float((1 << zoom) * tile_px)
+    nx = F.col(lon_col).cast("double") / F.lit(360.0) + F.lit(0.5)
+    sinlat = F.sin(F.radians(F.col(lat_col).cast("double")))
+    ny = (
+        F.lit(0.5)
+        - F.lit(0.25)
+        * F.log((F.lit(1.0) + sinlat) / (F.lit(1.0) - sinlat))
+        / F.lit(math.pi)
+    )
+    # fractional world-pixel position (pixel (r, c) covers
+    # [c, c+1) x [r, r+1); its center sits at +0.5)
+    fx = F.least(F.lit(n_px - 1e-9), F.greatest(F.lit(0.0), nx * F.lit(n_px)))
+    fy = F.least(F.lit(n_px - 1e-9), F.greatest(F.lit(0.0), ny * F.lit(n_px)))
+    tp = int(tile_px)
+    r_px = float(radius_px)
+    max_tile = (1 << zoom) - 1
+    proj = points.select(
+        fx.alias("_fx"),
+        fy.alias("_fy"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    span = (
+        proj.withColumn(
+            "x",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.lit(0).cast("long"),
+                               F.floor((F.col("_fx") - r_px) / tp).cast("long")),
+                    F.least(F.lit(max_tile).cast("long"),
+                            F.floor((F.col("_fx") + r_px) / tp).cast("long")),
+                )
+            ),
+        )
+        .withColumn(
+            "y",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.lit(0).cast("long"),
+                               F.floor((F.col("_fy") - r_px) / tp).cast("long")),
+                    F.least(F.lit(max_tile).cast("long"),
+                            F.floor((F.col("_fy") + r_px) / tp).cast("long")),
+                )
+            ),
+        )
+    )
+    z = int(zoom)
+    lo, hi = float(vmin), float(vmax)
+    pw = float(power)
+    n_b = int(n_buckets)
+    src_i = int(src)
+
+    def paint(key, pdf):
+        import pandas as pd
+
+        from tilegrab_spark.kernels.png import encode_png, phash64
+
+        x, y = int(key[0]), int(key[1])
+        # float accumulation is order-sensitive: pin a deterministic
+        # sample order so output bytes don't depend on partitioning
+        pdf = pdf.sort_values(["_fx", "_fy", "_v"], kind="mergesort")
+        px = pdf["_fx"].to_numpy() - x * tp
+        py = pdf["_fy"].to_numpy() - y * tp
+        vals = pdf["_v"].to_numpy()
+        gx = np.arange(tp) + 0.5
+        gy = (np.arange(tp) + 0.5)[:, None]
+        num = np.zeros((tp, tp))
+        den = np.zeros((tp, tp))
+        exact_sum = np.zeros((tp, tp))
+        exact_cnt = np.zeros((tp, tp))
+        r2 = r_px * r_px
+        for i in range(px.shape[0]):
+            d2 = (gx - px[i]) ** 2 + (gy - py[i]) ** 2
+            m = d2 <= r2
+            zero = m & (d2 == 0.0)
+            if zero.any():
+                exact_sum[zero] += vals[i]
+                exact_cnt[zero] += 1
+                m &= ~zero
+            w = np.zeros_like(d2)
+            w[m] = d2[m] ** (-pw / 2.0)
+            num += w * vals[i]
+            den += w
+        field = np.full((tp, tp), np.nan)
+        hit = den > 0
+        field[hit] = num[hit] / den[hit]
+        ex = exact_cnt > 0
+        field[ex] = exact_sum[ex] / exact_cnt[ex]
+        idx = np.zeros((tp, tp), dtype=np.uint8)
+        ok = ~np.isnan(field)
+        idx[ok] = np.clip(
+            np.round((field[ok] - lo) / (hi - lo) * 255.0), 0, 255
+        ).astype(np.uint8)
+        rgb = np.repeat(idx[:, :, None], 3, axis=2)
+        data = encode_png(rgb, filter_type=2)
+        cell = (z << 58) | (x << 29) | y
+        cap = "idw z=%d r=%s p=%s range=[%s,%s] n=%d" % (
+            z, repr(r_px), repr(pw), repr(lo), repr(hi), px.shape[0]
+        )
+        return pd.DataFrame(
+            {
+                "image_id": [f"{z}_{x}_{y}_{src_i}"],
+                "bytes": [data],
+                "w": [tp],
+                "h": [tp],
+                "fmt": ["png"],
+                "caption": [cap],
+                "phash": [phash64(rgb)],
+                "zoom": [z],
+                "bucket": [int(cell % n_b)],
+            }
+        )
+
+    return span.groupBy("x", "y").applyInPandas(paint, IMAGE_SCHEMA)
