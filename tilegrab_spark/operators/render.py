@@ -52,6 +52,7 @@ from tilegrab_spark.sources.images import IMAGE_SCHEMA
 
 __all__ = [
     "bin_points",
+    "render_binned",
     "render_density_tiles",
     "interpolate_idw_tiles",
     "FIRE_RAMP",
@@ -155,6 +156,33 @@ def render_density_tiles(
         weight_col=weight_col,
         tile_px=tile_px,
     )
+    return render_binned(
+        binned,
+        zoom=zoom,
+        tile_px=tile_px,
+        log_scale=log_scale,
+        vmax=vmax,
+        ramp=ramp,
+        src=src,
+        n_buckets=n_buckets,
+    )
+
+
+def render_binned(
+    binned: DataFrame,
+    *,
+    zoom: int,
+    tile_px: int = 256,
+    log_scale: bool = True,
+    vmax: Optional[float] = None,
+    ramp: Iterable = FIRE_RAMP,
+    src: int = 9,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Paint stage over an existing per-pixel weight frame (the
+    ``bin_points`` shape ``[x, y, px, py, weight]``) — exposed so
+    incremental maintainers (streaming/density_stream.py) can merge
+    binned deltas relationally and repaint only touched tiles."""
     lut = _ramp_lut(tuple(ramp))
     z = int(zoom)
     tp = int(tile_px)

@@ -2,6 +2,12 @@ from tilegrab_spark.streaming.incremental_dedup import (
     incremental_lsh_pairs,
     stream_document_dedup,
 )
+from tilegrab_spark.streaming.density_stream import (
+    compact_density,
+    render_current,
+    render_dirty,
+    stream_density,
+)
 from tilegrab_spark.streaming.ingest import stream_image_ingest
 from tilegrab_spark.streaming.mosaic_stream import compact_mosaics, stream_mosaic
 from tilegrab_spark.streaming.stateful import stream_cell_stats
@@ -13,6 +19,10 @@ __all__ = [
     "stream_image_ingest",
     "stream_mosaic",
     "compact_mosaics",
+    "stream_density",
+    "compact_density",
+    "render_current",
+    "render_dirty",
     "stream_cell_stats",
     "stream_windowed_counts",
 ]
