@@ -284,3 +284,105 @@ def test_parquet_minmax_stats_prune(spark, tmp_path):
     spans.sort()
     for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
         assert a_hi <= b_lo  # non-overlapping
+
+
+# ---------------------------------------------------------------------------
+# Geohash
+# ---------------------------------------------------------------------------
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _ref_geohash(lon, lat, p):
+    """Scalar reference implementation: interval-halving formulation
+    (independent of the engine's integer-cell fold)."""
+    lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+    bits = []
+    even = True
+    while len(bits) < 5 * p:
+        if even:
+            mid = (lo_lon + hi_lon) / 2
+            if lon >= mid:
+                bits.append(1); lo_lon = mid
+            else:
+                bits.append(0); hi_lon = mid
+        else:
+            mid = (lo_lat + hi_lat) / 2
+            if lat >= mid:
+                bits.append(1); lo_lat = mid
+            else:
+                bits.append(0); hi_lat = mid
+        even = not even
+    out = []
+    for c in range(p):
+        d = 0
+        for b in bits[c * 5:(c + 1) * 5]:
+            d = d * 2 + b
+        out.append(_GH32[d])
+    return "".join(out)
+
+
+def test_geohash_documented_examples(spark):
+    from tilegrab_spark.functions.interop import geohash_col
+
+    df = spark.createDataFrame(
+        [(-5.6, 42.6), (13.361389, 38.115556), (10.40744, 57.64911)],
+        "lon double, lat double",
+    )
+    got = [
+        (r.g5, r.g11)
+        for r in df.select(
+            geohash_col(F.col("lon"), F.col("lat"), 5).alias("g5"),
+            geohash_col(F.col("lon"), F.col("lat"), 11).alias("g11"),
+        ).collect()
+    ]
+    # the two classic published examples + Palermo
+    assert got[0][0] == "ezs42"
+    assert got[2][1] == "u4pruydqqvj"
+    assert got[1][1].startswith("sqc8b49rn")
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-180.0, max_value=179.999, allow_nan=False),
+            st.floats(min_value=-90.0, max_value=89.999, allow_nan=False),
+            st.integers(min_value=1, max_value=12),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_geohash_matches_reference_and_decodes(spark, pts):
+    from tilegrab_spark.functions.interop import geohash_col, geohash_decode_cols
+
+    df = spark.createDataFrame(pts, "lon double, lat double, p int")
+    for lon, lat, p in pts:
+        one = spark.createDataFrame([(lon, lat)], "lon double, lat double")
+        r = one.select(geohash_col(F.col("lon"), F.col("lat"), p).alias("gh")).collect()[0]
+        assert r.gh == _ref_geohash(lon, lat, p), (lon, lat, p)
+        dlon, dlat = geohash_decode_cols(F.lit(r.gh))
+        d = one.select(dlon.alias("lon"), dlat.alias("lat")).collect()[0]
+        # center of the cell: within half a cell of the input
+        lon_bits = (5 * p + 1) // 2
+        lat_bits = (5 * p) // 2
+        assert abs(d.lon - lon) <= 360.0 / (1 << lon_bits) / 2 + 1e-9
+        assert abs(d.lat - lat) <= 180.0 / (1 << lat_bits) / 2 + 1e-9
+
+
+def test_geohash_null_and_validation(spark):
+    from tilegrab_spark.functions.interop import geohash_col, geohash_decode_cols
+
+    df = spark.createDataFrame([(None, 1.0), (1.0, None)], "lon double, lat double")
+    rows = df.select(geohash_col(F.col("lon"), F.col("lat"), 6).alias("gh")).collect()
+    assert all(r.gh is None for r in rows)
+    lon, lat = geohash_decode_cols(F.lit(None).cast("string"))
+    r = df.limit(1).select(lon.alias("a"), lat.alias("b")).collect()[0]
+    assert r.a is None and r.b is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        geohash_col(F.col("lon"), F.col("lat"), 0)
+    with _pt.raises(ValueError):
+        geohash_col(F.col("lon"), F.col("lat"), 13)

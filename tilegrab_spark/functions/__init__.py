@@ -5,6 +5,8 @@ from tilegrab_spark.functions.cells import (
     cell_id_col,
 )
 from tilegrab_spark.functions.interop import (
+    geohash_col,
+    geohash_decode_cols,
     morton_key_col,
     morton_parent_col,
     quadkey_col,
@@ -17,6 +19,8 @@ __all__ = [
     "tile_bounds_cols",
     "tile_mercator_bounds_cols",
     "cell_id_col",
+    "geohash_col",
+    "geohash_decode_cols",
     "morton_key_col",
     "morton_parent_col",
     "quadkey_col",

@@ -8,6 +8,8 @@ estates use three more addressings a switching user needs:
   level, ``digit = x_bit | (y_bit << 1)`` from the top level down.
 - **TMS**: identical to XYZ except the y axis grows northward, so
   ``y_tms = 2^z - 1 - y``.
+- **Geohash**: the base-32 lat/lon cell string (interval-halving,
+  bit-exact vs the public spec) — encode + center decode.
 - **Morton / Z-order key**: the x/y bits interleaved into one long.
   This is also the 100 TB *data-layout* primitive: sorting or
   range-partitioning a tile or point table by its Morton key places
@@ -112,3 +114,121 @@ def morton_parent_col(key: Column, levels: int = 1) -> Column:
     Python int (a shift amount, not data) — integer shiftright keeps
     all 60 key bits exact, which float division would not."""
     return F.shiftright(key.cast("long"), 2 * int(levels))
+
+
+# ---------------------------------------------------------------------------
+# Geohash (the fourth interop addressing: base-32 lat/lon cells)
+# ---------------------------------------------------------------------------
+
+_GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_col(lon: Column, lat: Column, precision: int) -> Column:
+    """Geohash string of a lon/lat point at ``precision`` characters
+    (1..12) — pure Catalyst. ``precision`` is a Python int (a
+    bit-width, not data).
+
+    Uses the spec's INTERVAL-HALVING formulation as one fold (struct
+    accumulator carrying the shrinking lon/lat interval plus the bit
+    value), not the ``floor((v-lo)/span * 2^k)`` shortcut — the two
+    differ for points within a float ulp of a cell boundary (e.g.
+    subnormal latitudes), and halving is the ground truth every public
+    implementation agrees on (pinned by the hypothesis test against a
+    scalar halving reference). 12 chars = 60 bits fits one signed
+    long. NULL lon/lat propagates to NULL."""
+    p = int(precision)
+    if not 1 <= p <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {p}")
+    bits = 5 * p
+    lon_d, lat_d = lon.cast("double"), lat.cast("double")
+
+    def step(acc: Column, k: Column) -> Column:
+        even = k % 2 == 0
+        mid_lon = (acc["lolon"] + acc["hilon"]) / 2
+        mid_lat = (acc["lolat"] + acc["hilat"]) / 2
+        bit_lon = (lon_d >= mid_lon).cast("long")
+        bit_lat = (lat_d >= mid_lat).cast("long")
+        return F.struct(
+            F.when(even & (bit_lon == 1), mid_lon).otherwise(acc["lolon"]).alias("lolon"),
+            F.when(even & (bit_lon == 0), mid_lon).otherwise(acc["hilon"]).alias("hilon"),
+            F.when(~even & (bit_lat == 1), mid_lat).otherwise(acc["lolat"]).alias("lolat"),
+            F.when(~even & (bit_lat == 0), mid_lat).otherwise(acc["hilat"]).alias("hilat"),
+            (acc["v"] * 2 + F.when(even, bit_lon).otherwise(bit_lat)).alias("v"),
+        )
+
+    init = F.struct(
+        F.lit(-180.0).alias("lolon"),
+        F.lit(180.0).alias("hilon"),
+        F.lit(-90.0).alias("lolat"),
+        F.lit(90.0).alias("hilat"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    val = F.aggregate(F.sequence(F.lit(0), F.lit(bits - 1)), init, step)["v"]
+    alph = F.lit(_GEOHASH_ALPHABET)
+    # char c (0 = leftmost) covers bits [5(p-1-c), 5(p-c)) of val;
+    # shiftright needs a literal shift, so extract the 5 bits by fold
+    chars = F.transform(
+        F.sequence(F.lit(0), F.lit(p - 1)),
+        lambda c: F.substring(
+            alph,
+            (
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(4)),
+                    F.lit(0).cast("long"),
+                    lambda acc, j: acc * 2
+                    + F.bit_get(val, ((F.lit(p - 1) - c) * 5 + 4 - j).cast("int")),
+                )
+                + 1
+            ).cast("int"),
+            1,
+        ),
+    )
+    return F.when(
+        lon_d.isNotNull() & lat_d.isNotNull(), F.array_join(chars, "")
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def geohash_decode_cols(gh: Column) -> tuple[Column, Column]:
+    """(lon, lat) CELL-CENTER columns of a geohash string of any
+    length 1..12 — base-32 digits fold to the bit value, then the same
+    interval-halving fold in reverse (take the half each bit names);
+    the center is the midpoint of the final interval. NULL/empty input
+    yields NULLs."""
+    p = F.length(gh).cast("int")
+    bits = p * 5
+    alph = F.lit(_GEOHASH_ALPHABET)
+    val = F.aggregate(
+        F.sequence(F.lit(1), p),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * 32
+        + (F.instr(alph, F.substring(gh, i.cast("int"), 1)) - 1).cast("long"),
+    )
+
+    def step(acc: Column, k: Column) -> Column:
+        even = k % 2 == 0
+        bit = F.bit_get(val, (bits - 1 - k).cast("int"))
+        mid_lon = (acc["lolon"] + acc["hilon"]) / 2
+        mid_lat = (acc["lolat"] + acc["hilat"]) / 2
+        return F.struct(
+            F.when(even & (bit == 1), mid_lon).otherwise(acc["lolon"]).alias("lolon"),
+            F.when(even & (bit == 0), mid_lon).otherwise(acc["hilon"]).alias("hilon"),
+            F.when(~even & (bit == 1), mid_lat).otherwise(acc["lolat"]).alias("lolat"),
+            F.when(~even & (bit == 0), mid_lat).otherwise(acc["hilat"]).alias("hilat"),
+            acc["v"].alias("v"),
+        )
+
+    init = F.struct(
+        F.lit(-180.0).alias("lolon"),
+        F.lit(180.0).alias("hilon"),
+        F.lit(-90.0).alias("lolat"),
+        F.lit(90.0).alias("hilat"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    box = F.aggregate(F.sequence(F.lit(0), bits - 1), init, step)
+    lon = (box["lolon"] + box["hilon"]) / 2
+    lat = (box["lolat"] + box["hilat"]) / 2
+    ok = gh.isNotNull() & (F.length(gh) >= 1)
+    return (
+        F.when(ok, lon).otherwise(F.lit(None).cast("double")),
+        F.when(ok, lat).otherwise(F.lit(None).cast("double")),
+    )
