@@ -76,6 +76,12 @@ from tilegrab_spark.operators.sketches import (
 from tilegrab_spark.operators.change import change_summary, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
 from tilegrab_spark.operators.cluster import cluster_summary, grid_dbscan
+from tilegrab_spark.operators.trajectory import (
+    haversine_m,
+    stay_points,
+    track_stats,
+    with_legs,
+)
 from tilegrab_spark.operators.render import (
     bin_points,
     interpolate_idw_tiles,
@@ -239,6 +245,10 @@ __all__ = [
     "getis_ord_gi",
     "grid_dbscan",
     "cluster_summary",
+    "haversine_m",
+    "with_legs",
+    "track_stats",
+    "stay_points",
     "bin_points",
     "render_density_tiles",
     "interpolate_idw_tiles",
