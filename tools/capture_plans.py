@@ -259,6 +259,21 @@ def _render_plan(spark):
     return plan_of(render_density_tiles(pts, zoom=8))
 
 
+def _idw_plan(spark):
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.render import interpolate_idw_tiles
+
+    pts = spark.range(20000).select(
+        (F.col("id") % 700 / 20.0).alias("lon"),
+        (F.col("id") % 431 / 10.0).alias("lat"),
+        (F.col("id") % 97).cast("double").alias("val"),
+    )
+    return plan_of(
+        interpolate_idw_tiles(pts, zoom=7, value_col="val", vmin=0.0, vmax=96.0)
+    )
+
+
 def _dbscan_plan(spark):
     from pyspark.sql import functions as F
 
@@ -504,6 +519,14 @@ def main():
             "row/col, neighbor row-0/col-0/corner — never tile pixels; "
             "same halo shape as PLANs 14/21)",
             _contour_plan(spark, images),
+        ),
+        (
+            "PLAN 27: IDW surface interpolation (each sample explodes to "
+            "the <=4 tiles its radius disc touches — two bounded sequence "
+            "explodes, no 9-cell fan-out beyond the disc; the one exchange "
+            "carries (fx, fy, value) scalars into the per-tile grouped "
+            "map that evaluates the 1/d^p field vectorized)",
+            _idw_plan(spark),
         ),
     ]
 
