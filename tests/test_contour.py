@@ -205,3 +205,32 @@ def test_levels_validation(spark):
     V = _field_circle(TS)
     with pytest.raises(ValueError):
         extract_contours(_tiles_df(spark, V), levels=[])
+
+
+def test_geojson_export(spark):
+    import json
+
+    from tilegrab_spark.operators.contour import contours_geojson
+
+    V = _field_circle(2 * TS)
+    segs = extract_contours(_tiles_df(spark, V), levels=[60.5])
+    try:
+        asm = assemble_contours(link_contours(segs))
+        rows = contours_geojson(asm, tile_px=TS).collect()
+    finally:
+        release_signature_caches()
+    assert len(rows) == 1
+    gj = json.loads(rows[0].geojson)
+    assert gj["type"] == "Feature"
+    assert gj["geometry"]["type"] == "LineString"
+    assert gj["properties"]["level"] == 60.5 and gj["properties"]["closed"] is True
+    coords = gj["geometry"]["coordinates"]
+    assert len(coords) == rows[0].n_vertices
+    n_px = (1 << Z) * TS
+    # first coordinate matches the scalar conversion of the first vertex
+    lon0 = (rows[0].xs[0] / n_px - 0.5) * 360.0
+    lat0 = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * rows[0].ys[0] / n_px))))
+    assert coords[0][0] == pytest.approx(lon0, abs=1e-9)
+    assert coords[0][1] == pytest.approx(lat0, abs=1e-9)
+    # closed ring round-trips
+    assert coords[0] == coords[-1]

@@ -85,11 +85,13 @@ from tilegrab_spark.operators.trajectory import (
 from tilegrab_spark.operators.render import (
     bin_points,
     interpolate_idw_tiles,
+    render_binned,
     render_density_tiles,
 )
 from tilegrab_spark.operators.contour import (
     assemble_contours,
     contour_lonlat,
+    contours_geojson,
     extract_contours,
     link_contours,
     simplify_contours,
@@ -250,6 +252,7 @@ __all__ = [
     "track_stats",
     "stay_points",
     "bin_points",
+    "render_binned",
     "render_density_tiles",
     "interpolate_idw_tiles",
     "extract_contours",
@@ -257,6 +260,7 @@ __all__ = [
     "assemble_contours",
     "simplify_contours",
     "contour_lonlat",
+    "contours_geojson",
     # sketches
     "hll_registers",
     "hll_summary",

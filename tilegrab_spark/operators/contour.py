@@ -64,6 +64,7 @@ __all__ = [
     "assemble_contours",
     "simplify_contours",
     "contour_lonlat",
+    "contours_geojson",
 ]
 
 _PART_SCHEMA = T.StructType(
@@ -430,3 +431,37 @@ def contour_lonlat(segments: DataFrame, *, tile_px: int = 256) -> DataFrame:
         .withColumn("lon2", lon("x2"))
         .withColumn("lat2", lat("y2"))
     )
+
+
+def contours_geojson(assembled: DataFrame, *, tile_px: int = 256) -> DataFrame:
+    """GeoJSON export of assembled (optionally simplified) contours:
+    input columns + a ``geojson`` string per contour — a LineString
+    feature with the level in ``properties``, coordinates converted
+    global-pixel → lon/lat by the same pure-Catalyst formulas as
+    :func:`contour_lonlat` (footprint.py speaks the same format for
+    coverage polygons). All higher-order-array Catalyst — no Python."""
+    n_px = F.pow(F.lit(2.0), F.col("z").cast("double")) * F.lit(float(tile_px))
+    lon = F.transform(
+        F.col("xs"), lambda gx: (gx / n_px - F.lit(0.5)) * F.lit(360.0)
+    )
+    lat = F.transform(
+        F.col("ys"),
+        lambda gy: F.degrees(
+            F.atan(F.sinh(F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * gy / n_px)))
+        ),
+    )
+    coords = F.zip_with(lon, lat, lambda a, b: F.array(a, b))
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("LineString").alias("type"),
+                coords.alias("coordinates"),
+            ).alias("geometry"),
+            F.struct(
+                F.col("level").alias("level"),
+                F.col("closed").alias("closed"),
+            ).alias("properties"),
+        )
+    )
+    return assembled.withColumn("geojson", feature)
