@@ -76,6 +76,7 @@ from tilegrab_spark.operators.sketches import (
 from tilegrab_spark.operators.change import change_summary, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
 from tilegrab_spark.operators.cluster import cluster_summary, grid_dbscan
+from tilegrab_spark.operators.points import points_in_polygons
 from tilegrab_spark.operators.trajectory import (
     haversine_m,
     stay_points,
@@ -247,6 +248,7 @@ __all__ = [
     "getis_ord_gi",
     "grid_dbscan",
     "cluster_summary",
+    "points_in_polygons",
     "haversine_m",
     "with_legs",
     "track_stats",
