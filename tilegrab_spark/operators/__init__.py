@@ -77,6 +77,7 @@ from tilegrab_spark.operators.change import change_summary, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
 from tilegrab_spark.operators.cluster import cluster_summary, grid_dbscan
 from tilegrab_spark.operators.points import points_in_polygons
+from tilegrab_spark.operators.vectortiles import contours_to_mvt
 from tilegrab_spark.operators.trajectory import (
     haversine_m,
     stay_points,
@@ -263,6 +264,7 @@ __all__ = [
     "simplify_contours",
     "contour_lonlat",
     "contours_geojson",
+    "contours_to_mvt",
     # sketches
     "hll_registers",
     "hll_summary",
