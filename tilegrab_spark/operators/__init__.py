@@ -76,6 +76,12 @@ from tilegrab_spark.operators.sketches import (
 from tilegrab_spark.operators.change import change_summary, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
 from tilegrab_spark.operators.cluster import cluster_summary, grid_dbscan
+from tilegrab_spark.operators.overlay import (
+    areal_interpolate,
+    spatial_join_polygons,
+    tile_polygon_areas,
+    with_polygon_bbox,
+)
 from tilegrab_spark.operators.points import points_in_polygons
 from tilegrab_spark.operators.vectortiles import contours_to_mvt
 from tilegrab_spark.operators.trajectory import (
@@ -279,6 +285,11 @@ __all__ = [
     "cms_estimate",
     "cms_inner_product",
     "join_size_estimate",
+    # vector overlay
+    "spatial_join_polygons",
+    "tile_polygon_areas",
+    "areal_interpolate",
+    "with_polygon_bbox",
     # multimodal
     "image_features",
     "image_quality_signals",
