@@ -1,0 +1,181 @@
+"""BPE trainer/encoder suite — exact parity with an independent
+pure-python Sennrich reference implementing the same deterministic
+tie-break (max count, then lexicographic min pair)."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+
+from tilegrab_spark.operators.bpe import (
+    EOW,
+    bpe_vocab,
+    encode_bpe,
+    train_bpe,
+    word_counts,
+)
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest newest",
+    "newest newest newest widest widest",
+    "the cat sat on the mat the cat",
+    "lowest newest lowest",
+]
+
+
+# ------------------------------------------------------------- reference
+
+
+def ref_word_counts(docs):
+    c = collections.Counter()
+    for d in docs:
+        c.update(d.split())
+    return dict(c)
+
+
+def ref_train(docs, n_merges, min_pair_count=2):
+    words = {
+        tuple(list(w) + [EOW]): n for w, n in ref_word_counts(docs).items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for syms, n in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        out = {}
+        for syms, n in words.items():
+            s = list(syms)
+            i, res = 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            out[tuple(res)] = out.get(tuple(res), 0) + n
+        words = out
+    return merges
+
+
+def ref_encode(doc, merges):
+    out = []
+    for w in doc.split():
+        s = list(w) + [EOW]
+        for (a, b) in merges:  # Sennrich apply order: each merge in rank order
+            i, res = 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            s = res
+        out.extend(s)
+    return out
+
+
+# ----------------------------------------------------------------- tests
+
+
+def _docs_df(spark, docs, nparts=1):
+    return spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    ).repartition(nparts)
+
+
+class TestTrain:
+    def test_word_counts(self, spark):
+        got = {
+            r["word"]: r["count"]
+            for r in word_counts(_docs_df(spark, CORPUS)).collect()
+        }
+        assert got == ref_word_counts(CORPUS)
+
+    def test_merge_list_matches_reference(self, spark):
+        got = train_bpe(_docs_df(spark, CORPUS), n_merges=12)
+        want = ref_train(CORPUS, 12)
+        assert got == want
+        assert len(got) == 12
+
+    def test_partition_invariance(self, spark):
+        a = train_bpe(_docs_df(spark, CORPUS, nparts=1), n_merges=8)
+        b = train_bpe(_docs_df(spark, CORPUS, nparts=7), n_merges=8)
+        assert a == b
+
+    def test_early_stop_on_floor(self, spark):
+        docs = ["a b", "c d"]  # every pair occurs once
+        got = train_bpe(_docs_df(spark, docs), n_merges=10, min_pair_count=2)
+        assert got == []
+        # floor 1 merges everything down to whole words + EOW
+        got1 = train_bpe(_docs_df(spark, docs), n_merges=50, min_pair_count=1)
+        assert got1 == ref_train(docs, 50, min_pair_count=1)
+
+    def test_words_reuse(self, spark):
+        df = _docs_df(spark, CORPUS)
+        wc = word_counts(df)
+        assert train_bpe(df, n_merges=5, words=wc) == ref_train(CORPUS, 5)
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError, match="n_merges"):
+            train_bpe(_docs_df(spark, CORPUS), n_merges=0)
+
+
+class TestEncode:
+    def test_encode_matches_reference(self, spark):
+        merges = ref_train(CORPUS, 12)
+        rows = encode_bpe(_docs_df(spark, CORPUS), merges).orderBy("doc_id").collect()
+        for r in rows:
+            assert list(r["bpe_tokens"]) == ref_encode(r["text"], merges)
+
+    def test_training_docs_reproduce_training_segmentation(self, spark):
+        """GPT-2 lowest-rank-first application == Sennrich sequential
+        application on the training corpus itself."""
+        merges = train_bpe(_docs_df(spark, CORPUS), n_merges=15)
+        rows = encode_bpe(_docs_df(spark, CORPUS), merges).collect()
+        for r in rows:
+            assert list(r["bpe_tokens"]) == ref_encode(r["text"], merges)
+
+    def test_unseen_text_and_empty(self, spark):
+        merges = ref_train(CORPUS, 8)
+        df = spark.createDataFrame(
+            [(0, "zzz qqq"), (1, ""), (2, None)], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r["bpe_tokens"] for r in encode_bpe(df, merges).collect()}
+        assert rows[0] == ref_encode("zzz qqq", merges)
+        assert rows[1] == []
+        assert rows[2] == []
+
+    def test_roundtrip_words(self, spark):
+        """Concatenating tokens and splitting on EOW recovers the words."""
+        merges = ref_train(CORPUS, 12)
+        rows = encode_bpe(_docs_df(spark, CORPUS), merges).collect()
+        for r in rows:
+            joined = "".join(r["bpe_tokens"])
+            words = [w for w in joined.split(EOW) if w]
+            assert words == r["text"].split()
+
+
+class TestVocab:
+    def test_vocab_deterministic_and_complete(self):
+        merges = ref_train(CORPUS, 10)
+        v = bpe_vocab(merges)
+        assert v[EOW] == 256
+        # every merge token present, ids dense and rank-ordered
+        ids = [v[a + b] for a, b in merges if (a + b) not in (EOW,)]
+        assert ids == sorted(ids)
+        # encoding of the corpus uses only vocab tokens
+        for d in CORPUS:
+            for t in ref_encode(d, merges):
+                assert t in v or all(ch in v for ch in t)

@@ -76,6 +76,12 @@ from tilegrab_spark.operators.sketches import (
 from tilegrab_spark.operators.change import change_summary, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
 from tilegrab_spark.operators.cluster import cluster_summary, grid_dbscan
+from tilegrab_spark.operators.bpe import (
+    bpe_vocab,
+    encode_bpe,
+    train_bpe,
+    word_counts,
+)
 from tilegrab_spark.operators.overlay import (
     areal_interpolate,
     spatial_join_polygons,
@@ -285,6 +291,11 @@ __all__ = [
     "cms_estimate",
     "cms_inner_product",
     "join_size_estimate",
+    # BPE tokenizer
+    "train_bpe",
+    "encode_bpe",
+    "word_counts",
+    "bpe_vocab",
     # vector overlay
     "spatial_join_polygons",
     "tile_polygon_areas",
