@@ -76,6 +76,14 @@ from tilegrab_spark.operators.sketches import (
 from tilegrab_spark.operators.change import change_summary, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
 from tilegrab_spark.operators.cluster import cluster_summary, grid_dbscan
+from tilegrab_spark.operators.urls import (
+    canonicalize_url,
+    cap_per_domain,
+    domain_stats,
+    filter_blocked_domains,
+    registered_domain,
+    with_url_parts,
+)
 from tilegrab_spark.operators.bpe import (
     bpe_vocab,
     encode_bpe,
@@ -291,6 +299,13 @@ __all__ = [
     "cms_estimate",
     "cms_inner_product",
     "join_size_estimate",
+    # URL / domain curation
+    "canonicalize_url",
+    "with_url_parts",
+    "registered_domain",
+    "domain_stats",
+    "filter_blocked_domains",
+    "cap_per_domain",
     # BPE tokenizer
     "train_bpe",
     "encode_bpe",
