@@ -76,6 +76,7 @@ from tilegrab_spark.operators.sketches import (
 from tilegrab_spark.operators.change import change_summary, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
 from tilegrab_spark.operators.cluster import cluster_summary, grid_dbscan
+from tilegrab_spark.operators.hull import convex_hull, monotone_chain
 from tilegrab_spark.operators.urls import (
     canonicalize_url,
     cap_per_domain,
@@ -299,6 +300,9 @@ __all__ = [
     "cms_estimate",
     "cms_inner_product",
     "join_size_estimate",
+    # convex hull aggregate
+    "convex_hull",
+    "monotone_chain",
     # URL / domain curation
     "canonicalize_url",
     "with_url_parts",
