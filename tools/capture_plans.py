@@ -294,6 +294,61 @@ def _dbscan_plan(spark):
         release_signature_caches()
 
 
+def _overlay_join_plan(spark):
+    from tilegrab_spark.operators.overlay import spatial_join_polygons
+
+    def sq(cx, cy, h):
+        return [[cx - h, cy - h], [cx + h, cy - h], [cx + h, cy + h],
+                [cx - h, cy + h], [cx - h, cy - h]]
+
+    left = spark.createDataFrame(
+        [(f"L{i}", [sq(10.0 + i * 0.01, 45.0, 0.02)]) for i in range(8)],
+        "geom_id string, rings array<array<array<double>>>",
+    )
+    right = spark.createDataFrame(
+        [(f"R{i}", [sq(10.0 + i * 0.015, 45.0, 0.01)]) for i in range(8)],
+        "geom_id string, rings array<array<array<double>>>",
+    )
+    return plan_of(spatial_join_polygons(left, right, zoom=12))
+
+
+def _hull_plan(spark):
+    from tilegrab_spark.operators.hull import convex_hull
+
+    pts = spark.createDataFrame(
+        [(f"t{i % 4}", float(i % 97) * 0.01, float(i % 89) * 0.01) for i in range(500)],
+        "track string, lon double, lat double",
+    )
+    return plan_of(convex_hull(pts, group_col="track"))
+
+
+def _bpe_round_plan(spark):
+    """One BPE merge round's pair count over the word table (the frame
+    the per-round limit(1) collect runs on)."""
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.bpe import EOW, word_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    syms = word_counts(docs).select(
+        F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW))).alias("syms"),
+        F.col("count").cast("long").alias("count"),
+    )
+    pairs = (
+        syms.select(
+            F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias("_i", "a"),
+            F.col("syms"),
+            F.col("count"),
+        )
+        .select(F.col("a"), F.col("syms")[F.col("_i") + 1].alias("b"), F.col("count"))
+        .groupBy("a", "b")
+        .agg(F.sum("count").alias("pc"))
+        .orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
+        .limit(1)
+    )
+    return plan_of(pairs)
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -527,6 +582,30 @@ def main():
             "carries (fx, fy, value) scalars into the per-tile grouped "
             "map that evaluates the 1/d^p field vectorized)",
             _idw_plan(spark),
+        ),
+        (
+            "PLAN 28: polygon spatial join (candidates = ONE equi-join on "
+            "the bbox tile-cover cells; the greatest(tx0)/greatest(ty0) "
+            "min-corner filter emits each pair EXACTLY ONCE with no "
+            "distinct/dedup exchange; the Arrow refine runs on candidate "
+            "rows only — check: two explodes, one join, zero aggregate "
+            "nodes)",
+            _overlay_join_plan(spark),
+        ),
+        (
+            "PLAN 29: convex hull aggregate (partial hulls in MapInPandas "
+            "BEFORE any exchange — the one hash exchange carries hull "
+            "VERTICES, O(h) per partition-group, never the points; "
+            "FlatMapGroupsInPandas finalizes per group)",
+            _hull_plan(spark),
+        ),
+        (
+            "PLAN 30: BPE merge round (pair count over the vocabulary-"
+            "sized word table: partial_sum BEFORE the exchange — map-side "
+            "combine — and TakeOrderedAndProject caps the driver collect "
+            "at ONE row; corpus bytes shuffled only by the word_counts "
+            "aggregation upstream)",
+            _bpe_round_plan(spark),
         ),
     ]
 
