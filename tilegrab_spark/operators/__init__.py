@@ -77,6 +77,7 @@ from tilegrab_spark.operators.change import change_summary, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
 from tilegrab_spark.operators.cluster import cluster_summary, grid_dbscan
 from tilegrab_spark.operators.hull import convex_hull, monotone_chain
+from tilegrab_spark.operators.snap import explode_segments, snap_points_to_lines
 from tilegrab_spark.operators.urls import (
     canonicalize_url,
     cap_per_domain,
@@ -303,6 +304,9 @@ __all__ = [
     # convex hull aggregate
     "convex_hull",
     "monotone_chain",
+    # snap-to-line (map matching)
+    "snap_points_to_lines",
+    "explode_segments",
     # URL / domain curation
     "canonicalize_url",
     "with_url_parts",
