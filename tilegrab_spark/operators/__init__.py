@@ -76,6 +76,12 @@ from tilegrab_spark.operators.sketches import (
 from tilegrab_spark.operators.change import change_summary, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
 from tilegrab_spark.operators.cluster import cluster_summary, grid_dbscan
+from tilegrab_spark.operators.dsir import (
+    dsir_log_weights,
+    dsir_topk_sample,
+    hashed_ngram_features,
+    ngram_profile,
+)
 from tilegrab_spark.operators.hull import convex_hull, monotone_chain
 from tilegrab_spark.operators.snap import explode_segments, snap_points_to_lines
 from tilegrab_spark.operators.urls import (
@@ -314,6 +320,11 @@ __all__ = [
     "domain_stats",
     "filter_blocked_domains",
     "cap_per_domain",
+    # DSIR importance resampling
+    "dsir_log_weights",
+    "dsir_topk_sample",
+    "hashed_ngram_features",
+    "ngram_profile",
     # BPE tokenizer
     "train_bpe",
     "encode_bpe",
