@@ -8,6 +8,7 @@ from tilegrab_spark.streaming.density_stream import (
     render_dirty,
     stream_density,
 )
+from tilegrab_spark.streaming.geofence import geofence_events, stream_geofence
 from tilegrab_spark.streaming.ingest import stream_image_ingest
 from tilegrab_spark.streaming.mosaic_stream import compact_mosaics, stream_mosaic
 from tilegrab_spark.streaming.stateful import stream_cell_stats
@@ -25,4 +26,6 @@ __all__ = [
     "render_dirty",
     "stream_cell_stats",
     "stream_windowed_counts",
+    "stream_geofence",
+    "geofence_events",
 ]
