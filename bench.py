@@ -257,7 +257,72 @@ def main():
 
     timed("knn_cell_ring", q_knn)
 
-    # 5. relational + training-data suite on the driver's sf tables
+    # 4b. round-4 geospatial additions at synthetic-lake scale, all
+    # deterministic functions of the bench bbox (no RNG, no files);
+    # gated to "all" so the headline scaling suite is unchanged
+    mx0, my0 = geo.lonlat_to_mercator(mnl0, mnt0)
+    mx1, my1 = geo.lonlat_to_mercator(mxl0, mxt0)
+    lane_m = (float(my1) - float(my0)) / 64.0
+
+    def q_snap():
+        from tilegrab_spark.operators.snap import snap_points_to_lines
+
+        pts = spark.range(120_000).select(
+            F.col("id").alias("point_id"),
+            (F.lit(mnl0) + (F.col("id") % 977).cast("double") / 977.0
+             * F.lit(mxl0 - mnl0)).alias("lon"),
+            (F.lit(mnt0) + (F.col("id") % 983).cast("double") / 983.0
+             * F.lit(mxt0 - mnt0)).alias("lat"),
+        )
+        lines = spark.range(64).select(
+            F.col("id").alias("line_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(24)),
+                lambda i: F.array(
+                    F.lit(mnl0) + i.cast("double") / 24.0 * F.lit(mxl0 - mnl0),
+                    F.lit(mnt0) + (F.col("id").cast("double") + 0.5) / 64.0
+                    * F.lit(mxt0 - mnt0),
+                ),
+            ).alias("coords"),
+        )
+        return snap_points_to_lines(
+            pts, lines, radius_m=lane_m / 2.0, how="inner"
+        ).count()
+
+    if stages == "all":
+        timed("snap_points", q_snap)
+
+    def q_overlay():
+        from tilegrab_spark.operators.overlay import spatial_join_polygons
+
+        grid_n = 32
+        sx = (mxl0 - mnl0) / grid_n
+        sy = (mxt0 - mnt0) / grid_n
+
+        def layer(offset: float):
+            i = (F.col("id") % grid_n).cast("double")
+            j = (F.col("id") / grid_n).cast("int").cast("double")
+            x0c = F.lit(mnl0) + (i + F.lit(offset)) * F.lit(sx)
+            y0c = F.lit(mnt0) + (j + F.lit(offset)) * F.lit(sy)
+            x1c = x0c + F.lit(sx * 0.9)
+            y1c = y0c + F.lit(sy * 0.9)
+            return spark.range(grid_n * grid_n).select(
+                F.col("id").cast("string").alias("geom_id"),
+                F.array(
+                    F.array(
+                        F.array(x0c, y0c), F.array(x1c, y0c),
+                        F.array(x1c, y1c), F.array(x0c, y1c),
+                        F.array(x0c, y0c),
+                    )
+                ).alias("rings"),
+            )
+
+        return spatial_join_polygons(
+            layer(0.0), layer(0.45), zoom=9, max_cover_cells=65536
+        ).count()
+
+    if stages == "all":
+        timed("overlay_join", q_overlay)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
 
@@ -285,6 +350,19 @@ def main():
         "cms_frequencies",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    # 5b. DSIR importance weighting over the full documents table
+    if stages == "all":
+        def q_dsir():
+            from tilegrab_spark.operators.dsir import dsir_log_weights
+
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            target = docs.filter(F.col("lang") == "en").limit(200)
+            w = dsir_log_weights(docs, target, n_buckets=1 << 14)
+            # force the weight column (a bare count would prune the sum)
+            return w.filter(F.col("dsir_logw").isNotNull()).count()
+
+        timed("dsir_weights", q_dsir)
 
     # 6. LLM-pipeline stages at FULL document-table scale (the round-2
     # vectorized kernels; aggregates force the UDF columns so Catalyst

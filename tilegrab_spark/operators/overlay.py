@@ -150,6 +150,7 @@ def _explode_cover(
         .otherwise(F.col("_tx1"))
     )
     cols = [F.col(c).alias(f"{tag}{c}") for c in keep]
+    cols += [F.col(c).alias(f"{tag}{c}") for c in ("_minx", "_miny", "_maxx", "_maxy")]
     cols += [
         F.col("_tx0").alias(f"{tag}tx0"),
         F.col("_ty0").alias(f"{tag}ty0"),
@@ -158,6 +159,7 @@ def _explode_cover(
     step1 = base.select(*cols, F.col("_ty0").alias("_y0"), F.col("_ty1").alias("_y1"))
     return step1.select(
         *[f"{tag}{c}" for c in keep],
+        *[f"{tag}{c}" for c in ("_minx", "_miny", "_maxx", "_maxy")],
         f"{tag}tx0",
         f"{tag}ty0",
         "_cx",
@@ -186,8 +188,15 @@ def _all_segments(rings: list) -> np.ndarray:
     return np.concatenate(segs, axis=0) if segs else np.empty((0, 4))
 
 
-def _refine_pair(a_rings: list, b_rings: list, predicate: str) -> bool:
-    """Exact predicate over two polygons (closed ring arrays).
+def _prepare(raw) -> tuple:
+    """Parse a raw ring payload once per (batch, geometry): closed ring
+    arrays + stacked vertices + stacked segments."""
+    rings = _np_rings(raw)
+    return rings, _all_vertices(rings), _all_segments(rings)
+
+
+def _refine_pair(a, b, predicate: str) -> bool:
+    """Exact predicate over two prepared polygons (see :func:`_prepare`).
 
     intersects (closed set): any A vertex covered by B, any B vertex
     covered by A, or any boundary segments intersecting (touch counts).
@@ -195,23 +204,20 @@ def _refine_pair(a_rings: list, b_rings: list, predicate: str) -> bool:
     contact at all, and no A vertex covered by B (the hole-of-A-inside-B
     detector). within = contains with sides swapped.
     """
-    av = _all_vertices(a_rings)
-    bv = _all_vertices(b_rings)
+    a_rings, av, a_segs = a
+    b_rings, bv, b_segs = b
     a_in_b = _point_in_rings(av[:, 0], av[:, 1], b_rings)
     b_in_a = _point_in_rings(bv[:, 0], bv[:, 1], a_rings)
     if predicate == "intersects":
         if a_in_b.any() or b_in_a.any():
             return True
-        return segments_intersect_any(_all_segments(a_rings), _all_segments(b_rings))
+        return segments_intersect_any(a_segs, b_segs)
     if predicate == "within":
-        a_rings, b_rings = b_rings, a_rings
         a_in_b, b_in_a = b_in_a, a_in_b
     # contains: A ⊃ B
     if not b_in_a.all() or a_in_b.any():
         return False
-    return not segments_intersect_any(
-        _all_segments(a_rings), _all_segments(b_rings)
-    )
+    return not segments_intersect_any(a_segs, b_segs)
 
 
 def spatial_join_polygons(
@@ -253,12 +259,50 @@ def spatial_join_polygons(
     pred = predicate
 
     @F.pandas_udf("boolean")
-    def refine(lr: pd.Series, rr: pd.Series) -> pd.Series:
+    def refine(
+        lid: pd.Series, rid: pd.Series, lr: pd.Series, rr: pd.Series
+    ) -> pd.Series:
         out = np.zeros(len(lr), dtype=bool)
-        for i, (a, b) in enumerate(zip(lr, rr)):
-            out[i] = _refine_pair(_np_rings(a), _np_rings(b), pred)
+        memo_l: dict = {}
+        memo_r: dict = {}
+
+        def prep_of(memo, key, raw):
+            got = memo.get(key)
+            if got is None:
+                got = memo[key] = _prepare(raw)
+            return got
+
+        for i, (ka, kb, a, b) in enumerate(zip(lid, rid, lr, rr)):
+            out[i] = _refine_pair(
+                prep_of(memo_l, ka, a), prep_of(memo_r, kb, b), pred
+            )
         return pd.Series(out, index=lr.index)
 
+    # pure-Catalyst filter stage ahead of the Arrow refine (the classic
+    # filter-refine discipline): sharing a cover cell is necessary but
+    # tile-granular — exact bbox overlap prunes the refine input for
+    # free, and containment predicates additionally require the inner
+    # bbox inside the outer one
+    bbox_filter = (
+        (F.col("_l__minx") <= F.col("_r__maxx"))
+        & (F.col("_r__minx") <= F.col("_l__maxx"))
+        & (F.col("_l__miny") <= F.col("_r__maxy"))
+        & (F.col("_r__miny") <= F.col("_l__maxy"))
+    )
+    if predicate == "contains":
+        bbox_filter = (
+            (F.col("_r__minx") >= F.col("_l__minx"))
+            & (F.col("_r__maxx") <= F.col("_l__maxx"))
+            & (F.col("_r__miny") >= F.col("_l__miny"))
+            & (F.col("_r__maxy") <= F.col("_l__maxy"))
+        )
+    elif predicate == "within":
+        bbox_filter = (
+            (F.col("_l__minx") >= F.col("_r__minx"))
+            & (F.col("_l__maxx") <= F.col("_r__maxx"))
+            & (F.col("_l__miny") >= F.col("_r__miny"))
+            & (F.col("_l__maxy") <= F.col("_r__maxy"))
+        )
     pairs = (
         lc.join(rc, ["_cx", "_cy"])
         # exactly-once: keep the pair only in the min-corner cell of the
@@ -268,7 +312,15 @@ def spatial_join_polygons(
             (F.col("_cx") == F.greatest("_l_tx0", "_r_tx0"))
             & (F.col("_cy") == F.greatest("_l_ty0", "_r_ty0"))
         )
-        .filter(refine(F.col(f"_l_{left_rings}"), F.col(f"_r_{right_rings}")))
+        .filter(bbox_filter)
+        .filter(
+            refine(
+                F.col(f"_l_{left_id}"),
+                F.col(f"_r_{right_id}"),
+                F.col(f"_l_{left_rings}"),
+                F.col(f"_r_{right_rings}"),
+            )
+        )
         .select(
             F.col(f"_l_{left_id}").alias(f"{left_id}_l"),
             F.col(f"_r_{right_id}").alias(f"{right_id}_r"),
