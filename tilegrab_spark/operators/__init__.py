@@ -84,6 +84,11 @@ from tilegrab_spark.operators.dsir import (
 )
 from tilegrab_spark.operators.hull import convex_hull, monotone_chain
 from tilegrab_spark.operators.snap import explode_segments, snap_points_to_lines
+from tilegrab_spark.operators.warp import (
+    resample_window,
+    upsample_tiles,
+    warp_tiles,
+)
 from tilegrab_spark.operators.urls import (
     canonicalize_url,
     cap_per_domain,
@@ -313,6 +318,10 @@ __all__ = [
     # snap-to-line (map matching)
     "snap_points_to_lines",
     "explode_segments",
+    # cross-zoom warp
+    "warp_tiles",
+    "upsample_tiles",
+    "resample_window",
     # URL / domain curation
     "canonicalize_url",
     "with_url_parts",
