@@ -1,0 +1,145 @@
+"""Hexagonal binning over point lakes — the H3-flavored aggregation grid.
+
+Square tile grids (P1) alias linear features and over-weight corners;
+hex grids are the standard fix for density analytics (every neighbor
+shares an edge, equidistant centers). This module implements a planar
+pointy-top hex lattice in Web-Mercator meters — the same local-distance
+caveat as grid_dbscan (1/cos(lat) stretch; |lat| <= 85.051129) — with
+the whole assignment PURE CATALYST:
+
+1. axial fractional coordinates q = (√3/3·mx − 1/3·my)/R,
+   r = (2/3·my)/R (R = circumradius ``size_m``);
+2. cube rounding (round q/r/s, fix the axis with the largest rounding
+   error) as when/otherwise scalar expressions — whole-stage codegen,
+   no UDF anywhere;
+3. the assigned center is provably the NEAREST hex center (cube
+   rounding's defining property — oracle-tested against brute force).
+
+``hexbin`` is then one map-side-combinable groupBy over (hex_q, hex_r)
+— the exchange carries occupied hexes, never points. ``hex_neighbors``
+explodes the 6 axial neighbors for smoothing / hot-spot passes (the
+dissolve/Gi* adjacency shape on the hex lattice).
+
+Hex ids are the packed axial pair (q, r) — two longs, or use
+``hex_id`` (q<<32 | r, offset-biased) as a single join key.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from tilegrab_spark.kernels.geo import WGS84_RADIUS
+
+__all__ = ["with_hex_cell", "hexbin", "hex_neighbors", "hex_center_cols"]
+
+_SQRT3 = math.sqrt(3.0)
+_BIAS = 1 << 31
+
+
+def _axial_round(fq: Column, fr: Column):
+    """Cube-round fractional axial coords (fq, fr): round all three cube
+    coordinates and re-derive the one with the largest rounding error."""
+    fs = -fq - fr
+    rq = F.round(fq, 0)
+    rr = F.round(fr, 0)
+    rs = F.round(fs, 0)
+    dq = F.abs(rq - fq)
+    dr = F.abs(rr - fr)
+    ds = F.abs(rs - fs)
+    q = F.when((dq > dr) & (dq > ds), -rr - rs).otherwise(rq)
+    r = F.when((dq > dr) & (dq > ds), rr).otherwise(
+        F.when(dr > ds, -rq - rs).otherwise(rr)
+    )
+    return q.cast("long"), r.cast("long")
+
+
+def hex_center_cols(q: Column, r: Column, size_m: float):
+    """(center_lon, center_lat) of an axial hex — the inverse lattice
+    transform, back-projected from Mercator meters."""
+    s = float(size_m)
+    mx = F.lit(s) * (F.lit(_SQRT3) * q.cast("double") + F.lit(_SQRT3 / 2.0) * r.cast("double"))
+    my = F.lit(s) * (F.lit(1.5) * r.cast("double"))
+    lon = F.degrees(mx / F.lit(WGS84_RADIUS))
+    lat = F.degrees(
+        F.lit(2.0) * F.atan(F.exp(my / F.lit(WGS84_RADIUS))) - F.lit(math.pi / 2.0)
+    )
+    return lon, lat
+
+
+def with_hex_cell(
+    df: DataFrame,
+    *,
+    size_m: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Add ``hex_q``/``hex_r`` (axial lattice coords at circumradius
+    ``size_m`` Mercator meters), the packed ``hex_id``, and the hex
+    center ``hex_lon``/``hex_lat`` — all pure Catalyst."""
+    if size_m <= 0:
+        raise ValueError(f"size_m must be positive, got {size_m}")
+    s = float(size_m)
+    mx = F.lit(WGS84_RADIUS) * F.radians(F.col(lon_col).cast("double"))
+    my = F.lit(WGS84_RADIUS) * F.log(
+        F.tan(F.lit(math.pi / 4.0) + F.radians(F.col(lat_col).cast("double")) / F.lit(2.0))
+    )
+    fq = (F.lit(_SQRT3 / 3.0) * mx - F.lit(1.0 / 3.0) * my) / F.lit(s)
+    fr = (F.lit(2.0 / 3.0) * my) / F.lit(s)
+    q, r = _axial_round(fq, fr)
+    out = df.withColumns({"hex_q": q, "hex_r": r})
+    lon, lat = hex_center_cols(F.col("hex_q"), F.col("hex_r"), s)
+    return out.withColumns(
+        {
+            "hex_id": (
+                (F.col("hex_q") + F.lit(_BIAS)).cast("long") * F.lit(1 << 32)
+                + (F.col("hex_r") + F.lit(_BIAS))
+            ),
+            "hex_lon": lon,
+            "hex_lat": lat,
+        }
+    )
+
+
+def hexbin(
+    points: DataFrame,
+    *,
+    size_m: float,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-hex rollup: ``[hex_q, hex_r, hex_id, hex_lon, hex_lat,
+    n_points (+ value_sum/value_mean)]``. One map-side-combinable
+    aggregation — the exchange is occupied-hex-sized."""
+    cells = with_hex_cell(points, size_m=size_m, lon_col=lon_col, lat_col=lat_col)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_points")]
+    if value_col is not None:
+        aggs += [
+            F.sum(F.col(value_col).cast("double")).alias("value_sum"),
+            F.avg(F.col(value_col).cast("double")).alias("value_mean"),
+        ]
+    return cells.groupBy("hex_q", "hex_r", "hex_id", "hex_lon", "hex_lat").agg(*aggs)
+
+
+_NEIGHBOR_OFFSETS = ((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+
+
+def hex_neighbors(df: DataFrame, *, q_col: str = "hex_q", r_col: str = "hex_r") -> DataFrame:
+    """Explode each row to its 6 axial neighbors: input columns +
+    ``nb_q``/``nb_r`` — the adjacency fan-out for hex smoothing /
+    Gi*-style hot-spot passes. Pure Catalyst."""
+    nb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.col(q_col) + dq).alias("q"), (F.col(r_col) + dr).alias("r")
+                )
+                for dq, dr in _NEIGHBOR_OFFSETS
+            ]
+        )
+    ).alias("_nb")
+    return df.select("*", nb).select(
+        *df.columns, F.col("_nb.q").alias("nb_q"), F.col("_nb.r").alias("nb_r")
+    )
