@@ -107,7 +107,7 @@ def main():
     img_path = f"/tmp/tilegrab_bench/images_e{edge}_z{zoom}" + (
         f"_s{nsrcs}" if nsrcs != 2 else ""
     )
-    if stages not in ("llm", "cc"):
+    if stages not in ("llm", "cc", "r4geo"):
         ensure_images(spark, img_path, edge, zoom, nsrcs)
 
     # warmup: spin up JVM codegen + Python workers so the first timed
@@ -160,10 +160,19 @@ def main():
         log(f"{name}: {best:.2f}s ({c} rows)")
         return c
 
-    images = read_image_table(spark, img_path) if stages not in ("llm", "cc") else None
+    images = (
+        read_image_table(spark, img_path)
+        if stages not in ("llm", "cc", "r4geo")
+        else None
+    )
     if stages in ("llm", "cc"):
         n_docs = _llm_stages(spark, sf_dir, timed, stages)
         _emit(timings, counts, None, sf, cpus, n_docs=n_docs)
+        spark.stop()
+        return
+    if stages == "r4geo":
+        _r4geo_stages(spark, sf_dir, timed, (mnl0, mnt0, mxl0, mxt0))
+        _emit(timings, counts, None, sf, cpus)
         spark.stop()
         return
 
@@ -257,72 +266,11 @@ def main():
 
     timed("knn_cell_ring", q_knn)
 
-    # 4b. round-4 geospatial additions at synthetic-lake scale, all
-    # deterministic functions of the bench bbox (no RNG, no files);
-    # gated to "all" so the headline scaling suite is unchanged
-    mx0, my0 = geo.lonlat_to_mercator(mnl0, mnt0)
-    mx1, my1 = geo.lonlat_to_mercator(mxl0, mxt0)
-    lane_m = (float(my1) - float(my0)) / 64.0
-
-    def q_snap():
-        from tilegrab_spark.operators.snap import snap_points_to_lines
-
-        pts = spark.range(120_000).select(
-            F.col("id").alias("point_id"),
-            (F.lit(mnl0) + (F.col("id") % 977).cast("double") / 977.0
-             * F.lit(mxl0 - mnl0)).alias("lon"),
-            (F.lit(mnt0) + (F.col("id") % 983).cast("double") / 983.0
-             * F.lit(mxt0 - mnt0)).alias("lat"),
-        )
-        lines = spark.range(64).select(
-            F.col("id").alias("line_id"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(24)),
-                lambda i: F.array(
-                    F.lit(mnl0) + i.cast("double") / 24.0 * F.lit(mxl0 - mnl0),
-                    F.lit(mnt0) + (F.col("id").cast("double") + 0.5) / 64.0
-                    * F.lit(mxt0 - mnt0),
-                ),
-            ).alias("coords"),
-        )
-        return snap_points_to_lines(
-            pts, lines, radius_m=lane_m / 2.0, how="inner"
-        ).count()
-
+    # 4b. round-4 geospatial additions (snap/overlay/dsir) — also
+    # runnable standalone via BENCH_STAGES=r4geo for scaling runs;
+    # gated off the headline suite so bench_scaling.py is unchanged
     if stages == "all":
-        timed("snap_points", q_snap)
-
-    def q_overlay():
-        from tilegrab_spark.operators.overlay import spatial_join_polygons
-
-        grid_n = 32
-        sx = (mxl0 - mnl0) / grid_n
-        sy = (mxt0 - mnt0) / grid_n
-
-        def layer(offset: float):
-            i = (F.col("id") % grid_n).cast("double")
-            j = (F.col("id") / grid_n).cast("int").cast("double")
-            x0c = F.lit(mnl0) + (i + F.lit(offset)) * F.lit(sx)
-            y0c = F.lit(mnt0) + (j + F.lit(offset)) * F.lit(sy)
-            x1c = x0c + F.lit(sx * 0.9)
-            y1c = y0c + F.lit(sy * 0.9)
-            return spark.range(grid_n * grid_n).select(
-                F.col("id").cast("string").alias("geom_id"),
-                F.array(
-                    F.array(
-                        F.array(x0c, y0c), F.array(x1c, y0c),
-                        F.array(x1c, y1c), F.array(x0c, y1c),
-                        F.array(x0c, y0c),
-                    )
-                ).alias("rings"),
-            )
-
-        return spatial_join_polygons(
-            layer(0.0), layer(0.45), zoom=9, max_cover_cells=65536
-        ).count()
-
-    if stages == "all":
-        timed("overlay_join", q_overlay)
+        _r4geo_stages(spark, sf_dir, timed, (mnl0, mnt0, mxl0, mxt0), dsir=False)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
 
@@ -353,16 +301,10 @@ def main():
 
     # 5b. DSIR importance weighting over the full documents table
     if stages == "all":
-        def q_dsir():
-            from tilegrab_spark.operators.dsir import dsir_log_weights
-
-            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-            target = docs.filter(F.col("lang") == "en").limit(200)
-            w = dsir_log_weights(docs, target, n_buckets=1 << 14)
-            # force the weight column (a bare count would prune the sum)
-            return w.filter(F.col("dsir_logw").isNotNull()).count()
-
-        timed("dsir_weights", q_dsir)
+        _r4geo_stages(
+            spark, sf_dir, timed, (mnl0, mnt0, mxl0, mxt0),
+            snap=False, overlay=False,
+        )
 
     # 6. LLM-pipeline stages at FULL document-table scale (the round-2
     # vectorized kernels; aggregates force the UDF columns so Catalyst
@@ -371,6 +313,118 @@ def main():
 
     _emit(timings, counts, merged, sf, cpus, n_docs=n_docs)
     spark.stop()
+
+
+def _r4geo_stages(
+    spark, sf_dir, timed, bbox, *, snap=True, overlay=True, dsir=True
+):
+    """Round-4 additions at synthetic-lake scale — all deterministic
+    functions of the bench bbox (no RNG, no files). Scaling runs use
+    BENCH_STAGES=r4geo to run exactly these three."""
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.kernels import geo
+
+    # BENCH_R4GEO_MULT scales the synthetic lakes (points x mult,
+    # polygon grid x sqrt(mult), documents x mult) so scaling runs
+    # measure work W instead of fixed task-launch costs f — the same
+    # knob discipline as BENCH_DOCS_MULT for the LLM stages
+    mult = int(os.environ.get("BENCH_R4GEO_MULT", "1"))
+
+    mnl0, mnt0, mxl0, mxt0 = bbox
+    _, my0 = geo.lonlat_to_mercator(mnl0, mnt0)
+    _, my1 = geo.lonlat_to_mercator(mxl0, mxt0)
+    lane_m = (float(my1) - float(my0)) / 64.0
+
+    def q_snap():
+        from tilegrab_spark.operators.snap import snap_points_to_lines
+
+        pts = spark.range(120_000 * mult).select(
+            F.col("id").alias("point_id"),
+            (F.lit(mnl0) + (F.col("id") % 977).cast("double") / 977.0
+             * F.lit(mxl0 - mnl0)).alias("lon"),
+            (F.lit(mnt0) + (F.col("id") % 983).cast("double") / 983.0
+             * F.lit(mxt0 - mnt0)).alias("lat"),
+        )
+        lines = spark.range(64).select(
+            F.col("id").alias("line_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(24)),
+                lambda i: F.array(
+                    F.lit(mnl0) + i.cast("double") / 24.0 * F.lit(mxl0 - mnl0),
+                    F.lit(mnt0) + (F.col("id").cast("double") + 0.5) / 64.0
+                    * F.lit(mxt0 - mnt0),
+                ),
+            ).alias("coords"),
+        )
+        return snap_points_to_lines(
+            pts, lines, radius_m=lane_m / 2.0, how="inner"
+        ).count()
+
+    def q_overlay():
+        from tilegrab_spark.operators.overlay import spatial_join_polygons
+
+        grid_n = 32 * max(1, int(round(float(mult) ** 0.5)))
+        sx = (mxl0 - mnl0) / grid_n
+        sy = (mxt0 - mnt0) / grid_n
+
+        def layer(offset: float):
+            i = (F.col("id") % grid_n).cast("double")
+            j = (F.col("id") / grid_n).cast("int").cast("double")
+            x0c = F.lit(mnl0) + (i + F.lit(offset)) * F.lit(sx)
+            y0c = F.lit(mnt0) + (j + F.lit(offset)) * F.lit(sy)
+            x1c = x0c + F.lit(sx * 0.9)
+            y1c = y0c + F.lit(sy * 0.9)
+            return spark.range(grid_n * grid_n).select(
+                F.col("id").cast("string").alias("geom_id"),
+                F.array(
+                    F.array(
+                        F.array(x0c, y0c), F.array(x1c, y0c),
+                        F.array(x1c, y1c), F.array(x0c, y1c),
+                        F.array(x0c, y0c),
+                    )
+                ).alias("rings"),
+            )
+
+        # blocking zoom tracks the grid density so cells hold a constant
+        # handful of polygons at every mult (the zoom-is-the-knob rule)
+        import math as _math
+
+        z = 9 + max(0, int(round(_math.log2(grid_n / 32))))
+        return spatial_join_polygons(
+            layer(0.0), layer(0.45), zoom=z, max_cover_cells=65536
+        ).count()
+
+    def q_dsir():
+        from tilegrab_spark.operators.dsir import dsir_log_weights
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if mult > 1:
+            docs = docs.withColumn(
+                "_r", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+            ).withColumn(
+                "doc_id",
+                F.col("doc_id")
+                + F.col("_r").cast("long") * F.lit(10_000_000).cast("long"),
+            ).drop("_r")
+        target = docs.filter(F.col("lang") == "en").limit(200)
+        w = dsir_log_weights(docs, target, n_buckets=1 << 14)
+        # aggregate the weight VALUES — an isNotNull filter would let
+        # Catalyst prune the whole weight computation (coalesce is
+        # provably non-null)
+        row = w.agg(
+            F.sum(F.abs(F.col("dsir_logw"))).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        ).collect()[0]
+        assert row["_s"] > 0
+        return int(row["_n"])
+
+    if snap:
+        timed("snap_points", q_snap)
+    if overlay:
+        timed("overlay_join", q_overlay)
+    if dsir:
+        timed("dsir_weights", q_dsir)
 
 
 def _llm_stages(spark, sf_dir, timed, stages):
