@@ -158,3 +158,74 @@ class TestArchive:
         assert h["clustered"] is True
         # every tile payload lies inside the data section
         assert h["data_offset"] + h["data_length"] == len(blob)
+
+
+class TestVectorizedIds:
+    def test_tileids_np_parity(self):
+        import numpy as np
+
+        from tilegrab_spark.kernels.pmtiles import tileids_np
+
+        zs, xs, ys = [], [], []
+        for z in (0, 1, 2, 5, 12, 19):
+            n = 1 << z
+            for i in range(40):
+                v = (i * 2654435761 + z) % (n * n)
+                zs.append(z)
+                xs.append(v % n)
+                ys.append(v // n)
+        got = tileids_np(np.array(zs), np.array(xs), np.array(ys))
+        want = [zxy_to_tileid(z, x, y) for z, x, y in zip(zs, xs, ys)]
+        assert got.tolist() == want
+
+    def test_tileids_np_validation(self):
+        import numpy as np
+
+        from tilegrab_spark.kernels.pmtiles import tileids_np
+
+        with pytest.raises(ValueError):
+            tileids_np(np.array([1]), np.array([2]), np.array([0]))
+        with pytest.raises(ValueError):
+            tileids_np(np.array([33]), np.array([0]), np.array([0]))
+        assert tileids_np(np.array([], dtype=int), np.array([], dtype=int),
+                          np.array([], dtype=int)).tolist() == []
+
+
+class TestIncrementalWriter:
+    def test_writer_matches_batch_and_streams_to_file(self, tmp_path):
+        from tilegrab_spark.kernels.pmtiles import PMTilesWriter
+
+        tiles = _mk_tiles()
+        batch = write_pmtiles(tiles, metadata={"name": "t"})
+        w = PMTilesWriter(metadata={"name": "t"}, spool_max_bytes=16)
+        for z, x, y, d in sorted(tiles, key=lambda t: zxy_to_tileid(t[0], t[1], t[2])):
+            w.add(z, x, y, d)
+        out = tmp_path / "a.pmtiles"
+        w.finalize(str(out))
+        assert out.read_bytes() == batch  # bit-identical to the batch path
+
+    def test_writer_rejects_unsorted(self):
+        from tilegrab_spark.kernels.pmtiles import PMTilesWriter
+
+        w = PMTilesWriter()
+        w.add(2, 1, 1, b"a")
+        with pytest.raises(ValueError, match="ascend"):
+            w.add(1, 0, 0, b"b")
+
+
+class TestSparkSink:
+    def test_export_pmtiles_roundtrip(self, spark, tmp_path):
+        from tilegrab_spark.sources.export import export_pmtiles
+
+        tiles = _mk_tiles()
+        df = spark.createDataFrame(
+            [(z, x, y, bytearray(d)) for z, x, y, d in tiles],
+            "z int, x int, y int, bytes binary",
+        ).repartition(5)  # scattered partitions: the orderBy must cluster
+        out = tmp_path / "layer.pmtiles"
+        n = export_pmtiles(df, out, metadata={"layer": "test"})
+        assert n == len(tiles)
+        got = read_pmtiles(out.read_bytes())
+        assert got["metadata"] == {"layer": "test"}
+        assert got["header"]["clustered"] is True
+        assert got["tiles"] == {(z, x, y): d for z, x, y, d in tiles}

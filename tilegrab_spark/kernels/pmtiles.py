@@ -27,14 +27,18 @@ pinned by the spec's own examples in tests/test_pmtiles.py.
 from __future__ import annotations
 
 import gzip
+import hashlib
 import io
 import json
 import struct
+import tempfile
 from typing import Iterable, Optional
 
 __all__ = [
     "zxy_to_tileid",
+    "tileids_np",
     "tileid_to_zxy",
+    "PMTilesWriter",
     "write_pmtiles",
     "read_pmtiles",
     "get_tile",
@@ -81,6 +85,44 @@ def zxy_to_tileid(z: int, x: int, y: int) -> int:
                 yy = s - 1 - yy
             xx, yy = yy, xx
         s >>= 1
+    return base + d
+
+
+def tileids_np(z, x, y):
+    """Vectorized :func:`zxy_to_tileid` over numpy int arrays (mixed
+    zooms allowed) — the sort key the distributed PMTiles sink computes
+    inside an Arrow batch so the global ``orderBy`` that produces the
+    clustered archive layout runs JVM-side on a plain int64 column."""
+    import numpy as np
+
+    z = np.asarray(z, dtype=np.int64)
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    if len(z) and (z.min() < 0 or z.max() > 31):
+        raise ValueError("zoom out of range")
+    n = np.int64(1) << z
+    if len(z) and ((x < 0).any() or (y < 0).any() or (x >= n).any() or (y >= n).any()):
+        raise ValueError("tile out of range at its zoom")
+    base = ((np.int64(1) << (2 * z)) - 1) // 3
+    d = np.zeros_like(x)
+    xx, yy = x.copy(), y.copy()
+    for i in range(int(z.max()) - 1 if len(z) else -1, -1, -1):
+        s = np.int64(1) << i
+        active = s < n
+        rx = ((xx & s) > 0) & active
+        ry = ((yy & s) > 0) & active
+        d += np.where(
+            active,
+            s * s * ((3 * rx.astype(np.int64)) ^ ry.astype(np.int64)),
+            np.int64(0),
+        )
+        rot = active & ~ry
+        flip = rot & rx
+        xx = np.where(flip, s - 1 - xx, xx)
+        yy = np.where(flip, s - 1 - yy, yy)
+        tmp = xx
+        xx = np.where(rot, yy, xx)
+        yy = np.where(rot, tmp, yy)
     return base + d
 
 
@@ -211,6 +253,156 @@ def _decompress(data: bytes, mode: int) -> bytes:
     return out
 
 
+class PMTilesWriter:
+    """Incremental archive builder with bounded driver memory.
+
+    Tiles MUST be added in ascending tile-id order (the clustered
+    invariant — exactly what a distributed ``orderBy(tile_id)`` feeds a
+    driver-side ``toLocalIterator`` in). Payload bytes stream to a
+    disk-backed spool; the writer holds only the directory entries
+    (O(entries), run-length coalesced) and a sha256→(offset, length)
+    content-dedup map — never the tile payloads."""
+
+    def __init__(
+        self,
+        *,
+        tile_type: str = "png",
+        metadata: Optional[dict] = None,
+        tile_compression: int = COMPRESSION_NONE,
+        internal_compression: int = COMPRESSION_GZIP,
+        bounds_e7: Optional[tuple] = None,
+        min_zoom: Optional[int] = None,
+        max_zoom: Optional[int] = None,
+        spool_max_bytes: int = 64 << 20,
+    ) -> None:
+        self._opts = dict(
+            tile_type=tile_type,
+            metadata=metadata,
+            tile_compression=tile_compression,
+            internal_compression=internal_compression,
+            bounds_e7=bounds_e7,
+            min_zoom=min_zoom,
+            max_zoom=max_zoom,
+        )
+        self._spool = tempfile.SpooledTemporaryFile(max_size=spool_max_bytes)
+        self._data_len = 0
+        self._dedup: dict = {}
+        self._entries: list = []
+        self._last_tid = -1
+        self._n_addressed = 0
+        self._zmin: Optional[int] = None
+        self._zmax: Optional[int] = None
+
+    def add(self, z: int, x: int, y: int, data, *, tid: Optional[int] = None) -> None:
+        tid = zxy_to_tileid(int(z), int(x), int(y)) if tid is None else int(tid)
+        if tid <= self._last_tid:
+            raise ValueError(
+                f"duplicate or unsorted tile {z}/{x}/{y}: ids must ascend"
+            )
+        self._last_tid = tid
+        data = bytes(data)
+        key = hashlib.sha256(data).digest()
+        hit = self._dedup.get(key)
+        if hit is None:
+            off = self._data_len
+            self._spool.write(data)
+            self._data_len += len(data)
+            self._dedup[key] = (off, len(data))
+        else:
+            off = hit[0]
+        self._n_addressed += 1
+        z = int(z)
+        self._zmin = z if self._zmin is None else min(self._zmin, z)
+        self._zmax = z if self._zmax is None else max(self._zmax, z)
+        if self._entries:
+            ptid, poff, pln, prl = self._entries[-1]
+            if off == poff and len(data) == pln and tid == ptid + prl:
+                self._entries[-1] = (ptid, poff, pln, prl + 1)
+                return
+        self._entries.append((tid, off, len(data), 1))
+
+    def finalize(self, path: Optional[str] = None):
+        """Assemble the archive: to ``path`` (payloads stream-copied
+        from the spool, never held in memory) or returned as bytes."""
+        if not self._entries:
+            raise ValueError("no tiles")
+        o = self._opts
+        icomp = o["internal_compression"]
+        root_budget = 16384 - HEADER_LEN
+        root_comp = _compress(_serialize_directory(self._entries), icomp)
+        leaves_blob = b""
+        if len(root_comp) > root_budget:
+            leaf_ptrs = []
+            blob = bytearray()
+            for i in range(0, len(self._entries), _LEAF_TARGET):
+                chunk = self._entries[i : i + _LEAF_TARGET]
+                ser = _compress(_serialize_directory(chunk), icomp)
+                leaf_ptrs.append((chunk[0][0], len(blob), len(ser), 0))
+                blob.extend(ser)
+            leaves_blob = bytes(blob)
+            root_comp = _compress(_serialize_directory(leaf_ptrs), icomp)
+            if len(root_comp) > root_budget:
+                raise ValueError("root directory exceeds budget even with leaves")
+
+        meta_comp = _compress(
+            json.dumps(o["metadata"] or {}, sort_keys=True).encode(), icomp
+        )
+        minz = o["min_zoom"] if o["min_zoom"] is not None else self._zmin
+        maxz = o["max_zoom"] if o["max_zoom"] is not None else self._zmax
+        bounds_e7 = o["bounds_e7"]
+        if bounds_e7 is None:
+            bounds_e7 = (-1800000000, -850511290, 1800000000, 850511290)
+
+        root_off = HEADER_LEN
+        meta_off = root_off + len(root_comp)
+        leaf_off = meta_off + len(meta_comp)
+        data_off = leaf_off + len(leaves_blob)
+
+        hdr = bytearray()
+        hdr += MAGIC
+        hdr.append(VERSION)
+        hdr += struct.pack(
+            "<QQQQQQQQ",
+            root_off, len(root_comp), meta_off, len(meta_comp),
+            leaf_off, len(leaves_blob), data_off, self._data_len,
+        )
+        # addressed tiles = total logical tiles; entries = directory
+        # rows; contents = distinct payloads
+        hdr += struct.pack(
+            "<QQQ", self._n_addressed, len(self._entries), len(self._dedup)
+        )
+        hdr.append(1)  # clustered (data written in id order)
+        hdr.append(icomp)
+        hdr.append(o["tile_compression"])
+        hdr.append(TILE_TYPES.get(o["tile_type"], 0))
+        hdr.append(minz)
+        hdr.append(maxz)
+        hdr += struct.pack("<iiii", *bounds_e7)
+        hdr.append(minz)  # center zoom
+        hdr += struct.pack(
+            "<ii",
+            (bounds_e7[0] + bounds_e7[2]) // 2,
+            (bounds_e7[1] + bounds_e7[3]) // 2,
+        )
+        assert len(hdr) == HEADER_LEN, len(hdr)
+
+        prefix = bytes(hdr) + root_comp + meta_comp + leaves_blob
+        self._spool.seek(0)
+        if path is None:
+            out = prefix + self._spool.read()
+            self._spool.close()
+            return out
+        with open(path, "wb") as f:
+            f.write(prefix)
+            while True:
+                chunk = self._spool.read(4 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        self._spool.close()
+        return None
+
+
 def write_pmtiles(
     tiles: Iterable[tuple],
     *,
@@ -232,106 +424,25 @@ def write_pmtiles(
     ``tile_compression=COMPRESSION_GZIP`` if wanted (the writer never
     recompresses tile payloads)."""
     items = []
-    seen_ids = set()
     for z, x, y, data in tiles:
-        tid = zxy_to_tileid(int(z), int(x), int(y))
-        if tid in seen_ids:
-            raise ValueError(f"duplicate tile {z}/{x}/{y}")
-        seen_ids.add(tid)
-        items.append((tid, bytes(data)))
+        items.append((zxy_to_tileid(int(z), int(x), int(y)), int(z), x, y, data))
     items.sort(key=lambda t: t[0])
     if not items:
         raise ValueError("no tiles")
-
-    # content-dedup + clustered data section in id order
-    data_buf = bytearray()
-    content_off: dict = {}
-    raw_entries = []  # (tile_id, offset, length)
-    for tid, data in items:
-        key = data
-        if key in content_off:
-            off = content_off[key]
-        else:
-            off = len(data_buf)
-            data_buf.extend(data)
-            content_off[key] = off
-        raw_entries.append((tid, off, len(data)))
-
-    # run-length coalescing: consecutive ids, same payload location
-    entries = []
-    for tid, off, ln in raw_entries:
-        if entries:
-            ptid, poff, pln, prl = entries[-1]
-            if off == poff and ln == pln and tid == ptid + prl:
-                entries[-1] = (ptid, poff, pln, prl + 1)
-                continue
-        entries.append((tid, off, ln, 1))
-
-    # directory layout: root only, or root of leaf pointers
-    root_budget = 16384 - HEADER_LEN
-    root_ser = _serialize_directory(entries)
-    root_comp = _compress(root_ser, internal_compression)
-    leaves_blob = b""
-    if len(root_comp) > root_budget:
-        leaf_ptrs = []
-        blob = bytearray()
-        for i in range(0, len(entries), _LEAF_TARGET):
-            chunk = entries[i : i + _LEAF_TARGET]
-            ser = _compress(_serialize_directory(chunk), internal_compression)
-            leaf_ptrs.append((chunk[0][0], len(blob), len(ser), 0))
-            blob.extend(ser)
-        leaves_blob = bytes(blob)
-        root_comp = _compress(
-            _serialize_directory(leaf_ptrs), internal_compression
-        )
-        if len(root_comp) > root_budget:
-            raise ValueError("root directory exceeds budget even with leaves")
-
-    meta_comp = _compress(
-        json.dumps(metadata or {}, sort_keys=True).encode(), internal_compression
+    w = PMTilesWriter(
+        tile_type=tile_type,
+        metadata=metadata,
+        tile_compression=tile_compression,
+        internal_compression=internal_compression,
+        bounds_e7=bounds_e7,
+        min_zoom=min_zoom,
+        max_zoom=max_zoom,
     )
-
-    zs = [tileid_to_zxy(t)[0] for t, _ in items[:1]] + [
-        tileid_to_zxy(items[-1][0])[0]
-    ]
-    minz = min_zoom if min_zoom is not None else min(zs)
-    maxz = max_zoom if max_zoom is not None else max(zs)
-    if bounds_e7 is None:
-        bounds_e7 = (-1800000000, -850511290, 1800000000, 850511290)
-
-    root_off = HEADER_LEN
-    meta_off = root_off + len(root_comp)
-    leaf_off = meta_off + len(meta_comp)
-    data_off = leaf_off + len(leaves_blob)
-
-    hdr = bytearray()
-    hdr += MAGIC
-    hdr.append(VERSION)
-    hdr += struct.pack(
-        "<QQQQQQQQ",
-        root_off, len(root_comp), meta_off, len(meta_comp),
-        leaf_off, len(leaves_blob), data_off, len(data_buf),
-    )
-    # addressed tiles = total logical tiles; entries = directory rows;
-    # contents = distinct payloads
-    n_addressed = len(items)
-    n_entries = len(entries)
-    n_contents = len(content_off)
-    hdr += struct.pack("<QQQ", n_addressed, n_entries, n_contents)
-    hdr.append(1)  # clustered (data written in id order)
-    hdr.append(internal_compression)
-    hdr.append(tile_compression)
-    hdr.append(TILE_TYPES.get(tile_type, 0))
-    hdr.append(minz)
-    hdr.append(maxz)
-    hdr += struct.pack("<iiii", *bounds_e7)
-    hdr.append(minz)  # center zoom
-    hdr += struct.pack(
-        "<ii", (bounds_e7[0] + bounds_e7[2]) // 2, (bounds_e7[1] + bounds_e7[3]) // 2
-    )
-    assert len(hdr) == HEADER_LEN, len(hdr)
-
-    return bytes(hdr) + root_comp + meta_comp + leaves_blob + bytes(data_buf)
+    for tid, z, x, y, data in items:
+        if tid == w._last_tid:
+            raise ValueError(f"duplicate tile {z}/{x}/{y}")
+        w.add(z, x, y, data, tid=tid)
+    return w.finalize()
 
 
 def parse_header(data: bytes) -> dict:

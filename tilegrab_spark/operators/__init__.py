@@ -83,6 +83,12 @@ from tilegrab_spark.operators.dsir import (
     ngram_profile,
 )
 from tilegrab_spark.operators.hull import convex_hull, monotone_chain
+from tilegrab_spark.operators.hexbin import (
+    hex_center_cols,
+    hex_neighbors,
+    hexbin,
+    with_hex_cell,
+)
 from tilegrab_spark.operators.snap import explode_segments, snap_points_to_lines
 from tilegrab_spark.operators.warp import (
     resample_window,
@@ -318,6 +324,11 @@ __all__ = [
     # snap-to-line (map matching)
     "snap_points_to_lines",
     "explode_segments",
+    # hexagonal binning
+    "with_hex_cell",
+    "hexbin",
+    "hex_neighbors",
+    "hex_center_cols",
     # cross-zoom warp
     "warp_tiles",
     "upsample_tiles",

@@ -124,3 +124,54 @@ def export_tiles(joined: DataFrame, out_dir: str | Path) -> int:
         (out / f"{r.z}_{r.x}_{r.y}.{r.fmt}").write_bytes(bytes(r.bytes))
         n += 1
     return n
+
+
+def export_pmtiles(
+    joined: DataFrame,
+    path: str | Path,
+    *,
+    tile_type: str = "png",
+    metadata: dict | None = None,
+    bounds_e7: tuple | None = None,
+) -> int:
+    """Single-file PMTiles v3 archive sink (the range-read-servable
+    sibling of the COG sink; ``kernels/pmtiles.py``).
+
+    Scale shape: the Hilbert tile id is computed JVM/Arrow-side
+    (vectorized ``tileids_np`` in a pandas UDF) and the CLUSTERED
+    layout the format requires comes from one distributed
+    ``orderBy(tile_id)`` — executors do the sort, the driver only
+    streams already-ordered rows through :class:`PMTilesWriter`
+    (payloads spool to disk; driver memory is O(directory entries)).
+    PMTiles is by design one file, so the final byte-assembly is
+    driver-serial — for planet-scale layers shard the layer first
+    (e.g. per region / zoom range) and emit one archive per shard.
+    Returns the number of tiles written."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from tilegrab_spark.kernels.pmtiles import PMTilesWriter, tileids_np
+
+    def _tid_fn(z, x, y):
+        return pd.Series(tileids_np(z.to_numpy(), x.to_numpy(), y.to_numpy()))
+
+    _tid = pandas_udf(_tid_fn, "long")
+
+    rows = (
+        joined.select("z", "x", "y", "bytes")
+        .where(F.col("bytes").isNotNull())
+        .withColumn("tile_id", _tid("z", "x", "y"))
+        .orderBy("tile_id")
+    )
+    w = PMTilesWriter(
+        tile_type=tile_type, metadata=metadata, bounds_e7=bounds_e7
+    )
+    n = 0
+    for r in rows.toLocalIterator():
+        w.add(r.z, r.x, r.y, bytes(r.bytes), tid=r.tile_id)
+        n += 1
+    if n == 0:
+        raise ValueError("no tiles to export")
+    w.finalize(str(path))
+    return n
