@@ -400,6 +400,11 @@ def _r4geo_stages(
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         if mult > 1:
+            # the sf parquet is a single split: repartition the BASE
+            # table (cheap — pre-explode) so the xmult blow-up and the
+            # gram hashing it feeds parallelize; at real scale the
+            # thousands of input splits provide this for free
+            docs = docs.repartition(spark.sparkContext.defaultParallelism)
             docs = docs.withColumn(
                 "_r", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
             ).withColumn(

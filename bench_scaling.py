@@ -229,8 +229,53 @@ def main_cc():
     print(json.dumps(section))
 
 
+def main_r4geo():
+    """Round-4 geospatial stages (snap / overlay / DSIR) at W-dominated
+    scale: BENCH_R4GEO_MULT multiplies the synthetic lakes (points x
+    mult, polygon grid x sqrt(mult) with the blocking zoom tracking
+    density, documents x mult) so the N-vs-4N comparison measures
+    scalable work, not task-launch fixed cost."""
+    os.environ.setdefault("BENCH_R4GEO_MULT", "8")
+    stages = ("snap_points", "overlay_join", "dsir_weights")
+    results = {}
+    for cpus in (32, 8, 2):
+        print(f"=== r4geo bench at local[{cpus}] ===", file=sys.stderr, flush=True)
+        a = run_bench(cpus, 0, suite="r4geo")
+        b = run_bench(cpus, 0, suite="r4geo")
+        results[cpus] = {
+            s: min(a["queries"][s], b["queries"][s]) for s in stages
+        }
+        results[cpus]["total"] = round(sum(results[cpus].values()), 3)
+        results[cpus]["rows"] = a["rows"]
+
+    def eff(lo, hi, key):
+        return round(
+            (results[lo][key] / results[hi][key]) / (hi / lo), 3
+        )
+
+    section = {
+        "r4geo_mult": int(os.environ["BENCH_R4GEO_MULT"]),
+        "levels": {str(c): d for c, d in results.items()},
+        "efficiency": {
+            "2_to_8": {s: eff(2, 8, s) for s in stages + ("total",)},
+            "8_to_32": {s: eff(8, 32, s) for s in stages + ("total",)},
+        },
+    }
+    path = os.path.join(os.path.dirname(__file__), "BENCH_SCALING.json")
+    report = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            report = json.load(f)
+    report["r4geo_scale"] = section
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(section))
+
+
 if __name__ == "__main__":
     if os.environ.get("BENCH_SUITE") == "cc":
         main_cc()
+    elif os.environ.get("BENCH_SUITE") == "r4geo":
+        main_r4geo()
     else:
         main()

@@ -123,3 +123,32 @@ def test_cli_quickstart_shapefile_artifact_parity(spark, image_table, tmp_path):
     assert bounds == pytest.approx(
         (8971261.135774568, 809009.5073703043, 8973707.120679691, 811455.4922754318)
     )
+
+
+def test_cli_pmtiles_archive(spark, image_table, tmp_path):
+    """--pmtiles packs the fetched tiles into one Hilbert-clustered
+    archive whose contents match the per-tile files byte-for-byte."""
+    from tests.conftest import T_GEOJSON, T_SHAPE_Z16
+    from tilegrab_spark.kernels.pmtiles import read_pmtiles
+
+    rc = main(
+        ["--source", str(T_GEOJSON), "--shape", "--osm", "--zoom", "16",
+         "--images", image_table, "--pmtiles", "--download-only",
+         "--tiles-out", str(tmp_path / "tiles"), "--quiet"]
+    )
+    assert rc == 0
+    got = read_pmtiles(
+        (tmp_path / "tiles" / "pmtiles" / "tiles.pmtiles").read_bytes()
+    )
+    assert set(got["tiles"]) == {(16, x, y) for x, y in T_SHAPE_Z16}
+    assert got["header"]["clustered"] is True
+    # payloads are the fetch table's bytes; a tile fetched under two
+    # geometries keeps the deterministic max(bytes) payload
+    fetched: dict = {}
+    for r in spark.read.parquet(str(tmp_path / "tiles")).collect():
+        if r.bytes is None:
+            continue
+        k = (r.z, r.x, r.y)
+        b = bytes(r.bytes)
+        fetched[k] = max(fetched[k], b) if k in fetched else b
+    assert got["tiles"] == fetched

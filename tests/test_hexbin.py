@@ -118,3 +118,65 @@ class TestBinAndNeighbors:
         for q, r in nb:
             ox, oy = center_of(q, r, SIZE)
             assert math.hypot(ox - cx, oy - cy) == pytest.approx(SQRT3 * SIZE, rel=1e-12)
+
+
+class TestHotspots:
+    def test_gi_star_matches_python_oracle(self, spark, cloud):
+        from tilegrab_spark.operators.hexbin import hex_hotspots
+
+        # a dense injected cluster on top of the uniform cloud
+        clustered = list(cloud) + [
+            (10_000 + i, 8.531 + (i % 5) * 1e-4, 47.221 + (i // 5) * 1e-4)
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(clustered, "pid long, lon double, lat double")
+        got = {
+            (r["hex_q"], r["hex_r"]): r
+            for r in hex_hotspots(df, size_m=SIZE).collect()
+        }
+
+        # python oracle: bin, 6-neighbor lag over occupied hexes, Gi*
+        counts: dict = {}
+        for _, lo, la in clustered:
+            k = axial_of(lo, la, SIZE)
+            counts[k] = counts.get(k, 0) + 1
+        n = len(counts)
+        sx = sum(counts.values())
+        sxx = sum(v * v for v in counts.values())
+        mean = sx / n
+        var = sxx / n - mean * mean
+        offs = ((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+        assert set(got) == set(counts)
+        hottest = max(counts, key=counts.get)
+        for k, v in counts.items():
+            nbrs = [(k[0] + a, k[1] + b) for a, b in offs]
+            w = sum(1 for nb in nbrs if nb in counts) + 1
+            nbr_sum = sum(counts.get(nb, 0) for nb in nbrs) + v
+            denom_inner = (n * w - w * w) / (n - 1)
+            z = (nbr_sum - mean * w) / math.sqrt(var * denom_inner)
+            assert got[k]["gi_z"] == pytest.approx(z, rel=1e-9), k
+        # the injected cluster is the top hot spot at 99% confidence;
+        # the arg-max z hex is the hottest hex or one of its 6 neighbors
+        # (Gi* scores neighborhood sums, not single-cell counts)
+        assert got[hottest]["spot"] == "hot99"
+        top = max(got, key=lambda k: got[k]["gi_z"])
+        assert top == hottest or (
+            top[0] - hottest[0], top[1] - hottest[1]
+        ) in offs
+
+    def test_plain_gi_and_value_weighting(self, spark, cloud):
+        from tilegrab_spark.operators.hexbin import hex_hotspots
+
+        rows = [(p, lo, la, float(1 + p % 3)) for p, lo, la in cloud]
+        df = spark.createDataFrame(rows, "pid long, lon double, lat double, v double")
+        out = hex_hotspots(df, size_m=SIZE, value_col="v", star=False).collect()
+        # v carries value_sum, not the point count
+        want: dict = {}
+        for p, lo, la, v in rows:
+            k = axial_of(lo, la, SIZE)
+            want[k] = want.get(k, 0.0) + v
+        for r in out:
+            assert r["v"] == pytest.approx(want[(r["hex_q"], r["hex_r"])])
+        # isolated-or-degenerate cells surface as NULL, never NaN
+        for r in out:
+            assert r["gi_z"] is None or r["gi_z"] == r["gi_z"]

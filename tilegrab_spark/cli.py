@@ -62,6 +62,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--tile-files", action="store_true",
                    help="also write per-tile {z}_{x}_{y}.<fmt> image files next to "
                         "the fetch table (reference saved_tiles/ artifact parity)")
+    p.add_argument("--pmtiles", action="store_true",
+                   help="also pack the fetched tiles into a single "
+                        "range-read-servable tiles.pmtiles archive next to "
+                        "the fetch table (PMTiles v3, Hilbert-clustered)")
     p.add_argument("--mosaic-only", action="store_true", help="only mosaic previously saved tiles")
     p.add_argument("--resume", action="store_true", help="skip cells already committed in the metrics table")
     p.add_argument("--group-tiles", type=str, default=None, help="mosaic into WxH tile groups")
@@ -126,6 +130,16 @@ def main(argv=None) -> int:
         export_tiles(
             joined.filter(F.col("bytes").isNotNull()),
             args.tiles_out / "files",
+        )
+    if args.pmtiles and not args.mosaic_only:
+        from tilegrab_spark.sources.export import export_pmtiles
+
+        # a subdirectory (like --tile-files' files/) so the fetch
+        # table's parquet scan never sees a non-parquet root file
+        (args.tiles_out / "pmtiles").mkdir(parents=True, exist_ok=True)
+        export_pmtiles(
+            joined.filter(F.col("bytes").isNotNull()),
+            args.tiles_out / "pmtiles" / "tiles.pmtiles",
         )
     if args.download_only:
         return 0

@@ -85,6 +85,7 @@ from tilegrab_spark.operators.dsir import (
 from tilegrab_spark.operators.hull import convex_hull, monotone_chain
 from tilegrab_spark.operators.hexbin import (
     hex_center_cols,
+    hex_hotspots,
     hex_neighbors,
     hexbin,
     with_hex_cell,
@@ -329,6 +330,7 @@ __all__ = [
     "hexbin",
     "hex_neighbors",
     "hex_center_cols",
+    "hex_hotspots",
     # cross-zoom warp
     "warp_tiles",
     "upsample_tiles",

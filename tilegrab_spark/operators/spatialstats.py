@@ -47,7 +47,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from tilegrab_spark.operators.dissolve import adjacency_edges
 from tilegrab_spark.sources.images import cell_id_col
 
-__all__ = ["spatial_lag", "morans_i", "local_morans", "getis_ord_gi"]
+__all__ = ["spatial_lag", "morans_i", "local_morans", "getis_ord_gi", "gi_scores"]
 
 
 def _values(tiles: DataFrame, value_col: str) -> DataFrame:
@@ -233,6 +233,20 @@ def getis_ord_gi(
     still closed-form off the same one-row moments frame, no extra
     pass."""
     lagged = spatial_lag(tiles, value_col, diagonal=diagonal)
+    return gi_scores(lagged, star=star).select(
+        "z", "x", "y", "v", "w", "gi_z", "spot"
+    )
+
+
+def gi_scores(lagged: DataFrame, *, star: bool = True) -> DataFrame:
+    """Gi*/Gi z-scores from ANY lag frame — the lattice-agnostic core
+    (the tile grid passes ``spatial_lag`` output; the hex lattice
+    passes ``operators.hexbin.hex_hotspots``'s). Contract: one row per
+    cell with ``v`` (value), ``w`` (neighbor count), ``lag`` (neighbor
+    value sum); every other column passes through (``n``/``sx``/``sxx``
+    are reserved for the moments frame). Adds ``gi_z`` + ``spot``; the
+    only new plan node is the broadcast of the one-row global moments
+    frame."""
     row = _moments(lagged.select("v"))
     out = lagged.crossJoin(F.broadcast(row))
     n_all = F.col("n").cast("double")
@@ -262,4 +276,5 @@ def getis_ord_gi(
         .when(gz <= -1.645, F.lit("cold90"))
         .otherwise(F.lit("ns"))
     )
-    return out.select("z", "x", "y", "v", "w", gz.alias("gi_z"), spot.alias("spot"))
+    keep = [c for c in lagged.columns]
+    return out.select(*keep, gz.alias("gi_z"), spot.alias("spot"))

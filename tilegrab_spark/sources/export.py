@@ -162,6 +162,11 @@ def export_pmtiles(
         joined.select("z", "x", "y", "bytes")
         .where(F.col("bytes").isNotNull())
         .withColumn("tile_id", _tid("z", "x", "y"))
+        # a tile may arrive more than once (e.g. it intersects two
+        # input geometries); the format requires strictly ascending
+        # ids, so keep one payload per tile — max() for determinism
+        .groupBy("tile_id", "z", "x", "y")
+        .agg(F.max("bytes").alias("bytes"))
         .orderBy("tile_id")
     )
     w = PMTilesWriter(
