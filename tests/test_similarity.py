@@ -113,3 +113,46 @@ def test_search_ivf_probe_set_distributed(spark, emb, tmp_path):
     assert {(r.query_id, r.vec_id) for r in got.collect()} == {
         (r.query_id, r.vec_id) for r in exact.collect()
     }
+
+
+def test_kmeans_refine_matches_numpy_lloyd(spark, emb, emb_np):
+    """Distributed Lloyd refinement == numpy spherical k-means from the
+    same init, iteration for iteration (empty clusters keep their
+    previous centroid in both)."""
+    ids, X = emb_np
+    init = similarity.train_centroids(emb, n_centroids=6, iters=2)
+
+    got = similarity.kmeans_refine(emb, init, iters=3)
+
+    cent = init.astype(np.float64).copy()
+    for _ in range(3):
+        assign = (X @ cent.T).argmax(axis=1)
+        new = cent.copy()
+        for j in range(len(cent)):
+            m = assign == j
+            if m.any():
+                v = X[m].sum(axis=0)
+                new[j] = v / max(np.linalg.norm(v), 1e-12)
+        cent = new
+    assert np.allclose(got, cent, atol=1e-9)
+
+
+def test_kmeans_refine_layout_independent(spark, emb):
+    """Same corpus, different partition layouts -> identical refined
+    centroids (per-batch partials are an exact decomposition of the
+    global sums; float addition reassociation stays inside 1e-12)."""
+    init = similarity.train_centroids(emb, n_centroids=5, iters=2)
+    a = similarity.kmeans_refine(emb, init, iters=2)
+    b = similarity.kmeans_refine(emb.repartition(17), init, iters=2)
+    assert np.allclose(a, b, atol=1e-12)
+
+
+def test_kmeans_refine_improves_assignment_objective(spark, emb, emb_np):
+    """Refinement must not worsen the spherical k-means objective
+    (mean max-cosine) measured over the full corpus."""
+    ids, X = emb_np
+    init = similarity.train_centroids(emb, n_centroids=6, iters=1, sample=64)
+    refined = similarity.kmeans_refine(emb, init, iters=4)
+    before = (X @ init.T).max(axis=1).mean()
+    after = (X @ refined.T).max(axis=1).mean()
+    assert after >= before - 1e-12

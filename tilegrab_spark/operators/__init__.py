@@ -169,6 +169,7 @@ from tilegrab_spark.operators.similarity import (
     ann_topk_ivf,
     build_ivf_index,
     cosine_topk,
+    kmeans_refine,
     search_ivf_index,
 )
 from tilegrab_spark.operators.quantization import (
@@ -238,6 +239,7 @@ __all__ = [
     # similarity search
     "cosine_topk",
     "ann_topk_ivf",
+    "kmeans_refine",
     "build_ivf_index",
     "search_ivf_index",
     "train_pq",

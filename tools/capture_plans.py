@@ -349,6 +349,49 @@ def _bpe_round_plan(spark):
     return plan_of(pairs)
 
 
+def _hex_hotspot_plan(spark):
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.hexbin import hex_hotspots
+
+    pts = spark.range(5000).select(
+        (F.lit(8.5) + (F.col("id") % 97).cast("double") / 970.0).alias("lon"),
+        (F.lit(47.2) + (F.col("id") % 89).cast("double") / 890.0).alias("lat"),
+    )
+    return plan_of(hex_hotspots(pts, size_m=250.0))
+
+
+def _pmtiles_sort_plan(spark):
+    """The distributed stage of the PMTiles sink: vectorized Hilbert
+    tile ids + per-tile dedup + the one range exchange that produces
+    the clustered layout the format requires (the driver then only
+    streams already-ordered rows)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from tilegrab_spark.kernels.pmtiles import tileids_np
+
+    def _tid_fn(z, x, y):
+        return pd.Series(tileids_np(z.to_numpy(), x.to_numpy(), y.to_numpy()))
+
+    _tid = pandas_udf(_tid_fn, "long")
+    tiles = spark.range(512).select(
+        F.lit(12).alias("z"),
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+        F.col("id").cast("binary").alias("bytes"),
+    )
+    rows = (
+        tiles.where(F.col("bytes").isNotNull())
+        .withColumn("tile_id", _tid("z", "x", "y"))
+        .groupBy("tile_id", "z", "x", "y")
+        .agg(F.max("bytes").alias("bytes"))
+        .orderBy("tile_id")
+    )
+    return plan_of(rows)
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -606,6 +649,25 @@ def main():
             "at ONE row; corpus bytes shuffled only by the word_counts "
             "aggregation upstream)",
             _bpe_round_plan(spark),
+        ),
+        (
+            "PLAN 31: hex hot spots (lattice assignment is pure-Catalyst "
+            "cube rounding inside WholeStageCodegen — NO Python before "
+            "the binning exchange, which carries OCCUPIED hexes, never "
+            "points; the 6-neighbor lag is one packed-key equi-join of "
+            "the hex table against its own explode; the global moments "
+            "reduce to a one-row frame that BROADCASTs into the Gi* "
+            "projection — check: zero Arrow nodes, no point-sized "
+            "exchange after the first)",
+            _hex_hotspot_plan(spark),
+        ),
+        (
+            "PLAN 32: PMTiles sink, distributed stage (vectorized Arrow "
+            "tile ids; per-tile dedup is a map-side-combinable max; the "
+            "ONE range exchange performs the clustered-layout sort on "
+            "executors — the driver never sorts, it only streams "
+            "already-ordered rows into the incremental writer)",
+            _pmtiles_sort_plan(spark),
         ),
     ]
 
