@@ -380,7 +380,7 @@ def _pmtiles_sort_plan(spark):
         F.lit(12).alias("z"),
         (F.col("id") % 64).cast("int").alias("x"),
         (F.col("id") / 64).cast("int").alias("y"),
-        F.col("id").cast("binary").alias("bytes"),
+        F.col("id").cast("string").cast("binary").alias("bytes"),
     )
     rows = (
         tiles.where(F.col("bytes").isNotNull())
