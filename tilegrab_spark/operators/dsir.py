@@ -84,7 +84,14 @@ def hashed_ngram_features(
     mod ``n_buckets``."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    g = df.select(F.col(id_col), F.explode(_grams(text_col, ngrams)).alias("_g"))
+    from tilegrab_spark.operators.dedup import _with_min_parallelism
+
+    # single-split scans serialize the gram explode + hashing (the
+    # suite-wide guard; a no-op on any real multi-split table)
+    docs = _with_min_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    g = docs.select(
+        F.col(id_col), F.explode(_grams(text_col, ngrams)).alias("_g")
+    )
     return (
         g.select(id_col, (sample_hash(F.col("_g"), salt) % n_buckets).alias("bucket"))
         .groupBy(id_col, "bucket")
@@ -109,8 +116,14 @@ def ngram_profile(
     smoothing denominator, so the tiny table stays sparse."""
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
+    from tilegrab_spark.operators.dedup import _with_min_parallelism
+
+    # same single-split guard as hashed_ngram_features: the profile's
+    # gram explode is the map-heavy stage, don't let one input split
+    # serialize it (no-op on any real multi-split table)
     counts = (
-        df.select(F.explode(_grams(text_col, ngrams)).alias("_g"))
+        _with_min_parallelism(df.select(F.col(text_col)))
+        .select(F.explode(_grams(text_col, ngrams)).alias("_g"))
         .select((sample_hash(F.col("_g"), salt) % n_buckets).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
