@@ -8,7 +8,12 @@ from tilegrab_spark.operators.image_join import join_images, anti_join_committed
 from tilegrab_spark.operators.mosaic import mosaic, MOSAIC_SCHEMA
 from tilegrab_spark.operators.knn import knn_join
 from tilegrab_spark.operators.components import connected_components, dedup_by_components
-from tilegrab_spark.operators.pyramid import build_parent_level, build_pyramid
+from tilegrab_spark.operators.pyramid import (
+    build_parent_level,
+    build_pyramid,
+    dirty_ancestors,
+    refresh_pyramid,
+)
 from tilegrab_spark.operators.footprint import coverage_footprints
 from tilegrab_spark.operators.cover import compact_cover, uncompact_cover
 from tilegrab_spark.operators.classifier import (
@@ -217,6 +222,8 @@ __all__ = [
     "dedup_by_components",
     "build_parent_level",
     "build_pyramid",
+    "dirty_ancestors",
+    "refresh_pyramid",
     "verify_images",
     "coverage_footprints",
     "sessionize",

@@ -392,6 +392,31 @@ def _pmtiles_sort_plan(spark):
     return plan_of(rows)
 
 
+def _pyramid_refresh_plan(spark, images):
+    """Incremental pyramid refresh: the dirty-ancestor derivation plus
+    one level's rebuild with children pruned to dirty parents."""
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.pyramid import build_parent_level, dirty_ancestors
+
+    changed = images.filter(F.col("x") % 7 == 0).select("x", "y")
+    dirty = dirty_ancestors(changed, z_base=15, z_min=12)
+    d = dirty.filter(F.col("zoom") == 14).select(
+        F.col("x").alias("_px"), F.col("y").alias("_py")
+    )
+    kids = images.filter(F.col("z") == 15).join(
+        F.broadcast(d),
+        (F.shiftright(F.col("x"), 1) == F.col("_px"))
+        & (F.shiftright(F.col("y"), 1) == F.col("_py")),
+        "left_semi",
+    )
+    return (
+        plan_of(dirty)
+        + "\n-- level rebuild (dirty-pruned children) --\n"
+        + plan_of(build_parent_level(kids, 15))
+    )
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -668,6 +693,15 @@ def main():
             "executors — the driver never sorts, it only streams "
             "already-ordered rows into the incremental writer)",
             _pmtiles_sort_plan(spark),
+        ),
+        (
+            "PLAN 33: incremental pyramid refresh (dirty-ancestor set is "
+            "one explode + distinct — the only exchange is sized by the "
+            "OUTPUT dirty set; the level rebuild prunes children with a "
+            "BROADCAST left-semi join BEFORE the rollup exchange and the "
+            "Arrow stitch, so per-level work is proportional to change "
+            "volume, never pyramid size)",
+            _pyramid_refresh_plan(spark, images),
         ),
     ]
 
