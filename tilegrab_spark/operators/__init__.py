@@ -155,6 +155,11 @@ from tilegrab_spark.operators.packing import (
     sequence_manifest,
     shard_manifest,
 )
+from tilegrab_spark.operators.splits import (
+    spatial_split,
+    split_leakage_report,
+    with_block_cell,
+)
 from tilegrab_spark.operators.sampling import (
     mixture_rates,
     sample_hash,
@@ -259,6 +264,9 @@ __all__ = [
     "sample_hash",
     "stratified_sample",
     "stratified_topn",
+    "spatial_split",
+    "split_leakage_report",
+    "with_block_cell",
     "mixture_rates",
     "sample_mixture",
     "pack_shards",
