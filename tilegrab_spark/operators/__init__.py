@@ -155,6 +155,11 @@ from tilegrab_spark.operators.packing import (
     sequence_manifest,
     shard_manifest,
 )
+from tilegrab_spark.operators.distancejoin import (
+    auto_block_zoom,
+    within_distance_join,
+    within_distance_pairs,
+)
 from tilegrab_spark.operators.splits import (
     spatial_split,
     split_leakage_report,
@@ -265,6 +270,9 @@ __all__ = [
     "stratified_sample",
     "stratified_topn",
     "spatial_split",
+    "auto_block_zoom",
+    "within_distance_join",
+    "within_distance_pairs",
     "split_leakage_report",
     "with_block_cell",
     "mixture_rates",
