@@ -1,0 +1,122 @@
+"""shortest_paths / hop_distance vs a pure-python Dijkstra oracle —
+weighted + unit + directed + multi-source (graph-Voronoi tie rules),
+convergence behavior, validation."""
+
+import heapq
+
+import pytest
+
+from tilegrab_spark.operators.graph import hop_distance, shortest_paths
+
+
+def _dijkstra(edges, sources, directed=False):
+    """(node -> (dist, source)); ties to the smallest source id."""
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+        if not directed:
+            adj.setdefault(d, []).append((s, w))
+    best = {}
+    pq = [(0.0, src, src) for src in sorted(sources)]
+    heapq.heapify(pq)
+    while pq:
+        dist, src, node = heapq.heappop(pq)
+        if node in best and (best[node][0], best[node][1]) <= (dist, src):
+            continue
+        if node not in best or (dist, src) < best[node]:
+            best[node] = (dist, src)
+            for nxt, w in adj.get(node, []):
+                cand = (dist + w, src)
+                if nxt not in best or cand < best[nxt]:
+                    heapq.heappush(pq, (dist + w, src, nxt))
+    return best
+
+
+def _lcg_graph(seed, n_nodes, n_edges):
+    s, out = seed, []
+    for _ in range(n_edges):
+        s = (s * 1103515245 + 12345) % (1 << 31)
+        a = s % n_nodes
+        s = (s * 1103515245 + 12345) % (1 << 31)
+        b = s % n_nodes
+        s = (s * 1103515245 + 12345) % (1 << 31)
+        w = 1.0 + (s % 100) / 10.0
+        if a != b:
+            out.append((a, b, w))
+    return out
+
+
+def _check(spark, edges, sources, directed=False, weighted=True):
+    E = spark.createDataFrame(edges, "src long, dst long, w double")
+    S = spark.createDataFrame([(s,) for s in sources], "node long")
+    got = {
+        r.node: (r.dist, r.source)
+        for r in shortest_paths(
+            E, S, weight_col="w" if weighted else None, directed=directed
+        ).collect()
+    }
+    eo = [(a, b, w if weighted else 1.0) for a, b, w in edges]
+    want = _dijkstra(eo, sources, directed=directed)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n][0] == pytest.approx(want[n][0], abs=1e-9), n
+        assert got[n][1] == want[n][1], n
+
+
+def test_weighted_single_source(spark):
+    _check(spark, _lcg_graph(7, 40, 120), [0])
+
+
+def test_multi_source_voronoi_and_ties(spark):
+    # diamond with equal-cost paths from both sources to node 2:
+    # tie must resolve to the SMALLER source id
+    edges = [(0, 2, 5.0), (1, 2, 5.0), (2, 3, 1.0), (4, 5, 1.0)]
+    _check(spark, edges, [0, 1])
+    _check(spark, _lcg_graph(23, 60, 200), [3, 17, 41])
+
+
+def test_directed(spark):
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (3, 2, 1.0)]
+    E = spark.createDataFrame(edges, "src long, dst long, w double")
+    S = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in shortest_paths(E, S, weight_col="w", directed=True).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0}  # 3 unreachable
+    _check(spark, _lcg_graph(99, 40, 160), [0, 5], directed=True)
+
+
+def test_hop_distance_bfs(spark):
+    _check(spark, _lcg_graph(5, 50, 130), [2], weighted=False)
+    # chain: hop counts exact
+    edges = [(i, i + 1, 1.0) for i in range(10)]
+    E = spark.createDataFrame(edges, "src long, dst long, w double")
+    S = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in hop_distance(E, S).collect()}
+    assert got == {i: float(i) for i in range(11)}
+
+
+def test_shorter_path_through_more_hops(spark):
+    # direct heavy edge vs cheap 3-hop detour: relaxation must improve
+    # an ALREADY-settled node in a later round
+    edges = [(0, 9, 10.0), (0, 1, 1.0), (1, 2, 1.0), (2, 9, 1.0)]
+    E = spark.createDataFrame(edges, "src long, dst long, w double")
+    S = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in shortest_paths(E, S, weight_col="w").collect()}
+    assert got[9] == pytest.approx(3.0)
+
+
+def test_nonconvergence_and_validation(spark):
+    edges = [(i, i + 1, 1.0) for i in range(8)]
+    E = spark.createDataFrame(edges, "src long, dst long, w double")
+    S = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(RuntimeError):
+        shortest_paths(E, S, weight_col="w", max_iter=3)
+    partial = shortest_paths(E, S, weight_col="w", max_iter=3, on_nonconverged="return")
+    got = {r.node: r.dist for r in partial.collect()}
+    assert got[3] == 3.0 and max(got) < 8  # near frontier exact, far nodes absent
+    with pytest.raises(ValueError):
+        neg = spark.createDataFrame([(0, 1, -1.0)], "src long, dst long, w double")
+        shortest_paths(neg, S, weight_col="w")
+    with pytest.raises(ValueError):
+        shortest_paths(E, S, max_iter=0)
+    with pytest.raises(ValueError):
+        shortest_paths(E, S, on_nonconverged="nope")

@@ -15,7 +15,15 @@ from tilegrab_spark.operators.pyramid import (
     refresh_pyramid,
 )
 from tilegrab_spark.operators.footprint import coverage_footprints
-from tilegrab_spark.operators.cover import compact_cover, uncompact_cover
+from tilegrab_spark.operators.augment import AUGMENT_OPS, augment_images
+from tilegrab_spark.operators.cover import adaptive_cover, compact_cover, uncompact_cover
+from tilegrab_spark.operators.graph import hop_distance, shortest_paths
+from tilegrab_spark.operators.retrieval import (
+    TextIndex,
+    bm25_search,
+    bm25_topk,
+    build_text_index,
+)
 from tilegrab_spark.operators.classifier import (
     hashed_token_features,
     score_documents,
@@ -229,6 +237,15 @@ __all__ = [
     "MOSAIC_SCHEMA",
     "knn_join",
     "connected_components",
+    "adaptive_cover",
+    "augment_images",
+    "AUGMENT_OPS",
+    "shortest_paths",
+    "hop_distance",
+    "bm25_search",
+    "bm25_topk",
+    "build_text_index",
+    "TextIndex",
     "dedup_by_components",
     "build_parent_level",
     "build_pyramid",

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from tilegrab_spark.sources.images import cell_id_col
 
-__all__ = ["compact_cover", "uncompact_cover"]
+__all__ = ["adaptive_cover", "compact_cover", "uncompact_cover"]
 
 
 def _validated_zooms(zoom: int, min_zoom: int) -> tuple[int, int]:
@@ -168,3 +168,78 @@ def uncompact_cover(
         )
     )
     return expanded.withColumn("cell_id", cell_id_col())
+
+
+def adaptive_cover(
+    points: DataFrame,
+    *,
+    threshold: int,
+    max_zoom: int,
+    min_zoom: int = 0,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Density-adaptive quadtree cover of a point set: the leaf cells of
+    the quadtree obtained by splitting every cell holding more than
+    ``threshold`` points, from ``min_zoom`` down to at most ``max_zoom``
+    (cells still over threshold at ``max_zoom`` are forced leaves).
+    Output: ``(z, x, y, n_points)`` — disjoint, and exactly covering the
+    occupied ``max_zoom`` cells (sum of ``n_points`` = input row count).
+
+    Because per-cell counts are monotone non-increasing with depth, a
+    point's leaf is simply the SHALLOWEST ancestor whose count is
+    ``<= threshold`` — so no recursion is needed: (1) count points at
+    ``max_zoom`` (one corpus-sized exchange, the only one), (2) roll
+    every occupied cell up through all levels in one explode + sum
+    (exchange bounded by occupied-cells x depth <= 30), (3) keep cells
+    whose count fits but whose PARENT's doesn't (one co-keyed
+    self-join). Fully relational — the pytest pins it against a DuckDB
+    oracle and set invariants.
+    """
+    max_zoom, min_zoom = _validated_zooms(max_zoom, min_zoom)
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    from tilegrab_spark.functions.cells import cell_encode_cols
+
+    xm, ym = cell_encode_cols(F.col(lon_col), F.col(lat_col), max_zoom)
+    base = (
+        points.select(xm.alias("x"), ym.alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lv = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(z).cast("int").alias("z"),
+                        F.shiftright(F.col("x"), max_zoom - z).alias("x"),
+                        F.shiftright(F.col("y"), max_zoom - z).alias("y"),
+                    )
+                    for z in range(min_zoom, max_zoom + 1)
+                ]
+            )
+        ).alias("_l"),
+        F.col("cnt"),
+    ).select("_l.z", "_l.x", "_l.y", "cnt")
+    counts = lv.groupBy("z", "x", "y").agg(F.sum("cnt").alias("n_points"))
+    parents = counts.select(
+        F.col("z").alias("_pz"),
+        F.col("x").alias("_px"),
+        F.col("y").alias("_py"),
+        F.col("n_points").alias("_pn"),
+    )
+    t = F.lit(int(threshold))
+    joined = counts.join(
+        parents,
+        (F.col("_pz") == F.col("z") - 1)
+        & (F.col("_px") == F.shiftright(F.col("x"), 1))
+        & (F.col("_py") == F.shiftright(F.col("y"), 1)),
+        "left",
+    )
+    reached = (F.col("z") == F.lit(min_zoom)) | (F.col("_pn") > t)
+    is_leaf = reached & (
+        (F.col("n_points") <= t)
+        | (F.col("z") == F.lit(max_zoom))  # forced leaf, still over threshold
+    )
+    return joined.filter(is_leaf).select("z", "x", "y", "n_points")
