@@ -36,6 +36,29 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["shortest_paths", "hop_distance"]
 
 
+def _relax_round(frontier: DataFrame, e: DataFrame, dist: DataFrame) -> DataFrame:
+    """One relaxation round (lazy): candidate improvements from the
+    frontier's out-edges, map-side pre-combined to one candidate per
+    node, filtered to strict improvements over ``dist``."""
+    cand = (
+        frontier.join(e, frontier.node == e._s)
+        .select(
+            F.col("_d").alias("node"),
+            (F.col("dist") + F.col("_w")).alias("dist"),
+            "source",
+        )
+        # map-side pre-combine: one candidate per node leaves the round
+        .groupBy("node")
+        .agg(F.min(F.struct("dist", "source")).alias("_c"))
+        .select("node", F.col("_c.dist").alias("dist"), F.col("_c.source").alias("source"))
+    )
+    return (
+        cand.join(dist.select("node", F.col("dist").alias("_old")), "node", "left")
+        .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+        .select("node", "dist", "source")
+    )
+
+
 def shortest_paths(
     edges: DataFrame,
     sources: DataFrame,
@@ -78,24 +101,7 @@ def shortest_paths(
     frontier = dist
     converged = False
     for _ in range(max_iter):
-        cand = (
-            frontier.join(e, frontier.node == e._s)
-            .select(
-                F.col("_d").alias("node"),
-                (F.col("dist") + F.col("_w")).alias("dist"),
-                "source",
-            )
-            # map-side pre-combine: one candidate per node leaves the round
-            .groupBy("node")
-            .agg(F.min(F.struct("dist", "source")).alias("_c"))
-            .select("node", F.col("_c.dist").alias("dist"), F.col("_c.source").alias("source"))
-        )
-        improved = (
-            cand.join(dist.select("node", F.col("dist").alias("_old")), "node", "left")
-            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
-            .select("node", "dist", "source")
-            .localCheckpoint()
-        )
+        improved = _relax_round(frontier, e, dist).localCheckpoint()
         if improved.isEmpty():
             converged = True
             break

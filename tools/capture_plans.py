@@ -417,6 +417,68 @@ def _pyramid_refresh_plan(spark, images):
     )
 
 
+
+
+def _distancejoin_plan(spark):
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.distancejoin import within_distance_pairs
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        ((F.col("id") * 7 % 3600) / 10.0 - 180.0).alias("lon"),
+        ((F.col("id") * 13 % 1600) / 10.0 - 80.0).alias("lat"),
+    )
+    return plan_of(within_distance_pairs(df, 2000.0))
+
+
+def _bm25_plan(spark):
+    from tilegrab_spark.operators.retrieval import bm25_search
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    qs = spark.createDataFrame(
+        [(0, "tile mosaic geospatial"), (1, "training data quality")],
+        "query_id int, text string",
+    )
+    return plan_of(bm25_search(docs, qs, k=10))
+
+
+def _sssp_round_plan(spark):
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.graph import _relax_round
+
+    e = spark.range(5000).select(
+        (F.col("id") % 997).alias("_s"),
+        ((F.col("id") * 31) % 997).alias("_d"),
+        (F.col("id") % 7 + 1).cast("double").alias("_w"),
+    )
+    dist = spark.createDataFrame([(0, 0.0, 0)], "node long, dist double, source long")
+    return plan_of(_relax_round(dist, e, dist))
+
+
+def _adaptive_cover_plan(spark):
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.cover import adaptive_cover
+
+    pts = spark.range(100000).select(
+        ((F.col("id") * 7 % 3600) / 10.0 - 180.0).alias("lon"),
+        ((F.col("id") * 13 % 1600) / 10.0 - 80.0).alias("lat"),
+    )
+    return plan_of(adaptive_cover(pts, threshold=64, max_zoom=12))
+
+
+def _augment_plan(spark, images):
+    from tilegrab_spark.operators.augment import augment_images
+
+    return plan_of(augment_images(images.select("image_id", "bytes", "x", "y", "fmt")
+                                  .withColumnRenamed("x", "w")
+                                  .withColumnRenamed("y", "h")))
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -702,6 +764,44 @@ def main():
             "Arrow stitch, so per-level work is proportional to change "
             "volume, never pyramid size)",
             _pyramid_refresh_plan(spark, images),
+        ),
+        (
+            "PLAN 34: within-distance join (per-row latitude-adaptive disk "
+            "explode on the LEFT side only — two bounded sequence explodes, "
+            "sec(lat)-scaled radius computed per row inside codegen; ONE "
+            "equi-join on the cell key (BHJ at this capture size, SMJ once "
+            "both sides exceed the broadcast threshold); Catalyst folds the "
+            "haversine refine INTO the join condition — check: no cartesian, "
+            "no Python, candidate volume sized by disk fan-out, never "
+            "|L|x|R|)",
+            _distancejoin_plan(spark),
+        ),
+        (
+            "PLAN 35: BM25 search (both TINY frames — query terms and the "
+            "term-df table — BroadcastExchange into the corpus-sized "
+            "postings probe; partial_sum BEFORE the (query, doc) exchange "
+            "= map-side combine; the window top-k runs on the "
+            "candidates-sized table — check: exactly one hash exchange "
+            "after the postings build, zero cartesian)",
+            _bm25_plan(spark),
+        ),
+        (
+            "PLAN 36: SSSP relaxation round (frontier joins edges on src; "
+            "partial min(struct(dist, source)) BEFORE the node exchange — "
+            "one candidate per node leaves the map side; improvement "
+            "filter is a left join against the running distance table — "
+            "check: exchanges sized by frontier out-edges and candidate "
+            "nodes, never |E|)",
+            _sssp_round_plan(spark),
+        ),
+        (
+            "PLAN 37: adaptive quadtree cover (ONE corpus-sized exchange "
+            "— the max-zoom cell count; the 13-level rollup is an explode "
+            "over the already-aggregated cell table with partial_sum "
+            "map-side; leaf selection is a self-join on the parent key — "
+            "check: the explode sits AFTER the first aggregate, so level "
+            "fan-out multiplies cells, never points)",
+            _adaptive_cover_plan(spark),
         ),
     ]
 
