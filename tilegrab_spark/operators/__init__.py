@@ -18,6 +18,12 @@ from tilegrab_spark.operators.footprint import coverage_footprints
 from tilegrab_spark.operators.augment import AUGMENT_OPS, augment_images
 from tilegrab_spark.operators.cover import adaptive_cover, compact_cover, uncompact_cover
 from tilegrab_spark.operators.graph import hop_distance, shortest_paths
+from tilegrab_spark.operators.metadata import (
+    IMAGE_METADATA_SCHEMA,
+    extract_image_metadata,
+    geotag_cells,
+)
+from tilegrab_spark.operators.pca import PCAModel, fit_pca, transform_pca
 from tilegrab_spark.operators.retrieval import (
     TextIndex,
     bm25_search,
@@ -242,6 +248,12 @@ __all__ = [
     "AUGMENT_OPS",
     "shortest_paths",
     "hop_distance",
+    "extract_image_metadata",
+    "geotag_cells",
+    "IMAGE_METADATA_SCHEMA",
+    "fit_pca",
+    "transform_pca",
+    "PCAModel",
     "bm25_search",
     "bm25_topk",
     "build_text_index",
