@@ -17,6 +17,7 @@ from tilegrab_spark.operators.pyramid import (
 from tilegrab_spark.operators.footprint import coverage_footprints
 from tilegrab_spark.operators.augment import AUGMENT_OPS, augment_images
 from tilegrab_spark.operators.cover import adaptive_cover, compact_cover, uncompact_cover
+from tilegrab_spark.operators.funnel import funnel_counts, funnel_progress
 from tilegrab_spark.operators.graph import hop_distance, shortest_paths
 from tilegrab_spark.operators.metadata import (
     IMAGE_METADATA_SCHEMA,
@@ -139,6 +140,7 @@ from tilegrab_spark.operators.points import points_in_polygons
 from tilegrab_spark.operators.vectortiles import contours_to_mvt
 from tilegrab_spark.operators.trajectory import (
     haversine_m,
+    od_matrix,
     stay_points,
     track_stats,
     with_legs,
@@ -248,6 +250,9 @@ __all__ = [
     "AUGMENT_OPS",
     "shortest_paths",
     "hop_distance",
+    "funnel_progress",
+    "funnel_counts",
+    "od_matrix",
     "extract_image_metadata",
     "geotag_cells",
     "IMAGE_METADATA_SCHEMA",

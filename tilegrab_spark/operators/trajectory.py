@@ -37,7 +37,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
-__all__ = ["haversine_m", "with_legs", "track_stats", "stay_points"]
+__all__ = ["haversine_m", "with_legs", "track_stats", "stay_points", "od_matrix"]
 
 _EARTH_R = 6371008.8  # mean earth radius, meters (IUGG)
 
@@ -200,3 +200,54 @@ def stay_points(
 
     src = fixes.select(*tks, F.col(ts_col).cast("double").alias(ts_col), lon_col, lat_col)
     return src.groupBy(*tks).applyInPandas(scan, out_schema)
+
+
+def od_matrix(
+    fixes: DataFrame,
+    zoom: int,
+    *,
+    track_cols: Sequence[str] = ("track_id",),
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Origin-destination flow matrix at tile-cell resolution: each
+    track contributes one (origin cell, destination cell) trip — origin
+    = the track's FIRST fix, destination = its LAST (by (ts, lon, lat),
+    the module's deterministic order) — rolled up to ``[o_x, o_y, d_x,
+    d_y, n_trips, avg_duration_s]`` at ``zoom``.
+
+    The flow-aggregation primitive behind every mobility matrix
+    (transport planning, tile-demand forecasting). Two exchanges, both
+    keyed and output-bounded: one ``min_by``/``max_by`` per-track agg
+    (map-side combinable — first/last fixes combine associatively), one
+    OD-pair rollup over the (much smaller) trip table. Pure Catalyst;
+    the cell encode is functions/cells.py codegen.
+    """
+    if not 0 <= int(zoom) <= 29:
+        raise ValueError(f"zoom must be in [0, 29], got {zoom}")
+    from tilegrab_spark.functions.cells import cell_encode_cols
+
+    ordk = F.struct(
+        F.col(ts_col).alias("_t"), F.col(lon_col).alias("_lo"), F.col(lat_col).alias("_la")
+    )
+    pt = F.struct(F.col(lon_col).alias("lon"), F.col(lat_col).alias("lat"))
+    trips = fixes.groupBy(*track_cols).agg(
+        F.min_by(pt, ordk).alias("_o"),
+        F.max_by(pt, ordk).alias("_d"),
+        (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double"))).alias(
+            "_dur"
+        ),
+    )
+    ox, oy = cell_encode_cols(F.col("_o.lon"), F.col("_o.lat"), int(zoom))
+    dx, dy = cell_encode_cols(F.col("_d.lon"), F.col("_d.lat"), int(zoom))
+    return (
+        trips.select(
+            ox.alias("o_x"), oy.alias("o_y"), dx.alias("d_x"), dy.alias("d_y"), "_dur"
+        )
+        .groupBy("o_x", "o_y", "d_x", "d_y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trips"),
+            F.avg("_dur").alias("avg_duration_s"),
+        )
+    )
