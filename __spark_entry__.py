@@ -2999,6 +2999,99 @@ FROM documents
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# distance_pairs: within-distance spatial join (operators/distancejoin.py)
+# over deterministic lineitem-derived city-scale points; the oracle is a
+# BRUTE-FORCE haversine cross join written with the exact expression tree
+# of trajectory.haversine_m (same op order, same a>1 clamp), so the blocked
+# join's candidate disk is proven exhaustive by the driver. Coordinates are
+# quantized to 1e-4 deg (~11 m), so no pair sits near the 500 m boundary
+# and the set compare is float-robust.
+# ---------------------------------------------------------------------------
+
+_DIST_D_M = 500.0
+
+
+def _distance_points(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return li.filter((F.col("l_orderkey") % 97) == 0).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("id"),
+        (F.lit(11.0) + ((F.col("l_orderkey") * 7) % 2000) / F.lit(10000.0)).alias("lon"),
+        (F.lit(48.0) + ((F.col("l_partkey") * 13) % 2000) / F.lit(10000.0)).alias("lat"),
+    )
+
+
+def _distance_pairs(spark, sf):
+    from tilegrab_spark.operators.distancejoin import within_distance_pairs
+
+    return within_distance_pairs(_distance_points(spark, sf), _DIST_D_M).select(
+        "id_a", "id_b"
+    )
+
+
+_HAV_A = (
+    "(sin((radians(b.lat) - radians(a.lat)) / 2) * sin((radians(b.lat) - radians(a.lat)) / 2) "
+    "+ cos(radians(a.lat)) * cos(radians(b.lat)) "
+    "* sin((radians(b.lon) - radians(a.lon)) / 2) * sin((radians(b.lon) - radians(a.lon)) / 2))"
+)
+
+_DISTANCE_PAIRS_SQL = f"""
+WITH pts AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+         11.0 + ((l_orderkey * 7) % 2000) / 10000.0 AS lon,
+         48.0 + ((l_partkey * 13) % 2000) / 10000.0 AS lat
+  FROM lineitem WHERE l_orderkey % 97 = 0
+)
+SELECT a.id AS id_a, b.id AS id_b
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE 2.0 * 6371008.8 * asin(sqrt(
+  CASE WHEN {_HAV_A} > 1.0 THEN 1.0 ELSE {_HAV_A} END)) <= {_DIST_D_M}
+"""
+
+
+# ---------------------------------------------------------------------------
+# funnel_steps: greedy-earliest ordered-step funnel (operators/funnel.py)
+# over the events table; the oracle re-derives the chained min() FILTER
+# gates at microsecond precision. All-long columns + one double that both
+# engines compute as the same exact-integer division.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEP_TYPES = ["view", "click", "purchase"]
+
+
+def _funnel_steps(spark, sf):
+    from tilegrab_spark.operators.funnel import funnel_counts
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return funnel_counts(ev, _FUNNEL_STEP_TYPES)
+
+
+_FUNNEL_SQL = """
+WITH f AS (
+  SELECT user_id, epoch_us(ts) AS ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+u1 AS (SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t1 FROM f GROUP BY 1),
+u2 AS (SELECT f.user_id, min(f.ts) AS t2 FROM f JOIN u1 USING (user_id)
+       WHERE f.event_type = 'click' AND f.ts >= u1.t1 GROUP BY 1),
+u3 AS (SELECT f.user_id, min(f.ts) AS t3 FROM f JOIN u2 USING (user_id)
+       WHERE f.event_type = 'purchase' AND f.ts >= u2.t2 GROUP BY 1),
+c AS (SELECT (SELECT count(t1) FROM u1) AS n1,
+             (SELECT count(*) FROM u2) AS n2,
+             (SELECT count(*) FROM u3) AS n3)
+SELECT 1 AS step, 'view' AS event_type, CAST(n1 AS BIGINT) AS n_users,
+       CASE WHEN n1 > 0 THEN n1 / CAST(n1 AS DOUBLE) END AS frac_of_step1 FROM c
+UNION ALL
+SELECT 2, 'click', CAST(n2 AS BIGINT),
+       CASE WHEN n1 > 0 THEN n2 / CAST(n1 AS DOUBLE) END FROM c
+UNION ALL
+SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+       CASE WHEN n1 > 0 THEN n3 / CAST(n1 AS DOUBLE) END FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -3026,7 +3119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_pipeline": _clean_corpus,
         "incremental_lsh_pairs": _incremental_lsh,
         "sql_surface_tile_math": _sql_surface,
-        "hamming_pairs": _hamming_family,
+        "distance_pairs": _distance_pairs,
         "cross_modal_pairs": _cross_modal,
         "tile_diff_epochs": _tile_diff,
         "dissolve_regions": _dissolve,
@@ -3040,7 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_plan_w1": _mosaic_plan,
         "zonal_stats_t": _zonal_stats_t,
         "hll_sketch_rows": _hll_sketch_rows,
-        "kmv_sketch_ops": _kmv_sketch_ops,
+        "funnel_steps": _funnel_steps,
         "asof_join_events": _asof_events,
         "range_join_bands": _range_join_bands,
         "cms_frequencies": _cms_counts,
@@ -3074,11 +3167,11 @@ def oracle_sql() -> dict[str, str]:
         "mosaic_plan_w1": _MOSAIC_PLAN_SQL,
         "zonal_stats_t": _zonal_sql(),
         "hll_sketch_rows": _hll_sketch_rows_sql(),
-        "kmv_sketch_ops": _KMV_OPS_SQL,
+        "funnel_steps": _FUNNEL_SQL,
         "asof_join_events": _ASOF_SQL,
         "range_join_bands": _RANGE_JOIN_SQL,
         "cms_frequencies": _CMS_SQL,
-        "hamming_pairs": _HAMMING_FAMILY_SQL,
+        "distance_pairs": _DISTANCE_PAIRS_SQL,
         "cross_modal_pairs": _cross_modal_sql(),
         "tile_diff_epochs": _tile_diff_sql(),
         "dissolve_regions": _DISSOLVE_SQL,
