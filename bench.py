@@ -553,6 +553,30 @@ def _llm_stages(spark, sf_dir, timed, stages):
 
         timed("bloom_filter_full", q_bloom)
 
+        def q_bm25():
+            from tilegrab_spark.operators.retrieval import bm25_search
+
+            qs = docs.sparkSession.createDataFrame(
+                [(i, t) for i, t in enumerate(
+                    ["data quality pipeline", "tile mosaic engine",
+                     "language model training", "spatial join index"]
+                )],
+                "query_id int, text string",
+            )
+            return bm25_search(
+                docs.select("doc_id", "text"), qs, k=20
+            ).count()
+
+        timed("bm25_search_full", q_bm25)
+
+        def q_funnel():
+            from tilegrab_spark.operators.funnel import funnel_counts
+
+            ev = docs.sparkSession.read.parquet(f"{sf_dir}/events.parquet")
+            return funnel_counts(ev, ["view", "click", "purchase"]).count()
+
+        timed("funnel_steps_full", q_funnel)
+
     def q_cc():
         d = docs.select("doc_id", "lang")
         a, b = d.alias("a"), d.alias("b")

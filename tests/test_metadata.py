@@ -109,3 +109,58 @@ def test_extract_operator_and_geotag(spark):
     assert (tagged[0].x, tagged[0].y) == (want.x, want.y)
     with pytest.raises(ValueError):
         geotag_cells(df, zoom=35)
+
+
+def test_strip_jpeg_removes_exif_keeps_pixels():
+    arr = np.arange(16 * 16 * 3, dtype=np.uint32).reshape(16, 16, 3) % 251
+    arr = arr.astype(np.uint8)
+    tagged = exif.inject_jpeg_app1(
+        jpeg.encode_jpeg(arr), exif.build_exif_app1(make="X", lon=1.0, lat=2.0)
+    )
+    clean = exif.strip_jpeg_metadata(tagged)
+    assert len(clean) < len(tagged)
+    assert exif.parse_jpeg_exif(clean) == {}
+    np.testing.assert_array_equal(jpeg.decode_jpeg(clean), jpeg.decode_jpeg(tagged))
+    assert exif.strip_jpeg_metadata(clean) == clean  # idempotent
+
+
+def test_strip_png_removes_text_keeps_pixels():
+    arr = np.zeros((6, 6, 3), dtype=np.uint8)
+    base = png.encode_png(arr)
+    iend = base.rfind(b"IEND") - 4
+    tagged = (
+        base[:iend]
+        + exif.build_png_text_chunk("Author", "someone")
+        + exif.build_png_text_chunk("C", "zzz", kind="zTXt")
+        + base[iend:]
+    )
+    clean = exif.strip_png_metadata(tagged)
+    assert exif.parse_png_text(clean) == {}
+    assert clean == base  # byte-identical to the untagged encode
+    np.testing.assert_array_equal(png.decode_png(clean), arr)
+
+
+def test_strip_operator(spark):
+    arr = np.zeros((8, 8, 3), dtype=np.uint8)
+    tagged = exif.inject_jpeg_app1(
+        jpeg.encode_jpeg(arr), exif.build_exif_app1(make="Cam", lon=3.0, lat=4.0)
+    )
+    rows = [
+        ("a", bytearray(tagged), 8, 8, "jpeg"),
+        ("b", bytearray(png.encode_png(arr)), 8, 8, "png"),
+        ("c", bytearray(b"????"), 8, 8, "gif"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    from tilegrab_spark.operators.metadata import strip_image_metadata
+
+    out = {r.image_id: r for r in strip_image_metadata(df).collect()}
+    assert out["a"].strip_ok and out["a"].bytes_saved > 0
+    assert exif.parse_jpeg_exif(bytes(out["a"].bytes)) == {}
+    assert out["b"].strip_ok and out["b"].bytes_saved == 0
+    assert not out["c"].strip_ok and bytes(out["c"].bytes) == b"????"
+    # schema passthrough: original columns survive
+    assert out["a"].w == 8 and out["a"].fmt == "jpeg"
+    with pytest.raises(ValueError):
+        strip_image_metadata(df.drop("fmt"))

@@ -28,6 +28,8 @@ __all__ = [
     "inject_jpeg_app1",
     "build_png_text_chunk",
     "gps_to_decimal",
+    "strip_jpeg_metadata",
+    "strip_png_metadata",
 ]
 
 # TIFF field types -> (struct code, size); type 2 = ASCII, 5/10 = rationals
@@ -328,3 +330,60 @@ def build_png_text_chunk(key: str, value: str, *, kind: str = "tEXt") -> bytes:
         + body
         + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
     )
+
+
+def strip_jpeg_metadata(data: bytes) -> bytes:
+    """The JPEG with all APP1..APP15 and COM segments removed (EXIF,
+    XMP, ICC, comments — everything PII-bearing); APP0/JFIF and all
+    coding segments pass through, so decoded pixels are unchanged."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    out = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        if marker == 0xDA:  # start of scan: copy the rest verbatim
+            out += data[pos:]
+            return bytes(out)
+        if 0xD0 <= marker <= 0xD9 or marker == 0x01:  # standalone
+            out += data[pos : pos + 2]
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG segment")
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        seg = data[pos : pos + 2 + seglen]
+        if len(seg) < 2 + seglen:
+            raise ValueError("truncated JPEG segment")
+        keep = not (0xE1 <= marker <= 0xEF or marker == 0xFE)
+        if keep:
+            out += seg
+        pos += 2 + seglen
+    return bytes(out)
+
+
+_PNG_META_CHUNKS = {b"tEXt", b"zTXt", b"iTXt", b"eXIf", b"tIME"}
+
+
+def strip_png_metadata(data: bytes) -> bytes:
+    """The PNG with text / EXIF / timestamp chunks removed; pixel
+    chunks (IHDR/PLTE/IDAT/IEND and ancillary display chunks) pass
+    through byte-identically."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    out = bytearray(data[:8])
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        end = pos + 12 + length
+        if end > len(data):
+            raise ValueError("truncated PNG chunk")
+        if tag not in _PNG_META_CHUNKS:
+            out += data[pos:end]
+        if tag == b"IEND":
+            break
+        pos = end
+    return bytes(out)

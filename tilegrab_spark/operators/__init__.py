@@ -23,6 +23,7 @@ from tilegrab_spark.operators.metadata import (
     IMAGE_METADATA_SCHEMA,
     extract_image_metadata,
     geotag_cells,
+    strip_image_metadata,
 )
 from tilegrab_spark.operators.pca import PCAModel, fit_pca, transform_pca
 from tilegrab_spark.operators.retrieval import (
@@ -255,6 +256,7 @@ __all__ = [
     "od_matrix",
     "extract_image_metadata",
     "geotag_cells",
+    "strip_image_metadata",
     "IMAGE_METADATA_SCHEMA",
     "fit_pca",
     "transform_pca",

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from tilegrab_spark.kernels import exif
 
-__all__ = ["IMAGE_METADATA_SCHEMA", "extract_image_metadata", "geotag_cells"]
+__all__ = ["IMAGE_METADATA_SCHEMA", "extract_image_metadata", "geotag_cells", "strip_image_metadata"]
 
 IMAGE_METADATA_SCHEMA = (
     "image_id string, fmt string, ok boolean, has_gps boolean, "
@@ -99,3 +99,45 @@ def geotag_cells(meta: DataFrame, zoom: int) -> DataFrame:
         .withColumn("x", x)
         .withColumn("y", y)
     )
+
+
+def strip_image_metadata(df: DataFrame) -> DataFrame:
+    """PII scrub for image payloads: EXIF/XMP/ICC/comment segments
+    (JPEG) and text/EXIF/timestamp chunks (PNG) removed byte-level —
+    decoded pixels untouched. Output replaces ``bytes`` and adds
+    ``bytes_saved`` (long) and ``strip_ok``; unknown formats and
+    malformed streams pass through unmodified with ``strip_ok=false``.
+    One shuffle-free ``mapInPandas`` pass; idempotent."""
+    fields = [f.name for f in df.schema.fields]
+    if "bytes" not in fields or "fmt" not in fields:
+        raise ValueError("strip_image_metadata needs 'bytes' and 'fmt' columns")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", bytes_saved long, strip_ok boolean"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            saved, ok, cleaned = [], [], []
+            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                raw = bytes(data)
+                try:
+                    if fmt in ("jpg", "jpeg"):
+                        new = exif.strip_jpeg_metadata(raw)
+                    elif fmt == "png":
+                        new = exif.strip_png_metadata(raw)
+                    else:
+                        raise ValueError("no metadata channel")
+                    cleaned.append(new)
+                    saved.append(len(raw) - len(new))
+                    ok.append(True)
+                except ValueError:
+                    cleaned.append(raw)
+                    saved.append(0)
+                    ok.append(False)
+            pdf = pdf.copy()
+            pdf["bytes"] = cleaned
+            pdf["bytes_saved"] = saved
+            pdf["strip_ok"] = ok
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
