@@ -95,13 +95,24 @@ def _parse_ifd(data: bytes, endian: str, offset: int, tag_names: dict) -> dict:
     return out
 
 
+def _rational_list(val):
+    """Validate a parsed GPS value as rational pair(s); ValueError on
+    any other shape (fuzz contract: malformed EXIF never escapes as a
+    non-ValueError exception)."""
+    if isinstance(val, tuple):
+        val = [val]
+    if not isinstance(val, list) or not val or not all(
+        isinstance(p, tuple) and len(p) == 2 for p in val
+    ):
+        raise ValueError("malformed GPS rational")
+    return val
+
+
 def gps_to_decimal(dms, ref: str | None) -> float:
     """[(deg_n, deg_d), (min_n, min_d), (sec_n, sec_d)] + 'N'/'S'/'E'/'W'
     -> signed decimal degrees."""
-    if isinstance(dms, tuple):
-        dms = [dms]
     parts = []
-    for n, d in dms:
+    for n, d in _rational_list(dms):
         if d == 0:
             raise ValueError("zero denominator in GPS rational")
         parts.append(n / d)
@@ -160,7 +171,7 @@ def parse_jpeg_exif(data: bytes) -> dict:
             out["lat"] = gps_to_decimal(g["gps_lat"], g.get("gps_lat_ref"))
             out["lon"] = gps_to_decimal(g["gps_lon"], g.get("gps_lon_ref"))
         if "gps_alt" in g:
-            n, d = g["gps_alt"] if isinstance(g["gps_alt"], tuple) else g["gps_alt"][0]
+            n, d = _rational_list(g["gps_alt"])[0]
             if d == 0:
                 raise ValueError("zero denominator in GPS altitude")
             alt = n / d

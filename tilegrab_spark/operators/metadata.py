@@ -56,12 +56,18 @@ def extract_image_metadata(df: DataFrame) -> DataFrame:
                     raw = bytes(data)
                     if fmt in ("jpg", "jpeg"):
                         m = exif.parse_jpeg_exif(raw)
+                        # coerce to schema types: a malformed-but-parseable
+                        # stream can yield wrong-typed fields (e.g. a
+                        # string orientation) that would fail the Arrow cast
+                        _s = lambda v: v if isinstance(v, str) else None
+                        _i = lambda v: int(v) if isinstance(v, int) else None
+                        dt = m.get("datetime_original") or m.get("datetime")
                         row.update(
                             lon=m.get("lon"), lat=m.get("lat"),
-                            alt_m=m.get("alt_m"), make=m.get("make"),
-                            model=m.get("model"),
-                            orientation=m.get("orientation"),
-                            datetime=m.get("datetime_original") or m.get("datetime"),
+                            alt_m=m.get("alt_m"), make=_s(m.get("make")),
+                            model=_s(m.get("model")),
+                            orientation=_i(m.get("orientation")),
+                            datetime=_s(dt),
                             has_gps="lon" in m and "lat" in m,
                             extra={
                                 k: str(v) for k, v in m.items()
