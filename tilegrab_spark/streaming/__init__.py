@@ -1,3 +1,4 @@
+from tilegrab_spark.streaming.incremental_index import TextIndexStore
 from tilegrab_spark.streaming.incremental_dedup import (
     incremental_lsh_pairs,
     stream_document_dedup,
@@ -16,6 +17,7 @@ from tilegrab_spark.streaming.windowed import stream_windowed_counts
 
 __all__ = [
     "incremental_lsh_pairs",
+    "TextIndexStore",
     "stream_document_dedup",
     "stream_image_ingest",
     "stream_mosaic",
