@@ -479,6 +479,39 @@ def _augment_plan(spark, images):
                                   .withColumnRenamed("y", "h")))
 
 
+
+
+def _funnel_plan(spark):
+    from tilegrab_spark.operators.funnel import funnel_progress
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    return plan_of(funnel_progress(ev, ["view", "click", "purchase"]))
+
+
+def _incr_index_plan(spark):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.streaming.incremental_index import TextIndexStore
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="tg_plan_txtidx_")
+    try:
+        st = TextIndexStore(spark, tmp, n_buckets=16)
+        st.ingest_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+        st.ingest_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+        q = spark.createDataFrame(
+            [(0, "tile mosaic geospatial")], "query_id int, text string"
+        )
+        return plan_of(st.search(q, k=10))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     from pyspark.sql import functions as F
 
@@ -802,6 +835,24 @@ def main():
             "check: the explode sits AFTER the first aggregate, so level "
             "fan-out multiplies cells, never points)",
             _adaptive_cover_plan(spark),
+        ),
+        (
+            "PLAN 38: funnel progress (ONE exchange for the whole funnel: "
+            "the step-type filter prunes the scan, partial collect_list "
+            "runs map-side, and every sequential gate is a filter/get "
+            "higher-order expression inside the post-agg projection — "
+            "check: single hash exchange on user, zero joins, zero "
+            "Python)",
+            _funnel_plan(spark),
+        ),
+        (
+            "PLAN 39: incremental-index BM25 search (the postings scan "
+            "lists ONLY the files whose tb stats intersect the query "
+            "terms' buckets — count the parquet paths in the scan node "
+            "vs the table's total; scoring replans exactly as PLAN 35: "
+            "broadcast query terms + df, partial-sum before the "
+            "candidate exchange, window top-k)",
+            _incr_index_plan(spark),
         ),
     ]
 
