@@ -46,7 +46,9 @@ _GPS_TAGS = {
 
 def _read_value(data: bytes, endian: str, ftype: int, count: int, raw: bytes):
     size = _TYPE_SIZE.get(ftype)
-    if size is None:
+    if size is None or count == 0:
+        # unknown type or a zero-count entry (malformed but harmless):
+        # skip the value rather than indexing into an empty list
         return None
     total = size * count
     if total <= 4:
@@ -163,6 +165,9 @@ def parse_jpeg_exif(data: bytes) -> dict:
     out = _parse_ifd(tiff, endian, ifd0_off, _IFD0_TAGS)
     exif_off = out.pop(_EXIF_PTR, None)
     gps_off = out.pop(_GPS_PTR, None)
+    for ptr in (exif_off, gps_off):
+        if ptr is not None and not isinstance(ptr, int):
+            raise ValueError("non-integer EXIF sub-IFD pointer")
     if exif_off is not None:
         out.update(_parse_ifd(tiff, endian, int(exif_off), _EXIF_TAGS))
     if gps_off is not None:
@@ -181,10 +186,28 @@ def parse_jpeg_exif(data: bytes) -> dict:
     return out
 
 
+_MAX_TEXT_INFLATE = 1 << 22  # 4 MiB cap on a decompressed text chunk
+
+
+def _inflate_text(blob: bytes) -> bytes:
+    """zlib-inflate a PNG text payload with the fuzz contract: corrupt
+    streams raise ValueError (never zlib.error) and expansion is capped
+    so a tiny hostile chunk can't allocate unbounded memory."""
+    d = zlib.decompressobj()
+    try:
+        out = d.decompress(blob, _MAX_TEXT_INFLATE)
+    except zlib.error as e:
+        raise ValueError(f"corrupt compressed text chunk: {e}") from e
+    if d.unconsumed_tail:
+        raise ValueError("compressed text chunk exceeds inflate cap")
+    return out
+
+
 def parse_png_text(data: bytes) -> dict:
     """{key: value} from a PNG's tEXt / zTXt / iTXt chunks (latin-1,
     zlib-deflated latin-1, utf-8 respectively). ValueError on a
-    non-PNG signature or truncated chunk stream."""
+    non-PNG signature, truncated chunk stream, or corrupt/oversized
+    compressed text (zlib errors are converted, expansion capped)."""
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     pos, out = 8, {}
@@ -201,9 +224,11 @@ def parse_png_text(data: bytes) -> dict:
             k, _, rest = body.partition(b"\x00")
             if rest[:1] != b"\x00":
                 raise ValueError("unknown zTXt compression method")
-            out[k.decode("latin-1")] = zlib.decompress(rest[1:]).decode("latin-1")
+            out[k.decode("latin-1")] = _inflate_text(rest[1:]).decode("latin-1")
         elif tag == b"iTXt":
             k, _, rest = body.partition(b"\x00")
+            if len(rest) < 2:
+                raise ValueError("truncated iTXt header")
             comp_flag, comp_method = rest[0], rest[1]
             rest = rest[2:]
             _lang, _, rest = rest.partition(b"\x00")
@@ -211,7 +236,7 @@ def parse_png_text(data: bytes) -> dict:
             if comp_flag:
                 if comp_method != 0:
                     raise ValueError("unknown iTXt compression method")
-                text = zlib.decompress(text)
+                text = _inflate_text(text)
             out[k.decode("latin-1")] = text.decode("utf-8")
         elif tag == b"IEND":
             break
