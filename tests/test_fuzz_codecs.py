@@ -37,6 +37,12 @@ BASE_STREAMS = {
     "wav": (wav.encode_wav(
         12000 * np.sin(np.arange(4000) / 9.0), 8000, fmt="mulaw"),
         lambda d: wav.decode_wav(d)[0].reshape(1, -1, 1)),
+    "wav_ima": (wav.encode_wav(
+        12000 * np.sin(np.arange(4000) / 9.0), 8000, fmt="ima_adpcm"),
+        lambda d: wav.decode_wav(d)[0].reshape(1, -1, 1)),
+    "wav_ms": (wav.encode_wav(
+        12000 * np.sin(np.arange(4000) / 9.0), 8000, fmt="ms_adpcm"),
+        lambda d: wav.decode_wav(d)[0].reshape(1, -1, 1)),
     "avi": (avi.encode_avi_mjpeg(
         [jpeg.encode_jpeg(IMG, quality=90)] * 3, 10.0, 64, 48),
         lambda d: np.concatenate(
@@ -142,7 +148,7 @@ def test_decode_payload_routes_fuzz_to_n_bad(spark):
     rng = np.random.default_rng(SEED)
     rows = []
     for fmt, (data, _) in BASE_STREAMS.items():
-        if fmt in ("wav", "avi"):
+        if fmt in ("wav", "wav_ima", "wav_ms", "avi"):
             continue  # audio/video route through their own operators
         use_fmt = {"jpeg_prog": "jpeg", "vp8l": "webp", "vp8": "webp"}.get(fmt, fmt)
         b = bytearray(data)
@@ -158,7 +164,7 @@ def test_decode_payload_routes_fuzz_to_n_bad(spark):
     total = sum(r.n for r in s)
     assert total == len(rows)
     # every good stream decodes; corrupt ones are counted, not fatal
-    n_img = sum(1 for f in BASE_STREAMS if f not in ("wav", "avi"))
+    n_img = sum(1 for f in BASE_STREAMS if f not in ("wav", "wav_ima", "wav_ms", "avi"))
     decoded = sum(r.n_decoded for r in s)
     assert decoded >= n_img
     assert all(r.n == r.n_decoded + r.n_failed for r in s)

@@ -59,6 +59,141 @@ class TestWav:
             wav.decode_wav(bytes(data))
 
 
+class TestAdpcm:
+    """IMA (0x11) and Microsoft (0x02) ADPCM — the compressed WAV
+    codecs, decoded vectorized across blocks."""
+
+    @pytest.mark.parametrize("fmt,min_snr_db", [
+        ("ima_adpcm", 22.0), ("ms_adpcm", 22.0),
+    ])
+    def test_roundtrip_snr_and_compression(self, fmt, min_snr_db):
+        rng = np.random.default_rng(7)
+        sig = np.clip(tone() + rng.normal(0, 180, 8000), -32768, 32767)
+        b = wav.encode_wav(sig, 8000, fmt=fmt)
+        out, sr = wav.decode_wav(b)
+        assert sr == 8000 and len(out) == len(sig)  # fact-chunk truncation
+        snr = 10 * np.log10(np.mean(sig ** 2) / np.mean((out - sig) ** 2))
+        assert snr >= min_snr_db
+        assert len(b) < 0.30 * (2 * len(sig))  # genuinely ~4:1 compressed
+
+    def test_ima_core_bit_exact_vs_audioop(self):
+        """The per-nibble IMA update is the same algorithm CPython's
+        audioop implements (Intel/DVI ADPCM); same nibble stream + same
+        initial state must produce IDENTICAL samples. audioop packs the
+        first sample in the HIGH nibble where WAV IMA uses LOW-first,
+        so the bytes are swapped before the oracle call."""
+        audioop = pytest.importorskip("audioop")
+        rng = np.random.default_rng(11)
+        x = np.concatenate([[0], np.clip(rng.normal(0, 4000, 504), -32768, 32767)])
+        blk = wav._encode_ima_mono(x, 256)
+        pred0 = int.from_bytes(blk[:2], "little", signed=True)
+        mine = wav._decode_ima_blocks(
+            np.frombuffer(blk, np.uint8).reshape(1, 256), 1)[0, :, 0]
+        swapped = bytes(((c & 0x0F) << 4) | (c >> 4) for c in blk[4:256])
+        dec, _ = audioop.adpcm2lin(swapped, 2, (pred0, blk[2]))
+        oracle = np.frombuffer(dec, "<i2").astype(np.float64)
+        assert np.array_equal(mine[1:], oracle)
+
+    def test_ima_stereo_channel_separation(self):
+        """A stereo block decodes each channel exactly as the same
+        header+group would decode as mono (4-byte channel groups)."""
+        import struct
+        h0 = struct.pack("<hBB", 100, 5, 0)
+        h1 = struct.pack("<hBB", -200, 9, 0)
+        g0 = bytes([0x12, 0x34, 0x56, 0x78])
+        g1 = bytes([0x9A, 0xBC, 0xDE, 0xF0])
+        st = wav._decode_ima_blocks(
+            np.frombuffer(h0 + h1 + g0 + g1, np.uint8).reshape(1, 16), 2)
+        m0 = wav._decode_ima_blocks(
+            np.frombuffer(h0 + g0, np.uint8).reshape(1, 8), 1)
+        m1 = wav._decode_ima_blocks(
+            np.frombuffer(h1 + g1, np.uint8).reshape(1, 8), 1)
+        assert np.array_equal(st[0, :, 0], m0[0, :, 0])
+        assert np.array_equal(st[0, :, 1], m1[0, :, 0])
+
+    def test_ms_vs_independent_scalar_decoder(self):
+        """Vectorized MS decode vs a from-the-spec scalar loop written
+        independently of the kernel (stereo: nibbles alternate
+        channels, high nibble first)."""
+        import struct
+
+        def scalar(bpred, idelta, s1, s2, nibs):
+            c1 = [256, 512, 0, 192, 240, 460, 392][bpred]
+            c2 = [0, -256, 0, 64, 0, -208, -232][bpred]
+            ad = [230, 230, 230, 230, 307, 409, 512, 614,
+                  768, 614, 512, 409, 307, 230, 230, 230]
+            out = [s2, s1]
+            for nib in nibs:
+                s = nib - 16 if nib >= 8 else nib
+                p = (s1 * c1 + s2 * c2) >> 8
+                new = max(-32768, min(32767, p + s * idelta))
+                s2, s1 = s1, new
+                idelta = max(16, (ad[nib] * idelta) >> 8)
+                out.append(new)
+            return out
+
+        blk = (bytes([0, 1]) + struct.pack("<hh", 40, 60)
+               + struct.pack("<hh", 1000, -500)
+               + struct.pack("<hh", 900, -400)
+               + bytes([0x37, 0xC2, 0x51, 0x8F]))
+        st = wav._decode_ms_blocks(
+            np.frombuffer(blk, np.uint8).reshape(1, len(blk)), 2)
+        nibs = [0x3, 0x7, 0xC, 0x2, 0x5, 0x1, 0x8, 0xF]
+        assert list(st[0, :, 0]) == scalar(0, 40, 1000, 900, nibs[0::2])
+        assert list(st[0, :, 1]) == scalar(1, 60, -500, -400, nibs[1::2])
+
+    def test_malformed_adpcm_raises(self):
+        import struct
+        good = wav.encode_wav(tone(2000), 8000, fmt="ms_adpcm")
+        i = good.find(b"data")
+        # predictor index 9 (>= 7) in the first block header
+        b = bytearray(good)
+        b[i + 8] = 9
+        with pytest.raises(ValueError, match="predictor index"):
+            wav.decode_wav(bytes(b))
+        good = wav.encode_wav(tone(2000), 8000, fmt="ima_adpcm")
+        i = good.find(b"data")
+        b = bytearray(good)
+        b[i + 8 + 2] = 120  # step index > 88
+        with pytest.raises(ValueError, match="step index"):
+            wav.decode_wav(bytes(b))
+
+    def test_adpcm_fuzz_contract(self):
+        """Mutated ADPCM streams decode or raise ValueError — never
+        another exception class (the codec fuzz contract)."""
+        rng = np.random.default_rng(23)
+        for fmt in ("ima_adpcm", "ms_adpcm"):
+            base = wav.encode_wav(
+                np.clip(rng.normal(0, 5000, 2000), -32768, 32767),
+                8000, fmt=fmt)
+            for seed in range(40):
+                r = np.random.default_rng(seed)
+                for _ in range(10):
+                    b = bytearray(base)
+                    b[int(r.integers(0, len(b)))] ^= int(r.integers(1, 256))
+                    try:
+                        wav.decode_wav(bytes(b))
+                    except ValueError:
+                        pass
+
+    def test_audio_features_adpcm(self, spark):
+        """The multimodal audio path decodes compressed ADPCM WAVs with
+        the honest default (no fake_decode opt-in needed)."""
+        from tilegrab_spark.operators.multimodal import audio_features
+        sig = tone(4000)
+        rows = [("ima", bytearray(wav.encode_wav(sig, 8000, fmt="ima_adpcm")), 0),
+                ("ms", bytearray(wav.encode_wav(sig, 8000, fmt="ms_adpcm")), 0),
+                ("pcm", bytearray(wav.encode_wav(sig, 8000, fmt="pcm16")), 0)]
+        df = spark.createDataFrame(rows, "clip_id string, bytes binary, sr int")
+        got = {r.clip_id: r for r in audio_features(df).collect()}
+        assert all(got[k].decode_ok for k in ("ima", "ms", "pcm"))
+        ref = got["pcm"]
+        for k in ("ima", "ms"):
+            assert got[k].sr == ref.sr == 8000
+            assert got[k].n_samples == ref.n_samples
+            assert abs(got[k].rms - ref.rms) / ref.rms < 0.05
+
+
 def _frame(i, h=32, w=48):
     yy, xx = np.mgrid[0:h, 0:w].astype(float)
     return np.clip(

@@ -226,10 +226,12 @@ FRAME_SAMPLE_SCHEMA = "video_id string, frame_idx int, ts_ms long, frame binary"
 def audio_features(df: DataFrame, *, fake_decode: bool = False) -> DataFrame:
     """RMS/zero-crossing-rate per clip.  RIFF/WAVE payloads are decoded
     for real (kernels/wav.py — PCM 8/16/24/32, IEEE float, mu-law,
-    A-law; sample rate comes from the file, channels mono-mixed).
-    Non-WAV payloads are SURFACED as decode_ok=false rows by default
-    (compressed audio needs ffmpeg-class codecs the container doesn't
-    ship; failures never kill the executor — same policy as
+    A-law, plus the COMPRESSED block codecs IMA ADPCM 0x11 and
+    Microsoft ADPCM 0x02; sample rate comes from the file, channels
+    mono-mixed).  Non-WAV payloads are SURFACED as decode_ok=false rows
+    by default (perceptual codecs need ffmpeg-class libraries the
+    container doesn't ship; failures never kill the executor — same
+    policy as
     image_features).  ``fake_decode=True`` is an explicit OPT-IN that
     interprets non-WAV bytes as headerless raw int16 PCM at the row's
     ``sr`` — only correct when the payload really is raw PCM; it would
