@@ -1,5 +1,6 @@
 """Adversarial/corrupt-input fuzz pass over every binary-stream decoder
-(VERDICT r2 #3): png, baseline+progressive jpeg, vp8l, vp8, wav, avi.  Every mutated stream must either decode (a mutation
+(VERDICT r2 #3): png, baseline+progressive jpeg, vp8l, vp8, gif,
+wav (incl. ADPCM), avi.  Every mutated stream must either decode (a mutation
 can be harmless) or raise ValueError promptly — never another
 exception class, never a hang, never an unbounded allocation.  The
 VP8L LUT budget and the new pixel-count decode caps are pinned."""
@@ -10,7 +11,7 @@ import time
 import numpy as np
 import pytest
 
-from tilegrab_spark.kernels import avi, jpeg, png, vp8, wav, webp
+from tilegrab_spark.kernels import avi, gif, jpeg, png, vp8, wav, webp
 
 SEED = 20260817
 TIME_BUDGET_S = 10.0
@@ -33,6 +34,9 @@ BASE_STREAMS = {
                   if hasattr(jpeg, "encode_jpeg_progressive") else None,
                   jpeg.decode_jpeg),
     "vp8l": (webp.encode_webp(IMG), webp.decode_webp),
+    "gif": (gif.encode_gif((IMG // 32) * 32), gif.decode_gif),
+    "gif_interlace": (gif.encode_gif((IMG // 32) * 32, interlace=True),
+                      gif.decode_gif),
     "vp8": (vp8.encode_webp_vp8(IMG, qindex=8), webp.decode_webp),
     "wav": (wav.encode_wav(
         12000 * np.sin(np.arange(4000) / 9.0), 8000, fmt="mulaw"),
@@ -150,7 +154,8 @@ def test_decode_payload_routes_fuzz_to_n_bad(spark):
     for fmt, (data, _) in BASE_STREAMS.items():
         if fmt in ("wav", "wav_ima", "wav_ms", "avi"):
             continue  # audio/video route through their own operators
-        use_fmt = {"jpeg_prog": "jpeg", "vp8l": "webp", "vp8": "webp"}.get(fmt, fmt)
+        use_fmt = {"jpeg_prog": "jpeg", "vp8l": "webp", "vp8": "webp",
+                   "gif_interlace": "gif"}.get(fmt, fmt)
         b = bytearray(data)
         b[len(b) // 2] ^= 0xA5
         b = b[: max(8, len(b) - int(rng.integers(1, 16)))]

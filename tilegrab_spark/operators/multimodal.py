@@ -39,9 +39,9 @@ IMAGE_QUALITY_SCHEMA = (
 def decode_payload(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     """Decode a binary payload to (H,W,3) uint8. PNG, baseline +
     progressive JPEG, lossless WebP (kernels/webp.py, VP8L), lossy WebP
-    (kernels/vp8.py, VP8 key frames) and raw are all real, pure numpy.
-    Corrupt payloads raise ValueError and surface in decode_summary
-    counts."""
+    (kernels/vp8.py, VP8 key frames), GIF (kernels/gif.py — first frame
+    of an animation) and raw are all real, pure numpy. Corrupt payloads
+    raise ValueError and surface in decode_summary counts."""
     if fmt == "png":
         return png.decode_png(data)
     if fmt in ("jpg", "jpeg"):
@@ -54,6 +54,10 @@ def decode_payload(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from tilegrab_spark.kernels import webp
 
         return webp.decode_webp(data)
+    if fmt == "gif":
+        from tilegrab_spark.kernels import gif
+
+        return gif.decode_gif(data)
     raise ValueError(f"unknown image fmt {fmt!r}")
 
 
