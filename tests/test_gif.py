@@ -187,3 +187,31 @@ class TestSparkIntegration:
         # identical pixels -> identical features across plain/interlaced
         assert got["g1"].phash == got["g2"].phash
         assert got["g1"].mean_r == pytest.approx(float(img[..., 0].mean()))
+
+    def test_sample_frames_animated_gif(self, spark):
+        """sample_frames emits the frame at-or-after each every_ms tick
+        using the per-frame delays (0 delay counts as 100 ms)."""
+        from tilegrab_spark.kernels import png as pngk
+        from tilegrab_spark.operators.multimodal import sample_frames
+
+        pal = TestAnimationSpec.PAL
+        frames = b""
+        for color in (1, 2, 3, 1, 2, 3):  # 6 frames, 40 ms apart
+            frames += _gce(delay_cs=4) + _frame_bytes(
+                0, 0, np.full((4, 4), color, np.uint8))
+        data = (b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x81, 0, 0)
+                + pal + frames + b"\x3b")
+        df = spark.createDataFrame(
+            [("v", bytearray(data), 0),
+             ("bad", bytearray(data[:20]), 0)],
+            "video_id string, bytes binary, duration_ms int")
+        rows = sorted(sample_frames(df, every_ms=100).collect(),
+                      key=lambda r: (r.video_id, r.frame_idx))
+        bad = [r for r in rows if r.video_id == "bad"]
+        assert len(bad) == 1 and bad[0].frame_idx == -1
+        good = [r for r in rows if r.video_id == "v"]
+        # ticks at 0,100,200 ms -> frames 0 (0ms), 3 (120ms), 5 (200ms)
+        assert [(r.frame_idx, r.ts_ms) for r in good] == [
+            (0, 0), (3, 120), (5, 200)]
+        rgb = pngk.decode_png(bytes(good[1].frame))
+        assert tuple(rgb[0, 0]) == (255, 0, 0)  # frame 3 painted color 1

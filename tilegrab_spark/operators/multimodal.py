@@ -283,13 +283,18 @@ def sample_frames(df: DataFrame, *, every_ms: int = 1000, fake_decode: bool = Fa
     payloads with an MJPEG video stream are sampled for REAL: frame
     timing from strh/avih, the selected frames decoded with the
     engine's JPEG codec and emitted as PNG bytes (self-describing).
-    Non-AVI payloads are surfaced as a frame_idx=-1 sentinel row by
-    default (inter-coded video needs ffmpeg; failures never kill the
-    executor).  ``fake_decode=True`` is an explicit OPT-IN that runs a
-    deterministic fake decoder (8x8 byte slices) so the row
-    multiplication / ordering plumbing stays testable without real
-    video payloads — never use it on production data."""
+    Animated GIFs are sampled for REAL too (kernels/gif.py): frames
+    composite with full disposal semantics, timestamps come from the
+    per-frame delays (a 0 delay counts as 100 ms, the de-facto
+    renderer rule), and the frame nearest at-or-after each every_ms
+    tick is emitted.  Other payloads are surfaced as a frame_idx=-1
+    sentinel row by default (inter-coded video needs ffmpeg; failures
+    never kill the executor).  ``fake_decode=True`` is an explicit
+    OPT-IN that runs a deterministic fake decoder (8x8 byte slices) so
+    the row multiplication / ordering plumbing stays testable without
+    real video payloads — never use it on production data."""
     from tilegrab_spark.kernels import avi as avik
+    from tilegrab_spark.kernels import gif as gifk
     from tilegrab_spark.kernels import jpeg as jpegk
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -315,6 +320,27 @@ def sample_frames(df: DataFrame, *, every_ms: int = 1000, fake_decode: bool = Fa
                         # corrupt container/frames: one sentinel row
                         # (frame_idx = -1, frame NULL) surfaces the
                         # failure without killing the executor
+                        out.append({"video_id": vid, "frame_idx": -1,
+                                    "ts_ms": -1, "frame": None})
+                    continue
+                if gifk.is_gif(b):
+                    try:
+                        frames = gifk.decode_gif_frames(b)
+                        ts = 0
+                        next_tick = 0
+                        rows = []
+                        for fi, (rgb, delay) in enumerate(frames):
+                            if ts >= next_tick:
+                                rows.append({
+                                    "video_id": vid, "frame_idx": fi,
+                                    "ts_ms": ts,
+                                    "frame": png.encode_png(rgb),
+                                })
+                                while next_tick <= ts:  # fixed grid
+                                    next_tick += every_ms
+                            ts += delay if delay > 0 else 100
+                        out.extend(rows)
+                    except ValueError:
                         out.append({"video_id": vid, "frame_idx": -1,
                                     "ts_ms": -1, "frame": None})
                     continue
