@@ -58,6 +58,14 @@ def decode_payload(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from tilegrab_spark.kernels import gif
 
         return gif.decode_gif(data)
+    if fmt == "bmp":
+        from tilegrab_spark.kernels import bmp
+
+        return bmp.decode_bmp(data)
+    if fmt in ("tif", "tiff"):
+        from tilegrab_spark.kernels import geotiff
+
+        return geotiff.read_geotiff(data)[0]
     raise ValueError(f"unknown image fmt {fmt!r}")
 
 
