@@ -111,6 +111,7 @@ from tilegrab_spark.operators.hexbin import (
     hexbin,
     with_hex_cell,
 )
+from tilegrab_spark.operators.matching import match_tracks
 from tilegrab_spark.operators.snap import explode_segments, snap_points_to_lines
 from tilegrab_spark.operators.warp import (
     resample_window,
@@ -383,8 +384,9 @@ __all__ = [
     # convex hull aggregate
     "convex_hull",
     "monotone_chain",
-    # snap-to-line (map matching)
+    # snap-to-line + HMM map matching
     "snap_points_to_lines",
+    "match_tracks",
     "explode_segments",
     # hexagonal binning
     "with_hex_cell",

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from tilegrab_spark.kernels.geo import WGS84_RADIUS
 
-__all__ = ["explode_segments", "snap_points_to_lines"]
+__all__ = ["candidate_segments", "explode_segments", "snap_points_to_lines"]
 
 
 def _merc_x(lon):
@@ -107,10 +107,60 @@ def snap_points_to_lines(
     """Nearest polyline segment within ``radius_m`` Mercator meters for
     each point (see module docstring for semantics and output columns).
     """
-    if radius_m <= 0:
-        raise ValueError(f"radius_m must be positive, got {radius_m}")
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    pts, cand = candidate_segments(
+        points, lines, radius_m=radius_m, point_id=point_id,
+        lon_col=lon_col, lat_col=lat_col, line_id=line_id,
+        coords_col=coords_col, max_chunks_per_segment=max_chunks_per_segment,
+    )
+    best = cand.groupBy("_pid").agg(
+        F.min(
+            F.struct(
+                F.col("_d2"), F.col(line_id), F.col("seg_idx"),
+                F.col("_t"), F.col("_sx"), F.col("_sy"),
+            )
+        ).alias("_b")
+    ).select(
+        F.col("_pid"),
+        F.col(f"_b.{line_id}").alias(line_id),
+        F.col("_b.seg_idx").alias("seg_idx"),
+        F.sqrt("_b._d2").alias("dist_m"),
+        F.col("_b._t").alias("seg_t"),
+        # back-project the snapped Mercator point to lon/lat
+        F.degrees(F.col("_b._sx") / F.lit(WGS84_RADIUS)).alias("snap_lon"),
+        F.degrees(
+            F.lit(2.0) * F.atan(F.exp(F.col("_b._sy") / F.lit(WGS84_RADIUS)))
+            - F.lit(math.pi / 2.0)
+        ).alias("snap_lat"),
+    )
+    out = pts.drop("_px", "_py", "_cx", "_cy").join(
+        best.withColumnRenamed("_pid", point_id), point_id, how
+    )
+    return out
+
+
+def candidate_segments(
+    points: DataFrame,
+    lines: DataFrame,
+    *,
+    radius_m: float,
+    point_id: str = "point_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    line_id: str = "line_id",
+    coords_col: str = "coords",
+    max_chunks_per_segment: int = 65536,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared blocking + exact-distance stage: returns ``(pts,
+    cand)`` where ``pts`` is the point frame with Mercator/cell columns
+    attached and ``cand`` holds one row per (point, chunk) candidate
+    within ``radius_m`` — columns ``_pid``, ``line_id``, ``seg_idx``,
+    ``_t``, ``_sx``, ``_sy``, ``_d2``.  ``snap_points_to_lines``
+    reduces it to the global nearest; ``operators/matching.py`` keeps
+    the per-line bests as HMM emission candidates."""
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be positive, got {radius_m}")
     cell = float(radius_m)
 
     segs = explode_segments(lines, line_id=line_id, coords_col=coords_col)
@@ -204,28 +254,6 @@ def snap_points_to_lines(
         probe.join(seg_cells, ["_cx", "_cy"])
         .withColumns({"_t": t, "_sx": sx, "_sy": sy, "_d2": d2})
         .filter(F.col("_d2") <= F.lit(cell * cell))
+        .select("_pid", line_id, "seg_idx", "_t", "_sx", "_sy", "_d2")
     )
-    best = cand.groupBy("_pid").agg(
-        F.min(
-            F.struct(
-                F.col("_d2"), F.col(line_id), F.col("seg_idx"),
-                F.col("_t"), F.col("_sx"), F.col("_sy"),
-            )
-        ).alias("_b")
-    ).select(
-        F.col("_pid"),
-        F.col(f"_b.{line_id}").alias(line_id),
-        F.col("_b.seg_idx").alias("seg_idx"),
-        F.sqrt("_b._d2").alias("dist_m"),
-        F.col("_b._t").alias("seg_t"),
-        # back-project the snapped Mercator point to lon/lat
-        F.degrees(F.col("_b._sx") / F.lit(WGS84_RADIUS)).alias("snap_lon"),
-        F.degrees(
-            F.lit(2.0) * F.atan(F.exp(F.col("_b._sy") / F.lit(WGS84_RADIUS)))
-            - F.lit(math.pi / 2.0)
-        ).alias("snap_lat"),
-    )
-    out = pts.drop("_px", "_py", "_cx", "_cy").join(
-        best.withColumnRenamed("_pid", point_id), point_id, how
-    )
-    return out
+    return pts, cand
