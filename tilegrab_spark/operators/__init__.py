@@ -38,6 +38,7 @@ from tilegrab_spark.operators.classifier import (
     train_quality_classifier,
 )
 from tilegrab_spark.operators.terrain import terrain_stats
+from tilegrab_spark.operators.timeseries import epoch_composite, raster_trend
 from tilegrab_spark.operators.ngram_lm import perplexity_score, train_bigram_lm
 from tilegrab_spark.operators.bloom import (
     bloom_anti_join,
@@ -427,4 +428,24 @@ __all__ = [
     "decode_summary",
     "audio_features",
     "sample_frames",
+    "compact_cover",
+    "uncompact_cover",
+    "hashed_token_features",
+    "score_documents",
+    "train_quality_classifier",
+    "terrain_stats",
+    "epoch_composite",
+    "raster_trend",
+    "perplexity_score",
+    "train_bigram_lm",
+    "bloom_anti_join",
+    "bloom_build",
+    "bloom_merge",
+    "bloom_parameters",
+    "bloom_probe",
+    "cross_modal_image_pairs",
+    "cross_modal_pairs",
+    "band_math",
+    "compile_band_expr",
+
 ]
