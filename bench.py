@@ -186,6 +186,40 @@ def main():
     shape_tiles = refine_by_shape(tiles, geom).select("geom_id", "z", "x", "y").persist()
     timed("tile_select", lambda: shape_tiles.count(), cold=True)
 
+    # BENCH_STAGES=timeseries: the epoch-stack operators only (gated
+    # off the headline suite — their cost is tile_diff-class decode
+    # work plus a PNG re-encode, and the headline totals stay
+    # comparable across BENCH_r* rounds). Stack = both bench epochs of
+    # the selection, keyed by cell.
+    if stages == "timeseries":
+        from tilegrab_spark.operators.timeseries import epoch_composite, raster_trend
+        from tilegrab_spark.sources.images import cell_id_col
+
+        def epoch_stack():
+            return (
+                join_images(shape_tiles, images.drop("cell_id"))
+                .withColumn("cell_id", cell_id_col("z", "x", "y"))
+                .withColumn(
+                    "epoch",
+                    F.when(F.col("image_id").endswith("_1"), 1.0).otherwise(0.0),
+                )
+            )
+
+        def q_composite():
+            c = epoch_composite(epoch_stack(), stat="median")
+            return c.filter(F.col("status") == "ok").count()
+
+        timed("epoch_composite", q_composite, cold=True, repeats=2)
+
+        def q_trend():
+            t = raster_trend(epoch_stack(), threshold=0.5)
+            return t.filter(F.col("status") == "ok").count()
+
+        timed("raster_trend", q_trend, cold=True, repeats=2)
+        _emit(timings, counts, None, sf, cpus)
+        spark.stop()
+        return
+
     # 2. J1 join (broadcast tile set vs skewed image table) — count payload
     def q_join():
         j = join_images(shape_tiles, images.drop("cell_id"))

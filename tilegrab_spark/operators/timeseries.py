@@ -15,24 +15,32 @@ monitored layer actually asks are:
   suite uses) against the epoch value — "which cells are getting
   systematically brighter/darker, and how fast", summarized per cell.
 
-Plan shape (both operators): ONE shuffle, keyed by the spatial cell —
-``groupBy(key).applyInPandas`` where a group is one cell's epoch stack.
-Group size is bounded by the EPOCH COUNT (dozens), never by the corpus,
-so executor memory is n_epochs × tile bytes regardless of table size;
-payload bytes move exactly once and pixels never shuffle — trend stats
-leave the kernel as eight scalars per cell, composites as one encoded
-tile. At 10^12 rows the shuffle is the unavoidable co-location of a
-cell's epochs; with both epochs' tables written bucketed by ``key_col``
-(sources/images.py layout contract) even that exchange disappears.
+Plan shape (both operators): ONE shuffle, keyed by the spatial cell.
+The stack is assembled JVM-SIDE — ``groupBy(key).agg(sort_array(
+collect_list(struct(epoch, payload…))))`` — and the kernel runs as
+``mapInPandas`` over the stacked rows, so one Arrow batch carries
+THOUSANDS of cells per Python call (a per-cell ``applyInPandas`` pays
+~ms of per-group pandas overhead, which at 10^9 cells IS the job; the
+first cut of this module measured exactly that — 19k single-row groups
+cost 2× the pixel work). Group size is bounded by the EPOCH COUNT
+(dozens), never the corpus: per-task memory is
+``arrow.maxRecordsPerBatch × n_epochs × tile bytes`` — tune the batch
+size down for fat stacks. Payload bytes move exactly once and pixels
+never shuffle: trend stats leave the kernel as eight scalars per cell,
+composites as one encoded tile. With the epoch tables written bucketed
+by ``key_col`` (sources/images.py layout contract) even the one
+exchange disappears.
 
 Kernel contracts (deterministic, pinned against independent numpy in
 tests/test_timeseries.py):
 
-- usable row = payload decodes AND dims match the group's FIRST usable
-  row in ascending ``epoch_col`` order (ties broken by ascending
-  image_id when present); others count in ``n_bad``. Ordering the
-  stack by epoch makes "first usable" — and hence the reference dims —
-  a pure function of the rows, independent of partitioning.
+- the stack sorts JVM-side by ascending ``epoch_col`` (ties by
+  ascending image_id when present, then remaining struct fields) —
+  deterministic regardless of input partitioning;
+- usable row = epoch non-null AND payload decodes AND dims match the
+  group's FIRST usable row in stack order; others count in ``n_bad``.
+  The sort makes "first usable" — hence the reference dims — a pure
+  function of the rows;
 - composite ``median``: per pixel per channel, exact integer median of
   the uint8 stack; even-count middles average with round-half-up (so
   the result is again uint8, and a 2-epoch composite of (10, 11) is
@@ -50,6 +58,8 @@ pipelines do, Spark-first.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -90,17 +100,38 @@ TREND_SCHEMA = T.StructType(
 )
 
 
-def _decode_stack(pdf: pd.DataFrame):
-    """Shared group prologue: epoch-sorted decode with the first-usable
-    dims rule. Returns (epochs list, arrays list, n_bad) — arrays all
-    share the reference (H, W, 3) shape."""
-    order_cols = ["epoch_v"] + (["image_id"] if "image_id" in pdf.columns else [])
-    p = pdf.sort_values(order_cols, kind="mergesort")
+def _stacked(images: DataFrame, key_col: str, epoch_col: str) -> DataFrame:
+    """[key, stack] with stack = epoch-sorted array<struct> of the
+    cell's rows — assembled entirely JVM-side (one exchange, map-side
+    partial collect). Struct field order (epoch first, image_id second
+    when present) IS the sort contract."""
+    fields = [F.col(epoch_col).cast("double").alias("e")]
+    if "image_id" in images.columns:
+        fields.append(F.col("image_id").alias("i"))
+    fields += [
+        F.col("bytes").alias("b"),
+        F.col("w").cast("int").alias("w"),
+        F.col("h").cast("int").alias("h"),
+        F.col("fmt").alias("f"),
+    ]
+    return images.groupBy(F.col(key_col).cast("long").alias("key")).agg(
+        F.sort_array(F.collect_list(F.struct(*fields))).alias("stack")
+    )
+
+
+def _decode_stack(stack):
+    """Shared per-cell prologue: decode the (already epoch-sorted)
+    stack with the first-usable dims rule. Returns (epochs, arrays,
+    n_bad) — arrays all share the reference (H, W, 3) shape."""
     arrays, epochs, n_bad = [], [], 0
     ref_shape = None
-    for row in p.itertuples(index=False):
+    for item in stack:
+        e = item["e"]
+        if e is None or (isinstance(e, float) and np.isnan(e)):
+            n_bad += 1
+            continue
         try:
-            arr = decode_payload(bytes(row.bytes), row.fmt, int(row.w), int(row.h))
+            arr = decode_payload(bytes(item["b"]), item["f"], int(item["w"]), int(item["h"]))
         except Exception:
             n_bad += 1
             continue
@@ -110,7 +141,7 @@ def _decode_stack(pdf: pd.DataFrame):
             n_bad += 1
             continue
         arrays.append(arr)
-        epochs.append(float(row.epoch_v))
+        epochs.append(float(e))
     return epochs, arrays, n_bad
 
 
@@ -128,56 +159,47 @@ def epoch_composite(
     if stat not in ("median", "mean"):
         raise ValueError(f"stat must be 'median' or 'mean', got {stat!r}")
 
-    sel = [
-        F.col(key_col).cast("long").alias("key"),
-        F.col(epoch_col).cast("double").alias("epoch_v"),
-        F.col("bytes"),
-        F.col("w"),
-        F.col("h"),
-        F.col("fmt"),
-    ]
-    if "image_id" in images.columns:
-        sel.append(F.col("image_id"))
-    src = images.select(*sel)
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in COMPOSITE_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for key, stack in zip(pdf["key"], pdf["stack"]):
+                epochs, arrays, n_bad = _decode_stack(stack)
+                rec = {
+                    "key": int(key),
+                    "status": "empty",
+                    "n_epochs": len(stack),
+                    "n_used": len(arrays),
+                    "n_bad": n_bad,
+                    "w": None,
+                    "h": None,
+                    "bytes": None,
+                    "fmt": None,
+                }
+                if arrays:
+                    st = np.stack(arrays).astype(np.int64)  # (n, H, W, 3)
+                    if stat == "median":
+                        s = np.sort(st, axis=0)
+                        n = s.shape[0]
+                        if n % 2:
+                            comp = s[n // 2]
+                        else:
+                            # exact integer round-half-up of (lo + hi) / 2
+                            comp = (s[n // 2 - 1] + s[n // 2] + 1) // 2
+                    else:
+                        comp = (st.sum(axis=0) * 2 + len(arrays)) // (2 * len(arrays))
+                    comp = comp.astype(np.uint8)
+                    rec.update(
+                        status="ok",
+                        w=comp.shape[1],
+                        h=comp.shape[0],
+                        bytes=png.encode_png(comp),
+                        fmt="png",
+                    )
+                out.append(rec)
+            yield pd.DataFrame(out, columns=cols)
 
-    def composite(key_tuple: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        key = int(key_tuple[0])
-        n_epochs = len(pdf)
-        epochs, arrays, n_bad = _decode_stack(pdf)
-        base = {
-            "key": key,
-            "status": "empty",
-            "n_epochs": n_epochs,
-            "n_used": len(arrays),
-            "n_bad": n_bad,
-            "w": None,
-            "h": None,
-            "bytes": None,
-            "fmt": None,
-        }
-        if arrays:
-            stack = np.stack(arrays).astype(np.int64)  # (n, H, W, 3)
-            if stat == "median":
-                s = np.sort(stack, axis=0)
-                n = s.shape[0]
-                if n % 2:
-                    comp = s[n // 2]
-                else:
-                    # exact integer round-half-up of (lo + hi) / 2
-                    comp = (s[n // 2 - 1] + s[n // 2] + 1) // 2
-            else:
-                comp = (stack.sum(axis=0) * 2 + len(arrays)) // (2 * len(arrays))
-            comp = comp.astype(np.uint8)
-            base.update(
-                status="ok",
-                w=comp.shape[1],
-                h=comp.shape[0],
-                bytes=png.encode_png(comp),
-                fmt="png",
-            )
-        return pd.DataFrame([base], columns=[f.name for f in COMPOSITE_SCHEMA.fields])
-
-    return src.groupBy("key").applyInPandas(composite, COMPOSITE_SCHEMA)
+    return _stacked(images, key_col, epoch_col).mapInPandas(kernel, COMPOSITE_SCHEMA)
 
 
 def raster_trend(
@@ -193,52 +215,43 @@ def raster_trend(
     (fraction of pixels with slope > +threshold / < -threshold)."""
     if threshold < 0:
         raise ValueError(f"threshold must be >= 0, got {threshold}")
-
-    sel = [
-        F.col(key_col).cast("long").alias("key"),
-        F.col(epoch_col).cast("double").alias("epoch_v"),
-        F.col("bytes"),
-        F.col("w"),
-        F.col("h"),
-        F.col("fmt"),
-    ]
-    if "image_id" in images.columns:
-        sel.append(F.col("image_id"))
-    src = images.select(*sel)
     thr = float(threshold)
 
-    def trend(key_tuple: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        key = int(key_tuple[0])
-        n_epochs = len(pdf)
-        epochs, arrays, n_bad = _decode_stack(pdf)
-        base = {
-            "key": key,
-            "status": "short",
-            "n_epochs": n_epochs,
-            "n_used": len(arrays),
-            "n_bad": n_bad,
-            "slope_mean": None,
-            "slope_min": None,
-            "slope_max": None,
-            "frac_inc": None,
-            "frac_dec": None,
-        }
-        e = np.asarray(epochs, dtype=np.float64)
-        if len(arrays) >= 2 and np.unique(e).size >= 2:
-            z = np.stack(
-                [a.max(axis=2).astype(np.float64) for a in arrays]
-            )  # (n, H, W)
-            w = e - e.mean()
-            denom = float((w * w).sum())
-            slopes = np.tensordot(w, z, axes=(0, 0)) / denom  # (H, W)
-            base.update(
-                status="ok",
-                slope_mean=float(slopes.mean()),
-                slope_min=float(slopes.min()),
-                slope_max=float(slopes.max()),
-                frac_inc=float((slopes > thr).mean()),
-                frac_dec=float((slopes < -thr).mean()),
-            )
-        return pd.DataFrame([base], columns=[f.name for f in TREND_SCHEMA.fields])
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in TREND_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for key, stack in zip(pdf["key"], pdf["stack"]):
+                epochs, arrays, n_bad = _decode_stack(stack)
+                rec = {
+                    "key": int(key),
+                    "status": "short",
+                    "n_epochs": len(stack),
+                    "n_used": len(arrays),
+                    "n_bad": n_bad,
+                    "slope_mean": None,
+                    "slope_min": None,
+                    "slope_max": None,
+                    "frac_inc": None,
+                    "frac_dec": None,
+                }
+                e = np.asarray(epochs, dtype=np.float64)
+                if len(arrays) >= 2 and np.unique(e).size >= 2:
+                    z = np.stack(
+                        [a.max(axis=2).astype(np.float64) for a in arrays]
+                    )  # (n, H, W)
+                    w = e - e.mean()
+                    denom = float((w * w).sum())
+                    slopes = np.tensordot(w, z, axes=(0, 0)) / denom  # (H, W)
+                    rec.update(
+                        status="ok",
+                        slope_mean=float(slopes.mean()),
+                        slope_min=float(slopes.min()),
+                        slope_max=float(slopes.max()),
+                        frac_inc=float((slopes > thr).mean()),
+                        frac_dec=float((slopes < -thr).mean()),
+                    )
+                out.append(rec)
+            yield pd.DataFrame(out, columns=cols)
 
-    return src.groupBy("key").applyInPandas(trend, TREND_SCHEMA)
+    return _stacked(images, key_col, epoch_col).mapInPandas(kernel, TREND_SCHEMA)
