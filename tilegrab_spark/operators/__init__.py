@@ -39,6 +39,7 @@ from tilegrab_spark.operators.classifier import (
 )
 from tilegrab_spark.operators.terrain import terrain_stats
 from tilegrab_spark.operators.timeseries import epoch_composite, raster_trend
+from tilegrab_spark.operators.emerging import emerging_hotspots, mann_kendall
 from tilegrab_spark.operators.ngram_lm import perplexity_score, train_bigram_lm
 from tilegrab_spark.operators.bloom import (
     bloom_anti_join,
@@ -436,6 +437,8 @@ __all__ = [
     "terrain_stats",
     "epoch_composite",
     "raster_trend",
+    "mann_kendall",
+    "emerging_hotspots",
     "perplexity_score",
     "train_bigram_lm",
     "bloom_anti_join",
