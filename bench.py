@@ -176,6 +176,52 @@ def main():
         spark.stop()
         return
 
+    # BENCH_STAGES=polygonize: the raster→vector machinery alone (gated
+    # off the headline suite). Smooth 3-class raw-fmt tiles so the time
+    # measures labeling/border-resolve/CC/ring-assembly, not PNG decode;
+    # regions span many tiles, exercising the merge CC. BENCH_R4POLY_G
+    # scales the grid edge (work ∝ G², cross-tile merges ∝ G²·perimeter).
+    if stages == "polygonize":
+        import numpy as np
+
+        from tilegrab_spark.operators.dedup import release_signature_caches
+        from tilegrab_spark.operators.polygonize import polygonize
+
+        g = int(os.environ.get("BENCH_R4POLY_G", "12"))
+        tpx = 256
+
+        def gen(batches):
+            for pdf in batches:
+                out = []
+                for r in pdf.itertuples(index=False):
+                    tx, ty = int(r.tx), int(r.ty)
+                    gx = np.arange(tx * tpx, (tx + 1) * tpx, dtype=np.float64)
+                    gy = np.arange(ty * tpx, (ty + 1) * tpx, dtype=np.float64)
+                    field = np.sin(gx[None, :] / 353.0) + np.sin(gy[:, None] / 457.0)
+                    lab = np.clip(np.floor(field * 0.9 + 1.5), 0, 2).astype(np.uint8)
+                    rgb = np.repeat(lab[:, :, None], 3, axis=2)
+                    out.append((12, tx, ty, rgb.tobytes(), tpx, tpx, "raw"))
+                yield pd.DataFrame(
+                    out, columns=["z", "x", "y", "bytes", "w", "h", "fmt"]
+                )
+
+        grid = spark.range(g * g).select(
+            (F.col("id") % g).alias("tx"), (F.col("id") / g).cast("long").alias("ty")
+        )
+        cat_tiles = grid.mapInPandas(
+            gen, schema="z int, x long, y long, bytes binary, w int, h int, fmt string"
+        )
+
+        def q_polygonize():
+            n = polygonize(cat_tiles, zoom=12).count()
+            release_signature_caches()
+            return n
+
+        timed("polygonize_rings", q_polygonize, cold=True, repeats=2)
+        _emit(timings, counts, None, sf, cpus)
+        spark.stop()
+        return
+
     # 1. tile selection: enumerate full grid + PIP refine (J2) — cold
     # (the result is persisted for downstream stages; a re-run would
     # read that cache and measure nothing)

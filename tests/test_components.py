@@ -94,3 +94,28 @@ def test_long_chain_converges_within_log_rounds(spark):
     out = connected_components(edges, max_iter=20).collect()
     assert len(out) == n
     assert all(r.component == 0 for r in out)
+
+
+def test_driver_cutoff_parity_and_probe_bound(spark):
+    """The driver union-find shortcut returns exactly the distributed
+    labeling; above the cutoff the probe falls through to the
+    distributed rounds (same result either way)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tilegrab_spark.operators.components import connected_components
+
+    rng = np.random.default_rng(17)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 400, (600, 2))
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {r.node: r.component for r in connected_components(df, driver_cutoff=10_000).collect()}
+    slow = {r.node: r.component for r in connected_components(df, driver_cutoff=0).collect()}
+    assert fast == slow
+    # cutoff smaller than the edge list: the probe must NOT truncate —
+    # it falls through to the distributed path and still matches
+    over = {r.node: r.component for r in connected_components(df, driver_cutoff=10).collect()}
+    assert over == slow

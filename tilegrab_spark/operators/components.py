@@ -23,9 +23,46 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 20,
+    driver_cutoff: int = 0,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``;
-    ``component`` = min node id of its connected component."""
+    ``component`` = min node id of its connected component.
+
+    ``driver_cutoff`` > 0 enables the standard small-graph hybrid: a
+    ``limit(cutoff + 1).collect()`` probe (bounded driver memory even
+    against a huge pair list) and, when the whole edge set fits, one
+    driver-side union-find instead of N distributed rounds — each round
+    costs 2 shuffles + a convergence job of FIXED overhead, which
+    dominates end-to-end time when the pair list is merge-pair-sized
+    (e.g. polygonize's border runs) rather than corpus-sized. Above the
+    cutoff the distributed pointer-jumping path runs unchanged."""
+    if driver_cutoff > 0:
+        probe = pairs.select(a_col, b_col).limit(driver_cutoff + 1).collect()
+        if len(probe) <= driver_cutoff:
+            parent: dict = {}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in probe:
+                a, b = r[0], r[1]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo  # min-id root ⇒ component = min node
+            from pyspark.sql import types as T
+
+            dt = pairs.schema[a_col].dataType
+            schema = T.StructType(
+                [T.StructField("node", dt), T.StructField("component", dt)]
+            )
+            rows = [(n, find(n)) for n in parent]
+            return pairs.sparkSession.createDataFrame(rows, schema)
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))

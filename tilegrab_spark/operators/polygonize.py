@@ -142,11 +142,11 @@ def _label_regions(lab: np.ndarray) -> tuple[np.ndarray, int]:
     if h > 1:
         same = lab[1:] == lab[:-1]
         if same.any():
-            pairs = np.unique(
-                np.stack([run_id[:-1][same], run_id[1:][same]], axis=1), axis=0
-            )
-            for a, b in pairs:
-                ra, rb = find(int(a)), find(int(b))
+            # pack each pair into one int64 — np.unique(axis=0) views
+            # rows as structured dtypes and costs ~50x the 1-D path
+            packed = (run_id[:-1][same].astype(np.int64) << 32) | run_id[1:][same]
+            for k in np.unique(packed):
+                ra, rb = find(int(k >> 32)), find(int(k & 0xFFFFFFFF))
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
     # full resolve, vectorized path doubling
@@ -261,21 +261,20 @@ def _border_rows(z, tx, ty, w, h, lab, loc) -> list:
     return rows
 
 
-def _resolve_border(key, pdf: pd.DataFrame) -> pd.DataFrame:
+def _resolve_one_border(bkey: int, sides_raw) -> tuple[list, list]:
     """Both facing strips of one border (or one, at a coverage edge) →
-    boundary edges + merge pairs. axis 0 = vertical border (strips run
-    along y), axis 1 = horizontal (strips run along x)."""
-    bkey = int(key[0])
+    (boundary-edge column dicts, merge-pair arrays). axis 0 = vertical
+    border (strips run along y), axis 1 = horizontal (along x)."""
     axis = (bkey >> 52) & 1
     sides: dict[int, tuple] = {}
-    for r in pdf.itertuples(index=False):
-        sides[int(r.side)] = (
-            int(r.tx),
-            int(r.ty),
-            int(r.pw),
-            int(r.ph),
-            np.frombuffer(r.labels, dtype=np.uint8),
-            np.frombuffer(r.rids, dtype=np.int32),
+    for r in sides_raw:
+        sides[int(r["side"])] = (
+            int(r["tx"]),
+            int(r["ty"]),
+            int(r["pw"]),
+            int(r["ph"]),
+            np.frombuffer(r["labels"], dtype=np.uint8),
+            np.frombuffer(r["rids"], dtype=np.int32),
         )
     a, b = sides.get(0), sides.get(1)
     mismatched = a is not None and b is not None and a[4].size != b[4].size
@@ -317,31 +316,44 @@ def _resolve_border(key, pdf: pd.DataFrame) -> pd.DataFrame:
             pb = _pack_rkey(b[0], b[1], b[5][eq])
             uniq = np.unique(np.stack([pa, pb], axis=1), axis=0)
             merges.append(uniq)
+    return frames, merges
 
+
+def _resolve_borders_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Batched border resolve: each input row carries ONE border's
+    collected strips (1-2 structs). Per-group pandas overhead measured
+    ~ms across thousands of tiny border groups (the epoch-stack lesson,
+    PLANS.md PLAN 41), so borders are aggregated JVM-side and an Arrow
+    batch carries thousands of them per Python call."""
     cols = [f.name for f in _BORDER_SCHEMA.fields]
-    parts = []
-    for fr in frames:
-        df = pd.DataFrame(fr)
-        df["rkey_b"] = np.int64(0)
-        parts.append(df)
-    if merges:
-        mg = np.concatenate(merges, axis=0)
-        parts.append(
-            pd.DataFrame(
-                {
-                    "kind": np.ones(mg.shape[0], dtype=np.int8),
-                    "rkey": mg[:, 0],
-                    "x1": np.int64(0),
-                    "y1": np.int64(0),
-                    "x2": np.int64(0),
-                    "y2": np.int64(0),
-                    "rkey_b": mg[:, 1],
-                }
+    for pdf in batches:
+        frames, merges = [], []
+        for r in pdf.itertuples(index=False):
+            f, m = _resolve_one_border(int(r.bkey), r.sides)
+            frames += f
+            merges += m
+        parts = []
+        for fr in frames:
+            df = pd.DataFrame(fr)
+            df["rkey_b"] = np.int64(0)
+            parts.append(df)
+        if merges:
+            mg = np.concatenate(merges, axis=0)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "kind": np.ones(mg.shape[0], dtype=np.int8),
+                        "rkey": mg[:, 0],
+                        "x1": np.int64(0),
+                        "y1": np.int64(0),
+                        "x2": np.int64(0),
+                        "y2": np.int64(0),
+                        "rkey_b": mg[:, 1],
+                    }
+                )
             )
-        )
-    if not parts:
-        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
-    return pd.concat(parts, ignore_index=True)[cols]
+        if parts:
+            yield pd.concat(parts, ignore_index=True)[cols]
 
 
 _TURN_SCORE = {  # (cross, dot sign) → preference; rightmost turn first.
@@ -358,14 +370,13 @@ _TURN_SCORE = {  # (cross, dot sign) → preference; rightmost turn first.
 }
 
 
-def _chain_rings(key, pdf: pd.DataFrame) -> pd.DataFrame:
+def _chain_one(region_id: int, edge_rows) -> list[dict]:
     """Chain one region's directed edges into closed rings (rightmost
     turn at pinch vertices), drop collinear vertices, start each ring
     at its minimal corner. Exterior rings come out with POSITIVE
     shoelace area (interior-on-the-left construction), holes negative."""
     edges = sorted(
-        (int(r.x1), int(r.y1), int(r.x2), int(r.y2))
-        for r in pdf.itertuples(index=False)
+        (int(e["x1"]), int(e["y1"]), int(e["x2"]), int(e["y2"])) for e in edge_rows
     )
     out_map: dict[tuple, list[int]] = {}
     for i, (x1, y1, *_rest) in enumerate(edges):
@@ -433,7 +444,7 @@ def _chain_rings(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ring_pts = verts + [verts[0]] if closed else verts
         recs.append(
             {
-                "region_id": int(pdf["region_id"].iloc[0]),
+                "region_id": region_id,
                 "is_hole": a2 < 0,
                 "closed": closed,
                 "signed_area_px": a2 // 2,
@@ -445,8 +456,20 @@ def _chain_rings(key, pdf: pd.DataFrame) -> pd.DataFrame:
     recs.sort(key=lambda r: (-r["signed_area_px"], r["xs"][0], r["ys"][0]))
     for i, r in enumerate(recs):
         r["ring_idx"] = i
+    return recs
+
+
+def _chain_rings_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Batched ring assembly: each input row is one region's collected
+    edge structs; an Arrow batch carries thousands of regions per
+    Python call (the same per-group-overhead fix as the border stage)."""
     cols = [f.name for f in _RING_SCHEMA.fields]
-    return pd.DataFrame(recs, columns=cols)
+    for pdf in batches:
+        recs = []
+        for r in pdf.itertuples(index=False):
+            recs += _chain_one(int(r.region_id), r.es)
+        if recs:
+            yield pd.DataFrame(recs, columns=cols)
 
 
 def polygonize(
@@ -489,7 +512,13 @@ def polygonize(
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parts = []
+            # accumulate per KIND across the whole Arrow batch and yield
+            # three frames total — per-tile yields cost one Arrow batch
+            # each (~6/tile) and dominated the stage; per-kind frames
+            # also never mix columns, so int64 keys stay exact
+            edge_parts: list[dict] = []
+            stat_parts: list[dict] = []
+            strip_rows: list[dict] = []
             for row in pdf.itertuples(index=False):
                 tx, ty = int(row.x), int(row.y)
                 try:
@@ -507,35 +536,55 @@ def polygonize(
                     )
                 loc, n_loc = _label_regions(lab)
                 gx0, gy0 = tx * w, ty * h
-                for e in _interior_edges(lab, loc, gx0, gy0, tx, ty):
-                    parts.append(pd.DataFrame(e))
+                edge_parts += _interior_edges(lab, loc, gx0, gy0, tx, ty)
                 counts = np.bincount(loc.ravel(), minlength=n_loc)
                 labmap = np.zeros(n_loc, dtype=np.int64)
                 labmap[loc.ravel()] = lab.ravel()
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            "kind": np.ones(n_loc, dtype=np.int8),
-                            "rkey": _pack_rkey(tx, ty, np.arange(n_loc)),
-                            "label": labmap.astype(np.int32),
-                            "n_px": counts.astype(np.int64),
-                        }
-                    )
+                stat_parts.append(
+                    {
+                        "kind": np.ones(n_loc, dtype=np.int8),
+                        "rkey": _pack_rkey(tx, ty, np.arange(n_loc)),
+                        "label": labmap.astype(np.int32),
+                        "n_px": counts.astype(np.int64),
+                    }
                 )
-                parts.append(pd.DataFrame(_border_rows(z, tx, ty, w, h, lab, loc)))
-            for part in parts:
-                yield pad(part)
+                strip_rows += _border_rows(z, tx, ty, w, h, lab, loc)
+            for group in (edge_parts, stat_parts):
+                if group:
+                    merged = {
+                        k: np.concatenate([p[k] for p in group]) for k in group[0]
+                    }
+                    yield pad(pd.DataFrame(merged))
+            if strip_rows:
+                yield pad(pd.DataFrame(strip_rows))
 
     parts = _persist_signatures(src.mapInPandas(emit, schema=_PART_SCHEMA))
     strips = parts.filter(F.col("kind") == 2).select(
         "bkey", "side", "tx", "ty", "pw", "ph", "labels", "rids"
     )
+    # borders aggregate JVM-side (map-side partial collect_list) and the
+    # batched kernel sees thousands of borders per Arrow call — per-group
+    # applyInPandas paid ~ms of pandas overhead per 2-row border group
+    border_groups = strips.groupBy("bkey").agg(
+        F.collect_list(
+            F.struct("side", "tx", "ty", "pw", "ph", "labels", "rids")
+        ).alias("sides")
+    )
     resolved = _persist_signatures(
-        strips.groupBy("bkey").applyInPandas(_resolve_border, _BORDER_SCHEMA)
+        border_groups.mapInPandas(_resolve_borders_batch, _BORDER_SCHEMA)
     )
 
     pairs = resolved.filter(F.col("kind") == 1).select("rkey", "rkey_b")
-    comp = connected_components(pairs, a_col="rkey", b_col="rkey_b", max_iter=max_iter)
+    # merge pairs are border-RUN counts (perimeter crossings), orders of
+    # magnitude below region count; the driver union-find shortcut skips
+    # N fixed-cost distributed rounds when they fit (~16 MB at cutoff)
+    comp = connected_components(
+        pairs,
+        a_col="rkey",
+        b_col="rkey_b",
+        max_iter=max_iter,
+        driver_cutoff=500_000,
+    )
     comp = comp.select(F.col("node").alias("rkey"), F.col("component").alias("_rid"))
 
     edges = (
@@ -560,7 +609,13 @@ def polygonize(
         .groupBy(F.coalesce(F.col("_rid"), F.col("rkey")).alias("region_id"))
         .agg(F.first("label").alias("label"), F.sum("n_px").alias("region_px"))
     )
-    rings = edges.groupBy("region_id").applyInPandas(_chain_rings, _RING_SCHEMA)
+    # same shape for assembly: one collected-edge row per region, the
+    # chainer batched over thousands of regions per Arrow call; memory
+    # per row is one region's perimeter (the documented assembler bound)
+    ring_groups = edges.groupBy("region_id").agg(
+        F.collect_list(F.struct("x1", "y1", "x2", "y2")).alias("es")
+    )
+    rings = ring_groups.mapInPandas(_chain_rings_batch, _RING_SCHEMA)
     return rings.join(stats, "region_id").select(
         "region_id",
         F.lit(z).alias("z"),
