@@ -147,3 +147,57 @@ def test_equal_bytes_mismatched_dims_go_slow_path(spark, image_table):
     # decoded: both streams identical -> unchanged, n_px from the DECODE
     assert r.status == "unchanged"
     assert r.n_px == px.shape[0] * px.shape[1]
+
+
+def _ssim_loop_oracle(pa, pb, win=8):
+    """Independent per-window loop re-derivation of mean SSIM (uniform
+    8x8 non-overlapping, Rec.601 luma, Wang constants)."""
+    wgt = np.array([0.299, 0.587, 0.114])
+    a = (pa[:, :, :3].astype(np.float64) * wgt).sum(axis=2)
+    b = (pb[:, :, :3].astype(np.float64) * wgt).sum(axis=2)
+    C1, C2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    vals = []
+    for r in range(0, a.shape[0] - win + 1, win):
+        for c in range(0, a.shape[1] - win + 1, win):
+            wa = a[r : r + win, c : c + win].ravel()
+            wb = b[r : r + win, c : c + win].ravel()
+            ma, mb = wa.mean(), wb.mean()
+            va, vb = wa.var(), wb.var()
+            cov = ((wa - ma) * (wb - mb)).mean()
+            vals.append(
+                ((2 * ma * mb + C1) * (2 * cov + C2))
+                / ((ma**2 + mb**2 + C1) * (va + vb + C2))
+            )
+    return float(np.mean(vals))
+
+
+def test_ssim_vs_loop_oracle_and_properties(spark):
+    from tilegrab_spark.operators.change import mean_ssim, tile_diff
+
+    rng = np.random.default_rng(41)
+    base = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    noisy = np.clip(
+        base.astype(np.int16) + rng.integers(-25, 26, base.shape), 0, 255
+    ).astype(np.uint8)
+    inverted = (255 - base).astype(np.uint8)
+
+    # kernel vs the independent loop oracle
+    assert mean_ssim(base, noisy) == pytest.approx(_ssim_loop_oracle(base, noisy), abs=1e-12)
+    # identity and ordering properties
+    assert mean_ssim(base, base) == pytest.approx(1.0)
+    assert mean_ssim(base, noisy) > mean_ssim(base, inverted)
+    # flat pair: constants keep it defined and exactly 1 when equal
+    flat = np.full((16, 16, 3), 100, np.uint8)
+    assert mean_ssim(flat, flat) == pytest.approx(1.0)
+    # smaller than a window -> None
+    assert mean_ssim(base[:4, :4], noisy[:4, :4]) is None
+
+    # through tile_diff: changed rows carry the kernel value; identical
+    # rows pin ssim = 1.0 on both fast and decoded paths
+    schema = "cell_id long, bytes binary, w int, h int, fmt string"
+    a = spark.createDataFrame(_rows([(1, base), (2, base)]), schema)
+    b = spark.createDataFrame(_rows([(1, base), (2, noisy)]), schema)
+    out = {r.key: r for r in tile_diff(a, b).collect()}
+    assert out[1].status == "unchanged" and out[1].ssim == 1.0
+    assert out[2].status == "changed"
+    assert out[2].ssim == pytest.approx(_ssim_loop_oracle(base, noisy), abs=1e-12)

@@ -97,7 +97,7 @@ from tilegrab_spark.operators.sketches import (
     kmv_set_estimates,
     kmv_sketch,
 )
-from tilegrab_spark.operators.change import change_summary, tile_diff
+from tilegrab_spark.operators.change import change_summary, mean_ssim, tile_diff
 from tilegrab_spark.operators.dissolve import adjacency_edges, dissolve_tiles
 from tilegrab_spark.operators.cluster import cluster_summary, grid_dbscan
 from tilegrab_spark.operators.dsir import (
@@ -348,6 +348,7 @@ __all__ = [
     "dissolve_tiles",
     "tile_diff",
     "change_summary",
+    "mean_ssim",
     "spatial_lag",
     "morans_i",
     "local_morans",

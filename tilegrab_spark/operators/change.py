@@ -18,6 +18,12 @@ Definitions (pinned by tests/test_change.py against independent numpy):
 - ``mean_abs_diff``    = mean of the per-pixel difference;
 - ``psnr_db``          = 10·log10(255² / mse) over all channels; null
   for identical tiles (mse 0 — status says ``unchanged``);
+- ``ssim``             = mean SSIM (Wang et al. 2004 constants,
+  K1=0.01/K2=0.03, L=255) over NON-OVERLAPPING 8×8 windows of the
+  Rec.601 luma — the uniform-window variant (not the 11×11 Gaussian
+  sliding one); trailing rows/cols beyond the last full window are
+  ignored; 1.0 for bit-identical tiles (exact), null when pixel stats
+  are null (added/removed/resized/error);
 - status ∈ ``added`` (key only in B) / ``removed`` (only in A) /
   ``unchanged`` (bit-identical pixels) / ``changed`` / ``resized``
   (dims differ — counted as fully changed, pixel stats null) /
@@ -37,7 +43,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from tilegrab_spark.operators.multimodal import decode_payload
 
-__all__ = ["tile_diff", "change_summary"]
+__all__ = ["tile_diff", "change_summary", "mean_ssim"]
 
 DIFF_SCHEMA = T.StructType(
     [
@@ -47,8 +53,37 @@ DIFF_SCHEMA = T.StructType(
         T.StructField("changed_frac", T.DoubleType(), True),
         T.StructField("mean_abs_diff", T.DoubleType(), True),
         T.StructField("psnr_db", T.DoubleType(), True),
+        T.StructField("ssim", T.DoubleType(), True),
     ]
 )
+
+_SSIM_C1 = (0.01 * 255.0) ** 2
+_SSIM_C2 = (0.03 * 255.0) ** 2
+
+
+def _luma(px: np.ndarray) -> np.ndarray:
+    w = np.array([0.299, 0.587, 0.114])
+    return (px[:, :, :3].astype(np.float64) * w).sum(axis=2)
+
+
+def mean_ssim(pa: np.ndarray, pb: np.ndarray, *, win: int = 8) -> float | None:
+    """Uniform-window mean SSIM over non-overlapping ``win``×``win``
+    luma blocks (module docstring for the exact variant). None when no
+    full window fits."""
+    a, b = _luma(pa), _luma(pb)
+    h, w = a.shape
+    bh, bw = h // win, w // win
+    if bh == 0 or bw == 0:
+        return None
+    a = a[: bh * win, : bw * win].reshape(bh, win, bw, win)
+    b = b[: bh * win, : bw * win].reshape(bh, win, bw, win)
+    mu_a, mu_b = a.mean(axis=(1, 3)), b.mean(axis=(1, 3))
+    var_a = (a * a).mean(axis=(1, 3)) - mu_a * mu_a
+    var_b = (b * b).mean(axis=(1, 3)) - mu_b * mu_b
+    cov = (a * b).mean(axis=(1, 3)) - mu_a * mu_b
+    num = (2 * mu_a * mu_b + _SSIM_C1) * (2 * cov + _SSIM_C2)
+    den = (mu_a * mu_a + mu_b * mu_b + _SSIM_C1) * (var_a + var_b + _SSIM_C2)
+    return float((num / den).mean())
 
 
 def _side(df: DataFrame, key_col: str, tag: str) -> DataFrame:
@@ -124,6 +159,7 @@ def tile_diff(
                         "changed_frac": 0.0,
                         "mean_abs_diff": 0.0,
                         "psnr_db": np.nan,
+                        "ssim": 1.0,
                     },
                     columns=cols,
                 )
@@ -137,6 +173,7 @@ def tile_diff(
                     "changed_frac": None,
                     "mean_abs_diff": None,
                     "psnr_db": None,
+                    "ssim": None,
                 }
                 has_a, has_b = row.bytes_a is not None, row.bytes_b is not None
                 if not has_a:
@@ -166,9 +203,11 @@ def tile_diff(
                     rec["mean_abs_diff"] = float(dmax.mean())
                     if mse == 0.0:
                         rec["status"] = "unchanged"
+                        rec["ssim"] = 1.0
                     else:
                         rec["status"] = "changed"
                         rec["psnr_db"] = float(10.0 * np.log10(255.0**2 / mse))
+                        rec["ssim"] = mean_ssim(pa, pb)
                 out.append(rec)
             if out:
                 yield pd.DataFrame(out, columns=cols)
