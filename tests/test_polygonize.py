@@ -249,3 +249,37 @@ def test_lonlat_conversion_and_validation(spark):
         assert all(-86.0 <= v <= 86.0 for v in r.lats)
     with pytest.raises(ValueError, match="zoom"):
         polygonize(df, zoom=23)
+
+
+def test_polygons_geojson_structure_and_winding(spark):
+    import json
+
+    from tilegrab_spark.operators.polygonize import polygons_geojson
+
+    world = _world_basic()
+    df = spark.createDataFrame(_tiles_from_world(world, 16, 1), SCHEMA)
+    feats = polygons_geojson(polygonize(df, zoom=1), tile_px=16).collect()
+    release_signature_caches()
+
+    def shoelace(ring):
+        s = 0.0
+        for i in range(len(ring) - 1):
+            s += ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+        return s / 2.0
+
+    by_label = {}
+    for f in feats:
+        gj = json.loads(f.geojson)
+        assert gj["type"] == "Feature"
+        assert gj["geometry"]["type"] == "Polygon"
+        assert gj["properties"]["label"] == f.label
+        rings = gj["geometry"]["coordinates"]
+        assert len(rings) == f.n_rings
+        for i, ring in enumerate(rings):
+            assert ring[0] == ring[-1]  # closed per RFC 7946
+            # exterior counterclockwise (positive), holes clockwise
+            assert (shoelace(ring) > 0) == (i == 0)
+        by_label.setdefault(f.label, []).append(f)
+    # the donut region is one feature with exterior + one hole
+    donut = [f for f in by_label[3] if f.region_px == 24]
+    assert len(donut) == 1 and donut[0].n_rings == 2

@@ -40,7 +40,11 @@ from tilegrab_spark.operators.classifier import (
 from tilegrab_spark.operators.terrain import terrain_stats
 from tilegrab_spark.operators.timeseries import epoch_composite, raster_trend
 from tilegrab_spark.operators.emerging import emerging_hotspots, mann_kendall
-from tilegrab_spark.operators.polygonize import polygonize, polygons_lonlat
+from tilegrab_spark.operators.polygonize import (
+    polygonize,
+    polygons_geojson,
+    polygons_lonlat,
+)
 from tilegrab_spark.operators.ngram_lm import perplexity_score, train_bigram_lm
 from tilegrab_spark.operators.bloom import (
     bloom_anti_join,
@@ -443,6 +447,7 @@ __all__ = [
     "emerging_hotspots",
     "polygonize",
     "polygons_lonlat",
+    "polygons_geojson",
     "perplexity_score",
     "train_bigram_lm",
     "bloom_anti_join",

@@ -62,7 +62,7 @@ from tilegrab_spark.operators.components import connected_components
 from tilegrab_spark.operators.dedup import _persist_signatures
 from tilegrab_spark.operators.multimodal import decode_payload
 
-__all__ = ["polygonize", "polygons_lonlat"]
+__all__ = ["polygonize", "polygons_lonlat", "polygons_geojson"]
 
 _RID_BITS = 18  # ≤ 2^18 local regions/tile → tiles up to 512x512
 _TY_BITS = 22  # ty < 2^22 → zoom ≤ 22; tx gets the remaining 23 bits
@@ -650,3 +650,62 @@ def polygons_lonlat(rings: DataFrame, *, tile_px: int = 256) -> DataFrame:
         ),
     )
     return rings.withColumn("lons", lons).withColumn("lats", lats)
+
+
+def polygons_geojson(rings: DataFrame, *, tile_px: int = 256) -> DataFrame:
+    """One GeoJSON ``Polygon`` feature per region — exterior ring first
+    then holes (``ring_idx`` order), coordinates global-pixel → lon/lat
+    by the same formulas as :func:`polygons_lonlat`, each ring REVERSED
+    so the RFC 7946 winding holds in lon/lat space (our pixel-space
+    orientation flips under the y-down → lat-up mapping: exterior
+    becomes counterclockwise, holes clockwise). Open chains (coverage
+    anomalies) are excluded — they are not valid polygon rings. All
+    higher-order-array Catalyst, one region-keyed aggregation, no
+    Python. Output: [region_id, z, label, region_px, n_rings, geojson]."""
+    n_px = F.pow(F.lit(2.0), F.col("z").cast("double")) * F.lit(float(tile_px))
+    lon = F.transform(
+        F.col("xs"), lambda gx: (gx.cast("double") / n_px - F.lit(0.5)) * F.lit(360.0)
+    )
+    lat = F.transform(
+        F.col("ys"),
+        lambda gy: F.degrees(
+            F.atan(
+                F.sinh(
+                    F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * gy.cast("double") / n_px)
+                )
+            )
+        ),
+    )
+    ring = F.reverse(F.zip_with(lon, lat, lambda a, b: F.array(a, b)))
+    grouped = (
+        rings.filter(F.col("closed"))
+        .withColumn("_ring", ring)
+        .groupBy("region_id", "z", "label", "region_px")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ring_idx", "_ring"))),
+                lambda s: s["_ring"],
+            ).alias("_rings")
+        )
+    )
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("Polygon").alias("type"),
+                F.col("_rings").alias("coordinates"),
+            ).alias("geometry"),
+            F.struct(
+                F.col("label").alias("label"),
+                F.col("region_px").alias("region_px"),
+            ).alias("properties"),
+        )
+    )
+    return grouped.select(
+        "region_id",
+        "z",
+        "label",
+        "region_px",
+        F.size("_rings").alias("n_rings"),
+        feature.alias("geojson"),
+    )
