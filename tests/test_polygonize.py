@@ -283,3 +283,51 @@ def test_polygons_geojson_structure_and_winding(spark):
     # the donut region is one feature with exterior + one hole
     donut = [f for f in by_label[3] if f.region_px == 24]
     assert len(donut) == 1 and donut[0].n_rings == 2
+
+
+def test_polygons_to_mvt_roundtrip(spark):
+    from tilegrab_spark.kernels.mvt import decode_mvt
+    from tilegrab_spark.operators.vectortiles import polygons_to_mvt
+
+    world = _world_basic()
+    df = spark.createDataFrame(_tiles_from_world(world, 16, 1), SCHEMA)
+    rings = polygonize(df, zoom=1)
+    tiles = {(r.x, r.y): r for r in polygons_to_mvt(rings, tile_px=16).collect()}
+    release_signature_caches()
+
+    def area2(ring):
+        n = len(ring)
+        return sum(
+            ring[i][0] * ring[(i + 1) % n][1] - ring[(i + 1) % n][0] * ring[i][1]
+            for i in range(n)
+        )
+
+    # every tile of the 2x2 world emits a blob; decode them all
+    assert set(tiles) == {(0, 0), (1, 0), (0, 1), (1, 1)}
+    ext, tp = 4096, 16
+    scale = ext // tp
+    for (tx, ty), row in tiles.items():
+        layers = decode_mvt(bytes(row.mvt))
+        assert layers[0]["name"] == "regions"
+        feats = layers[0]["features"]
+        assert len(feats) == row.n_features
+        # per tile: clipped areas (extent units) of all features sum to
+        # the full tile square — polygonize partitions the plane
+        total = sum(sum(area2(r) for r in f["geom"]) for f in feats) // 2
+        assert total == (tp * scale) ** 2, (tx, ty)
+        for f in feats:
+            assert f["type"] == "polygon"
+            assert area2(f["geom"][0]) > 0  # exterior first, positive
+            assert set(f["tags"]) == {"label", "region_px"}
+
+    # the label-7 rectangle spans all four tiles: each carries a piece
+    for row in tiles.values():
+        labels = {
+            f["tags"]["label"]
+            for f in decode_mvt(bytes(row.mvt))[0]["features"]
+        }
+        assert 7 in labels
+    # the donut's hole ring survives as a negative-area interior ring
+    t00 = decode_mvt(bytes(tiles[(0, 0)].mvt))[0]["features"]
+    donut = next(f for f in t00 if f["tags"]["label"] == 3)
+    assert len(donut["geom"]) == 2 and area2(donut["geom"][1]) < 0

@@ -146,7 +146,7 @@ from tilegrab_spark.operators.overlay import (
     with_polygon_bbox,
 )
 from tilegrab_spark.operators.points import points_in_polygons
-from tilegrab_spark.operators.vectortiles import contours_to_mvt
+from tilegrab_spark.operators.vectortiles import contours_to_mvt, polygons_to_mvt
 from tilegrab_spark.operators.trajectory import (
     haversine_m,
     od_matrix,
@@ -375,6 +375,7 @@ __all__ = [
     "contour_lonlat",
     "contours_geojson",
     "contours_to_mvt",
+    "polygons_to_mvt",
     # sketches
     "hll_registers",
     "hll_summary",

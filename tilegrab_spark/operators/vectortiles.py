@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, types as T
 
 from tilegrab_spark.kernels.mvt import encode_mvt
 
-__all__ = ["contours_to_mvt"]
+__all__ = ["contours_to_mvt", "polygons_to_mvt"]
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -151,3 +151,141 @@ def contours_to_mvt(
         )
 
     return src.groupBy("z", "x", "y").applyInPandas(build, _OUT_SCHEMA)
+
+
+def _clip_ring(pts: list, lo, hi) -> list:
+    """Sutherland–Hodgman clip of a ring (no closing duplicate) to the
+    axis-aligned rectangle [lo, hi]² — EXACT on rectilinear integer
+    rings (every crossing of an axis-aligned edge with an axis-aligned
+    clip line lands on integer coordinates)."""
+
+    def one_axis(poly, axis, bound, keep_le):
+        out = []
+        n = len(poly)
+        for i in range(n):
+            cur, prev = poly[i], poly[i - 1]
+            cin = (cur[axis] <= bound) if keep_le else (cur[axis] >= bound)
+            pin = (prev[axis] <= bound) if keep_le else (prev[axis] >= bound)
+            if cin != pin:
+                t_num = bound - prev[axis]
+                t_den = cur[axis] - prev[axis]
+                other = 1 - axis
+                val = prev[other] + (cur[other] - prev[other]) * t_num // t_den
+                cross = (bound, val) if axis == 0 else (val, bound)
+                out.append(cross)
+            if cin:
+                out.append(cur)
+        return out
+
+    for axis, bound, keep_le in (
+        (0, lo[0], False),
+        (0, hi[0], True),
+        (1, lo[1], False),
+        (1, hi[1], True),
+    ):
+        pts = one_axis(pts, axis, bound, keep_le)
+        if not pts:
+            return []
+    return pts
+
+
+def _ring_area2(pts: list) -> int:
+    n = len(pts)
+    return sum(
+        pts[i][0] * pts[(i + 1) % n][1] - pts[(i + 1) % n][0] * pts[i][1]
+        for i in range(n)
+    )
+
+
+def polygons_to_mvt(
+    rings: DataFrame,
+    *,
+    tile_px: int = 256,
+    extent: int = 4096,
+    layer_name: str = "regions",
+) -> DataFrame:
+    """One MVT blob per tile from ``polygonize`` output rings: Polygon
+    features in tile-local ``extent`` units, exterior ring first, tags
+    ``label``/``region_px``. ``[z, x, y, mvt, n_features]``.
+
+    Plan: every ring explodes to the tiles its bbox touches (two pure-
+    Catalyst sequence explodes over array_min/max — output-sized, never
+    a cross join), then ONE groupBy((z, x, y)) Arrow grouped map clips
+    each ring to its tile with Sutherland–Hodgman (exact on the integer
+    rectilinear rings polygonize emits), quantizes to the extent grid
+    and encodes via kernels/mvt.py. A tile interior to a region's HOLE
+    receives both the exterior and hole rings clipped to the full tile
+    square with opposite windings; the net-zero-area feature is dropped
+    rather than emitted (winding renderers would cancel it anyway)."""
+    if extent < 16 or extent > 65536:
+        raise ValueError(f"extent must be in [16, 65536], got {extent}")
+    from pyspark.sql import functions as F
+
+    tp, ext, lname = float(tile_px), int(extent), str(layer_name)
+    src = rings.filter(F.col("closed")).select(
+        "region_id", "z", "label", "region_px", "ring_idx", "xs", "ys"
+    )
+    tpl = F.lit(int(tile_px))
+    tx_lo = F.floor(F.array_min("xs") / tpl)
+    tx_hi = F.greatest(F.floor((F.array_max("xs") - 1) / tpl), tx_lo)
+    ty_lo = F.floor(F.array_min("ys") / tpl)
+    ty_hi = F.greatest(F.floor((F.array_max("ys") - 1) / tpl), ty_lo)
+    exploded = (
+        src.withColumn("tx", F.explode(F.sequence(tx_lo, tx_hi)))
+        .withColumn("ty", F.explode(F.sequence(ty_lo, ty_hi)))
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, tx, ty = int(key[0]), int(key[1]), int(key[2])
+        lo = (tx * int(tp), ty * int(tp))
+        hi = ((tx + 1) * int(tp), (ty + 1) * int(tp))
+        ox, oy = float(lo[0]), float(lo[1])
+        feats = []
+        for (rid, label, rpx), grp in pdf.groupby(
+            ["region_id", "label", "region_px"], sort=True
+        ):
+            clipped = []
+            for r in grp.sort_values("ring_idx").itertuples(index=False):
+                ring = list(zip(r.xs, r.ys))[:-1]  # drop closing dup
+                c = _clip_ring(ring, lo, hi)
+                if len(c) < 3:
+                    continue
+                q = [
+                    (
+                        int(round((px - ox) / tp * ext)),
+                        int(round((py - oy) / tp * ext)),
+                    )
+                    for px, py in c
+                ]
+                dedup = [q[0]]
+                for pt in q[1:]:
+                    if pt != dedup[-1]:
+                        dedup.append(pt)
+                while len(dedup) > 1 and dedup[-1] == dedup[0]:
+                    dedup.pop()
+                if len(dedup) < 3 or _ring_area2(dedup) == 0:
+                    continue
+                clipped.append(dedup)
+            if not clipped or sum(_ring_area2(c) for c in clipped) == 0:
+                continue
+            clipped.sort(key=lambda c: -_ring_area2(c))
+            feats.append(
+                {
+                    "id": int(rid) & 0x7FFFFFFFFFFFFFFF,
+                    "type": "polygon",
+                    "geom": clipped,
+                    "tags": {"label": int(label), "region_px": int(rpx)},
+                }
+            )
+        data = encode_mvt([{"name": lname, "extent": ext, "features": feats}])
+        return pd.DataFrame(
+            {
+                "z": [z],
+                "x": [tx],
+                "y": [ty],
+                "mvt": [data],
+                "n_features": [len(feats)],
+            }
+        )
+
+    return exploded.groupBy("z", "tx", "ty").applyInPandas(build, _OUT_SCHEMA)
