@@ -45,6 +45,7 @@ from tilegrab_spark.operators.polygonize import (
     polygons_geojson,
     polygons_lonlat,
 )
+from tilegrab_spark.operators.sieve import sieve, sieve_apply, sieve_labels
 from tilegrab_spark.operators.ngram_lm import perplexity_score, train_bigram_lm
 from tilegrab_spark.operators.bloom import (
     bloom_anti_join,
@@ -449,6 +450,9 @@ __all__ = [
     "polygonize",
     "polygons_lonlat",
     "polygons_geojson",
+    "sieve",
+    "sieve_apply",
+    "sieve_labels",
     "perplexity_score",
     "train_bigram_lm",
     "bloom_anti_join",
