@@ -46,6 +46,7 @@ from tilegrab_spark.operators.polygonize import (
     polygons_lonlat,
 )
 from tilegrab_spark.operators.sieve import sieve, sieve_apply, sieve_labels
+from tilegrab_spark.operators.majority import majority_filter, window_mode
 from tilegrab_spark.operators.ngram_lm import perplexity_score, train_bigram_lm
 from tilegrab_spark.operators.bloom import (
     bloom_anti_join,
@@ -453,6 +454,8 @@ __all__ = [
     "sieve",
     "sieve_apply",
     "sieve_labels",
+    "majority_filter",
+    "window_mode",
     "perplexity_score",
     "train_bigram_lm",
     "bloom_anti_join",
