@@ -1,0 +1,225 @@
+"""D8 hydrology vs a sequential full-mosaic oracle.
+
+The oracle stitches all tiles into one array, pads with -inf (the
+edge-drains rule; holes = -inf too), computes D8 and accumulation the
+straightforward sequential way (descending-elevation sweep — order
+among equal elevations is irrelevant because D8 flow is strictly
+downhill), and the distributed output must match per-pixel."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tilegrab_spark.kernels import png as pngk
+from tilegrab_spark.kernels.geo import pack_cell_id
+from tilegrab_spark.operators.hydrology import _D8, flow_accumulation, flow_direction
+
+Z = 4  # 16x16 world of tiles
+X0, Y0 = 5, 6
+
+
+def _table(spark, tiles, px):
+    """tiles: {(dx, dy): uint8 (px, px) elevation}, placed at
+    (X0+dx, Y0+dy) zoom Z, gray replicated to 3 channels."""
+    rows = []
+    for (dx, dy), g in tiles.items():
+        x, y = X0 + dx, Y0 + dy
+        arr = np.stack([g, g, g], axis=2).astype(np.uint8)
+        rows.append((f"{Z}_{x}_{y}", pngk.encode_png(arr), px, px, "png", Z, x, y))
+    return spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, z int, x long, y long",
+    )
+
+
+def _oracle(tiles, px):
+    """(dirs, acc, covered) over the bounding mosaic; uncovered cells
+    are -inf holes whose outputs are undefined (covered=False)."""
+    dxs = [d for d, _ in tiles]
+    dys = [d for _, d in tiles]
+    ox, oy = min(dxs), min(dys)
+    W = (max(dxs) - ox + 1) * px
+    H = (max(dys) - oy + 1) * px
+    elev = np.full((H, W), -np.inf)
+    covered = np.zeros((H, W), dtype=bool)
+    for (dx, dy), g in tiles.items():
+        ys, xs = (dy - oy) * px, (dx - ox) * px
+        elev[ys:ys + px, xs:xs + px] = g
+        covered[ys:ys + px, xs:xs + px] = True
+    pad = np.full((H + 2, W + 2), -np.inf)
+    pad[1:-1, 1:-1] = elev
+    c = pad[1:-1, 1:-1]
+    best = np.zeros((H, W))
+    code = np.zeros((H, W), dtype=np.uint8)
+    with np.errstate(invalid="ignore"):
+        for (k, ddx, ddy, dist) in _D8:
+            nb = pad[1 + ddy:1 + ddy + H, 1 + ddx:1 + ddx + W]
+            slope = (c - nb) / dist
+            take = slope > best
+            code[take] = k
+            best[take] = slope[take]
+    code[~covered] = 0
+    # sequential accumulation: descending-elevation sweep
+    lutd = {k: (ddx, ddy) for (k, ddx, ddy, _) in _D8}
+    acc = np.ones(H * W, dtype=np.int64)
+    order = np.argsort(elev.ravel())[::-1]
+    for i in order:
+        if not covered.ravel()[i]:
+            continue
+        k = code.ravel()[i]
+        if k == 0:
+            continue
+        ddx, ddy = lutd[int(k)]
+        yy, xx = divmod(int(i), W)
+        ty, tx = yy + ddy, xx + ddx
+        if 0 <= ty < H and 0 <= tx < W and covered[ty, tx]:
+            acc[ty * W + tx] += acc[i]
+    return code, acc.reshape(H, W), covered, (ox, oy)
+
+
+def _check(spark, tiles, px, **kw):
+    """Run both operators and compare per-pixel against the oracle."""
+    df = _table(spark, tiles, px)
+    ocode, oacc, covered, (ox, oy) = _oracle(tiles, px)
+    dirs = {(r["x"], r["y"]): r for r in flow_direction(df, zoom=Z).collect()}
+    accs = {(r["x"], r["y"]): r for r in flow_accumulation(df, zoom=Z, **kw).collect()}
+    for (dx, dy) in tiles:
+        x, y = X0 + dx, Y0 + dy
+        ys, xs = (dy - oy) * px, (dx - ox) * px
+        d = dirs[(x, y)]
+        assert d["status"] == "ok"
+        got_d = np.frombuffer(d["dirs"], dtype=np.uint8).reshape(px, px)
+        np.testing.assert_array_equal(got_d, ocode[ys:ys + px, xs:xs + px])
+        assert d["n_sinks"] == int((got_d == 0).sum())
+        a = accs[(x, y)]
+        assert a["status"] == "ok"
+        got_a = np.frombuffer(a["acc"], dtype="<i8").reshape(px, px)
+        np.testing.assert_array_equal(got_a, oacc[ys:ys + px, xs:xs + px])
+        # conservation: every unit entering or born here leaves or sinks
+        assert px * px + a["inflow_flux"] == a["outflow_flux"] + a["sink_flux"]
+        assert a["max_acc"] == int(got_a.max())
+    return accs
+
+
+def test_tilted_plane_with_valley_crosses_tiles(spark):
+    px, n = 16, 3
+    gy, gx = np.mgrid[0:n * px, 0:n * px]
+    elev = (200 - 3 * gx + (12 * np.abs(np.sin(gy / 7.0))).astype(int)).clip(0, 255)
+    tiles = {
+        (dx, dy): elev[dy * px:(dy + 1) * px, dx * px:(dx + 1) * px].astype(np.uint8)
+        for dx in range(n) for dy in range(n)
+    }
+    _check(spark, tiles, px)
+
+
+def test_random_terrain_ties_and_pits(spark):
+    px, n = 16, 4
+    rng = np.random.default_rng(42)
+    full = rng.integers(0, 256, size=(n * px, n * px), dtype=np.uint8)
+    tiles = {
+        (dx, dy): full[dy * px:(dy + 1) * px, dx * px:(dx + 1) * px]
+        for dx in range(n) for dy in range(n)
+    }
+    _check(spark, tiles, px)
+
+
+def test_long_eastward_chain_accumulates_across_six_tiles(spark):
+    px, n = 8, 6
+    gy, gx = np.mgrid[0:px, 0:n * px]
+    elev = (250 - 5 * gx).clip(0, 255).astype(np.uint8)
+    tiles = {(dx, 0): elev[:, dx * px:(dx + 1) * px] for dx in range(n)}
+    accs = _check(spark, tiles, px)
+    # the mosaic's border ring drains straight off coverage (-inf beats
+    # the eastward slope); interior rows flow strictly east, so acc at
+    # global column gx is gx there — water that crossed 5 tile borders
+    for dx in range(n):
+        a = accs[(X0 + dx, Y0)]
+        got = np.frombuffer(a["acc"], dtype="<i8").reshape(px, px)
+        cols = np.arange(dx * px, (dx + 1) * px)
+        want = np.tile(cols, (px - 2, 1))
+        inner = got[1:-1, :]
+        mask = np.tile(cols >= 1, (px - 2, 1))
+        np.testing.assert_array_equal(inner[mask], want[mask])
+    # water drains off the east coverage edge, nothing sinks
+    assert accs[(X0 + n - 1, Y0)]["sink_flux"] == 0
+    assert accs[(X0 + n - 1, Y0)]["inflow_flux"] > 0
+
+
+def test_hole_in_coverage_drains_into_it(spark):
+    px, n = 16, 3
+    rng = np.random.default_rng(7)
+    full = rng.integers(50, 200, size=(n * px, n * px), dtype=np.uint8)
+    tiles = {
+        (dx, dy): full[dy * px:(dy + 1) * px, dx * px:(dx + 1) * px]
+        for dx in range(n) for dy in range(n) if (dx, dy) != (1, 1)
+    }
+    _check(spark, tiles, px)
+
+
+def test_single_tile_bowl_sinks_everything(spark):
+    px = 16
+    gy, gx = np.mgrid[0:px, 0:px]
+    bowl = (10 + 3 * np.hypot(gx - 7.3, gy - 7.7)).astype(np.uint8)
+    accs = _check(spark, tiles={(0, 0): bowl}, px=px)
+    a = accs[(X0, Y0)]
+    # the pit swallows everything that doesn't beat the rim to the edge
+    assert a["inflow_flux"] == 0
+    assert a["sink_flux"] + a["outflow_flux"] == px * px
+    assert a["sink_flux"] > 0
+
+
+def test_decode_error_surfaces_not_fails(spark):
+    px = 8
+    g = np.full((px, px), 100, dtype=np.uint8)
+    df = _table(spark, {(0, 0): g, (1, 0): g}, px)
+    df = df.withColumn(
+        "bytes",
+        F.when(F.col("x") == X0 + 1, F.lit(b"not a png")).otherwise(F.col("bytes")),
+    )
+    out = {r["x"]: r for r in flow_accumulation(df, zoom=Z).collect()}
+    assert out[X0]["status"] == "ok"
+    assert out[X0 + 1]["status"] == "decode_error"
+    d = {r["x"]: r for r in flow_direction(df, zoom=Z).collect()}
+    assert d[X0 + 1]["status"] == "decode_error"
+
+
+def test_nonconvergence_raise_and_partial(spark):
+    px, n = 8, 6
+    gy, gx = np.mgrid[0:px, 0:n * px]
+    elev = (250 - 5 * gx).clip(0, 255).astype(np.uint8)
+    tiles = {(dx, 0): elev[:, dx * px:(dx + 1) * px] for dx in range(n)}
+    df = _table(spark, tiles, px)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        flow_accumulation(df, zoom=Z, max_rounds=2).collect()
+    part = {
+        r["x"]: r
+        for r in flow_accumulation(
+            df, zoom=Z, max_rounds=2, on_nonconverged="return"
+        ).collect()
+    }
+    _, oacc, _, _ = _oracle(tiles, px)
+    last = np.frombuffer(part[X0 + n - 1]["acc"], dtype="<i8").reshape(px, px)
+    want = oacc[:, (n - 1) * px:]
+    assert (last <= want).all()  # partial routing is a lower bound
+    assert (last >= 1).all()
+
+
+def test_validation(spark):
+    px = 8
+    df = _table(spark, {(0, 0): np.zeros((px, px), dtype=np.uint8)}, px)
+    with pytest.raises(ValueError, match="max_rounds"):
+        flow_accumulation(df, zoom=Z, max_rounds=0)
+    with pytest.raises(ValueError, match="on_nonconverged"):
+        flow_accumulation(df, zoom=Z, on_nonconverged="nope")
+
+
+def test_flat_terrain_is_all_pits_except_coverage_edge(spark):
+    px = 8
+    g = np.full((px, px), 77, dtype=np.uint8)
+    accs = _check(spark, {(0, 0): g, (1, 0): g}, px)
+    a = accs[(X0, Y0)]
+    # interior of a flat plateau is pits; the coverage-edge ring drains off
+    got = np.frombuffer(a["acc"], dtype="<i8").reshape(px, px)
+    assert got.min() >= 1

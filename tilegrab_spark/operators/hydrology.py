@@ -1,0 +1,577 @@
+"""D8 hydrology across tile boundaries: flow direction + global flow
+accumulation.
+
+Flow accumulation — for every pixel, how many cells drain through it —
+is the classic "looks local, is global" raster op: water entering a tile
+at one border pixel can exit at another and keep going for thousands of
+tiles, so no fixed-radius halo is enough. The distributed shape here is
+the linear-transfer decomposition used by parallel hydrology engines
+(TauDEM's parallel D8 contributing-area approach):
+
+1. **halo + direction** — one 1-px halo exchange (focal.py's strip
+   pattern, 8 neighbors incl. 1x1 corners) gives every tile its true
+   cross-border D8 direction field. Missing / misshapen neighbor strips
+   are treated as elevation -inf: water drains off coverage edges and
+   into holes (the standard edge-drains rule), and the drop is counted
+   in ``dropped_strips`` so the approximation is auditable.
+2. **local solve** (same grouped kernel) — within a tile, accumulation
+   is linear in its border inflows, and each border cell's water leaves
+   through exactly ONE exit cell (flow paths merge, never split). So a
+   tile compresses to (a) ``acc0``: its accumulation with zero inflow,
+   (b) a perimeter-sized TRANSFER map entry-cell -> (next tile, entry
+   cell there | absorbed), and (c) its initial cross-border outflows.
+   Nothing raster-sized ever re-shuffles after this point.
+3. **delta routing** (driver loop, graph.py's frontier shape) — flux
+   parcels hop tile-to-tile through the transfer maps: each round is
+   one perimeter-scale equi-join + groupBy-sum, localCheckpoint'ed.
+   Strictly-downhill D8 guarantees a DAG, so the loop terminates in
+   at most (longest flow path measured in tile hops) rounds. That
+   round count is the documented scale limit — a continental river
+   crossing 10^3 tiles costs 10^3 tiny joins; the asymptotic fix
+   (pointer-doubling composition of the transfer maps / Euler-tour
+   subtree sums) is noted here as future work, chosen against because
+   every round here is perimeter-scale, not raster-scale.
+4. **final assembly** — converged inflows are injected and the local
+   solve re-runs once per tile (Kahn waves over the in-tile flow DAG,
+   ``np.add.at`` per wave — no per-pixel Python), emitting the exact
+   per-pixel int64 accumulation raster.
+
+Per-tile conservation invariant (tested): ``w*h + inflow_flux ==
+outflow_flux + sink_flux`` — every pixel's unit of water either leaves
+across a border (incl. off-coverage) or terminates in a pit.
+
+D8 semantics (matches the sequential oracle in tests/test_hydrology.py
+bit-for-bit): steepest strictly-positive distance-weighted drop among
+the 8 neighbors, ESRI direction codes (E=1, SE=2, S=4, SW=8, W=16,
+NW=32, N=64, NE=128), ties broken by that code order, no lower
+neighbor -> 0 (pit). Out-of-coverage neighbors are -inf, so edge
+pixels drain off the map.
+
+The reference has no hydrology analogue (its rasters never leave single
+tiles); this extends the terrain surface (terrain.py) the way GDAL /
+WhiteboxTools FlowAccumulation would, Spark-first.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from tilegrab_spark.kernels.geo import pack_cell_id, unpack_cell_id
+from tilegrab_spark.operators.multimodal import decode_payload
+
+__all__ = ["flow_direction", "flow_accumulation"]
+
+# ESRI D8: (code, dx, dy, distance). Order IS the tie-break.
+_D8 = (
+    (1, 1, 0, 1.0),
+    (2, 1, 1, math.sqrt(2.0)),
+    (4, 0, 1, 1.0),
+    (8, -1, 1, math.sqrt(2.0)),
+    (16, -1, 0, 1.0),
+    (32, -1, -1, math.sqrt(2.0)),
+    (64, 0, -1, 1.0),
+    (128, 1, -1, math.sqrt(2.0)),
+)
+_LUT_DX = np.zeros(256, dtype=np.int64)
+_LUT_DY = np.zeros(256, dtype=np.int64)
+for _c, _dx, _dy, _ in _D8:
+    _LUT_DX[_c] = _dx
+    _LUT_DY[_c] = _dy
+
+_PART_SCHEMA = T.StructType(
+    [
+        T.StructField("tkey", T.LongType(), False),
+        T.StructField("sx", T.IntegerType(), False),
+        T.StructField("sy", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("pw", T.IntegerType(), False),
+        T.StructField("ph", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+    ]
+)
+
+_DIR_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType(), False),
+        T.StructField("z", T.IntegerType(), False),
+        T.StructField("x", T.LongType(), False),
+        T.StructField("y", T.LongType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("dirs", T.BinaryType(), True),  # w*h uint8 codes
+        T.StructField("n_sinks", T.LongType(), True),
+        T.StructField("dropped_strips", T.IntegerType(), True),
+    ]
+)
+
+# union-schema rows out of the accumulation grouped kernel
+# (polygonize.py's kind pattern): kind 1 = tile state, kind 2 =
+# transfer-map row (one per border cell), kind 3 = initial outflow.
+_ACC_PART_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.ByteType(), False),
+        T.StructField("tkey", T.LongType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("dirs", T.BinaryType(), True),
+        T.StructField("dropped", T.IntegerType(), True),
+        T.StructField("entry", T.IntegerType(), True),
+        T.StructField("dst_tkey", T.LongType(), True),  # -1 = absorbed
+        T.StructField("dst_entry", T.IntegerType(), True),
+        T.StructField("flux", T.LongType(), True),
+    ]
+)
+
+_ACC_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType(), False),
+        T.StructField("z", T.IntegerType(), False),
+        T.StructField("x", T.LongType(), False),
+        T.StructField("y", T.LongType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("acc", T.BinaryType(), True),  # w*h int64 LE
+        T.StructField("max_acc", T.LongType(), True),
+        T.StructField("inflow_flux", T.LongType(), True),
+        T.StructField("outflow_flux", T.LongType(), True),
+        T.StructField("sink_flux", T.LongType(), True),
+        T.StructField("dropped_strips", T.IntegerType(), True),
+    ]
+)
+
+
+def _chan_of(arr: np.ndarray, band) -> np.ndarray:
+    """Elevation channel: 'max' (default) or a channel index — the
+    polygonize/terrain band rule."""
+    if band == "max":
+        return arr.max(axis=2)
+    return arr[:, :, int(band)]
+
+
+def _strip(arr: np.ndarray, sx: int, sy: int) -> np.ndarray:
+    """1-px-deep slice of ``arr`` facing a neighbor at offset (sx, sy)
+    FROM the target tile (focal.py's convention, r=1): diagonal offsets
+    yield the 1x1 corner pixel."""
+    h, w = arr.shape
+    ys = slice(0, 1) if sy > 0 else slice(h - 1, h) if sy < 0 else slice(0, h)
+    xs = slice(0, 1) if sx > 0 else slice(w - 1, w) if sx < 0 else slice(0, w)
+    return arr[ys, xs]
+
+
+def _emit_parts(src: DataFrame, band) -> DataFrame:
+    """Stage 1: one decode per tile; emit the elevation channel to the
+    tile's own group plus 1-px strips (and 1x1 corners) to each of the
+    8 neighbors. Shuffle payload per tile = one uncompressed channel +
+    perimeter strips — the compressed image is never re-shuffled."""
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = list(_PART_SCHEMA.fieldNames())
+        for pdf in batches:
+            out = {n: [] for n in names}
+
+            def push(tk, sx, sy, payload, pw, ph, fmt):
+                out["tkey"].append(int(tk)); out["sx"].append(sx)
+                out["sy"].append(sy); out["payload"].append(payload)
+                out["pw"].append(pw); out["ph"].append(ph); out["fmt"].append(fmt)
+
+            for row in pdf.itertuples(index=False):
+                z, x, y = int(row.z), int(row.x), int(row.y)
+                self_key = int(pack_cell_id(x, y, z))
+                try:
+                    arr = decode_payload(
+                        bytes(row.bytes), row.fmt, int(row.w), int(row.h)
+                    )
+                except (ValueError, NotImplementedError):
+                    push(self_key, 0, 0, None, int(row.w), int(row.h),
+                         "decode_error")
+                    continue
+                chan = np.ascontiguousarray(_chan_of(arr, band))
+                h, w = chan.shape
+                push(self_key, 0, 0, chan.tobytes(), w, h, "chan")
+                n = 1 << z
+                for sy in (-1, 0, 1):
+                    for sx in (-1, 0, 1):
+                        if sx == 0 and sy == 0:
+                            continue
+                        nx, ny = x + sx, y + sy
+                        if not (0 <= nx < n and 0 <= ny < n):
+                            continue
+                        s = np.ascontiguousarray(_strip(chan, -sx, -sy))
+                        push(int(pack_cell_id(nx, ny, z)), -sx, -sy,
+                             s.tobytes(), s.shape[1], s.shape[0], "npy")
+            yield pd.DataFrame(out, columns=names)
+
+    return src.mapInPandas(emit, schema=_PART_SCHEMA)
+
+
+def _assemble_canvas(me, strips) -> tuple[np.ndarray, frozenset, int]:
+    """(h+2, w+2) float32 canvas: center = the tile, ring = neighbor
+    strips where present and well-shaped, -inf elsewhere (edge-drains
+    rule). Returns (canvas, set of (sx, sy) pasted OK, dropped count).
+    """
+    h, w = int(me["ph"]), int(me["pw"])
+    canvas = np.full((h + 2, w + 2), -np.inf, dtype=np.float32)
+    canvas[1:-1, 1:-1] = np.frombuffer(me["payload"], dtype=np.uint8).reshape(h, w)
+    ok, dropped = set(), 0
+    for (sx, sy, payload, pw, ph) in strips:
+        ys = slice(0, 1) if sy < 0 else slice(h + 1, h + 2) if sy > 0 else slice(1, h + 1)
+        xs = slice(0, 1) if sx < 0 else slice(w + 1, w + 2) if sx > 0 else slice(1, w + 1)
+        if (ph, pw) != (ys.stop - ys.start, xs.stop - xs.start):
+            dropped += 1  # mixed tile sizes: that side stays -inf
+            continue
+        canvas[ys, xs] = np.frombuffer(payload, dtype=np.uint8).reshape(ph, pw)
+        ok.add((sx, sy))
+    return canvas, frozenset(ok), dropped
+
+
+def _d8_dirs(canvas: np.ndarray) -> np.ndarray:
+    """Vectorized D8 over the haloed canvas: steepest strictly-positive
+    distance-weighted drop, first code in _D8 order wins ties, 0 = pit.
+    -inf neighbors give +inf drop, so coverage edges always win —
+    water drains off the map."""
+    h, w = canvas.shape[0] - 2, canvas.shape[1] - 2
+    c = canvas[1:-1, 1:-1].astype(np.float64)
+    best = np.zeros((h, w), dtype=np.float64)
+    code = np.zeros((h, w), dtype=np.uint8)
+    for (k, dx, dy, dist) in _D8:
+        nb = canvas[1 + dy:1 + dy + h, 1 + dx:1 + dx + w].astype(np.float64)
+        slope = (c - nb) / dist
+        take = slope > best
+        code[take] = k
+        best[take] = slope[take]
+    return code
+
+
+def _split_parts(group):
+    me, strips = None, []
+    for p in group:
+        sx, sy = int(p["sx"]), int(p["sy"])
+        if sx == 0 and sy == 0:
+            me = p
+        else:
+            strips.append((sx, sy, p["payload"], int(p["pw"]), int(p["ph"])))
+    return me, strips
+
+
+def _nxt_of(dirs: np.ndarray) -> np.ndarray:
+    """Flat in-tile successor per cell (-1 = pit or leaves the tile)."""
+    h, w = dirs.shape
+    yy, xx = np.divmod(np.arange(h * w, dtype=np.int64), w)
+    d = dirs.ravel()
+    tx = xx + _LUT_DX[d]
+    ty = yy + _LUT_DY[d]
+    inside = (d != 0) & (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
+    return np.where(inside, ty * w + tx, np.int64(-1))
+
+
+def _kahn_accumulate(nxt: np.ndarray, init: np.ndarray) -> np.ndarray:
+    """Exact accumulation over the in-tile flow DAG: topological waves
+    (Kahn), each wave one vectorized np.add.at. Raises on a cycle —
+    impossible for strictly-downhill D8, so it would mean corrupt
+    input."""
+    n = nxt.shape[0]
+    acc = init.astype(np.int64).copy()
+    indeg = np.bincount(nxt[nxt >= 0], minlength=n)
+    ready = np.flatnonzero(indeg == 0)
+    done = 0
+    while ready.size:
+        done += ready.size
+        flow = ready[nxt[ready] >= 0]
+        if flow.size:
+            tgt = nxt[flow]
+            np.add.at(acc, tgt, acc[flow])
+            np.subtract.at(indeg, tgt, 1)
+            ready = np.unique(tgt[indeg[tgt] == 0])
+        else:
+            ready = np.empty(0, dtype=np.int64)
+    if done != n:
+        raise ValueError(f"cycle in D8 flow graph: {n - done} cells unresolved")
+    return acc
+
+
+def _border_idx(w: int, h: int) -> np.ndarray:
+    """Flat indices of the tile's border cells (entry candidates)."""
+    m = np.zeros((h, w), dtype=bool)
+    m[0, :] = m[-1, :] = True
+    m[:, 0] = m[:, -1] = True
+    return np.flatnonzero(m.ravel())
+
+
+def _exit_targets(dirs: np.ndarray, z: int, X: int, Y: int, ok_sides: frozenset):
+    """For each exit cell (points off-tile): (flat idx, dst tile key,
+    dst entry flat idx). dst = -1 when the water leaves coverage (world
+    edge, hole, or a dropped/mismatched strip side) — it vanishes, the
+    documented edge-drains rule. Strip presence guarantees the
+    neighbor's dims match ours, so dst_entry is valid there."""
+    h, w = dirs.shape
+    d = dirs.ravel()
+    nxt = _nxt_of(dirs)
+    ex = np.flatnonzero((nxt < 0) & (d != 0))
+    if ex.size == 0:
+        z3 = np.empty(0, dtype=np.int64)
+        return ex, z3, z3.astype(np.int32)
+    yy, xx = np.divmod(ex, w)
+    dx, dy = _LUT_DX[d[ex]], _LUT_DY[d[ex]]
+    txg, tyg = xx + dx, yy + dy
+    ox = np.where(txg < 0, -1, np.where(txg >= w, 1, 0))
+    oy = np.where(tyg < 0, -1, np.where(tyg >= h, 1, 0))
+    n = 1 << z
+    nx, ny = X + ox, Y + oy
+    in_world = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+    side_ok = np.array([(int(a), int(b)) in ok_sides for a, b in zip(ox, oy)])
+    valid = in_world & side_ok
+    dst_key = np.where(valid, pack_cell_id(nx, ny, z), np.int64(-1))
+    e_x, e_y = txg - ox * w, tyg - oy * h
+    dst_entry = np.where(valid, e_y * w + e_x, -1).astype(np.int32)
+    return ex, dst_key, dst_entry
+
+
+def flow_direction(images: DataFrame, *, zoom: int, band="max") -> DataFrame:
+    """Per-tile D8 direction raster with true cross-tile halos:
+    ``[key, z, x, y, w, h, status, dirs, n_sinks, dropped_strips]``
+    where ``dirs`` is the w*h uint8 ESRI code array (row-major).
+    ``images`` needs (z, x, y, bytes, w, h, fmt) — the
+    `read_image_table` shape; duplicate cells must be deduped upstream
+    (same rule as focal/tile_diff). Semantics in the module docstring.
+    """
+    z = int(zoom)
+    src = images.filter(F.col("z") == z).select("z", "x", "y", "bytes", "w", "h", "fmt")
+    parts = _emit_parts(src, band)
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = list(_DIR_SCHEMA.fieldNames())
+        for pdf in batches:
+            recs = []
+            for t in pdf.itertuples(index=False):
+                tk = int(t.tkey)
+                xs, ys, zs = unpack_cell_id(tk)
+                X, Y = int(xs), int(ys)
+                rec = {
+                    "key": tk, "z": int(zs), "x": X, "y": Y, "w": None,
+                    "h": None, "status": "error", "dirs": None,
+                    "n_sinks": None, "dropped_strips": None,
+                }
+                me, strips = _split_parts(t.parts)
+                if me is None:
+                    rec["status"] = "no_tile"
+                elif me["fmt"] == "decode_error":
+                    rec.update(status="decode_error", w=int(me["pw"]), h=int(me["ph"]))
+                else:
+                    canvas, _ok, dropped = _assemble_canvas(me, strips)
+                    dirs = _d8_dirs(canvas)
+                    rec.update(
+                        status="ok", w=dirs.shape[1], h=dirs.shape[0],
+                        dirs=dirs.tobytes(), n_sinks=int((dirs == 0).sum()),
+                        dropped_strips=int(dropped),
+                    )
+                recs.append(rec)
+            yield pd.DataFrame(
+                {n: pd.Series([r[n] for r in recs], dtype=object) for n in names}
+            )
+
+    grouped = parts.groupBy("tkey").agg(
+        F.collect_list(F.struct("sx", "sy", "payload", "pw", "ph", "fmt")).alias("parts")
+    )
+    out = grouped.mapInPandas(assemble, schema=_DIR_SCHEMA)
+    return out.filter(F.col("status") != "no_tile")
+
+
+def flow_accumulation(
+    images: DataFrame,
+    *,
+    zoom: int,
+    band="max",
+    max_rounds: int = 1024,
+    on_nonconverged: str = "raise",
+) -> DataFrame:
+    """Global D8 flow accumulation (upstream cell count INCLUDING the
+    cell itself) with exact cross-tile routing: ``[key, z, x, y, w, h,
+    status, acc, max_acc, inflow_flux, outflow_flux, sink_flux,
+    dropped_strips]`` where ``acc`` is the w*h little-endian int64
+    array (row-major). Algorithm and conservation invariant in the
+    module docstring. ``on_nonconverged``: 'raise' (default) or
+    'return' (emit with whatever flux has been routed after
+    ``max_rounds`` — a lower bound everywhere).
+
+    The returned frame is computed eagerly up to the routed-flux fixed
+    point (the driver loop runs on materialized localCheckpoints); only
+    the final per-tile assembly is lazy."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    if on_nonconverged not in ("raise", "return"):
+        raise ValueError(
+            f"on_nonconverged must be 'raise' or 'return', got {on_nonconverged!r}"
+        )
+    z = int(zoom)
+    src = images.filter(F.col("z") == z).select("z", "x", "y", "bytes", "w", "h", "fmt")
+    parts = _emit_parts(src, band)
+
+    def solve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = list(_ACC_PART_SCHEMA.fieldNames())
+        for pdf in batches:
+            recs = []
+
+            def push(**kw):
+                rec = {n: None for n in names}
+                rec.update(kw)
+                recs.append(rec)
+
+            for t in pdf.itertuples(index=False):
+                tk = int(t.tkey)
+                xs, ys, zs = unpack_cell_id(tk)
+                X, Y = int(xs), int(ys)
+                me, strips = _split_parts(t.parts)
+                if me is None:
+                    continue  # strip-only ring cell: no tile, no output
+                if me["fmt"] == "decode_error":
+                    push(kind=1, tkey=tk, w=int(me["pw"]), h=int(me["ph"]),
+                         status="decode_error")
+                    continue
+                canvas, ok_sides, dropped = _assemble_canvas(me, strips)
+                dirs = _d8_dirs(canvas)
+                h, w = dirs.shape
+                nxt = _nxt_of(dirs)
+                acc0 = _kahn_accumulate(nxt, np.ones(h * w, dtype=np.int64))
+                push(kind=1, tkey=tk, w=w, h=h, status="ok",
+                     dirs=dirs.tobytes(), dropped=int(dropped))
+                # transfer map: where does water entering each border
+                # cell leave? terminal = pointer-doubled successor.
+                term = np.where(nxt >= 0, nxt, np.arange(h * w, dtype=np.int64))
+                for _ in range(max(1, int(math.ceil(math.log2(h * w + 1))))):
+                    term = term[term]
+                ex, dst_key, dst_entry = _exit_targets(dirs, int(zs), X, Y, ok_sides)
+                exit_dst = {int(e): (int(k), int(de))
+                            for e, k, de in zip(ex, dst_key, dst_entry)}
+                for e in _border_idx(w, h):
+                    tcell = int(term[int(e)])
+                    dk, de = exit_dst.get(tcell, (-1, -1))
+                    push(kind=2, tkey=tk, entry=int(e), dst_tkey=dk, dst_entry=de)
+                # initial outflows (zero-inflow accumulation at exits)
+                for e, dk, de in zip(ex, dst_key, dst_entry):
+                    if dk != -1:
+                        push(kind=3, tkey=tk, dst_tkey=int(dk),
+                             dst_entry=int(de), flux=int(acc0[int(e)]))
+            yield pd.DataFrame(
+                {n: pd.Series([r[n] for r in recs], dtype=object) for n in names}
+            )
+
+    grouped = parts.groupBy("tkey").agg(
+        F.collect_list(F.struct("sx", "sy", "payload", "pw", "ph", "fmt")).alias("parts")
+    )
+    solved = grouped.mapInPandas(solve, schema=_ACC_PART_SCHEMA).localCheckpoint()
+
+    transfer = (
+        solved.filter(F.col("kind") == 2)
+        .select("tkey", "entry", "dst_tkey", "dst_entry")
+        .persist()
+    )
+    delta = (
+        solved.filter(F.col("kind") == 3)
+        .select(F.col("dst_tkey").alias("tkey"), F.col("dst_entry").alias("entry"), "flux")
+        .groupBy("tkey", "entry")
+        .agg(F.sum("flux").alias("flux"))
+        .localCheckpoint()
+    )
+    inflows = [delta]
+    converged = delta.isEmpty()
+    for _ in range(max_rounds):
+        if converged:
+            break
+        delta = (
+            delta.join(transfer, on=["tkey", "entry"])
+            .filter(F.col("dst_tkey") != -1)
+            .select(
+                F.col("dst_tkey").alias("tkey"),
+                F.col("dst_entry").alias("entry"),
+                "flux",
+            )
+            .groupBy("tkey", "entry")
+            .agg(F.sum("flux").alias("flux"))
+            .localCheckpoint()
+        )
+        if delta.isEmpty():
+            converged = True
+        else:
+            inflows.append(delta)
+    transfer.unpersist()
+    if not converged and on_nonconverged == "raise":
+        raise RuntimeError(
+            f"flow_accumulation did not converge in {max_rounds} rounds; "
+            "raise max_rounds or pass on_nonconverged='return'"
+        )
+    inflow = inflows[0]
+    for d in inflows[1:]:
+        inflow = inflow.unionByName(d)
+    inflow_per_tile = (
+        inflow.groupBy("tkey", "entry")
+        .agg(F.sum("flux").alias("flux"))
+        .groupBy("tkey")
+        .agg(F.collect_list(F.struct("entry", "flux")).alias("inflows"))
+    )
+
+    state = solved.filter(F.col("kind") == 1).select(
+        "tkey", "w", "h", "status", "dirs", "dropped"
+    )
+    final_in = state.join(inflow_per_tile, on="tkey", how="left")
+
+    def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = list(_ACC_SCHEMA.fieldNames())
+        for pdf in batches:
+            recs = []
+            for t in pdf.itertuples(index=False):
+                tk = int(t.tkey)
+                xs, ys, zs = unpack_cell_id(tk)
+                rec = {
+                    "key": tk, "z": int(zs), "x": int(xs), "y": int(ys),
+                    "w": int(t.w) if t.w is not None else None,
+                    "h": int(t.h) if t.h is not None else None,
+                    "status": t.status, "acc": None, "max_acc": None,
+                    "inflow_flux": None, "outflow_flux": None,
+                    "sink_flux": None,
+                    "dropped_strips": int(t.dropped) if pd.notna(t.dropped) else None,
+                }
+                if t.status == "ok":
+                    w, h = int(t.w), int(t.h)
+                    dirs = np.frombuffer(t.dirs, dtype=np.uint8).reshape(h, w)
+                    nxt = _nxt_of(dirs)
+                    init = np.ones(h * w, dtype=np.int64)
+                    inflow_total = 0
+                    ins = t.inflows
+                    if isinstance(ins, float):  # left-join null as NaN
+                        ins = None
+                    if ins is not None:
+                        border = set(int(b) for b in _border_idx(w, h))
+                        for p in ins:
+                            e, fl = int(p["entry"]), int(p["flux"])
+                            if e not in border:
+                                # mixed-dim neighbor computed our entry
+                                # with its own geometry — outside the
+                                # uniform-grid contract; the water
+                                # vanishes (edge-drains fallback)
+                                continue
+                            init[e] += fl
+                            inflow_total += fl
+                    acc = _kahn_accumulate(nxt, init)
+                    is_exit = (nxt < 0) & (dirs.ravel() != 0)
+                    is_sink = dirs.ravel() == 0
+                    rec.update(
+                        acc=acc.astype("<i8").tobytes(),
+                        max_acc=int(acc.max()),
+                        inflow_flux=int(inflow_total),
+                        outflow_flux=int(acc[is_exit].sum()),
+                        sink_flux=int(acc[is_sink].sum()),
+                    )
+                recs.append(rec)
+            yield pd.DataFrame(
+                {n: pd.Series([r[n] for r in recs], dtype=object) for n in names}
+            )
+
+    return final_in.mapInPandas(finish, schema=_ACC_SCHEMA)
