@@ -223,3 +223,135 @@ def test_flat_terrain_is_all_pits_except_coverage_edge(spark):
     # interior of a flat plateau is pits; the coverage-edge ring drains off
     got = np.frombuffer(a["acc"], dtype="<i8").reshape(px, px)
     assert got.min() >= 1
+
+
+# ---------------------------------------------------------------- watersheds
+
+from tilegrab_spark.operators.hydrology import OFFMAP_LABEL, watersheds
+
+
+def _oracle_labels(tiles, px):
+    """Sequential watershed labels over the stitched mosaic, encoded
+    with the same dense pit-label formula the operator uses."""
+    ocode, _, covered, (ox, oy) = _oracle(tiles, px)
+    H, W = ocode.shape
+    lutd = {k: (ddx, ddy) for (k, ddx, ddy, _) in _D8}
+    labels = np.full(H * W, np.int64(OFFMAP_LABEL))
+    memo = {}
+    for i in range(H * W):
+        yy, xx = divmod(i, W)
+        if not covered[yy, xx]:
+            continue
+        j = i
+        chain = []
+        while True:
+            if j in memo:
+                root = memo[j]
+                break
+            chain.append(j)
+            yy2, xx2 = divmod(j, W)
+            k = int(ocode[yy2, xx2])
+            if k == 0:
+                root = j  # pit
+                break
+            ddx, ddy = lutd[k]
+            ty, tx = yy2 + ddy, xx2 + ddx
+            if not (0 <= ty < H and 0 <= tx < W) or not covered[ty, tx]:
+                root = -1  # off coverage
+                break
+            j = ty * W + tx
+        for c in chain:
+            memo[c] = root
+    Z_ = Z
+    for i in range(H * W):
+        yy, xx = divmod(i, W)
+        if not covered[yy, xx]:
+            continue
+        r = memo[i]
+        if r == -1:
+            labels[i] = OFFMAP_LABEL
+        else:
+            ry, rx = divmod(r, W)
+            tx_, ty_ = X0 + (ox + rx // px), Y0 + (oy + ry // px)
+            idx = (ry % px) * px + (rx % px)
+            labels[i] = ((np.int64(tx_) << Z_) | np.int64(ty_)) * np.int64(px * px) + idx
+    return labels.reshape(H, W)
+
+
+def _check_ws(spark, tiles, px):
+    df = _table(spark, tiles, px)
+    want = _oracle_labels(tiles, px)
+    dxs = [d for d, _ in tiles]
+    dys = [d for _, d in tiles]
+    ox, oy = min(dxs), min(dys)
+    out = {(r["x"], r["y"]): r for r in watersheds(df, zoom=Z).collect()}
+    for (dx, dy) in tiles:
+        r = out[(X0 + dx, Y0 + dy)]
+        assert r["status"] == "ok"
+        got = np.frombuffer(r["labels"], dtype="<i8").reshape(px, px)
+        ys, xs = (dy - oy) * px, (dx - ox) * px
+        np.testing.assert_array_equal(got, want[ys:ys + px, xs:xs + px])
+        assert r["offmap_px"] == int((got == OFFMAP_LABEL).sum())
+    return out
+
+
+def test_watersheds_random_terrain(spark):
+    px, n = 16, 3
+    rng = np.random.default_rng(11)
+    full = rng.integers(0, 256, size=(n * px, n * px), dtype=np.uint8)
+    tiles = {
+        (dx, dy): full[dy * px:(dy + 1) * px, dx * px:(dx + 1) * px]
+        for dx in range(n) for dy in range(n)
+    }
+    out = _check_ws(spark, tiles, px)
+    assert sum(r["n_basins"] for r in out.values()) > 0
+
+
+def test_watersheds_two_bowls_two_basins(spark):
+    px = 16
+    gy, gx = np.mgrid[0:px, 0:2 * px]
+    # two pits, ridge between them; raised rim so nothing drains off
+    e = np.minimum(np.hypot(gx - 7.2, gy - 8.1), np.hypot(gx - 24.8, gy - 7.9))
+    elev = (20 + 6 * e).clip(0, 240).astype(np.uint8)
+    elev[0, :] = elev[-1, :] = 255
+    elev[:, 0] = elev[:, -1] = 255
+    tiles = {(0, 0): elev[:, :px], (1, 0): elev[:, px:]}
+    out = _check_ws(spark, tiles, px)
+    la = np.frombuffer(out[(X0, Y0)]["labels"], dtype="<i8")
+    lb = np.frombuffer(out[(X0 + 1, Y0)]["labels"], dtype="<i8")
+    basins = set(la[la != OFFMAP_LABEL]) | set(lb[lb != OFFMAP_LABEL])
+    assert len(basins) == 2  # exactly the two pits
+    # the ridge splits the domain: each tile is dominated by its own pit
+    assert np.bincount(np.searchsorted(sorted(basins), la[la != OFFMAP_LABEL])).argmax() == 0
+
+
+def test_watersheds_eastward_chain_all_offmap(spark):
+    px, n = 8, 4
+    gy, gx = np.mgrid[0:px, 0:n * px]
+    elev = (250 - 5 * gx).clip(0, 255).astype(np.uint8)
+    tiles = {(dx, 0): elev[:, dx * px:(dx + 1) * px] for dx in range(n)}
+    out = _check_ws(spark, tiles, px)
+    for r in out.values():
+        assert r["n_basins"] == 0
+        assert r["offmap_px"] == px * px  # everything drains off coverage
+
+
+def test_watersheds_hole_and_decode_error(spark):
+    px, n = 16, 3
+    rng = np.random.default_rng(3)
+    full = rng.integers(40, 220, size=(n * px, n * px), dtype=np.uint8)
+    tiles = {
+        (dx, dy): full[dy * px:(dy + 1) * px, dx * px:(dx + 1) * px]
+        for dx in range(n) for dy in range(n) if (dx, dy) != (2, 0)
+    }
+    _check_ws(spark, tiles, px)
+    # decode_error surfaces per-tile, neighbors still label
+    df = _table(spark, tiles, px)
+    df = df.withColumn(
+        "bytes",
+        F.when((F.col("x") == X0) & (F.col("y") == Y0), F.lit(b"zzz"))
+        .otherwise(F.col("bytes")),
+    )
+    out = {(r["x"], r["y"]): r for r in watersheds(df, zoom=Z).collect()}
+    assert out[(X0, Y0)]["status"] == "decode_error"
+    assert out[(X0 + 1, Y0 + 1)]["status"] == "ok"

@@ -47,7 +47,11 @@ from tilegrab_spark.operators.polygonize import (
 )
 from tilegrab_spark.operators.sieve import sieve, sieve_apply, sieve_labels
 from tilegrab_spark.operators.majority import majority_filter, window_mode
-from tilegrab_spark.operators.hydrology import flow_accumulation, flow_direction
+from tilegrab_spark.operators.hydrology import (
+    flow_accumulation,
+    flow_direction,
+    watersheds,
+)
 from tilegrab_spark.operators.ngram_lm import perplexity_score, train_bigram_lm
 from tilegrab_spark.operators.bloom import (
     bloom_anti_join,
@@ -457,6 +461,7 @@ __all__ = [
     "sieve_labels",
     "flow_accumulation",
     "flow_direction",
+    "watersheds",
     "majority_filter",
     "window_mode",
     "perplexity_score",

@@ -64,7 +64,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from tilegrab_spark.kernels.geo import pack_cell_id, unpack_cell_id
 from tilegrab_spark.operators.multimodal import decode_payload
 
-__all__ = ["flow_direction", "flow_accumulation"]
+__all__ = ["flow_direction", "flow_accumulation", "watersheds", "OFFMAP_LABEL"]
 
 # ESRI D8: (code, dx, dy, distance). Order IS the tie-break.
 _D8 = (
@@ -575,3 +575,264 @@ def flow_accumulation(
             )
 
     return final_in.mapInPandas(finish, schema=_ACC_SCHEMA)
+
+
+_WS_PART_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.ByteType(), False),
+        T.StructField("tkey", T.LongType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("dirs", T.BinaryType(), True),
+        T.StructField("dropped", T.IntegerType(), True),
+        T.StructField("entry", T.IntegerType(), True),   # kind 2: border cell
+        T.StructField("p_tkey", T.LongType(), True),     # hop target tile
+        T.StructField("p_entry", T.IntegerType(), True),
+        T.StructField("root", T.LongType(), True),       # resolved label
+        T.StructField("exit_idx", T.IntegerType(), True),  # kind 3: exit hop
+    ]
+)
+
+_WS_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType(), False),
+        T.StructField("z", T.IntegerType(), False),
+        T.StructField("x", T.LongType(), False),
+        T.StructField("y", T.LongType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("labels", T.BinaryType(), True),  # w*h int64 LE
+        T.StructField("n_basins", T.IntegerType(), True),  # own pits
+        T.StructField("offmap_px", T.LongType(), True),
+        T.StructField("dropped_strips", T.IntegerType(), True),
+    ]
+)
+
+# label of water that leaves coverage (world edge / hole / dropped strip)
+OFFMAP_LABEL = -2
+
+
+def _pit_label(z: int, X: int, Y: int, w: int, h: int, idx) -> np.ndarray:
+    """Globally-unique int64 basin label for a pit cell: dense packing
+    ((x << z | y) * w*h + cell). Fits in 63 bits for z <= 22 and tiles
+    up to 512x512 (same budget as polygonize's region keys)."""
+    base = ((np.int64(X) << z) | np.int64(Y)) * np.int64(w * h)
+    return base + np.asarray(idx, dtype=np.int64)
+
+
+def watersheds(
+    images: DataFrame,
+    *,
+    zoom: int,
+    band="max",
+    max_rounds: int = 64,
+    on_nonconverged: str = "raise",
+) -> DataFrame:
+    """Watershed (drainage-basin) segmentation: every pixel labeled by
+    the PIT its water terminates in (``OFFMAP_LABEL`` = -2 when it
+    drains off coverage instead): ``[key, z, x, y, w, h, status,
+    labels, n_basins, offmap_px, dropped_strips]`` with ``labels`` the
+    w*h little-endian int64 array (row-major); basin ids are globally
+    unique and deterministic (the pit cell's dense global index).
+
+    Same halo + local-terminal machinery as flow_accumulation, but the
+    cross-tile stage only needs each border cell's ROOT, not a path
+    sum — so it resolves by POINTER DOUBLING over the border-cell
+    functional graph: each round composes hop maps via one self-join,
+    halving the unresolved chain length. O(log D) rounds for flow
+    paths D tiles long (vs the accumulation loop's O(D)); each round
+    shuffles only perimeter-scale rows. D8 semantics, edge-drains rule
+    and the uniform-grid contract are identical to flow_direction."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    if on_nonconverged not in ("raise", "return"):
+        raise ValueError(
+            f"on_nonconverged must be 'raise' or 'return', got {on_nonconverged!r}"
+        )
+    z = int(zoom)
+    src = images.filter(F.col("z") == z).select("z", "x", "y", "bytes", "w", "h", "fmt")
+    parts = _emit_parts(src, band)
+
+    def solve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = list(_WS_PART_SCHEMA.fieldNames())
+        for pdf in batches:
+            recs = []
+
+            def push(**kw):
+                rec = {n: None for n in names}
+                rec.update(kw)
+                recs.append(rec)
+
+            for t in pdf.itertuples(index=False):
+                tk = int(t.tkey)
+                xs_, ys_, zs = unpack_cell_id(tk)
+                X, Y = int(xs_), int(ys_)
+                me, strips = _split_parts(t.parts)
+                if me is None:
+                    continue
+                if me["fmt"] == "decode_error":
+                    push(kind=1, tkey=tk, w=int(me["pw"]), h=int(me["ph"]),
+                         status="decode_error")
+                    continue
+                canvas, ok_sides, dropped = _assemble_canvas(me, strips)
+                dirs = _d8_dirs(canvas)
+                h, w = dirs.shape
+                push(kind=1, tkey=tk, w=w, h=h, status="ok",
+                     dirs=dirs.tobytes(), dropped=int(dropped))
+                nxt = _nxt_of(dirs)
+                term = np.where(nxt >= 0, nxt, np.arange(h * w, dtype=np.int64))
+                for _ in range(max(1, int(math.ceil(math.log2(h * w + 1))))):
+                    term = term[term]
+                ex, dst_key, dst_entry = _exit_targets(dirs, int(zs), X, Y, ok_sides)
+                exit_dst = {int(e): (int(k), int(de))
+                            for e, k, de in zip(ex, dst_key, dst_entry)}
+                d = dirs.ravel()
+                # kind 2: one hop-map row per border cell
+                for e in _border_idx(w, h):
+                    tcell = int(term[int(e)])
+                    if d[tcell] == 0:  # pit: resolved immediately
+                        push(kind=2, tkey=tk, entry=int(e),
+                             root=int(_pit_label(int(zs), X, Y, w, h, tcell)))
+                    else:
+                        dk, de = exit_dst.get(tcell, (-1, -1))
+                        if dk == -1:
+                            push(kind=2, tkey=tk, entry=int(e),
+                                 root=OFFMAP_LABEL)
+                        else:
+                            push(kind=2, tkey=tk, entry=int(e),
+                                 p_tkey=dk, p_entry=de, root=-1)
+                # kind 3: this tile's exit cells and their first hop
+                for e, dk, de in zip(ex, dst_key, dst_entry):
+                    push(kind=3, tkey=tk, exit_idx=int(e),
+                         p_tkey=int(dk), p_entry=int(de))
+            yield pd.DataFrame(
+                {n: pd.Series([r[n] for r in recs], dtype=object) for n in names}
+            )
+
+    grouped = parts.groupBy("tkey").agg(
+        F.collect_list(F.struct("sx", "sy", "payload", "pw", "ph", "fmt")).alias("parts")
+    )
+    solved = grouped.mapInPandas(solve, schema=_WS_PART_SCHEMA).localCheckpoint()
+
+    # pointer doubling over the border-cell hop map
+    nmap = solved.filter(F.col("kind") == 2).select(
+        "tkey", "entry", "p_tkey", "p_entry", "root"
+    ).localCheckpoint()
+    converged = nmap.filter(F.col("root") == -1).isEmpty()
+    for _ in range(max_rounds):
+        if converged:
+            break
+        j = nmap.select(
+            F.col("tkey").alias("j_tkey"), F.col("entry").alias("j_entry"),
+            F.col("p_tkey").alias("j_ptk"), F.col("p_entry").alias("j_pe"),
+            F.col("root").alias("j_root"),
+        )
+        nmap = (
+            nmap.join(
+                j,
+                on=(F.col("p_tkey") == F.col("j_tkey"))
+                & (F.col("p_entry") == F.col("j_entry")),
+                how="left",
+            )
+            .select(
+                "tkey", "entry",
+                F.when(F.col("root") != -1, F.col("p_tkey"))
+                .otherwise(F.coalesce("j_ptk", F.lit(-1))).alias("p_tkey"),
+                F.when(F.col("root") != -1, F.col("p_entry"))
+                .otherwise(F.coalesce("j_pe", F.lit(-1))).alias("p_entry"),
+                F.when(F.col("root") != -1, F.col("root"))
+                .otherwise(
+                    # hop into a tile that never produced a hop map
+                    # (decode_error): the water's fate is unknowable —
+                    # treat as off-coverage, the edge-drains fallback
+                    F.coalesce("j_root", F.lit(OFFMAP_LABEL))
+                ).alias("root"),
+            )
+            .localCheckpoint()
+        )
+        converged = nmap.filter(F.col("root") == -1).isEmpty()
+    if not converged and on_nonconverged == "raise":
+        raise RuntimeError(
+            f"watersheds did not converge in {max_rounds} doubling rounds; "
+            "raise max_rounds or pass on_nonconverged='return'"
+        )
+    resolved = nmap.select(
+        F.col("tkey").alias("r_tkey"), F.col("entry").alias("r_entry"),
+        F.when(F.col("root") == -1, F.lit(OFFMAP_LABEL)).otherwise(F.col("root"))
+        .alias("root"),
+    )
+
+    # per-tile exit resolution: my exit cell -> resolved root of the
+    # entry it hops into
+    hops = solved.filter(F.col("kind") == 3).select("tkey", "exit_idx", "p_tkey", "p_entry")
+    exit_roots = (
+        hops.join(
+            resolved,
+            on=(F.col("p_tkey") == F.col("r_tkey"))
+            & (F.col("p_entry") == F.col("r_entry")),
+            how="left",
+        )
+        .select(
+            "tkey", "exit_idx",
+            F.coalesce("root", F.lit(OFFMAP_LABEL)).alias("root"),
+        )
+        .groupBy("tkey")
+        .agg(F.collect_list(F.struct("exit_idx", "root")).alias("exit_roots"))
+    )
+
+    state = solved.filter(F.col("kind") == 1).select(
+        "tkey", "w", "h", "status", "dirs", "dropped"
+    )
+    final_in = state.join(exit_roots, on="tkey", how="left")
+
+    def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = list(_WS_SCHEMA.fieldNames())
+        for pdf in batches:
+            recs = []
+            for t in pdf.itertuples(index=False):
+                tk = int(t.tkey)
+                xs_, ys_, zs = unpack_cell_id(tk)
+                X, Y = int(xs_), int(ys_)
+                rec = {
+                    "key": tk, "z": int(zs), "x": X, "y": Y,
+                    "w": int(t.w) if t.w is not None else None,
+                    "h": int(t.h) if t.h is not None else None,
+                    "status": t.status, "labels": None, "n_basins": None,
+                    "offmap_px": None,
+                    "dropped_strips": int(t.dropped) if pd.notna(t.dropped) else None,
+                }
+                if t.status == "ok":
+                    w, h = int(t.w), int(t.h)
+                    dirs = np.frombuffer(t.dirs, dtype=np.uint8).reshape(h, w)
+                    nxt = _nxt_of(dirs)
+                    term = np.where(nxt >= 0, nxt, np.arange(h * w, dtype=np.int64))
+                    for _ in range(max(1, int(math.ceil(math.log2(h * w + 1))))):
+                        term = term[term]
+                    d = dirs.ravel()
+                    roots = {}
+                    ers = t.exit_roots
+                    if not isinstance(ers, float) and ers is not None:
+                        roots = {int(p["exit_idx"]): int(p["root"]) for p in ers}
+                    is_pit = d[term] == 0
+                    # O(n): root per terminal cell via a dense lookup
+                    root_of = np.full(h * w, np.int64(OFFMAP_LABEL))
+                    for e, r in roots.items():
+                        root_of[e] = r
+                    labels = np.where(
+                        is_pit,
+                        _pit_label(int(zs), X, Y, w, h, term),
+                        root_of[term],
+                    )
+                    rec.update(
+                        labels=labels.astype("<i8").tobytes(),
+                        n_basins=int(np.unique(term[is_pit]).size),
+                        offmap_px=int((labels == OFFMAP_LABEL).sum()),
+                    )
+                recs.append(rec)
+            yield pd.DataFrame(
+                {n: pd.Series([r[n] for r in recs], dtype=object) for n in names}
+            )
+
+    return final_in.mapInPandas(finish, schema=_WS_SCHEMA)
