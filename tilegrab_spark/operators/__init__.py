@@ -47,6 +47,7 @@ from tilegrab_spark.operators.polygonize import (
 )
 from tilegrab_spark.operators.sieve import sieve, sieve_apply, sieve_labels
 from tilegrab_spark.operators.majority import majority_filter, window_mode
+from tilegrab_spark.operators.costdistance import cost_distance
 from tilegrab_spark.operators.hydrology import (
     flow_accumulation,
     flow_direction,
@@ -459,6 +460,7 @@ __all__ = [
     "sieve",
     "sieve_apply",
     "sieve_labels",
+    "cost_distance",
     "flow_accumulation",
     "flow_direction",
     "watersheds",
