@@ -355,3 +355,53 @@ def test_watersheds_hole_and_decode_error(spark):
     out = {(r["x"], r["y"]): r for r in watersheds(df, zoom=Z).collect()}
     assert out[(X0, Y0)]["status"] == "decode_error"
     assert out[(X0 + 1, Y0 + 1)]["status"] == "ok"
+
+
+def test_pour_point_basin_equals_accumulation_at_pour_cell(spark):
+    px, n = 16, 3
+    gy, gx = np.mgrid[0:n * px, 0:n * px]
+    elev = (200 - 3 * gx + (12 * np.abs(np.sin(gy / 7.0))).astype(int)).clip(0, 255)
+    tiles = {
+        (dx, dy): elev[dy * px:(dy + 1) * px, dx * px:(dx + 1) * px].astype(np.uint8)
+        for dx in range(n) for dy in range(n)
+    }
+    df = _table(spark, tiles, px)
+    # pick the covered cell with the largest accumulation as the gauge
+    _, oacc, _, _ = _oracle(tiles, px)
+    my, mx = np.unravel_index(np.argmax(oacc), oacc.shape)
+    want_basin = int(oacc[my, mx])
+    g_x, g_y = X0 * px + int(mx), Y0 * px + int(my)
+    pour = spark.createDataFrame([(g_x, g_y)], "gx long, gy long")
+    out = watersheds(df, zoom=Z, pour_points=pour, tile_px=px).collect()
+    # the pour cell's basin label and size
+    tdx, tdy = int(mx) // px, int(my) // px
+    idx = (int(my) % px) * px + (int(mx) % px)
+    pour_label = ((np.int64(X0 + tdx) << Z) | np.int64(Y0 + tdy)) * np.int64(px * px) + idx
+    got_basin = 0
+    for r in out:
+        labs = np.frombuffer(r["labels"], dtype="<i8")
+        got_basin += int((labs == pour_label).sum())
+    assert got_basin == want_basin  # catchment == upstream count incl. self
+
+
+def test_pour_point_cut_only_affects_downstream(spark):
+    px = 16
+    gy, gx = np.mgrid[0:px, 0:2 * px]
+    elev = (250 - 6 * gx).clip(5, 255).astype(np.uint8)  # strict east flow
+    tiles = {(0, 0): elev[:, :px], (1, 0): elev[:, px:]}
+    df = _table(spark, tiles, px)
+    # gauge in the middle of an interior row of the east tile
+    g_x, g_y = (X0 + 1) * px + 4, Y0 * px + 5
+    pour = spark.createDataFrame([(g_x, g_y)], "gx long, gy long")
+    out = {(r["x"], r["y"]): r for r in
+           watersheds(df, zoom=Z, pour_points=pour, tile_px=px).collect()}
+    east = np.frombuffer(out[(X0 + 1, Y0)]["labels"], dtype="<i8").reshape(px, px)
+    pour_label = ((np.int64(X0 + 1) << Z) | np.int64(Y0)) * np.int64(px * px) + 5 * px + 4
+    # row 5 cells west of the gauge (across both tiles) are its basin
+    west = np.frombuffer(out[(X0, Y0)]["labels"], dtype="<i8").reshape(px, px)
+    assert (west[5, 1:] == pour_label).all()
+    assert (east[5, :5] == pour_label).all()
+    # cells east of the gauge in the same row drain onward, not to it
+    assert (east[5, 5:] != pour_label).all()
+    # a different interior row is untouched by the cut
+    assert (east[7, :] != pour_label).all()

@@ -627,6 +627,8 @@ def watersheds(
     *,
     zoom: int,
     band="max",
+    pour_points: DataFrame | None = None,
+    tile_px: int = 256,
     max_rounds: int = 64,
     on_nonconverged: str = "raise",
 ) -> DataFrame:
@@ -644,7 +646,15 @@ def watersheds(
     halving the unresolved chain length. O(log D) rounds for flow
     paths D tiles long (vs the accumulation loop's O(D)); each round
     shuffles only perimeter-scale rows. D8 semantics, edge-drains rule
-    and the uniform-grid contract are identical to flow_direction."""
+    and the uniform-grid contract are identical to flow_direction.
+
+    ``pour_points`` (optional, the ArcGIS Watershed-tool shape): a
+    DataFrame of global-pixel ``gx``/``gy`` columns at this zoom
+    (tiles must be ``tile_px`` square when given). Each pour cell is
+    CUT into a pit before routing, so its basin is exactly its
+    upstream catchment (gauge catchment delineation); the cut only
+    changes that cell's own outflow, never upstream paths, so the
+    basin size equals flow_accumulation's value at the pour cell."""
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     if on_nonconverged not in ("raise", "return"):
@@ -654,6 +664,37 @@ def watersheds(
     z = int(zoom)
     src = images.filter(F.col("z") == z).select("z", "x", "y", "bytes", "w", "h", "fmt")
     parts = _emit_parts(src, band)
+    if pour_points is not None:
+        # pour cells ride the parts union as fmt='pour' rows with the
+        # flat cell index in the (otherwise unused) pw column — one
+        # groupBy delivers them to the right kernel group for free
+        n_world = (1 << z) * tile_px
+        tkey_expr = (
+            F.shiftleft(F.lit(z).cast("long"), 58)
+            .bitwiseOR(F.shiftleft(F.floor(F.col("gx") / tile_px).cast("long"), 29))
+            .bitwiseOR(F.floor(F.col("gy") / tile_px).cast("long"))
+        )
+        idx_expr = (
+            (F.col("gy") % tile_px).cast("int") * tile_px
+            + (F.col("gx") % tile_px).cast("int")
+        )
+        pours = (
+            pour_points.select(
+                F.col("gx").cast("long").alias("gx"), F.col("gy").cast("long").alias("gy")
+            )
+            .filter(
+                (F.col("gx") >= 0) & (F.col("gx") < n_world)
+                & (F.col("gy") >= 0) & (F.col("gy") < n_world)
+            )
+            .select(
+                tkey_expr.alias("tkey"), F.lit(2).alias("sx"), F.lit(2).alias("sy"),
+                F.lit(None).cast("binary").alias("payload"),
+                idx_expr.alias("pw"), F.lit(0).alias("ph"),
+                F.lit("pour").alias("fmt"),
+            )
+            .distinct()
+        )
+        parts = parts.unionByName(pours)
 
     def solve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         names = list(_WS_PART_SCHEMA.fieldNames())
@@ -669,7 +710,9 @@ def watersheds(
                 tk = int(t.tkey)
                 xs_, ys_, zs = unpack_cell_id(tk)
                 X, Y = int(xs_), int(ys_)
-                me, strips = _split_parts(t.parts)
+                pour_idx = [int(p["pw"]) for p in t.parts if p["fmt"] == "pour"]
+                grp = [p for p in t.parts if p["fmt"] != "pour"]
+                me, strips = _split_parts(grp)
                 if me is None:
                     continue
                 if me["fmt"] == "decode_error":
@@ -679,6 +722,11 @@ def watersheds(
                 canvas, ok_sides, dropped = _assemble_canvas(me, strips)
                 dirs = _d8_dirs(canvas)
                 h, w = dirs.shape
+                if pour_idx:
+                    cut = np.asarray(
+                        [i for i in pour_idx if 0 <= i < h * w], dtype=np.int64
+                    )
+                    dirs.ravel()[cut] = 0  # pour cells become pits
                 push(kind=1, tkey=tk, w=w, h=h, status="ok",
                      dirs=dirs.tobytes(), dropped=int(dropped))
                 nxt = _nxt_of(dirs)
