@@ -405,3 +405,125 @@ def test_pour_point_cut_only_affects_downstream(spark):
     assert (east[5, 5:] != pour_label).all()
     # a different interior row is untouched by the cut
     assert (east[7, :] != pour_label).all()
+
+
+# ------------------------------------------------------- stream network
+
+from tilegrab_spark.operators.hydrology import stream_network
+
+
+def _oracle_orders(tiles, px, min_acc):
+    """Sequential Strahler over the stitched mosaic's stream cells."""
+    ocode, oacc, covered, _ = _oracle(tiles, px)
+    H, W = ocode.shape
+    lutd = {k: (ddx, ddy) for (k, ddx, ddy, _) in _D8}
+    stream = covered & (oacc >= min_acc)
+    sm = stream.ravel()
+    cv = covered.ravel()
+    nxtg = np.full(H * W, -1, dtype=np.int64)
+    for i in range(H * W):
+        k = int(ocode.ravel()[i])
+        if k == 0 or not cv[i]:
+            continue
+        ddx, ddy = lutd[k]
+        yy, xx = divmod(i, W)
+        ty, tx = yy + ddy, xx + ddx
+        if 0 <= ty < H and 0 <= tx < W and cv[ty * W + tx]:
+            nxtg[i] = ty * W + tx
+    mx = np.zeros(H * W, dtype=np.int64)
+    cmx = np.zeros(H * W, dtype=np.int64)
+    indeg = np.zeros(H * W, dtype=np.int64)
+    for i in np.flatnonzero(sm):
+        j = nxtg[i]
+        if j >= 0 and sm[j]:
+            indeg[j] += 1
+    orders = np.zeros(H * W, dtype=np.int32)
+    ready = [int(i) for i in np.flatnonzero(sm) if indeg[i] == 0]
+    while ready:
+        nr = []
+        for u in ready:
+            o = int(mx[u]) if cmx[u] == 1 else (int(mx[u]) + 1 if cmx[u] >= 2 else 1)
+            orders[u] = o
+            v = int(nxtg[u])
+            if v >= 0 and sm[v]:
+                if o > mx[v]:
+                    mx[v], cmx[v] = o, 1
+                elif o == mx[v]:
+                    cmx[v] += 1
+                indeg[v] -= 1
+                if indeg[v] == 0:
+                    nr.append(v)
+        ready = nr
+    return orders.reshape(H, W)
+
+
+def _check_orders(spark, tiles, px, min_acc):
+    df = _table(spark, tiles, px)
+    want = _oracle_orders(tiles, px, min_acc)
+    dxs = [d for d, _ in tiles]
+    dys = [d for _, d in tiles]
+    ox, oy = min(dxs), min(dys)
+    dirs_df = flow_direction(df, zoom=Z)
+    acc_df = flow_accumulation(df, zoom=Z)
+    out = {
+        (r["x"], r["y"]): r
+        for r in stream_network(dirs_df, acc_df, min_acc=min_acc).collect()
+    }
+    for (dx, dy) in tiles:
+        r = out[(X0 + dx, Y0 + dy)]
+        assert r["status"] == "ok"
+        got = np.frombuffer(r["orders"], dtype="<i4").reshape(px, px)
+        ys, xs = (dy - oy) * px, (dx - ox) * px
+        np.testing.assert_array_equal(got, want[ys:ys + px, xs:xs + px])
+        assert r["n_stream_px"] == int((got > 0).sum())
+        assert r["max_order"] == int(got.max())
+    return out
+
+
+def test_stream_orders_random_terrain(spark):
+    px, n = 16, 3
+    rng = np.random.default_rng(21)
+    full = rng.integers(0, 256, size=(n * px, n * px), dtype=np.uint8)
+    tiles = {
+        (dx, dy): full[dy * px:(dy + 1) * px, dx * px:(dx + 1) * px]
+        for dx in range(n) for dy in range(n)
+    }
+    out = _check_orders(spark, tiles, px, min_acc=3)
+    assert max(r["max_order"] for r in out.values()) >= 2  # confluences exist
+
+
+def test_stream_orders_every_cell_min_acc_one(spark):
+    px, n = 16, 2
+    gy, gx = np.mgrid[0:px, 0:n * px]
+    elev = (200 - 3 * gx + (11 * np.abs(np.sin(gy / 5.0))).astype(int)).clip(0, 255)
+    tiles = {(dx, 0): elev[:, dx * px:(dx + 1) * px].astype(np.uint8)
+             for dx in range(n)}
+    _check_orders(spark, tiles, px, min_acc=1)
+
+
+def test_stream_orders_cross_tile_confluence(spark):
+    px = 16
+    # two parallel valleys converging into one channel in the east tile:
+    # carve a V in an eastward ramp
+    gy, gx = np.mgrid[0:px, 0:2 * px]
+    base = (240 - 4 * gx).clip(20, 255).astype(np.int64)
+    dist_to_v = np.minimum(np.abs(gy - (4 + gx // 4)), np.abs(gy - (12 - gx // 4)))
+    elev = np.clip(base + 6 * dist_to_v, 0, 255).astype(np.uint8)
+    tiles = {(0, 0): elev[:, :px], (1, 0): elev[:, px:]}
+    out = _check_orders(spark, tiles, px, min_acc=4)
+    # downstream of the confluence the order strictly exceeds upstream
+    east = np.frombuffer(out[(X0 + 1, Y0)]["orders"], dtype="<i4").reshape(px, px)
+    west = np.frombuffer(out[(X0, Y0)]["orders"], dtype="<i4").reshape(px, px)
+    assert east.max() > west.max() or east.max() >= 2
+
+
+def test_stream_orders_validation(spark):
+    px = 8
+    g = np.ones((px, px), dtype=np.uint8)
+    df = _table(spark, {(0, 0): g}, px)
+    d_ = flow_direction(df, zoom=Z)
+    a_ = flow_accumulation(df, zoom=Z)
+    with pytest.raises(ValueError, match="min_acc"):
+        stream_network(d_, a_, min_acc=0)
+    with pytest.raises(ValueError, match="max_rounds"):
+        stream_network(d_, a_, min_acc=1, max_rounds=0)

@@ -51,6 +51,7 @@ from tilegrab_spark.operators.costdistance import cost_distance
 from tilegrab_spark.operators.hydrology import (
     flow_accumulation,
     flow_direction,
+    stream_network,
     watersheds,
 )
 from tilegrab_spark.operators.ngram_lm import perplexity_score, train_bigram_lm
@@ -463,6 +464,7 @@ __all__ = [
     "cost_distance",
     "flow_accumulation",
     "flow_direction",
+    "stream_network",
     "watersheds",
     "majority_filter",
     "window_mode",

@@ -64,7 +64,13 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from tilegrab_spark.kernels.geo import pack_cell_id, unpack_cell_id
 from tilegrab_spark.operators.multimodal import decode_payload
 
-__all__ = ["flow_direction", "flow_accumulation", "watersheds", "OFFMAP_LABEL"]
+__all__ = [
+    "flow_direction",
+    "flow_accumulation",
+    "watersheds",
+    "stream_network",
+    "OFFMAP_LABEL",
+]
 
 # ESRI D8: (code, dx, dy, distance). Order IS the tie-break.
 _D8 = (
@@ -884,3 +890,321 @@ def watersheds(
             )
 
     return final_in.mapInPandas(finish, schema=_WS_SCHEMA)
+
+
+_SO_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tkey", T.LongType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("dirs", T.BinaryType(), True),
+        T.StructField("stream", T.BinaryType(), True),  # w*h uint8 mask
+    ]
+)
+
+# round output: kind 1 = improved best row, kind 2 = outbound offer
+_SO_ROUND_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.ByteType(), False),
+        T.StructField("tkey", T.LongType(), False),
+        T.StructField("entry", T.IntegerType(), False),
+        T.StructField("src_id", T.LongType(), False),
+        T.StructField("order", T.IntegerType(), False),
+    ]
+)
+
+_SO_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType(), False),
+        T.StructField("z", T.IntegerType(), False),
+        T.StructField("x", T.LongType(), False),
+        T.StructField("y", T.LongType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("orders", T.BinaryType(), True),  # w*h int32 LE, 0 = not stream
+        T.StructField("n_stream_px", T.LongType(), True),
+        T.StructField("max_order", T.IntegerType(), True),
+    ]
+)
+
+
+def _strahler_tile(dirs: np.ndarray, stream: np.ndarray, inflows) -> np.ndarray:
+    """Strahler orders over THIS tile's stream-restricted flow DAG.
+    ``inflows``: list of (entry_idx, order) tributary edges injected
+    across the border (multiset — each is one tributary). Kahn over
+    stream cells; combine rule at every cell: max of tributary orders,
+    +1 when >= 2 tributaries tie at that max, 1 for a spring (no
+    tributaries). Returns int32 orders (0 = not stream)."""
+    h, w = dirs.shape
+    n = h * w
+    nxt = _nxt_of(dirs)
+    sm = stream.ravel().astype(bool)
+    orders = np.zeros(n, dtype=np.int32)
+    mx = np.zeros(n, dtype=np.int32)     # max tributary order seen
+    cmx = np.zeros(n, dtype=np.int32)    # tributaries at that max
+    for e, o in inflows:
+        if 0 <= e < n and sm[e]:
+            if o > mx[e]:
+                mx[e], cmx[e] = o, 1
+            elif o == mx[e] and o > 0:
+                cmx[e] += 1
+    su = np.flatnonzero(sm)
+    flows = su[(nxt[su] >= 0)]
+    flows = flows[sm[nxt[flows]]]  # in-stream edges u -> nxt[u]
+    indeg = np.zeros(n, dtype=np.int64)
+    np.add.at(indeg, nxt[flows], 1)
+    ready = [int(u) for u in su if indeg[u] == 0]
+    done = 0
+    while ready:
+        nxt_ready = []
+        for u in ready:
+            done += 1
+            o = int(mx[u]) if cmx[u] == 1 else (
+                int(mx[u]) + 1 if cmx[u] >= 2 else 1
+            )
+            orders[u] = o
+            v = int(nxt[u])
+            if v >= 0 and sm[v]:
+                if o > mx[v]:
+                    mx[v], cmx[v] = o, 1
+                elif o == mx[v]:
+                    cmx[v] += 1
+                indeg[v] -= 1
+                if indeg[v] == 0:
+                    nxt_ready.append(v)
+        ready = nxt_ready
+    if done != int(sm.sum()):
+        raise ValueError("cycle in stream DAG: corrupt direction raster")
+    return orders
+
+
+def stream_network(
+    dirs_df: DataFrame,
+    acc_df: DataFrame,
+    *,
+    min_acc: int,
+    max_rounds: int = 64,
+    on_nonconverged: str = "raise",
+) -> DataFrame:
+    """Strahler stream orders over the global flow network: cells with
+    ``flow_accumulation >= min_acc`` form the stream raster; every
+    stream pixel gets its Strahler order (springs 1, equal-order
+    confluences increment): ``[key, z, x, y, w, h, status, orders,
+    n_stream_px, max_order]`` with ``orders`` the w*h little-endian
+    int32 array (0 = not a stream cell).
+
+    Composes the other two hydrology outputs Spark-first:
+    ``dirs_df`` = flow_direction(...), ``acc_df`` =
+    flow_accumulation(...) — both tile-keyed, so the input join is one
+    co-keyed exchange and the stream mask derives map-side. Because
+    accumulation is monotone along flow, a border entry fed by an
+    upstream stream cell is itself a stream cell, so cross-tile
+    tributaries inject cleanly at entries. Orders only grow and are
+    bounded by log2(stream cells), so the offer loop (same
+    perimeter-scale round shape as flow_accumulation, max-combine
+    instead of sum) terminates; per (entry, source-exit) tributary
+    identity is keyed by the exit cell's global id so multiplicity —
+    which the Strahler tie rule needs — is preserved exactly."""
+    if min_acc < 1:
+        raise ValueError(f"min_acc must be >= 1, got {min_acc}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    if on_nonconverged not in ("raise", "return"):
+        raise ValueError(
+            f"on_nonconverged must be 'raise' or 'return', got {on_nonconverged!r}"
+        )
+
+    d = dirs_df.select(
+        "key", "z", "x", "y", "w", "h",
+        F.col("status").alias("d_status"), "dirs",
+    )
+    a = acc_df.select(F.col("key").alias("a_key"), F.col("status").alias("a_status"), "acc")
+    joined = d.join(a, on=F.col("key") == F.col("a_key"), how="left")
+
+    thr = int(min_acc)
+
+    def mk_state(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = list(_SO_STATE_SCHEMA.fieldNames())
+        for pdf in batches:
+            recs = []
+            for t in pdf.itertuples(index=False):
+                tk = int(t.key)
+                if t.d_status != "ok" or t.a_status != "ok" or t.acc is None:
+                    recs.append({"tkey": tk, "w": t.w, "h": t.h,
+                                 "status": str(t.d_status), "dirs": None,
+                                 "stream": None})
+                    continue
+                w, h = int(t.w), int(t.h)
+                acc = np.frombuffer(t.acc, dtype="<i8")
+                stream = (acc >= thr).astype(np.uint8)
+                recs.append({"tkey": tk, "w": w, "h": h, "status": "ok",
+                             "dirs": t.dirs, "stream": stream.tobytes()})
+            yield pd.DataFrame(
+                {n: pd.Series([r[n] for r in recs], dtype=object) for n in names}
+            )
+
+    state = joined.mapInPandas(mk_state, schema=_SO_STATE_SCHEMA).localCheckpoint()
+    ok_state = state.filter(F.col("status") == "ok")
+
+    def make_round(best_df: DataFrame | None, pending_df: DataFrame | None) -> DataFrame:
+        """One compute pass: tiles with pending offers (or, on the
+        first round when pending is None, ALL stream tiles) re-run the
+        local Strahler from their accumulated tributary table and emit
+        improved best rows + outbound offers."""
+        if pending_df is None:
+            work = ok_state
+        else:
+            tiles_ = pending_df.select("tkey").distinct()
+            work = ok_state.join(tiles_, on="tkey", how="leftsemi")
+        if best_df is not None:
+            bst = best_df.groupBy("tkey").agg(
+                F.collect_list(F.struct("entry", "src_id", "order")).alias("best")
+            )
+            work = work.join(bst, on="tkey", how="left")
+        else:
+            work = work.withColumn(
+                "best",
+                F.lit(None).cast("array<struct<entry:int,src_id:long,order:int>>"),
+            )
+        pend = None
+        if pending_df is not None:
+            pend = pending_df.groupBy("tkey").agg(
+                F.collect_list(F.struct("entry", "src_id", "order")).alias("cands")
+            )
+            work = work.join(pend, on="tkey")
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            names = list(_SO_ROUND_SCHEMA.fieldNames())
+            for pdf in batches:
+                recs = []
+                for t in pdf.itertuples(index=False):
+                    tk = int(t.tkey)
+                    xs_, ys_, zs = unpack_cell_id(tk)
+                    X, Y = int(xs_), int(ys_)
+                    w, h = int(t.w), int(t.h)
+                    known = {}
+                    bl = getattr(t, "best", None)
+                    if not isinstance(bl, float) and bl is not None:
+                        for p in bl:
+                            known[(int(p["entry"]), int(p["src_id"]))] = int(p["order"])
+                    improved = {}
+                    cl = getattr(t, "cands", None)
+                    if not isinstance(cl, float) and cl is not None:
+                        for p in cl:
+                            key_ = (int(p["entry"]), int(p["src_id"]))
+                            o = int(p["order"])
+                            cur = max(known.get(key_, 0), improved.get(key_, 0))
+                            if o > cur:
+                                improved[key_] = o
+                        if not improved:
+                            continue
+                    merged = dict(known)
+                    merged.update(improved)
+                    for (e, s), o in improved.items():
+                        recs.append({"kind": 1, "tkey": tk, "entry": e,
+                                     "src_id": s, "order": o})
+                    dirs = np.frombuffer(t.dirs, dtype=np.uint8).reshape(h, w)
+                    stream = np.frombuffer(t.stream, dtype=np.uint8).reshape(h, w)
+                    inflows = [(e, o) for (e, _s), o in merged.items()]
+                    orders = _strahler_tile(dirs, stream, inflows)
+                    # outbound: every stream exit cell offers its order
+                    nxt = _nxt_of(dirs)
+                    sm = stream.ravel().astype(bool)
+                    dd = dirs.ravel()
+                    ex_all = np.flatnonzero((nxt < 0) & (dd != 0) & sm)
+                    if ex_all.size:
+                        eyy, exx = np.divmod(ex_all, w)
+                        dxv, dyv = _LUT_DX[dd[ex_all]], _LUT_DY[dd[ex_all]]
+                        txg, tyg = exx + dxv, eyy + dyv
+                        oxv = np.where(txg < 0, -1, np.where(txg >= w, 1, 0))
+                        oyv = np.where(tyg < 0, -1, np.where(tyg >= h, 1, 0))
+                        nw = 1 << int(zs)
+                        NXv, NYv = X + oxv, Y + oyv
+                        okm = (NXv >= 0) & (NXv < nw) & (NYv >= 0) & (NYv < nw)
+                        for i in range(ex_all.size):
+                            if not okm[i]:
+                                continue
+                            e_ = int(ex_all[i])
+                            dk = (int(zs) << 58) | (int(NXv[i]) << 29) | int(NYv[i])
+                            de = int((tyg[i] - oyv[i] * h) * w + (txg[i] - oxv[i] * w))
+                            src = int(_pit_label(int(zs), X, Y, w, h, e_))
+                            recs.append({"kind": 2, "tkey": dk, "entry": de,
+                                         "src_id": src, "order": int(orders[e_])})
+                yield pd.DataFrame(
+                    {n: pd.Series([r[n] for r in recs], dtype=object) for n in names}
+                )
+
+        return work.mapInPandas(run, schema=_SO_ROUND_SCHEMA)
+
+    best = None
+    pending = None
+    converged = False
+    for rnd in range(max_rounds):
+        out = make_round(best, pending).localCheckpoint()
+        new_best = out.filter(F.col("kind") == 1).select("tkey", "entry", "src_id", "order")
+        if rnd > 0 and new_best.isEmpty() and pending is not None:
+            # the pass consumed pending offers without any improvement
+            converged = True
+            break
+        base = best if best is not None else new_best.limit(0)
+        best = (
+            base.unionByName(new_best)
+            .groupBy("tkey", "entry", "src_id")
+            .agg(F.max("order").alias("order"))
+            .localCheckpoint()
+        )
+        pending = out.filter(F.col("kind") == 2).select("tkey", "entry", "src_id", "order").localCheckpoint()
+        if pending.isEmpty():
+            converged = True
+            break
+    if not converged and on_nonconverged == "raise":
+        raise RuntimeError(
+            f"stream_network did not converge in {max_rounds} rounds; "
+            "raise max_rounds or pass on_nonconverged='return'"
+        )
+
+    final_best = (
+        best.groupBy("tkey").agg(
+            F.collect_list(F.struct("entry", "src_id", "order")).alias("best")
+        )
+        if best is not None
+        else None
+    )
+    seeded = state if final_best is None else state.join(final_best, on="tkey", how="left")
+
+    def finish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = list(_SO_SCHEMA.fieldNames())
+        for pdf in batches:
+            recs = []
+            for t in pdf.itertuples(index=False):
+                tk = int(t.tkey)
+                xs_, ys_, zs = unpack_cell_id(tk)
+                rec = {
+                    "key": tk, "z": int(zs), "x": int(xs_), "y": int(ys_),
+                    "w": int(t.w) if t.w is not None else None,
+                    "h": int(t.h) if t.h is not None else None,
+                    "status": t.status, "orders": None,
+                    "n_stream_px": None, "max_order": None,
+                }
+                if t.status == "ok":
+                    w, h = int(t.w), int(t.h)
+                    dirs = np.frombuffer(t.dirs, dtype=np.uint8).reshape(h, w)
+                    stream = np.frombuffer(t.stream, dtype=np.uint8).reshape(h, w)
+                    bl = getattr(t, "best", None)
+                    inflows = []
+                    if not isinstance(bl, float) and bl is not None:
+                        inflows = [(int(p["entry"]), int(p["order"])) for p in bl]
+                    orders = _strahler_tile(dirs, stream, inflows)
+                    rec.update(
+                        orders=orders.astype("<i4").tobytes(),
+                        n_stream_px=int((orders > 0).sum()),
+                        max_order=int(orders.max()) if orders.size else 0,
+                    )
+                recs.append(rec)
+            yield pd.DataFrame(
+                {n: pd.Series([r[n] for r in recs], dtype=object) for n in names}
+            )
+
+    return seeded.mapInPandas(finish, schema=_SO_SCHEMA)
