@@ -184,6 +184,8 @@ from tilegrab_spark.operators.spatialstats import (
     spatial_lag,
 )
 from tilegrab_spark.operators.packing import (
+    aspect_bucket_batches,
+    grouped_rank,
     pack_sequences,
     pack_shards,
     sequence_manifest,
@@ -331,6 +333,8 @@ __all__ = [
     "mixture_rates",
     "sample_mixture",
     "pack_shards",
+    "grouped_rank",
+    "aspect_bucket_batches",
     "shard_manifest",
     "pack_sequences",
     "sequence_manifest",

@@ -46,6 +46,8 @@ __all__ = [
     "shard_manifest",
     "range_bucket_boundaries",
     "pack_sequences",
+    "grouped_rank",
+    "aspect_bucket_batches",
     "sequence_manifest",
 ]
 
@@ -308,3 +310,118 @@ def sequence_manifest(packed: DataFrame, *, token_col: str, context_len: int) ->
         ).alias("waste_tokens"),
         F.max("oversize").alias("oversize"),
     )
+
+
+def grouped_rank(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    *,
+    rank_col: str = "rank",
+    n_buckets: Optional[int] = None,
+    boundaries: Optional[Sequence] = None,
+) -> DataFrame:
+    """1-based rank of each row WITHIN its key group, ordered by the
+    (unique) ``order_col`` — without the per-key single-task Window
+    that sinks ``row_number() OVER (PARTITION BY key)`` at scale when
+    keys are few and fat (40 aspect buckets x 10^12 rows = 40 tasks).
+
+    Same two-level scan as :func:`pack_shards`, generalized per key:
+    range-chunk the order key with driver-derived boundaries (chunk id
+    is a pure expression, deterministic across runs/AQE), count rows
+    per (chunk, key) — a tiny frame — prefix-sum those counts per key
+    with a window over that tiny frame, and add the within-chunk rank
+    (a Window partitioned by (chunk, key): parallelism = chunks x
+    keys, each task bounded by chunk size). Output = input columns +
+    ``rank_col``."""
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty; use a constant key for global rank")
+    if boundaries is None:
+        if n_buckets is None:
+            n_buckets = max(
+                int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")), 1
+            )
+        boundaries = range_bucket_boundaries(df, order_col, n_buckets)
+    local = df.withColumn("_rb", _bucket_expr(order_col, boundaries))
+    counts = local.groupBy("_rb", *keys).agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_rb", *keys, F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_koff")
+    )
+    w_loc = Window.partitionBy("_rb", *keys).orderBy(order_col)
+    ranked = (
+        local.join(F.broadcast(offsets), on=["_rb", *keys])
+        .withColumn(rank_col, (F.col("_koff") + F.row_number().over(w_loc)).cast("long"))
+        .drop("_rb", "_koff")
+    )
+    return ranked
+
+
+def aspect_bucket_batches(
+    df: DataFrame,
+    buckets: Sequence[tuple],
+    *,
+    batch_size: int,
+    order_col: str,
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Aspect-ratio bucketing + deterministic batch assembly — the
+    image-training sibling of :func:`pack_sequences` (the SDXL-style
+    bucketing recipe: group images by nearest aspect bucket so a batch
+    resizes to one shape with minimal distortion, then cut each bucket
+    into fixed-size batches in a stable order).
+
+    ``buckets``: [(bw, bh), ...]. Assignment = argmin over
+    ``|ln(w/h) - ln(bw/bh)|``, ties to the earliest bucket — computed
+    as a pure Catalyst ``array_min`` over a literal struct array (no
+    join, no UDF, whole-stage codegen). Batching = ``grouped_rank``
+    per bucket (scale note there) and ``batch_id = (rank-1) DIV
+    batch_size``; ``batch_full`` marks complete batches (the ragged
+    tail per bucket is kept and flagged, a trainer can drop or pad).
+    Output = input + [bucket_id, bucket_w, bucket_h, rank, batch_id,
+    batch_full]. ``order_col`` must be unique (pack_shards contract) —
+    output is byte-identical across runs and partitionings."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    bl = [(int(bw), int(bh)) for bw, bh in buckets]
+    if not bl or any(bw <= 0 or bh <= 0 for bw, bh in bl):
+        raise ValueError(f"buckets must be non-empty positive (w, h) pairs, got {buckets!r}")
+    import math as _math
+
+    la = F.log(F.col(w_col).cast("double") / F.col(h_col).cast("double"))
+    cand = F.array(
+        *[
+            F.struct(
+                F.abs(la - F.lit(_math.log(bw / bh))).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, (bw, bh) in enumerate(bl)
+        ]
+    )
+    best = F.array_min(cand)
+    assigned = df.withColumn("bucket_id", best["i"])
+    bw_arr = F.array(*[F.lit(bw) for bw, _ in bl])
+    bh_arr = F.array(*[F.lit(bh) for _, bh in bl])
+    assigned = assigned.withColumn(
+        "bucket_w", F.element_at(bw_arr, F.col("bucket_id") + 1)
+    ).withColumn("bucket_h", F.element_at(bh_arr, F.col("bucket_id") + 1))
+    ranked = grouped_rank(assigned, ["bucket_id"], order_col, rank_col="rank")
+    totals = ranked.groupBy("bucket_id").agg(F.count(F.lit(1)).alias("_btot"))
+    out = (
+        ranked.join(F.broadcast(totals), on="bucket_id")
+        .withColumn(
+            "batch_id", ((F.col("rank") - 1) / batch_size).cast("long")
+        )
+        .withColumn(
+            "batch_full",
+            F.col("batch_id") < F.floor(F.col("_btot") / batch_size),
+        )
+        .drop("_btot")
+    )
+    return out
