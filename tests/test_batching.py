@@ -109,3 +109,30 @@ def test_aspect_batches_validation(spark):
         aspect_bucket_batches(df, [], batch_size=4, order_col="image_id")
     with pytest.raises(ValueError, match="buckets"):
         aspect_bucket_batches(df, [(0, 5)], batch_size=4, order_col="image_id")
+
+
+def test_append_stability_with_monotone_keys(spark):
+    """New images whose order keys sort after the existing corpus must
+    not move any existing row's rank or batch — the property that lets
+    a daily append job extend batches without re-shipping old ones.
+    Holds when boundaries are pinned (the pack_shards reuse contract)."""
+    df_a, pdf_a = _meta(spark, n=200, seed=1)
+    cuts = [f"img{i:05d}" for i in range(25, 200, 40)]
+    # freeze chunking by pinning boundaries (the pack_shards reuse path)
+    from tilegrab_spark.operators.packing import grouped_rank as gr
+
+    ra = gr(df_a, ["lang"], "image_id", boundaries=cuts).toPandas()
+    rng = np.random.default_rng(2)
+    pdf_b = pd.DataFrame(
+        {
+            "image_id": [f"img{i:05d}" for i in range(200, 260)],  # sort after
+            "w": rng.integers(320, 2048, 60),
+            "h": rng.integers(320, 2048, 60),
+            "lang": rng.choice(["en", "de", "fr"], 60),
+        }
+    )
+    df_ab = spark.createDataFrame(pd.concat([pdf_a, pdf_b], ignore_index=True))
+    rab = gr(df_ab, ["lang"], "image_id", boundaries=cuts).toPandas()
+    m = ra.merge(rab, on="image_id", suffixes=("_old", "_new"))
+    assert len(m) == 200
+    assert (m["rank_old"] == m["rank_new"]).all()
