@@ -34,9 +34,11 @@ def _sources_df(spark, pts):
     return spark.createDataFrame([(int(gx), int(gy)) for gx, gy in pts], "gx long, gy long")
 
 
-def _oracle(tiles, px, pts):
-    """Sequential Dijkstra over the stitched mosaic; uncovered cells
-    block movement. ``pts`` are mosaic-local (mx, my)."""
+def _oracle(tiles, px, pts, sids=None):
+    """Sequential lexicographic (dist, sid) Dijkstra over the stitched
+    mosaic; uncovered cells block movement. ``pts`` are mosaic-local
+    (mx, my); ``sids`` default to the operator's global-pixel-id rule
+    computed at world scale (passed in by the caller when asserted)."""
     dxs = [d for d, _ in tiles]
     dys = [d for _, d in tiles]
     ox, oy = min(dxs), min(dys)
@@ -51,15 +53,20 @@ def _oracle(tiles, px, pts):
     c = cost.ravel()
     cov = covered.ravel()
     dist = np.full(H * W, np.inf)
+    lab = np.full(H * W, np.int64(-1))
+    if sids is None:
+        n_world = (1 << Z) * px
+        gx0, gy0 = (X0 + ox) * px, (Y0 + oy) * px
+        sids = [(gy0 + my) * n_world + (gx0 + mx) for mx, my in pts]
     pq = []
-    for mx, my in pts:
+    for (mx, my), s0 in zip(pts, sids):
         i = my * W + mx
-        if cov[i] and dist[i] > 0.0:
-            dist[i] = 0.0
-            heapq.heappush(pq, (0.0, i))
+        if cov[i] and (dist[i], lab[i] if lab[i] >= 0 else np.inf) > (0.0, s0):
+            dist[i], lab[i] = 0.0, s0
+            heapq.heappush(pq, (0.0, int(s0), i))
     while pq:
-        d, i = heapq.heappop(pq)
-        if d > dist[i]:
+        d, s0, i = heapq.heappop(pq)
+        if d > dist[i] or (d == dist[i] and s0 > lab[i]):
             continue
         y, x = divmod(i, W)
         for dx, dy, step in _MOVES:
@@ -69,10 +76,10 @@ def _oracle(tiles, px, pts):
                 if not cov[j]:
                     continue
                 nd = d + step * (c[i] + c[j]) / 2.0
-                if nd < dist[j]:
-                    dist[j] = nd
-                    heapq.heappush(pq, (nd, j))
-    return dist.reshape(H, W), (ox, oy)
+                if nd < dist[j] or (nd == dist[j] and s0 < lab[j]):
+                    dist[j], lab[j] = nd, s0
+                    heapq.heappush(pq, (nd, s0, j))
+    return dist.reshape(H, W), lab.reshape(H, W), (ox, oy)
 
 
 def _check(spark, tiles, px, pts_mosaic, **kw):
@@ -84,7 +91,7 @@ def _check(spark, tiles, px, pts_mosaic, **kw):
     gy0 = (Y0 + oy) * px
     pts_global = [(gx0 + mx, gy0 + my) for mx, my in pts_mosaic]
     df = _table(spark, tiles, px)
-    want, _ = _oracle(tiles, px, pts_mosaic)
+    want, want_lab, _ = _oracle(tiles, px, pts_mosaic)
     out = {
         (r["x"], r["y"]): r
         for r in cost_distance(
@@ -97,6 +104,8 @@ def _check(spark, tiles, px, pts_mosaic, **kw):
         got = np.frombuffer(r["dist"], dtype="<f8").reshape(px, px)
         ys, xs = (dy - oy) * px, (dx - ox) * px
         np.testing.assert_array_equal(got, want[ys:ys + px, xs:xs + px])
+        got_lab = np.frombuffer(r["alloc"], dtype="<i8").reshape(px, px)
+        np.testing.assert_array_equal(got_lab, want_lab[ys:ys + px, xs:xs + px])
         fin = np.isfinite(got)
         assert r["reached_px"] == int(fin.sum())
         if fin.any():
@@ -194,7 +203,7 @@ def test_nonconverged_partial_is_upper_bound(spark):
             df, srcs, zoom=Z, tile_px=px, max_rounds=1, on_nonconverged="return"
         ).collect()
     }
-    want, _ = _oracle(tiles, px, [(0, 0)])
+    want, _, _ = _oracle(tiles, px, [(0, 0)])
     full = {
         r["x"]: r
         for r in cost_distance(df, srcs, zoom=Z, tile_px=px).collect()
@@ -218,3 +227,44 @@ def test_decode_error_surfaces(spark):
     out = {r["x"]: r for r in cost_distance(df, srcs, zoom=Z, tile_px=px).collect()}
     assert out[X0]["status"] == "ok"
     assert out[X0 + 1]["status"] == "decode_error"
+
+
+def test_allocation_voronoi_uniform_friction(spark):
+    """Uniform friction, two sources -> allocation is the octile-metric
+    Voronoi split, ties to the smaller sid (explicit sid column)."""
+    px, n = 16, 2
+    tiles = {(dx, 0): np.full((px, px), 4, dtype=np.uint8) for dx in range(n)}
+    df = _table(spark, tiles, px)
+    gx0, gy0 = X0 * px, Y0 * px
+    srcs = spark.createDataFrame(
+        [(gx0 + 2, gy0 + 8, 7), (gx0 + 29, gy0 + 8, 3)], "gx long, gy long, sid long"
+    )
+    out = {r["x"]: r for r in cost_distance(df, srcs, zoom=Z, tile_px=px).collect()}
+    want_d, want_l, _ = _oracle(tiles, px, [(2, 8), (29, 8)], sids=[7, 3])
+    for dx in range(n):
+        r = out[X0 + dx]
+        got_l = np.frombuffer(r["alloc"], dtype="<i8").reshape(px, px)
+        np.testing.assert_array_equal(got_l, want_l[:, dx * px:(dx + 1) * px])
+    # both sources own territory; the west source owns its own cell
+    west = np.frombuffer(out[X0]["alloc"], dtype="<i8").reshape(px, px)
+    east = np.frombuffer(out[X0 + 1]["alloc"], dtype="<i8").reshape(px, px)
+    assert west[8, 2] == 7 and east[8, 13] == 3
+    assert {7, 3} <= set(west.ravel()) | set(east.ravel())
+
+
+def test_allocation_tie_breaks_to_smaller_sid(spark):
+    px = 9
+    tiles = {(0, 0): np.full((px, px), 10, dtype=np.uint8)}
+    df = _table(spark, tiles, px)
+    gx0, gy0 = X0 * px, Y0 * px
+    # symmetric sources around the center column -> center ties
+    srcs = spark.createDataFrame(
+        [(gx0 + 1, gy0 + 4, 99), (gx0 + 7, gy0 + 4, 5)], "gx long, gy long, sid long"
+    )
+    out = cost_distance(df, srcs, zoom=Z, tile_px=px).collect()[0]
+    lab = np.frombuffer(out["alloc"], dtype="<i8").reshape(px, px)
+    dist = np.frombuffer(out["dist"], dtype="<f8").reshape(px, px)
+    mid = px // 2
+    # the middle column is equidistant -> smaller sid (5) wins there
+    assert (np.isclose(dist[:, mid - 1], dist[:, mid + 1])).all()
+    assert (lab[:, mid] == 5).all()

@@ -27,7 +27,11 @@ pointer doubling):
    bounded value over a finite path set); rounds ~ the cost
    landscape's tile diameter.
 3. **final assembly** — one Dijkstra per tile seeded by its converged
-   best-entry set emits the full float64 distance raster.
+   best-entry set emits the full float64 distance raster plus the
+   ALLOCATION raster (which source won each pixel — GDAL's
+   cost-allocation output): source labels ride the same machinery as
+   a lexicographic (dist, label) min-plus semiring, so equal-cost ties
+   break to the smaller label deterministically everywhere.
 
 Float results are EXACTLY the sequential oracle's: a path's cost is
 accumulated left-to-right along the path in both implementations, so
@@ -90,6 +94,7 @@ _PEND_SCHEMA = T.StructType(
         T.StructField("src_dist", T.DoubleType(), False),
         T.StructField("src_cost", T.DoubleType(), True),
         T.StructField("step", T.DoubleType(), True),
+        T.StructField("sid", T.LongType(), False),
     ]
 )
 
@@ -102,6 +107,7 @@ _ROUND_SCHEMA = T.StructType(
         T.StructField("src_dist", T.DoubleType(), False),
         T.StructField("src_cost", T.DoubleType(), True),
         T.StructField("step", T.DoubleType(), True),
+        T.StructField("sid", T.LongType(), False),
     ]
 )
 
@@ -115,27 +121,33 @@ _OUT_SCHEMA = T.StructType(
         T.StructField("h", T.IntegerType(), True),
         T.StructField("status", T.StringType(), False),
         T.StructField("dist", T.BinaryType(), True),  # w*h float64 LE, inf = unreachable
+        T.StructField("alloc", T.BinaryType(), True),  # w*h int64 LE, -1 = unreachable
         T.StructField("min_dist", T.DoubleType(), True),
         T.StructField("reached_px", T.LongType(), True),
     ]
 )
 
 
-def _dijkstra(cost: np.ndarray, seeds: dict) -> np.ndarray:
+def _dijkstra(cost: np.ndarray, seeds: dict):
     """Exact single-tile Dijkstra over the 8-connected grid with step
-    cost ``len * (c(a)+c(b))/2``; ``seeds`` maps flat idx -> start
-    dist. Pure sequential core, O(n log n) in tile pixels."""
+    cost ``len * (c(a)+c(b))/2``; ``seeds`` maps flat idx ->
+    (start dist, source label). The semiring is lexicographic
+    (dist, label) min-plus: equal-cost ties resolve to the SMALLER
+    label, deterministically matching the sequential oracle. Returns
+    (dist float64, label int64 with -1 = unreachable). Pure sequential
+    core, O(n log n) in tile pixels."""
     h, w = cost.shape
     c = cost.ravel().astype(np.float64)
     dist = np.full(h * w, np.inf)
+    lab = np.full(h * w, np.int64(-1))
     pq = []
-    for i, d0 in seeds.items():
-        if d0 < dist[i]:
-            dist[i] = d0
-            heapq.heappush(pq, (d0, i))
+    for i, (d0, s0) in seeds.items():
+        if (d0, s0) < (dist[i], lab[i] if lab[i] >= 0 else np.inf):
+            dist[i], lab[i] = d0, s0
+            heapq.heappush(pq, (d0, s0, i))
     while pq:
-        d, i = heapq.heappop(pq)
-        if d > dist[i]:
+        d, s0, i = heapq.heappop(pq)
+        if d > dist[i] or (d == dist[i] and s0 > lab[i]):
             continue
         y, x = divmod(i, w)
         for dx, dy, step in _MOVES:
@@ -143,25 +155,27 @@ def _dijkstra(cost: np.ndarray, seeds: dict) -> np.ndarray:
             if 0 <= nx_ < w and 0 <= ny_ < h:
                 j = ny_ * w + nx_
                 nd = d + step * (c[i] + c[j]) / 2.0
-                if nd < dist[j]:
-                    dist[j] = nd
-                    heapq.heappush(pq, (nd, j))
-    return dist
+                if nd < dist[j] or (nd == dist[j] and s0 < lab[j]):
+                    dist[j], lab[j] = nd, s0
+                    heapq.heappush(pq, (nd, s0, j))
+    return dist, lab
 
 
-def _border_offers(z: int, X: int, Y: int, w: int, h: int, dist, cost):
+def _border_offers(z: int, X: int, Y: int, w: int, h: int, dist, lab, cost):
     """Outbound offers from every border cell with a finite dist: one
     row per outward 8-neighbor position inside the world. Arrival cost
     is completed receiver-side, so only (dist, own friction, step
-    length) travel."""
+    length, source label) travel."""
     n = 1 << z
     rows = []
     dist2 = dist.reshape(h, w)
+    lab2 = lab.reshape(h, w)
     cost2 = cost
     for (bx, by) in _border_cells(w, h):
         d = dist2[by, bx]
         if not np.isfinite(d):
             continue
+        s0 = int(lab2[by, bx])
         cb = float(cost2[by, bx])
         for dx, dy, step in _MOVES:
             tx, ty = bx + dx, by + dy
@@ -174,7 +188,7 @@ def _border_offers(z: int, X: int, Y: int, w: int, h: int, dist, cost):
                 continue
             ex, ey = tx - ox * w, ty - oy * h
             dst_key = (z << 58) | (NX << 29) | NY
-            rows.append((dst_key, ey * w + ex, float(d), cb, step))
+            rows.append((dst_key, ey * w + ex, float(d), cb, step, s0))
     return rows
 
 
@@ -199,13 +213,18 @@ def cost_distance(
     max_rounds: int = 256,
     on_nonconverged: str = "raise",
 ) -> DataFrame:
-    """Accumulated least cost from the nearest source for every pixel:
-    ``[key, z, x, y, w, h, status, dist, min_dist, reached_px]`` with
-    ``dist`` the w*h little-endian float64 array (+inf unreachable).
+    """Accumulated least cost from the nearest source for every pixel,
+    plus which source won it (cost ALLOCATION): ``[key, z, x, y, w, h,
+    status, dist, alloc, min_dist, reached_px]`` with ``dist`` the w*h
+    little-endian float64 array (+inf unreachable) and ``alloc`` the
+    w*h little-endian int64 source-label array (-1 unreachable).
     ``images`` is the image-table shape (z, x, y, bytes, w, h, fmt),
     friction = the ``band`` channel ('max' or index), tiles must all be
     ``tile_px`` square at this zoom. ``sources`` needs global-pixel
-    columns ``gx``/``gy``; sources on uncovered cells are ignored.
+    columns ``gx``/``gy`` and may carry an integer ``sid`` label
+    (defaults to the source's global pixel id ``gy*world_px + gx``);
+    equal-cost ties allocate to the smaller sid, deterministically.
+    Sources on uncovered cells are ignored.
     Algorithm, step-cost formula and blocking-coverage semantics in
     the module docstring. ``on_nonconverged``: 'raise' (default) or
     'return' (distances reachable within ``max_rounds`` wavefront
@@ -260,8 +279,17 @@ def cost_distance(
         (F.col("gy") % tile_px).cast("int") * tile_px + (F.col("gx") % tile_px).cast("int")
     )
     n_world = (1 << z) * tile_px
+    sid_col = (
+        F.col("sid").cast("long")
+        if "sid" in sources.columns
+        else F.col("gy") * F.lit(n_world) + F.col("gx")
+    )
     seeds = (
-        sources.select(F.col("gx").cast("long").alias("gx"), F.col("gy").cast("long").alias("gy"))
+        sources.select(
+            F.col("gx").cast("long").alias("gx"),
+            F.col("gy").cast("long").alias("gy"),
+            *(["sid"] if "sid" in sources.columns else []),
+        )
         .filter(
             (F.col("gx") >= 0) & (F.col("gx") < n_world)
             & (F.col("gy") >= 0) & (F.col("gy") < n_world)
@@ -271,20 +299,25 @@ def cost_distance(
             F.lit(0.0).alias("src_dist"),
             F.lit(None).cast("double").alias("src_cost"),
             F.lit(None).cast("double").alias("step"),
+            sid_col.alias("sid"),
         )
         .join(ok_state.select("tkey"), on="tkey", how="leftsemi")
         .distinct()
     )
 
     pending = seeds.localCheckpoint()
-    best = pending.sparkSession.createDataFrame([], "tkey long, idx int, dist double")
+    best = pending.sparkSession.createDataFrame(
+        [], "tkey long, idx int, dist double, sid long"
+    )
 
     def make_round(best_df: DataFrame, pending_df: DataFrame) -> DataFrame:
         pend = pending_df.groupBy("tkey").agg(
-            F.collect_list(F.struct("idx", "src_dist", "src_cost", "step")).alias("cands")
+            F.collect_list(
+                F.struct("idx", "src_dist", "src_cost", "step", "sid")
+            ).alias("cands")
         )
         bst = best_df.groupBy("tkey").agg(
-            F.collect_list(F.struct("idx", "dist")).alias("best")
+            F.collect_list(F.struct("idx", "dist", "sid")).alias("best")
         )
         joined = pend.join(ok_state, on="tkey").join(bst, on="tkey", how="left")
 
@@ -299,32 +332,38 @@ def cost_distance(
                     w, h = int(t.w), int(t.h)
                     cost = np.frombuffer(t.cost, dtype=np.uint8).reshape(h, w)
                     cf = cost.ravel().astype(np.float64)
+                    inf_pair = (np.inf, np.inf)
                     known = {}
                     bl = t.best
                     if not isinstance(bl, float) and bl is not None:
                         for p in bl:
-                            known[int(p["idx"])] = float(p["dist"])
+                            known[int(p["idx"])] = (float(p["dist"]), int(p["sid"]))
                     improved = {}
                     for p in t.cands:
                         i = int(p["idx"])
                         sd = float(p["src_dist"])
                         sc = p["src_cost"]
+                        s0 = int(p["sid"])
                         if sc is None or (isinstance(sc, float) and np.isnan(sc)):
-                            cand = sd
+                            cand = (sd, s0)
                         else:
-                            cand = sd + float(p["step"]) * (float(sc) + cf[i]) / 2.0
-                        cur = min(known.get(i, np.inf), improved.get(i, np.inf))
+                            cand = (sd + float(p["step"]) * (float(sc) + cf[i]) / 2.0, s0)
+                        cur = min(known.get(i, inf_pair), improved.get(i, inf_pair))
                         if cand < cur:
                             improved[i] = cand
                     if not improved:
                         continue
-                    for i, d in improved.items():
+                    for i, (d, s0) in improved.items():
                         recs.append({"kind": 1, "tkey": tk, "idx": i,
-                                     "src_dist": d, "src_cost": None, "step": None})
-                    dist = _dijkstra(cost, improved)
-                    for (dk, di, sd, sc, st) in _border_offers(z, X, Y, w, h, dist, cost):
+                                     "src_dist": d, "src_cost": None,
+                                     "step": None, "sid": s0})
+                    dist, lab = _dijkstra(cost, improved)
+                    for (dk, di, sd, sc, st, s0) in _border_offers(
+                        z, X, Y, w, h, dist, lab, cost
+                    ):
                         recs.append({"kind": 2, "tkey": dk, "idx": di,
-                                     "src_dist": sd, "src_cost": sc, "step": st})
+                                     "src_dist": sd, "src_cost": sc,
+                                     "step": st, "sid": s0})
                 yield pd.DataFrame(
                     {n: pd.Series([r[n] for r in recs], dtype=object) for n in names}
                 )
@@ -337,16 +376,17 @@ def cost_distance(
             break
         out = make_round(best, pending).localCheckpoint()
         new_best = out.filter(F.col("kind") == 1).select(
-            "tkey", "idx", F.col("src_dist").alias("dist")
+            "tkey", "idx", F.col("src_dist").alias("dist"), "sid"
         )
         best = (
             best.unionByName(new_best)
             .groupBy("tkey", "idx")
-            .agg(F.min("dist").alias("dist"))
+            .agg(F.min(F.struct("dist", "sid")).alias("_b"))
+            .select("tkey", "idx", F.col("_b.dist").alias("dist"), F.col("_b.sid").alias("sid"))
             .localCheckpoint()
         )
         pending = out.filter(F.col("kind") == 2).select(
-            "tkey", "idx", "src_dist", "src_cost", "step"
+            "tkey", "idx", "src_dist", "src_cost", "step", "sid"
         ).localCheckpoint()
         converged = pending.isEmpty()
     if not converged and on_nonconverged == "raise":
@@ -356,7 +396,9 @@ def cost_distance(
         )
 
     seeded = state.join(
-        best.groupBy("tkey").agg(F.collect_list(F.struct("idx", "dist")).alias("best")),
+        best.groupBy("tkey").agg(
+            F.collect_list(F.struct("idx", "dist", "sid")).alias("best")
+        ),
         on="tkey",
         how="left",
     )
@@ -372,8 +414,8 @@ def cost_distance(
                     "key": tk, "z": int(zs), "x": int(xs_), "y": int(ys_),
                     "w": int(t.w) if t.w is not None else None,
                     "h": int(t.h) if t.h is not None else None,
-                    "status": t.status, "dist": None, "min_dist": None,
-                    "reached_px": None,
+                    "status": t.status, "dist": None, "alloc": None,
+                    "min_dist": None, "reached_px": None,
                 }
                 if t.status == "ok":
                     w, h = int(t.w), int(t.h)
@@ -381,11 +423,19 @@ def cost_distance(
                     seeds_ = {}
                     bl = t.best
                     if not isinstance(bl, float) and bl is not None:
-                        seeds_ = {int(p["idx"]): float(p["dist"]) for p in bl}
-                    dist = _dijkstra(cost, seeds_) if seeds_ else np.full(h * w, np.inf)
+                        seeds_ = {
+                            int(p["idx"]): (float(p["dist"]), int(p["sid"]))
+                            for p in bl
+                        }
+                    if seeds_:
+                        dist, lab = _dijkstra(cost, seeds_)
+                    else:
+                        dist = np.full(h * w, np.inf)
+                        lab = np.full(h * w, np.int64(-1))
                     fin = np.isfinite(dist)
                     rec.update(
                         dist=dist.astype("<f8").tobytes(),
+                        alloc=lab.astype("<i8").tobytes(),
                         min_dist=float(dist[fin].min()) if fin.any() else None,
                         reached_px=int(fin.sum()),
                     )
