@@ -527,3 +527,43 @@ def test_stream_orders_validation(spark):
         stream_network(d_, a_, min_acc=0)
     with pytest.raises(ValueError, match="max_rounds"):
         stream_network(d_, a_, min_acc=1, max_rounds=0)
+
+
+# ------------------------------------------ zonal stats over basin labels
+
+from tilegrab_spark.operators.zonal import zonal_from_labels
+
+
+def test_rainfall_per_basin(spark):
+    """watersheds labels + a second value raster -> per-basin stats,
+    oracled by joining the two sequential oracles in numpy."""
+    px, n = 16, 2
+    rng = np.random.default_rng(31)
+    dem = rng.integers(0, 256, size=(px, n * px), dtype=np.uint8)
+    rain = rng.integers(0, 200, size=(px, n * px), dtype=np.uint8)
+    dem_tiles = {(dx, 0): dem[:, dx * px:(dx + 1) * px] for dx in range(n)}
+    rain_tiles = {(dx, 0): rain[:, dx * px:(dx + 1) * px] for dx in range(n)}
+    dem_df = _table(spark, dem_tiles, px)
+    rain_df = _table(spark, rain_tiles, px)
+    labels_df = watersheds(dem_df, zoom=Z)
+    got = {
+        r["label"]: r
+        for r in zonal_from_labels(
+            labels_df, rain_df, exclude_labels=(OFFMAP_LABEL,)
+        ).collect()
+    }
+    want_lab = _oracle_labels(dem_tiles, px)
+    exp = {}
+    for lab_v, v in zip(want_lab.ravel(), rain.ravel()):
+        if lab_v == OFFMAP_LABEL:
+            continue
+        e = exp.setdefault(int(lab_v), [0, 0, 256, -1])
+        e[0] += 1
+        e[1] += int(v)
+        e[2] = min(e[2], int(v))
+        e[3] = max(e[3], int(v))
+    assert set(got) == set(exp)
+    for lab_v, (cnt, s, mn, mx) in exp.items():
+        r = got[lab_v]
+        assert (r["n_px"], r["sum_v"], r["min_v"], r["max_v"]) == (cnt, s, mn, mx)
+        assert r["mean_v"] == s / cnt

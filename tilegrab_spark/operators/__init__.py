@@ -177,6 +177,7 @@ from tilegrab_spark.operators.contour import (
     link_contours,
     simplify_contours,
 )
+from tilegrab_spark.operators.zonal import zonal_from_labels, zonal_stats
 from tilegrab_spark.operators.spatialstats import (
     getis_ord_gi,
     local_morans,
@@ -469,6 +470,8 @@ __all__ = [
     "flow_accumulation",
     "flow_direction",
     "stream_network",
+    "zonal_from_labels",
+    "zonal_stats",
     "watersheds",
     "majority_filter",
     "window_mode",

@@ -225,3 +225,100 @@ def zonal_stats(
         )
         .withColumn("mean_v", F.col("sum_v") / F.col("n_px"))
     )
+
+
+_LABEL_PARTIAL_SCHEMA = T.StructType([
+    T.StructField("label", T.LongType(), False),
+    T.StructField("n", T.LongType(), False),
+    T.StructField("s", T.LongType(), False),
+    T.StructField("mn", T.IntegerType(), False),
+    T.StructField("mx", T.IntegerType(), False),
+])
+
+
+def zonal_from_labels(
+    labels_df: DataFrame,
+    values_df: DataFrame,
+    *,
+    label_col: str = "labels",
+    band="max",
+    exclude_labels: tuple = (),
+) -> DataFrame:
+    """Per-zone stats where the zones are a COMPUTED label raster
+    instead of vector polygons — e.g. rainfall per drainage basin:
+    ``zonal_from_labels(watersheds(dem, zoom=z), rainfall_tiles)``.
+
+    ``labels_df``: tile-keyed rows with ``key`` (packed cell id) and a
+    binary little-endian int64 ``label_col`` raster (the watersheds /
+    cost-allocation output shape). ``values_df``: the image-table shape
+    (z, x, y, bytes, w, h, fmt); value = the ``band`` channel ('max' or
+    index). ``exclude_labels``: label values to drop (e.g.
+    ``(OFFMAP_LABEL,)`` to ignore off-coverage water).
+
+    Returns ``[label, n_px, sum_v, min_v, max_v, mean_v]``. Scale shape
+    matches :func:`zonal_stats`: the tile join is ONE co-keyed
+    equi-join (labels and values share the tile key, so bucketed/
+    co-partitioned stores join without a raster shuffle), each task
+    reduces its tiles to one partial row per DISTINCT LABEL PRESENT in
+    the tile (np.unique + add.at — never a row per pixel), and the only
+    shuffle is the tiny label-keyed combine with map-side partials.
+    Tiles missing from either side, size mismatches, and value decode
+    errors contribute nothing (zones are exact over the intersection).
+    """
+    lab = labels_df.select(
+        F.col("key").alias("lk_"), F.col(label_col).alias("lab_"),
+        F.col("w").alias("lw_"), F.col("h").alias("lh_"),
+    ).filter(F.col("lab_").isNotNull())
+    val = values_df.select(
+        (
+            F.shiftleft(F.col("z").cast("long"), 58)
+            .bitwiseOR(F.shiftleft(F.col("x").cast("long"), 29))
+            .bitwiseOR(F.col("y").cast("long"))
+        ).alias("vk_"),
+        "fmt", "bytes", "w", "h",
+    )
+    joined = lab.join(val, on=F.col("lk_") == F.col("vk_"))
+    excl = set(int(e) for e in exclude_labels)
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in _LABEL_PARTIAL_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    px = _decode(r.fmt, bytes(r.bytes), int(r.w), int(r.h))
+                except (ValueError, NotImplementedError):
+                    continue
+                chan = px.max(axis=2) if band == "max" else px[:, :, int(band)]
+                if chan.shape != (int(r.lh_), int(r.lw_)):
+                    continue  # mixed dims: outside the uniform contract
+                labs = np.frombuffer(r.lab_, dtype="<i8")
+                v = chan.ravel().astype(np.int64)
+                uniq, inv = np.unique(labs, return_inverse=True)
+                k = uniq.shape[0]
+                n = np.bincount(inv, minlength=k).astype(np.int64)
+                s = np.zeros(k, dtype=np.int64)
+                np.add.at(s, inv, v)
+                mn = np.full(k, 256, dtype=np.int64)
+                mx = np.full(k, -1, dtype=np.int64)
+                np.minimum.at(mn, inv, v)
+                np.maximum.at(mx, inv, v)
+                for i in range(k):
+                    u = int(uniq[i])
+                    if u in excl:
+                        continue
+                    rows.append((u, int(n[i]), int(s[i]), int(mn[i]), int(mx[i])))
+            if rows:
+                yield pd.DataFrame(rows, columns=names)
+
+    part = joined.mapInPandas(partials, schema=_LABEL_PARTIAL_SCHEMA)
+    return (
+        part.groupBy("label")
+        .agg(
+            F.sum("n").alias("n_px"),
+            F.sum("s").alias("sum_v"),
+            F.min("mn").alias("min_v"),
+            F.max("mx").alias("max_v"),
+        )
+        .withColumn("mean_v", F.col("sum_v") / F.col("n_px"))
+    )
