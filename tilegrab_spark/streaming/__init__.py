@@ -13,9 +13,12 @@ from tilegrab_spark.streaming.geofence import geofence_events, stream_geofence
 from tilegrab_spark.streaming.ingest import stream_image_ingest
 from tilegrab_spark.streaming.mosaic_stream import compact_mosaics, stream_mosaic
 from tilegrab_spark.streaming.stateful import stream_cell_stats
+from tilegrab_spark.streaming.upsert_stream import UpsertSink, stream_upsert
 from tilegrab_spark.streaming.windowed import stream_windowed_counts
 
 __all__ = [
+    "UpsertSink",
+    "stream_upsert",
     "incremental_lsh_pairs",
     "TextIndexStore",
     "stream_document_dedup",
