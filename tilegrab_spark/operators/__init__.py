@@ -128,6 +128,7 @@ from tilegrab_spark.operators.hexbin import (
     with_hex_cell,
 )
 from tilegrab_spark.operators.matching import match_tracks
+from tilegrab_spark.operators.linesample import sample_raster_along
 from tilegrab_spark.operators.snap import explode_segments, snap_points_to_lines
 from tilegrab_spark.operators.warp import (
     resample_window,
@@ -471,6 +472,7 @@ __all__ = [
     "flow_direction",
     "stream_network",
     "zonal_from_labels",
+    "sample_raster_along",
     "zonal_stats",
     "watersheds",
     "majority_filter",
