@@ -156,7 +156,12 @@ from tilegrab_spark.operators.overlay import (
     with_polygon_bbox,
 )
 from tilegrab_spark.operators.points import points_in_polygons
-from tilegrab_spark.operators.vectortiles import contours_to_mvt, polygons_to_mvt
+from tilegrab_spark.operators.vectortiles import (
+    contours_to_mvt,
+    generalize_rings,
+    polygons_to_mvt,
+    ring_pyramid,
+)
 from tilegrab_spark.operators.trajectory import (
     haversine_m,
     od_matrix,
@@ -473,6 +478,8 @@ __all__ = [
     "stream_network",
     "zonal_from_labels",
     "sample_raster_along",
+    "generalize_rings",
+    "ring_pyramid",
     "zonal_stats",
     "watersheds",
     "majority_filter",

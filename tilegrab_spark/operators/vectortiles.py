@@ -28,11 +28,11 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from tilegrab_spark.kernels.mvt import encode_mvt
 
-__all__ = ["contours_to_mvt", "polygons_to_mvt"]
+__all__ = ["contours_to_mvt", "polygons_to_mvt", "generalize_rings", "ring_pyramid"]
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -289,3 +289,136 @@ def polygons_to_mvt(
         )
 
     return exploded.groupBy("z", "tx", "ty").applyInPandas(build, _OUT_SCHEMA)
+
+
+_GEN_SCHEMA = T.StructType(
+    [
+        T.StructField("region_id", T.LongType(), False),
+        T.StructField("z", T.IntegerType(), False),
+        T.StructField("label", T.IntegerType(), True),
+        T.StructField("region_px", T.LongType(), True),
+        T.StructField("ring_idx", T.IntegerType(), False),
+        T.StructField("is_hole", T.BooleanType(), False),
+        T.StructField("closed", T.BooleanType(), False),
+        T.StructField("signed_area_px", T.LongType(), False),
+        T.StructField("n_vertices", T.IntegerType(), False),
+        T.StructField("xs", T.ArrayType(T.LongType()), False),
+        T.StructField("ys", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def generalize_rings(
+    rings: DataFrame,
+    *,
+    to_zoom: int,
+    tolerance_px: float = 1.0,
+    min_ring_area_px: float = 2.0,
+) -> DataFrame:
+    """Cartographic generalization of ``polygonize`` rings to a coarser
+    zoom: coordinates rescale to the target zoom's global-pixel grid
+    (÷ 2^(z - to_zoom), rounded — ≤ half a display pixel of error),
+    Douglas-Peucker simplifies at ``tolerance_px`` IN TARGET-ZOOM
+    pixels (contour.py's ring convention: closed rings split at their
+    first vertex), rings whose simplified |area| falls below
+    ``min_ring_area_px`` drop, and regions whose EXTERIOR dropped lose
+    their holes too (a relational semi-join on surviving exteriors —
+    no orphan holes reach the tile cut). Output keeps the polygonize
+    ring schema with ``z = to_zoom``, so a UNION of several
+    generalized levels feeds ONE ``polygons_to_mvt`` call (it groups
+    by (z, x, y)) and one PMTiles export — the vector-pyramid recipe.
+
+    Per-ring work is an embarrassingly parallel Arrow map (no shuffle);
+    the only shuffle is the tiny exterior-survivor semi-join. Known
+    cartographic caveat, same as every per-feature simplifier
+    (mapshaper default, ogr2ogr -simplify): shared boundaries simplify
+    independently, so adjacent regions can open hairline slivers at
+    display zooms; topology-preserving arc simplification is a
+    different algorithm class, out of scope by design."""
+    if tolerance_px < 0:
+        raise ValueError(f"tolerance_px must be >= 0, got {tolerance_px}")
+    from tilegrab_spark.operators.contour import _dp_keep_mask
+
+    tol = float(tolerance_px)
+    min_a = float(min_ring_area_px)
+    tz = int(to_zoom)
+
+    src = rings.filter(F.col("closed")).select(
+        "region_id", "z", "label", "region_px", "ring_idx", "is_hole",
+        "closed", "signed_area_px", "n_vertices", "xs", "ys",
+    )
+
+    def gen(batches):
+        names = list(_GEN_SCHEMA.fieldNames())
+        for pdf in batches:
+            recs = []
+            for t in pdf.itertuples(index=False):
+                dz = int(t.z) - tz
+                if dz < 0:
+                    raise ValueError(
+                        f"to_zoom {tz} is finer than the source zoom {int(t.z)}"
+                    )
+                scale = float(1 << dz)
+                x = np.asarray(list(t.xs), dtype=np.float64) / scale
+                y = np.asarray(list(t.ys), dtype=np.float64) / scale
+                if x.shape[0] > 2 and tol > 0:
+                    m = _dp_keep_mask(x, y, tol)
+                    x, y = x[m], y[m]
+                xi = np.rint(x).astype(np.int64)
+                yi = np.rint(y).astype(np.int64)
+                # drop consecutive duplicates introduced by rounding
+                if xi.shape[0] > 1:
+                    keep = np.ones(xi.shape[0], dtype=bool)
+                    keep[1:] = (np.diff(xi) != 0) | (np.diff(yi) != 0)
+                    xi, yi = xi[keep], yi[keep]
+                # re-close after simplify/round
+                if xi.shape[0] >= 3 and (xi[0] != xi[-1] or yi[0] != yi[-1]):
+                    xi = np.append(xi, xi[0])
+                    yi = np.append(yi, yi[0])
+                if xi.shape[0] < 4:
+                    continue  # collapsed
+                area2 = int(
+                    np.sum(xi[:-1] * yi[1:] - xi[1:] * yi[:-1])
+                )
+                if abs(area2) / 2.0 < min_a:
+                    continue
+                recs.append({
+                    "region_id": int(t.region_id), "z": tz,
+                    "label": None if t.label is None else int(t.label),
+                    "region_px": None if t.region_px is None else int(t.region_px),
+                    "ring_idx": int(t.ring_idx), "is_hole": bool(t.is_hole),
+                    "closed": True, "signed_area_px": area2 // 2,
+                    "n_vertices": int(xi.shape[0]),
+                    "xs": [int(v) for v in xi], "ys": [int(v) for v in yi],
+                })
+            yield pd.DataFrame(
+                {n: pd.Series([r[n] for r in recs], dtype=object) for n in names}
+            )
+
+    out = src.mapInPandas(gen, schema=_GEN_SCHEMA)
+    exteriors = out.filter(F.col("ring_idx") == 0).select("region_id").distinct()
+    return out.join(exteriors, on="region_id", how="leftsemi")
+
+
+def ring_pyramid(
+    rings: DataFrame,
+    *,
+    zooms,
+    tolerance_px: float = 1.0,
+    min_ring_area_px: float = 2.0,
+) -> DataFrame:
+    """Union of :func:`generalize_rings` at each target zoom (the source
+    zoom itself passes through untouched when listed) — feed directly to
+    :func:`polygons_to_mvt` for a multi-zoom vector tile set."""
+    parts = []
+    for tz in zooms:
+        parts.append(
+            generalize_rings(
+                rings, to_zoom=int(tz), tolerance_px=tolerance_px,
+                min_ring_area_px=min_ring_area_px,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
