@@ -348,6 +348,8 @@ def flow_direction(images: DataFrame, *, zoom: int, band="max") -> DataFrame:
     `read_image_table` shape; duplicate cells must be deduped upstream
     (same rule as focal/tile_diff). Semantics in the module docstring.
     """
+    if not 0 <= zoom <= 22:
+        raise ValueError(f"zoom must be in [0, 22], got {zoom}")
     z = int(zoom)
     src = images.filter(F.col("z") == z).select("z", "x", "y", "bytes", "w", "h", "fmt")
     parts = _emit_parts(src, band)
@@ -416,6 +418,8 @@ def flow_accumulation(
         raise ValueError(
             f"on_nonconverged must be 'raise' or 'return', got {on_nonconverged!r}"
         )
+    if not 0 <= zoom <= 22:
+        raise ValueError(f"zoom must be in [0, 22], got {zoom}")
     z = int(zoom)
     src = images.filter(F.col("z") == z).select("z", "x", "y", "bytes", "w", "h", "fmt")
     parts = _emit_parts(src, band)
@@ -667,6 +671,8 @@ def watersheds(
         raise ValueError(
             f"on_nonconverged must be 'raise' or 'return', got {on_nonconverged!r}"
         )
+    if not 0 <= zoom <= 22:
+        raise ValueError(f"zoom must be in [0, 22], got {zoom}")
     z = int(zoom)
     src = images.filter(F.col("z") == z).select("z", "x", "y", "bytes", "w", "h", "fmt")
     parts = _emit_parts(src, band)
@@ -728,6 +734,11 @@ def watersheds(
                 canvas, ok_sides, dropped = _assemble_canvas(me, strips)
                 dirs = _d8_dirs(canvas)
                 h, w = dirs.shape
+                if w * h > (1 << 18):
+                    raise ValueError(
+                        f"tile {w}x{h} exceeds the 512x512 basin-label "
+                        "key budget (same cap as polygonize region keys)"
+                    )
                 if pour_idx:
                     cut = np.asarray(
                         [i for i in pour_idx if 0 <= i < h * w], dtype=np.int64
