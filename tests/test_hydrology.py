@@ -567,3 +567,11 @@ def test_rainfall_per_basin(spark):
         r = got[lab_v]
         assert (r["n_px"], r["sum_v"], r["min_v"], r["max_v"]) == (cnt, s, mn, mx)
         assert r["mean_v"] == s / cnt
+
+
+def test_zoom_guards(spark):
+    px = 8
+    df = _table(spark, {(0, 0): np.zeros((px, px), dtype=np.uint8)}, px)
+    for fn in (flow_direction, flow_accumulation, watersheds):
+        with pytest.raises(ValueError, match="zoom"):
+            fn(df, zoom=23)
