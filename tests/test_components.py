@@ -119,3 +119,26 @@ def test_driver_cutoff_parity_and_probe_bound(spark):
     # it falls through to the distributed path and still matches
     over = {r.node: r.component for r in connected_components(df, driver_cutoff=10).collect()}
     assert over == slow
+
+
+def test_dedup_by_components_keep_by_quality(spark):
+    """keep_by keeps the highest-quality cluster member, ties to the
+    smaller id; out-of-cluster rows always survive."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, q) for i, q in [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (9, 0.1)]],
+        "doc_id long, quality double",
+    )
+    # cluster {1,2,3} via transitivity; {4} alone in a pair with itself? no: {4} unpaired
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(
+        r.doc_id
+        for r in dedup_by_components(docs, pairs, keep_by="quality").collect()
+    )
+    # winner of {1,2,3}: quality 0.9 tie between 2 and 3 -> smaller id 2;
+    # 4 and 9 are outside any cluster and survive
+    assert kept == [2, 4, 9]
+    # default min-id rule unchanged
+    kept_min = sorted(r.doc_id for r in dedup_by_components(docs, pairs).collect())
+    assert kept_min == [1, 4, 9]

@@ -132,12 +132,39 @@ def dedup_by_components(
     pairs: DataFrame,
     *,
     id_col: str = "doc_id",
+    keep_by: str | None = None,
 ) -> DataFrame:
-    """Keep one representative (min id) per duplicate CLUSTER — the
-    transitive-closure version of lsh_dedup (A~B, B~C drops both B and C
-    even if A~C was never emitted as a pair)."""
+    """Keep one representative per duplicate CLUSTER — the transitive-
+    closure version of lsh_dedup (A~B, B~C drops both B and C even if
+    A~C was never emitted as a pair).
+
+    ``keep_by=None`` keeps the min id (cheap: no extra join against
+    ``df``). ``keep_by="quality"`` keeps the member with the HIGHEST
+    value of that ``df`` column instead — the curation rule real
+    pipelines want (keep the sharpest image / longest document of a
+    near-dup cluster, not an arbitrary one); ties break to the smaller
+    id, so the choice stays deterministic. Cost: one extra scalar join
+    (component, id, keep_by) + one max_by per cluster — cluster-keyed
+    rows only, never payloads."""
     comp = connected_components(pairs)
-    losers = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
+    if keep_by is None:
+        losers = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+        return df.join(losers, on=id_col, how="left_anti")
+    scored = comp.join(
+        df.select(F.col(id_col).alias("node"), F.col(keep_by).alias("_q")),
+        on="node",
+        how="inner",
     )
-    return df.join(losers, on=id_col, how="left_anti")
+    # winner per cluster: max quality, ties to the SMALLER id — encode
+    # as max(struct(q, -node)) so one aggregation decides
+    winners = (
+        scored.groupBy("component")
+        .agg(F.max(F.struct(F.col("_q"), (-F.col("node")).alias("_negid"))).alias("_w"))
+        .select((-F.col("_w._negid")).alias(id_col))
+    )
+    in_cluster = comp.select(F.col("node").alias(id_col))
+    keep_outside = df.join(in_cluster, on=id_col, how="left_anti")
+    keep_winners = df.join(winners, on=id_col, how="leftsemi")
+    return keep_outside.unionByName(keep_winners)
