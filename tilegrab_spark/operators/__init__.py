@@ -156,6 +156,7 @@ from tilegrab_spark.operators.overlay import (
     with_polygon_bbox,
 )
 from tilegrab_spark.operators.points import points_in_polygons
+from tilegrab_spark.operators.rasterize import rasterize_geometries
 from tilegrab_spark.operators.vectortiles import (
     contours_to_mvt,
     generalize_rings,
@@ -480,6 +481,7 @@ __all__ = [
     "sample_raster_along",
     "generalize_rings",
     "ring_pyramid",
+    "rasterize_geometries",
     "zonal_stats",
     "watersheds",
     "majority_filter",
