@@ -116,3 +116,67 @@ def test_validation(spark):
         rasterize_geometries(spark, _tri(), zoom=Z, labels={"tri": 0})
     with pytest.raises(ValueError, match="fmt"):
         rasterize_geometries(spark, _tri(), zoom=Z, fmt="bmp")
+
+
+# ------------------------------------------------------------ line burning
+
+from tilegrab_spark.operators.rasterize import rasterize_lines
+
+
+def _gpx(lon, z, tp):
+    return (lon / 360.0 + 0.5) * (1 << z) * tp
+
+
+def _gpy(lat, z, tp):
+    import math
+
+    merc = math.log(math.tan(math.pi / 4 + math.radians(lat) / 2))
+    return (0.5 - merc / (2 * math.pi)) * (1 << z) * tp
+
+
+def test_rasterize_lines_matches_distance_oracle(spark):
+    coords = [[-10.0, -5.0], [15.0, 12.0], [28.0, 8.0]]
+    lines = spark.createDataFrame(
+        [("road", coords)], "line_id string, coords array<array<double>>"
+    )
+    width = 3.0
+    out = rasterize_lines(lines, zoom=Z, width_px=width, tile_px=PX).collect()
+    assert out
+    pts = [(_gpx(lo, Z, PX), _gpy(la, Z, PX)) for lo, la in coords]
+
+    def d2_to_line(gx, gy):
+        best = float("inf")
+        for (ax, ay), (bx, by) in zip(pts[:-1], pts[1:]):
+            dx, dy = bx - ax, by - ay
+            L2 = dx * dx + dy * dy
+            t = max(0.0, min(1.0, ((gx - ax) * dx + (gy - ay) * dy) / L2))
+            best = min(best, (gx - ax - t * dx) ** 2 + (gy - ay - t * dy) ** 2)
+        return best
+
+    rng = np.random.default_rng(1)
+    total = 0
+    for r in out:
+        lab = pngk.decode_png(bytes(r["bytes"])).max(axis=2)
+        total += r["n_burned"]
+        assert r["n_burned"] == int((lab > 0).sum()) > 0
+        for _ in range(30):
+            px_, py_ = int(rng.integers(PX)), int(rng.integers(PX))
+            gx = r["x"] * PX + px_ + 0.5
+            gy = r["y"] * PX + py_ + 0.5
+            want = d2_to_line(gx, gy) <= (width / 2) ** 2
+            assert bool(lab[py_, px_] == 1) == want
+    assert total > 0
+
+
+def test_rasterize_lines_validation(spark):
+    lines = spark.createDataFrame(
+        [("a", [[0.0, 0.0], [1.0, 1.0]])], "line_id string, coords array<array<double>>"
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="width_px"):
+        rasterize_lines(lines, zoom=Z, width_px=0)
+    with _pt.raises(ValueError, match="label"):
+        rasterize_lines(lines, zoom=Z, label=300)
+    with _pt.raises(Exception, match="tiles"):
+        rasterize_lines(lines, zoom=Z, max_tiles_per_segment=1).collect()

@@ -156,7 +156,7 @@ from tilegrab_spark.operators.overlay import (
     with_polygon_bbox,
 )
 from tilegrab_spark.operators.points import points_in_polygons
-from tilegrab_spark.operators.rasterize import rasterize_geometries
+from tilegrab_spark.operators.rasterize import rasterize_geometries, rasterize_lines
 from tilegrab_spark.operators.vectortiles import (
     contours_to_mvt,
     generalize_rings,
@@ -482,6 +482,7 @@ __all__ = [
     "generalize_rings",
     "ring_pyramid",
     "rasterize_geometries",
+    "rasterize_lines",
     "zonal_stats",
     "watersheds",
     "majority_filter",

@@ -25,6 +25,7 @@ contract of the rest of the suite (labels = max channel).
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -36,7 +37,7 @@ from tilegrab_spark.operators.tiles import enumerate_tiles
 from tilegrab_spark.operators.zonal import _mask_for_tile, classify_tiles
 from tilegrab_spark.sources.geometries import GeometrySet
 
-__all__ = ["rasterize_geometries"]
+__all__ = ["rasterize_geometries", "rasterize_lines"]
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -138,3 +139,142 @@ def rasterize_geometries(
             )
 
     return grouped.mapInPandas(burn, schema=_OUT_SCHEMA)
+
+
+_LINE_SCHEMA = _OUT_SCHEMA
+
+
+def rasterize_lines(
+    lines: DataFrame,
+    *,
+    zoom: int,
+    width_px: float = 1.0,
+    label: int = 1,
+    tile_px: int = 256,
+    fmt: str = "png",
+    line_id: str = "line_id",
+    coords_col: str = "coords",
+    max_tiles_per_segment: int = 65536,
+) -> DataFrame:
+    """Burn polylines into label tiles — the line half of
+    gdal_rasterize. A pixel burns when its CENTER lies within
+    ``width_px / 2`` GLOBAL PIXELS of any segment (the buffered-line
+    rule; width 1 approximates a thin Bresenham stroke, larger widths
+    draw roads at display width). ``lines`` is the snap.py shape
+    (line_id, coords: array of [lon, lat]).
+
+    Plan: segments map to the tiles their padded bbox touches via two
+    bounded sequence explodes (output-sized — a segment registers in
+    O(length/tile) tiles, and a guard raises past
+    ``max_tiles_per_segment`` instead of exploding a continent-length
+    segment); ONE groupBy((z, x, y)) evaluates the exact point-to-
+    segment distance over the tile's pixel-center grid, vectorized per
+    segment, and composes with max. Output rows are image-table shaped
+    and compose with rasterize_geometries via a plain unionByName +
+    majority/polygonize downstream."""
+    if not 0 <= zoom <= 22:
+        raise ValueError(f"zoom must be in [0, 22], got {zoom}")
+    if width_px <= 0:
+        raise ValueError(f"width_px must be positive, got {width_px}")
+    if not 1 <= int(label) <= 255:
+        raise ValueError(f"label must be in [1, 255], got {label}")
+    if fmt not in ("png", "raw"):
+        raise ValueError(f"fmt must be 'png' or 'raw', got {fmt!r}")
+    z, tp = int(zoom), int(tile_px)
+    n_px = float((1 << z) * tp)
+    half = float(width_px) / 2.0
+
+    # lon/lat -> global pixel coords (the P1 mapping, pure Catalyst)
+    def gpx(lon):
+        return (lon / F.lit(360.0) + F.lit(0.5)) * F.lit(n_px)
+
+    def gpy(lat):
+        lr = F.radians(lat)
+        merc = F.log(F.tan(F.lit(math.pi / 4.0) + lr / F.lit(2.0)))
+        return (F.lit(0.5) - merc / F.lit(2.0 * math.pi)) * F.lit(n_px)
+
+    n = F.size(F.col(coords_col))
+    segs = F.zip_with(
+        F.slice(F.col(coords_col), 1, n - 1),
+        F.slice(F.col(coords_col), 2, n - 1),
+        lambda a, b: F.struct(
+            a[0].alias("alon"), a[1].alias("alat"),
+            b[0].alias("blon"), b[1].alias("blat"),
+        ),
+    )
+    seg = (
+        lines.select(F.col(line_id), F.posexplode(segs).alias("seg_idx", "_s"))
+        .select(
+            line_id, "seg_idx",
+            gpx(F.col("_s.alon")).alias("ax"), gpy(F.col("_s.alat")).alias("ay"),
+            gpx(F.col("_s.blon")).alias("bx"), gpy(F.col("_s.blat")).alias("by"),
+        )
+    )
+    pad = F.lit(half + 1.0)
+    tx_lo = F.floor((F.least("ax", "bx") - pad) / tp).cast("long")
+    tx_hi = F.floor((F.greatest("ax", "bx") + pad) / tp).cast("long")
+    ty_lo = F.floor((F.least("ay", "by") - pad) / tp).cast("long")
+    ty_hi = F.floor((F.greatest("ay", "by") + pad) / tp).cast("long")
+    n_tiles = (tx_hi - tx_lo + 1) * (ty_hi - ty_lo + 1)
+    guard = F.when(
+        n_tiles > max_tiles_per_segment,
+        F.raise_error(F.format_string(
+            "segment registers in %s tiles (> max_tiles_per_segment); "
+            "split degenerate continent-length segments upstream",
+            n_tiles,
+        )),
+    ).otherwise(F.lit(True))
+    lim = (1 << z) - 1
+    exploded = (
+        seg.filter(guard)  # filter keeps the guard in the plan (an
+        # unused projected column would be pruned away with it)
+        .withColumn("tx", F.explode(F.sequence(F.greatest(tx_lo, F.lit(0)),
+                                               F.least(tx_hi, F.lit(lim)))))
+        .withColumn("ty", F.explode(F.sequence(F.greatest(ty_lo, F.lit(0)),
+                                               F.least(ty_hi, F.lit(lim)))))
+        .select("tx", "ty", "ax", "ay", "bx", "by")
+    )
+    grouped = exploded.groupBy("tx", "ty").agg(
+        F.collect_list(F.struct("ax", "ay", "bx", "by")).alias("segs")
+    )
+    lab = int(label)
+
+    def burn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = list(_LINE_SCHEMA.fieldNames())
+        for pdf in batches:
+            recs = []
+            for t in pdf.itertuples(index=False):
+                tx, ty = int(t.tx), int(t.ty)
+                # pixel-center grid in global pixel coords
+                cx = tx * tp + np.arange(tp) + 0.5
+                cy = ty * tp + np.arange(tp) + 0.5
+                m = np.zeros((tp, tp), dtype=bool)
+                for s in t.segs:
+                    ax, ay = float(s["ax"]), float(s["ay"])
+                    bx, by = float(s["bx"]), float(s["by"])
+                    dx, dy = bx - ax, by - ay
+                    L2 = dx * dx + dy * dy
+                    px_ = cx[None, :] - ax
+                    py_ = cy[:, None] - ay
+                    if L2 == 0.0:
+                        d2 = px_ ** 2 + py_ ** 2
+                    else:
+                        tt = np.clip((px_ * dx + py_ * dy) / L2, 0.0, 1.0)
+                        d2 = (px_ - tt * dx) ** 2 + (py_ - tt * dy) ** 2
+                    m |= d2 <= half * half
+                n_burned = int(m.sum())
+                if n_burned == 0:
+                    continue
+                canvas = np.where(m, np.uint8(lab), np.uint8(0))
+                arr = np.stack([canvas, canvas, canvas], axis=2)
+                data = pngk.encode_png(arr) if fmt == "png" else arr.tobytes()
+                recs.append({
+                    "image_id": f"{z}_{tx}_{ty}", "bytes": data,
+                    "w": tp, "h": tp, "fmt": fmt, "z": z, "x": tx, "y": ty,
+                    "n_burned": n_burned,
+                })
+            yield pd.DataFrame(
+                {n_: pd.Series([r[n_] for r in recs], dtype=object) for n_ in names}
+            )
+
+    return grouped.mapInPandas(burn, schema=_LINE_SCHEMA)
