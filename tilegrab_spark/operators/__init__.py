@@ -157,6 +157,7 @@ from tilegrab_spark.operators.overlay import (
 )
 from tilegrab_spark.operators.points import points_in_polygons
 from tilegrab_spark.operators.rasterize import rasterize_geometries, rasterize_lines
+from tilegrab_spark.operators.viewshed import viewshed
 from tilegrab_spark.operators.vectortiles import (
     contours_to_mvt,
     generalize_rings,
@@ -483,6 +484,7 @@ __all__ = [
     "ring_pyramid",
     "rasterize_geometries",
     "rasterize_lines",
+    "viewshed",
     "zonal_stats",
     "watersheds",
     "majority_filter",
