@@ -277,6 +277,62 @@ def main():
         spark.stop()
         return
 
+    # BENCH_STAGES=wavefront: viewshed + cost_distance (gated). Same
+    # terrain generator as the hydrology stage; viewshed observer at
+    # the grid center (rounds = Manhattan ring count ~ G), one
+    # cost-distance source in the NW corner (wavefront crosses the
+    # whole grid). BENCH_R4HYDRO_G scales both.
+    if stages == "wavefront":
+        import numpy as np
+
+        from tilegrab_spark.operators.costdistance import cost_distance
+        from tilegrab_spark.operators.viewshed import viewshed
+
+        g = int(os.environ.get("BENCH_R4HYDRO_G", "8"))
+        tpx = 256
+
+        def gen(batches):
+            for pdf in batches:
+                out = []
+                for r in pdf.itertuples(index=False):
+                    tx, ty = int(r.tx), int(r.ty)
+                    gx = np.arange(tx * tpx, (tx + 1) * tpx, dtype=np.float64)
+                    gy = np.arange(ty * tpx, (ty + 1) * tpx, dtype=np.float64)
+                    ramp = 220.0 - 160.0 * gx[None, :] / (g * tpx)
+                    ridge = 25.0 * np.sin(gy[:, None] / 217.0) * np.sin(gx[None, :] / 331.0)
+                    lab = np.clip(ramp + ridge, 0, 255).astype(np.uint8)
+                    rgb = np.repeat(lab[:, :, None], 3, axis=2)
+                    out.append((12, tx, ty, rgb.tobytes(), tpx, tpx, "raw"))
+                yield pd.DataFrame(
+                    out, columns=["z", "x", "y", "bytes", "w", "h", "fmt"]
+                )
+
+        grid = spark.range(g * g).select(
+            (F.col("id") % g).alias("tx"), (F.col("id") / g).cast("long").alias("ty")
+        )
+        terrain = grid.mapInPandas(
+            gen, schema="z int, x long, y long, bytes binary, w int, h int, fmt string"
+        )
+        obs = (g * tpx // 2, g * tpx // 2)
+        timed(
+            "viewshed",
+            lambda: viewshed(terrain, zoom=12, observer=obs, height=50.0).count(),
+            cold=True,
+            repeats=2,
+        )
+        srcs = spark.createDataFrame([(8, 8)], "gx long, gy long")
+        timed(
+            "cost_distance",
+            lambda: cost_distance(
+                terrain, srcs, zoom=12, max_rounds=8 * g
+            ).count(),
+            cold=True,
+            repeats=2,
+        )
+        _emit(timings, counts, None, sf, cpus)
+        spark.stop()
+        return
+
     # 1. tile selection: enumerate full grid + PIP refine (J2) — cold
     # (the result is persisted for downstream stages; a re-run would
     # read that cache and measure nothing)
