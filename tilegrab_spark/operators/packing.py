@@ -333,7 +333,13 @@ def grouped_rank(
     with a window over that tiny frame, and add the within-chunk rank
     (a Window partitioned by (chunk, key): parallelism = chunks x
     keys, each task bounded by chunk size). Output = input columns +
-    ``rank_col``."""
+    ``rank_col``.
+
+    Fit: FEW fat keys (aspect buckets, language buckets — tens to
+    thousands). The offsets broadcast is chunks x keys rows; at very
+    high key cardinality use a plain per-key Window instead (keys are
+    small there, so the partition-collapse hazard this function exists
+    to avoid does not apply)."""
     keys = list(key_cols)
     if not keys:
         raise ValueError("key_cols must be non-empty; use a constant key for global rank")
