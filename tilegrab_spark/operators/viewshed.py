@@ -72,6 +72,7 @@ _STATE_SCHEMA = T.StructType(
 _STRIP_SCHEMA = T.StructType(
     [
         T.StructField("tkey", T.LongType(), False),  # destination tile
+        T.StructField("dst_rid", T.IntegerType(), False),
         T.StructField("side", T.ByteType(), False),
         T.StructField("hvals", T.BinaryType(), False),  # float64 LE
     ]
@@ -295,7 +296,7 @@ def viewshed(
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # union-schema: kind 1 -> OUT rows, kind 2 -> strip rows
             names = ["kind", "key", "z", "x", "y", "w", "h", "status",
-                     "vis", "n_visible", "s_tkey", "side", "hvals"]
+                     "vis", "n_visible", "s_tkey", "s_rid", "side", "hvals"]
             for pdf in batches:
                 recs = []
                 for t in pdf.itertuples(index=False):
@@ -331,6 +332,7 @@ def viewshed(
                         rec = {n: None for n in names}
                         rec.update(kind=2,
                                    s_tkey=(z << 58) | (nx << 29) | ny,
+                                   s_rid=abs(nx - otx) + abs(ny - oty),
                                    side=_SIDE_CODE[theirs],
                                    hvals=np.ascontiguousarray(
                                        edges[mine], dtype="<f8").tobytes())
@@ -352,6 +354,7 @@ def viewshed(
                 T.StructField("vis", T.BinaryType(), True),
                 T.StructField("n_visible", T.LongType(), True),
                 T.StructField("s_tkey", T.LongType(), True),
+                T.StructField("s_rid", T.IntegerType(), True),
                 T.StructField("side", T.ByteType(), True),
                 T.StructField("hvals", T.BinaryType(), True),
             ]
@@ -360,14 +363,21 @@ def viewshed(
         outs.append(res.filter(F.col("kind") == 1).select(
             "key", "z", "x", "y", "w", "h", "status", "vis", "n_visible"
         ))
-        # strips ACCUMULATE across rounds: a diagonal donor at Manhattan
+        # strips ACCUMULATE across rounds — a diagonal donor at Manhattan
         # ring r feeds a receiver at ring r+2, so last-round-only
         # delivery would drop corner halos (caught by the random-terrain
-        # oracle test — 4 corner pixels flipped)
+        # oracle test — 4 corner pixels flipped) — but strips whose
+        # destination ring has now been processed are DELIVERED and can
+        # drop, keeping the pending table O(frontier), not O(history)
         new_strips = res.filter(F.col("kind") == 2).select(
-            F.col("s_tkey").alias("tkey"), "side", "hvals"
+            F.col("s_tkey").alias("tkey"), F.col("s_rid").alias("dst_rid"),
+            "side", "hvals",
         )
-        pending = pending.unionByName(new_strips).localCheckpoint()
+        pending = (
+            pending.filter(F.col("dst_rid") > rid)
+            .unionByName(new_strips)
+            .localCheckpoint()
+        )
 
     if not outs:
         return spark.createDataFrame([], _OUT_SCHEMA)
