@@ -177,6 +177,12 @@ from tilegrab_spark.operators.render import (
     render_binned,
     render_density_tiles,
 )
+from tilegrab_spark.operators.kriging import (
+    empirical_variogram,
+    fit_variogram,
+    krige_tiles,
+    variogram_gamma,
+)
 from tilegrab_spark.operators.contour import (
     assemble_contours,
     contour_lonlat,
@@ -390,6 +396,10 @@ __all__ = [
     "render_binned",
     "render_density_tiles",
     "interpolate_idw_tiles",
+    "empirical_variogram",
+    "fit_variogram",
+    "krige_tiles",
+    "variogram_gamma",
     "extract_contours",
     "link_contours",
     "assemble_contours",
