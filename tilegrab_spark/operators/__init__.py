@@ -48,6 +48,7 @@ from tilegrab_spark.operators.polygonize import (
 from tilegrab_spark.operators.sieve import sieve, sieve_apply, sieve_labels
 from tilegrab_spark.operators.majority import majority_filter, window_mode
 from tilegrab_spark.operators.costdistance import cost_distance
+from tilegrab_spark.operators.isochrones import cost_bands, isochrones
 from tilegrab_spark.operators.hydrology import (
     flow_accumulation,
     flow_direction,
@@ -485,6 +486,8 @@ __all__ = [
     "sieve_apply",
     "sieve_labels",
     "cost_distance",
+    "cost_bands",
+    "isochrones",
     "flow_accumulation",
     "flow_direction",
     "stream_network",
