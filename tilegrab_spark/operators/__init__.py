@@ -49,6 +49,11 @@ from tilegrab_spark.operators.sieve import sieve, sieve_apply, sieve_labels
 from tilegrab_spark.operators.majority import majority_filter, window_mode
 from tilegrab_spark.operators.costdistance import cost_distance
 from tilegrab_spark.operators.isochrones import cost_bands, isochrones
+from tilegrab_spark.operators.histmatch import (
+    build_matching_lut,
+    channel_histograms,
+    match_histograms,
+)
 from tilegrab_spark.operators.hydrology import (
     flow_accumulation,
     flow_direction,
@@ -488,6 +493,9 @@ __all__ = [
     "cost_distance",
     "cost_bands",
     "isochrones",
+    "channel_histograms",
+    "match_histograms",
+    "build_matching_lut",
     "flow_accumulation",
     "flow_direction",
     "stream_network",
