@@ -49,6 +49,7 @@ from tilegrab_spark.operators.sieve import sieve, sieve_apply, sieve_labels
 from tilegrab_spark.operators.majority import majority_filter, window_mode
 from tilegrab_spark.operators.costdistance import cost_distance
 from tilegrab_spark.operators.isochrones import cost_bands, isochrones
+from tilegrab_spark.operators.sightline import line_of_sight
 from tilegrab_spark.operators.histmatch import (
     build_matching_lut,
     channel_histograms,
@@ -496,6 +497,7 @@ __all__ = [
     "channel_histograms",
     "match_histograms",
     "build_matching_lut",
+    "line_of_sight",
     "flow_accumulation",
     "flow_direction",
     "stream_network",
