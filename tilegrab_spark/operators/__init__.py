@@ -50,6 +50,7 @@ from tilegrab_spark.operators.majority import majority_filter, window_mode
 from tilegrab_spark.operators.costdistance import cost_distance
 from tilegrab_spark.operators.isochrones import cost_bands, isochrones
 from tilegrab_spark.operators.sightline import line_of_sight
+from tilegrab_spark.operators.geodesy import geodesic_measures, region_geodesic_areas
 from tilegrab_spark.operators.histmatch import (
     build_matching_lut,
     channel_histograms,
@@ -498,6 +499,8 @@ __all__ = [
     "match_histograms",
     "build_matching_lut",
     "line_of_sight",
+    "geodesic_measures",
+    "region_geodesic_areas",
     "flow_accumulation",
     "flow_direction",
     "stream_network",
