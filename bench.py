@@ -30,6 +30,13 @@ import os
 import sys
 import time
 
+# BLAS threading under Spark oversubscribes (every task would spawn
+# n_cores BLAS threads — a "2-core" run secretly isn't); pin to 1 so
+# core counts mean what they say. Set BEFORE pyspark launches the JVM
+# (python workers inherit the JVM's environment).
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 import pandas as pd
 
 
@@ -270,6 +277,103 @@ def main():
         timed(
             "watersheds",
             lambda: watersheds(terrain, zoom=12, max_rounds=64).count(),
+            cold=True,
+            repeats=2,
+        )
+        _emit(timings, counts, None, sf, cpus)
+        spark.stop()
+        return
+
+    # BENCH_STAGES=interp: kriging + pairwise line-of-sight (gated).
+    # Samples and sight-line pairs are hash-derived (deterministic, no
+    # data files); BENCH_R4INTERP_N scales the sample count (both the
+    # variogram pair sweep and the paint fan-in), BENCH_R4INTERP_PAIRS
+    # the LOS batch. Terrain reuses the wavefront generator grid.
+    if stages == "interp":
+        import numpy as np
+
+        from tilegrab_spark.operators.kriging import (
+            empirical_variogram,
+            fit_variogram,
+            krige_tiles,
+        )
+        from tilegrab_spark.operators.sightline import line_of_sight
+
+        # W-dominated sizing (the f+W/c lesson from the CC/hydrology
+        # scaling records): ~435 touched tiles at zoom 9 so the paint
+        # stage has real parallel work, not 3 s of fixed job overhead
+        n_pts = int(os.environ.get("BENCH_R4INTERP_N", "250000"))
+        n_pairs = int(os.environ.get("BENCH_R4INTERP_PAIRS", "6144"))
+        u = lambda salt, mod: F.pmod(F.xxhash64(F.col("id") + F.lit(salt)), F.lit(mod)) / F.lit(float(mod))
+        pts = spark.range(n_pts).select(
+            (u(1, 1_000_003) * 18.0).alias("lon"),
+            (F.lit(30.0) + u(2, 1_000_033) * 12.0).alias("lat"),
+            (F.lit(50.0) + F.sin(u(3, 999_983) * 40.0) * 30.0).alias("val"),
+        )
+        emp = None
+
+        def vario():
+            nonlocal emp
+            rows = empirical_variogram(
+                pts, zoom=9, value_col="val", n_lags=12, max_lag_px=96.0
+            ).collect()
+            emp = rows
+            return len(rows)
+
+        timed("variogram_sweep", vario, cold=True, repeats=2)
+        vg = fit_variogram(emp, model="exponential")
+        timed(
+            "krige_tiles",
+            lambda: krige_tiles(
+                pts, zoom=9, value_col="val", variogram=vg,
+                vmin=0.0, vmax=100.0, radius_px=48.0, max_samples=48,
+            ).count(),
+            cold=True,
+            repeats=2,
+        )
+
+        g = int(os.environ.get("BENCH_R4HYDRO_G", "8"))
+        tpx = 256
+
+        def gen(batches):
+            for pdf in batches:
+                out = []
+                for r in pdf.itertuples(index=False):
+                    tx, ty = int(r.tx), int(r.ty)
+                    gx = np.arange(tx * tpx, (tx + 1) * tpx, dtype=np.float64)
+                    gy = np.arange(ty * tpx, (ty + 1) * tpx, dtype=np.float64)
+                    lab = np.clip(
+                        120.0
+                        + 60.0 * np.sin(gy[:, None] / 197.0)
+                        + 60.0 * np.sin(gx[None, :] / 283.0),
+                        0, 255,
+                    ).astype(np.uint8)
+                    rgb = np.repeat(lab[:, :, None], 3, axis=2)
+                    out.append((12, tx, ty, rgb.tobytes(), tpx, tpx, "raw"))
+                yield pd.DataFrame(
+                    out, columns=["z", "x", "y", "bytes", "w", "h", "fmt"]
+                )
+
+        grid = spark.range(g * g).select(
+            (F.col("id") % g).alias("tx"), (F.col("id") / g).cast("long").alias("ty")
+        )
+        terrain = grid.mapInPandas(
+            gen, schema="z int, x long, y long, bytes binary, w int, h int, fmt string"
+        ).localCheckpoint()
+        lim = g * tpx
+        pairs = spark.range(n_pairs).select(
+            F.col("id").alias("pair_id"),
+            F.pmod(F.xxhash64(F.col("id") + F.lit(11)), F.lit(lim)).alias("gx_a"),
+            F.pmod(F.xxhash64(F.col("id") + F.lit(12)), F.lit(lim)).alias("gy_a"),
+            F.pmod(F.xxhash64(F.col("id") + F.lit(13)), F.lit(lim)).alias("gx_b"),
+            F.pmod(F.xxhash64(F.col("id") + F.lit(14)), F.lit(lim)).alias("gy_b"),
+        )
+        timed(
+            "line_of_sight",
+            lambda: line_of_sight(
+                terrain, pairs, zoom=12, tile_px=tpx, observer_height=15.0,
+                max_steps=8 * lim,
+            ).count(),
             cold=True,
             repeats=2,
         )

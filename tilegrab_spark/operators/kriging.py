@@ -159,23 +159,33 @@ def empirical_variogram(
         F.col("v").alias("vb"),
     )
     # same-cell (rank-ordered) + forward half-plane neighbors:
-    # (dx, dy) in {(1,0), (1,1), (0,1), (-1,1)}
+    # (dx, dy) in {(1,0), (1,1), (0,1), (-1,1)}. The neighbor probe is
+    # an OFFSET EXPLODE on the a-side followed by one equi-join on the
+    # shifted cell key — an OR-of-conjunctions join condition would
+    # plan as a nested-loop join (quadratic); this stays a hash join
     same = a.join(
         b,
         (F.col("cx") == F.col("bcx"))
         & (F.col("cy") == F.col("bcy"))
         & (F.col("rnk") < F.col("brnk")),
+    ).drop("bcx", "bcy")
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((1, 0), (1, 1), (0, 1), (-1, 1))
+        ]
     )
-    half = a.join(
+    probe = (
+        a.withColumn("_o", F.explode(offsets))
+        .withColumn("_px", F.col("cx") + F.col("_o.dx"))
+        .withColumn("_py", F.col("cy") + F.col("_o.dy"))
+        .drop("_o")
+    )
+    half = probe.join(
         b,
-        (
-            ((F.col("bcx") == F.col("cx") + 1) & (F.col("bcy") == F.col("cy")))
-            | ((F.col("bcx") == F.col("cx") + 1) & (F.col("bcy") == F.col("cy") + 1))
-            | ((F.col("bcx") == F.col("cx")) & (F.col("bcy") == F.col("cy") + 1))
-            | ((F.col("bcx") == F.col("cx") - 1) & (F.col("bcy") == F.col("cy") + 1))
-        ),
-    )
-    pairs = same.unionByName(half)
+        (F.col("_px") == F.col("bcx")) & (F.col("_py") == F.col("bcy")),
+    ).drop("_px", "_py", "bcx", "bcy")
+    pairs = same.unionByName(half, allowMissingColumns=True)
     d = F.sqrt(
         (F.col("fxa") - F.col("fxb")) * (F.col("fxa") - F.col("fxb"))
         + (F.col("fya") - F.col("fyb")) * (F.col("fya") - F.col("fyb"))

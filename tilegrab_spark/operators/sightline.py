@@ -19,8 +19,11 @@ Spark shape, all relational (the linesample recipe in pixel space):
 1. pairs explode to steps ``i in [0, n]``, ``n = chebyshev(a, b)`` —
    pure Catalyst ``sequence``; step pixel = round(lerp(a, b, i/n)),
    so samples per pair are bounded by the pixel distance;
-2. steps group per touched tile and one Arrow map decodes each tile
-   ONCE, gathering all its step elevations (rasters never shuffle);
+2. steps DEDUPE to the distinct touched pixels per tile (bounded by
+   tile_px^2 regardless of how many sight lines cross the tile — the
+   bin_points economics), one Arrow map decodes each tile ONCE and
+   gathers them, and steps equi-join the elevations back (rasters
+   never shuffle; the grouped state is raster-bounded);
 3. endpoint elevations join back per pair (two one-row-per-pair
    sides) and a plain aggregation computes min interior clearance:
    ``clear(i) = lerp(elev_a + h_a, elev_b + h_b, t_i) - terrain(i)``.
@@ -48,17 +51,6 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from tilegrab_spark.operators.multimodal import decode_payload
 
 __all__ = ["line_of_sight"]
-
-_STEP_SCHEMA = T.StructType(
-    [
-        T.StructField("pair_id", T.LongType(), False),
-        T.StructField("i", T.LongType(), False),
-        T.StructField("n", T.LongType(), False),
-        T.StructField("status", T.StringType(), False),
-        T.StructField("elev", T.IntegerType(), True),
-    ]
-)
-
 
 def line_of_sight(
     images: DataFrame,
@@ -123,10 +115,16 @@ def line_of_sight(
         .bitwiseOR((F.col("gy") / tp).cast("long"))
     )
     pix = ((F.col("gy") % tp) * tp + (F.col("gx") % tp)).cast("int")
-    per_tile = steps.select(
+    keyed = steps.select(
         "pair_id", "i", "n", tkey.alias("_tk"), pix.alias("_pix")
-    ).groupBy("_tk").agg(
-        F.collect_list(F.struct("pair_id", "i", "n", "_pix")).alias("sts")
+    )
+    # gather DISTINCT touched pixels only: many sight lines crossing one
+    # tile collapse to <= tile_px^2 lookups, so per-tile grouped state
+    # is bounded by the raster — never by how many pairs cross it (the
+    # render.bin_points economics). Steps then equi-join the tiny
+    # elevation table back.
+    touched = keyed.select("_tk", "_pix").distinct().groupBy("_tk").agg(
+        F.collect_list("_pix").alias("pxs")
     )
     img = images.filter(F.col("z") == z).select(
         (
@@ -136,22 +134,32 @@ def line_of_sight(
         ).alias("_ik"),
         "fmt", "bytes", "w", "h",
     )
-    joined = per_tile.join(img, on=F.col("_tk") == F.col("_ik"), how="left")
+    joined = touched.join(img, on=F.col("_tk") == F.col("_ik"), how="left")
+
+    elev_schema = T.StructType(
+        [
+            T.StructField("_tk", T.LongType(), False),
+            T.StructField("_pix", T.IntegerType(), False),
+            T.StructField("status", T.StringType(), False),
+            T.StructField("elev", T.IntegerType(), True),
+        ]
+    )
 
     def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        names = list(_STEP_SCHEMA.fieldNames())
         for pdf in batches:
-            recs = []
-            for row in pdf.itertuples(index=False):
+            tks, pixs, stats, elevs = [], [], [], []
+            # plain tuples: itertuples mangles _-prefixed column names
+            cols = pdf[["_tk", "pxs", "fmt", "bytes", "w", "h"]]
+            for tk, pxs, fmt, data, w_, h_ in cols.itertuples(
+                index=False, name=None
+            ):
                 chan = None
                 status = "ok"
-                if row.fmt is None:
+                if fmt is None:
                     status = "no_tile"
                 else:
                     try:
-                        arr = decode_payload(
-                            bytes(row.bytes), row.fmt, int(row.w), int(row.h)
-                        )
+                        arr = decode_payload(bytes(data), fmt, int(w_), int(h_))
                         chan = (
                             arr.max(axis=2) if band == "max" else arr[:, :, int(band)]
                         )
@@ -159,22 +167,32 @@ def line_of_sight(
                             status, chan = "size_mismatch", None
                     except (ValueError, NotImplementedError):
                         status, chan = "decode_error", None
-                flat = chan.ravel() if chan is not None else None
-                for s in row.sts:
-                    recs.append(
-                        {
-                            "pair_id": int(s["pair_id"]),
-                            "i": int(s["i"]),
-                            "n": int(s["n"]),
-                            "status": status,
-                            "elev": int(flat[int(s["_pix"])]) if flat is not None else None,
-                        }
-                    )
+                idx = np.asarray(pxs, dtype=np.int64)
+                tks.append(np.full(idx.shape[0], int(tk), dtype=np.int64))
+                pixs.append(idx)
+                stats.append(np.full(idx.shape[0], status, dtype=object))
+                if chan is not None:
+                    elevs.append(chan.ravel()[idx].astype(object))
+                else:
+                    elevs.append(np.full(idx.shape[0], None, dtype=object))
+            if not tks:
+                yield pd.DataFrame(
+                    {"_tk": [], "_pix": [], "status": [], "elev": []}
+                )
+                continue
             yield pd.DataFrame(
-                {c: pd.Series([r[c] for r in recs], dtype=object) for c in names}
+                {
+                    "_tk": np.concatenate(tks),
+                    "_pix": np.concatenate(pixs).astype(np.int32),
+                    "status": pd.Series(np.concatenate(stats), dtype=object),
+                    "elev": pd.Series(np.concatenate(elevs), dtype=object),
+                }
             )
 
-    samples = joined.mapInPandas(gather, schema=_STEP_SCHEMA)
+    elevations = joined.mapInPandas(gather, schema=elev_schema)
+    samples = keyed.join(elevations, ["_tk", "_pix"]).select(
+        "pair_id", "i", "n", "status", "elev"
+    )
     ends_a = samples.filter(F.col("i") == 0).select(
         "pair_id",
         F.col("elev").alias("_ea"),
@@ -186,10 +204,12 @@ def line_of_sight(
         F.col("status").alias("_sb"),
     )
     hcols = p.select("pair_id", "h_a", "h_b", F.col("n").alias("_n"))
+    # one row per pair on every build side — broadcast all three so the
+    # step-row frame (the big side) never shuffles
     base = (
-        samples.join(ends_a, "pair_id")
-        .join(ends_b, "pair_id")
-        .join(hcols, "pair_id")
+        samples.join(F.broadcast(ends_a), "pair_id")
+        .join(F.broadcast(ends_b), "pair_id")
+        .join(F.broadcast(hcols), "pair_id")
     )
     tt = F.when(F.col("_n") > 0, F.col("i") / F.col("_n")).otherwise(F.lit(0.0))
     sight = (
