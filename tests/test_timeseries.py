@@ -141,3 +141,62 @@ def test_validation(spark):
         epoch_composite(df, stat="mode")
     with pytest.raises(ValueError, match="threshold"):
         raster_trend(df, threshold=-1)
+
+
+def test_max_min_composite_whole_pixel_select(spark):
+    rng = np.random.default_rng(9)
+    tiles = _stack(rng, 4)
+    df = spark.createDataFrame(_rows([(1, e, a) for e, a in enumerate(tiles)]), SCHEMA)
+    st = np.stack(tiles).astype(np.int64)
+    inten = st.max(axis=3)
+    for stat, pick in (("max", inten.argmax(axis=0)), ("min", inten.argmin(axis=0))):
+        [r] = epoch_composite(df, stat=stat).collect()
+        got = png.decode_png(bytes(r.bytes))
+        want = np.take_along_axis(st, pick[None, :, :, None], axis=0)[0].astype(np.uint8)
+        assert np.array_equal(got, want), stat
+        # whole-pixel invariant: every output pixel equals SOME epoch's
+        # pixel verbatim (no cross-epoch channel mixing)
+        match = (st == got[None].astype(np.int64)).all(axis=3).any(axis=0)
+        assert match.all(), stat
+
+
+def test_max_composite_tie_breaks_to_earliest(spark):
+    a = np.full((2, 2, 3), 50, dtype=np.uint8)
+    b = np.full((2, 2, 3), 50, dtype=np.uint8)
+    b[:, :, 0] = 40  # same max channel (50), different pixel
+    df = spark.createDataFrame(_rows([(1, 0, a), (1, 1, b)]), SCHEMA)
+    [r] = epoch_composite(df, stat="max").collect()
+    assert np.array_equal(png.decode_png(bytes(r.bytes)), a)
+
+
+def test_latest_valid_gap_fill(spark):
+    # epoch 0: full scene; epoch 1: right half clouded out (nodata);
+    # epoch 2: only top-left quadrant valid
+    e0 = np.full((4, 4, 3), 100, dtype=np.uint8)
+    e1 = np.full((4, 4, 3), 150, dtype=np.uint8); e1[:, 2:] = 0
+    e2 = np.zeros((4, 4, 3), dtype=np.uint8); e2[:2, :2] = 200
+    df = spark.createDataFrame(_rows([(1, 0, e0), (1, 1, e1), (1, 2, e2)]), SCHEMA)
+    [r] = epoch_composite(df, stat="latest_valid").collect()
+    got = png.decode_png(bytes(r.bytes))
+    want = np.full((4, 4, 3), 0, dtype=np.uint8)
+    want[:, :] = 100          # epoch 0 everywhere...
+    want[:, :2] = 150         # ...epoch 1's valid left half wins...
+    want[:2, :2] = 200        # ...epoch 2's quadrant wins on top
+    assert np.array_equal(got, want)
+
+
+def test_latest_valid_all_nodata_pixel_stays_nodata(spark):
+    e0 = np.zeros((2, 2, 3), dtype=np.uint8); e0[0, 0] = 9
+    e1 = np.zeros((2, 2, 3), dtype=np.uint8)
+    df = spark.createDataFrame(_rows([(1, 0, e0), (1, 1, e1)]), SCHEMA)
+    [r] = epoch_composite(df, stat="latest_valid").collect()
+    got = png.decode_png(bytes(r.bytes))
+    assert got[0, 0, 0] == 9 and (got[0, 1] == 0).all() and (got[1, 1] == 0).all()
+
+
+def test_composite_stat_validation(spark):
+    df = spark.createDataFrame(_rows([(1, 0, np.zeros((2, 2, 3), dtype=np.uint8))]), SCHEMA)
+    with pytest.raises(ValueError):
+        epoch_composite(df, stat="mode")
+    with pytest.raises(ValueError):
+        epoch_composite(df, stat="latest_valid", nodata=(0, 0))

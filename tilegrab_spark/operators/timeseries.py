@@ -151,13 +151,31 @@ def epoch_composite(
     key_col: str = "cell_id",
     epoch_col: str = "epoch",
     stat: str = "median",
+    nodata: tuple = (0, 0, 0),
 ) -> DataFrame:
     """Per-cell temporal composite tile over all epochs (module
-    docstring for the exact pixel rules). ``stat`` ∈ {'median',
-    'mean'}. Output payloads are PNG (lossless — a composite layer
-    must not re-introduce codec noise)."""
-    if stat not in ("median", "mean"):
-        raise ValueError(f"stat must be 'median' or 'mean', got {stat!r}")
+    docstring for the exact pixel rules). ``stat``:
+
+    - ``'median'`` / ``'mean'`` — the robust averages (exact integer
+      round-half-up rules);
+    - ``'max'`` / ``'min'`` — per-pixel brightest/darkest observation
+      by max-channel intensity, the WHOLE pixel taken from the winning
+      epoch (the max-NDVI-style greenest-pixel composite; ties break to
+      the EARLIEST epoch, deterministically);
+    - ``'latest_valid'`` — per pixel, the most recent epoch whose pixel
+      is not ``nodata`` (default black, the engine's missing-data
+      convention) — the standard cloud-gap-fill; pixels nodata in every
+      epoch stay nodata.
+
+    Output payloads are PNG (lossless — a composite layer must not
+    re-introduce codec noise)."""
+    if stat not in ("median", "mean", "max", "min", "latest_valid"):
+        raise ValueError(
+            f"stat must be one of median/mean/max/min/latest_valid, got {stat!r}"
+        )
+    nd = np.asarray(nodata, dtype=np.int64)
+    if nd.shape != (3,):
+        raise ValueError(f"nodata must be an RGB triple, got {nodata!r}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in COMPOSITE_SCHEMA.fields]
@@ -186,8 +204,31 @@ def epoch_composite(
                         else:
                             # exact integer round-half-up of (lo + hi) / 2
                             comp = (s[n // 2 - 1] + s[n // 2] + 1) // 2
-                    else:
+                    elif stat == "mean":
                         comp = (st.sum(axis=0) * 2 + len(arrays)) // (2 * len(arrays))
+                    elif stat in ("max", "min"):
+                        # whole-pixel select by max-channel intensity;
+                        # argmax/argmin take the FIRST (earliest) winner
+                        inten = st.max(axis=3)  # (n, H, W)
+                        pick = (
+                            inten.argmax(axis=0) if stat == "max" else inten.argmin(axis=0)
+                        )
+                        comp = np.take_along_axis(
+                            st, pick[None, :, :, None], axis=0
+                        )[0]
+                    else:  # latest_valid — stack is epoch-ascending
+                        valid = (st != nd[None, None, None, :]).any(axis=3)  # (n,H,W)
+                        n = st.shape[0]
+                        # last valid index, or -1 when none: idx of the
+                        # highest epoch with valid=True
+                        rev = valid[::-1]
+                        first_from_end = rev.argmax(axis=0)
+                        any_valid = valid.any(axis=0)
+                        pick = np.where(any_valid, n - 1 - first_from_end, 0)
+                        comp = np.take_along_axis(
+                            st, pick[None, :, :, None], axis=0
+                        )[0]
+                        comp[~any_valid] = nd
                     comp = comp.astype(np.uint8)
                     rec.update(
                         status="ok",
