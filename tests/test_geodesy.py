@@ -176,3 +176,60 @@ def test_validation(spark):
         geodesic_measures(df, tile_px=0)
     with pytest.raises(ValueError):
         geodesic_measures(df, radius=-1.0)
+
+
+# ---- property tests (hypothesis): scalar CD parity, orientation ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _scalar_cd(xs, ys, z, tp=256):
+    """Independent scalar Chamberlain-Duquette + haversine."""
+    n_px = (1 << z) * tp
+    lam = [(x / n_px - 0.5) * 2 * math.pi for x in xs]
+    phi = [2 * math.atan(math.exp(math.pi * (1 - 2 * y / n_px))) - math.pi / 2 for y in ys]
+    s = 0.0
+    per = 0.0
+    for i in range(1, len(xs)):
+        s += (lam[i] - lam[i - 1]) * (2 + math.sin(phi[i - 1]) + math.sin(phi[i]))
+        a = (
+            math.sin((phi[i] - phi[i - 1]) / 2) ** 2
+            + math.cos(phi[i - 1]) * math.cos(phi[i]) * math.sin((lam[i] - lam[i - 1]) / 2) ** 2
+        )
+        per += 2 * math.asin(math.sqrt(min(1.0, a)))
+    return R * R / 2 * s, R * per
+
+
+@st.composite
+def _rings(draw):
+    z = draw(st.integers(min_value=4, max_value=10))
+    n_px = (1 << z) * 256
+    k = draw(st.integers(min_value=3, max_value=8))
+    lo, hi = int(n_px * 0.2), int(n_px * 0.8)
+    pts = [
+        (draw(st.integers(lo, hi)), draw(st.integers(lo, hi))) for _ in range(k)
+    ]
+    pts.append(pts[0])  # close
+    return z, [p[0] for p in pts], [p[1] for p in pts]
+
+
+@settings(max_examples=30, deadline=None)
+@given(_rings())
+def test_property_matches_scalar_cd(spark, ring):
+    z, xs, ys = ring
+    df = _ring_df(spark, z, [(1, 0, xs, ys)])
+    got = geodesic_measures(df).collect()[0]
+    want_a, want_p = _scalar_cd(xs, ys, z)
+    assert got.area_m2 == pytest.approx(want_a, rel=1e-9, abs=1e-3)
+    assert got.perimeter_m == pytest.approx(want_p, rel=1e-9, abs=1e-6)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_rings())
+def test_property_reversal_flips_area_keeps_perimeter(spark, ring):
+    z, xs, ys = ring
+    df = _ring_df(spark, z, [(1, 0, xs, ys), (2, 0, xs[::-1], ys[::-1])])
+    rows = {r.region_id: r for r in geodesic_measures(df).collect()}
+    assert rows[1].area_m2 == pytest.approx(-rows[2].area_m2, rel=1e-12, abs=1e-6)
+    assert rows[1].perimeter_m == pytest.approx(rows[2].perimeter_m, rel=1e-12)
