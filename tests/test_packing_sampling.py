@@ -270,3 +270,142 @@ def test_stratified_topn_prefilter_consistent(spark):
         ).collect()
     }
     assert base == pre and len(base) == 10
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (Efraimidis–Spirtas A-ES)
+# ---------------------------------------------------------------------------
+
+def _es_key(doc_id: int, w: float, salt: str = "") -> float:
+    import math
+
+    u = (_ref_hash(f"{doc_id}{salt}") + 1) / float(1 << 60)
+    return -math.log(u) / w
+
+
+def _es_oracle(rows, k, salt: str = ""):
+    """Sequential reference: bottom-k by the exponential race key."""
+    keyed = sorted(
+        (( _es_key(i, w, salt), i) for i, w in rows if w is not None and w > 0)
+    )
+    return [i for _, i in keyed[:k]]
+
+
+def test_weighted_sample_matches_python_oracle(spark):
+    from tilegrab_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float((i * 13) % 29 + 1)) for i in range(1500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = (
+        weighted_sample(df, id_col="doc_id", weight_col="w", k=100)
+        .orderBy("sample_rank")
+        .collect()
+    )
+    assert [r.doc_id for r in got] == _es_oracle(rows, 100)
+    assert [r.sample_rank for r in got] == list(range(1, 101))
+
+
+def test_weighted_sample_duckdb_oracle(spark):
+    """Cross-engine parity: DuckDB re-derives the full race from the md5
+    contract — hash, u, -ln(u)/w, bottom-k — and picks the same rows."""
+    import duckdb
+
+    from tilegrab_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float((i * 7) % 13 + 1)) for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        r.doc_id
+        for r in weighted_sample(df, id_col="doc_id", weight_col="w", k=50)
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, {w})" for i, w in rows)
+        + ") v(doc_id, w)"
+    )
+    want = [
+        r[0]
+        for r in con.execute(
+            """
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                          / 1152921504606846976.0) / w AS ekey
+              FROM t WHERE w > 0
+            ) ORDER BY ekey, doc_id LIMIT 50
+            """
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_weighted_sample_partition_invariant_and_prefix(spark):
+    from tilegrab_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0 + (i % 5)) for i in range(1000)]
+    a = spark.createDataFrame(rows, "doc_id long, w double").repartition(23)
+    b = spark.createDataFrame(list(reversed(rows)), "doc_id long, w double").coalesce(1)
+    sa = [
+        r.doc_id
+        for r in weighted_sample(a, id_col="doc_id", weight_col="w", k=60)
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    sb = [
+        r.doc_id
+        for r in weighted_sample(b, id_col="doc_id", weight_col="w", k=60)
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    assert sa == sb
+    # any prefix is itself the valid smaller sample
+    s30 = [
+        r.doc_id
+        for r in weighted_sample(a, id_col="doc_id", weight_col="w", k=30)
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    assert sa[:30] == s30
+
+
+def test_weighted_sample_weight_proportionality(spark):
+    """Rows with 10x the weight are sampled ~10x as often (single
+    deterministic draw, so check aggregate representation, generously)."""
+    from tilegrab_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, id_col="doc_id", weight_col="w", k=400).collect()
+    heavy = sum(1 for r in got if r.doc_id % 2 == 0)
+    # expected heavy fraction ~ 10/11 = 0.909; allow wide slack
+    assert heavy / 400 > 0.75
+
+
+def test_weighted_sample_stratified_and_validation(spark):
+    import pytest as _pytest
+
+    from tilegrab_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "en" if i % 3 else "de", 1.0 + i % 4) for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    got = weighted_sample(
+        df, id_col="doc_id", weight_col="w", k=25, stratum_col="lang"
+    ).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.lang, []).append((r.sample_rank, r.doc_id))
+    assert set(per) == {"en", "de"} and all(len(v) == 25 for v in per.values())
+    # per-stratum result equals the global oracle restricted to the stratum
+    en_rows = [(i, w) for i, lang, w in rows if lang == "en"]
+    assert [i for _, i in sorted(per["en"])] == _es_oracle(en_rows, 25)
+    # null / non-positive weights drop; bad k raises
+    df2 = spark.createDataFrame(
+        [(1, None), (2, 0.0), (3, -1.0), (4, 2.0)], "doc_id long, w double"
+    )
+    kept = weighted_sample(df2, id_col="doc_id", weight_col="w", k=10).collect()
+    assert [r.doc_id for r in kept] == [4]
+    with _pytest.raises(ValueError):
+        weighted_sample(df, id_col="doc_id", weight_col="w", k=0)

@@ -230,6 +230,8 @@ from tilegrab_spark.operators.sampling import (
     sample_mixture,
     stratified_sample,
     stratified_topn,
+    weighted_sample,
+    weighted_sample_key,
 )
 from tilegrab_spark.operators.decontaminate import contamination_hits, decontaminate
 from tilegrab_spark.operators.profile import profile_table
@@ -347,6 +349,8 @@ __all__ = [
     "sample_hash",
     "stratified_sample",
     "stratified_topn",
+    "weighted_sample",
+    "weighted_sample_key",
     "spatial_split",
     "auto_block_zoom",
     "within_distance_join",

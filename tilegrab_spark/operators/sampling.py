@@ -36,6 +36,8 @@ __all__ = [
     "stratified_topn",
     "mixture_rates",
     "sample_mixture",
+    "weighted_sample_key",
+    "weighted_sample",
 ]
 
 _HASH_BITS = 60
@@ -128,6 +130,82 @@ def stratified_topn(
     return (
         d.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n)
+    )
+
+
+def weighted_sample_key(
+    id_col: str | Column, weight_col: str | Column, salt: str = ""
+) -> Column:
+    """The Efraimidis–Spirtas exponential race key ``-ln(u) / w`` with
+    ``u = (hash + 1) / 2^60`` drawn deterministically from the md5
+    contract hash of the id (double, smaller = more likely sampled).
+
+    The k rows with the SMALLEST keys are a weighted sample without
+    replacement: P(row first) = w_i / Σw, then recursively over the
+    rest — exactly the sequential weighted draw, but order-free and a
+    pure function of (id, weight, salt). Engine-independent: DuckDB
+    re-derives it as ``-ln((hash + 1) / 2^60) / w`` over the same md5
+    hash (the contract oracle in tests does exactly that)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (sample_hash(id_col, salt) + F.lit(1)).cast("double") / F.lit(
+        float(_HASH_SPACE)
+    )
+    return -F.log(u) / w.cast("double")
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    stratum_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: exactly ``k``
+    rows (fewer if the input is smaller), inclusion odds proportional to
+    ``weight_col`` (Efraimidis–Spirtas A-ES, VLDB/IPL 2006 — the
+    standard one-pass weighted reservoir scheme, here as a relational
+    bottom-k instead of a sequential reservoir). The quality-weighted
+    corpus-selection step (sample by classifier margin, perplexity
+    weight, DSIR importance weight) that plain rate sampling can't
+    express.
+
+    Rows with NULL or non-positive weight are dropped (zero weight =
+    never sampled; the race key is undefined there). Adds
+    ``sample_rank`` (1-based draw order — rank 1 is the first
+    sequential draw, so any prefix of the output is itself a valid
+    weighted sample of size < k).
+
+    Scale shape: global form (``stratum_col=None``) plans as
+    TakeOrderedAndProject — each task keeps its local top-k and the
+    driver merges P×k rows, no global sort, no single-task window.
+    Per-stratum form ranks inside a window partitioned by the stratum;
+    the ``row_number <= k`` filter pushes down as WindowGroupLimit, so
+    hot strata are bounded map-side before the exchange (same plan as
+    :func:`stratified_topn`). Determinism: the key is a pure function
+    of (id, weight, salt) and ties are impossible for distinct ids
+    (continuous keys, order refined by id) — re-runs, resumes and
+    re-partitionings pick the identical row set.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    key = weighted_sample_key(id_col, weight_col, salt)
+    d = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+    if stratum_col is None:
+        out = (
+            d.withColumn("_wkey", key)
+            .orderBy(F.col("_wkey").asc(), F.col(id_col).asc())
+            .limit(k)
+        )
+        w = Window.orderBy(F.col("_wkey").asc(), F.col(id_col).asc())
+        return (
+            out.withColumn("sample_rank", F.row_number().over(w)).drop("_wkey")
+        )
+    w = Window.partitionBy(stratum_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
     )
 
 
