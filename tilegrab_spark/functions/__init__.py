@@ -7,6 +7,7 @@ from tilegrab_spark.functions.cells import (
 from tilegrab_spark.functions.interop import (
     geohash_col,
     geohash_decode_cols,
+    hilbert_key_col,
     morton_key_col,
     morton_parent_col,
     quadkey_col,
@@ -21,6 +22,7 @@ __all__ = [
     "cell_id_col",
     "geohash_col",
     "geohash_decode_cols",
+    "hilbert_key_col",
     "morton_key_col",
     "morton_parent_col",
     "quadkey_col",

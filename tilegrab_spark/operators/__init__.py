@@ -75,6 +75,7 @@ from tilegrab_spark.operators.layout import (
     morton_bbox_predicate,
     morton_ranges_for_bbox,
     partition_extent_stats,
+    with_hilbert_key,
     with_morton_key,
 )
 from tilegrab_spark.operators.sessions import session_summary, sessionize
@@ -279,6 +280,7 @@ __all__ = [
     "morton_bbox_predicate",
     "morton_ranges_for_bbox",
     "partition_extent_stats",
+    "with_hilbert_key",
     "with_morton_key",
     "enumerate_tiles",
     "enumerate_tiles_for_geoms",

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tilegrab_spark.functions.interop import morton_key_col
+from tilegrab_spark.functions.interop import hilbert_key_col, morton_key_col
 
 
 def with_morton_key(
@@ -41,23 +41,55 @@ def with_morton_key(
     return df.withColumn(key_col, morton_key_col(F.col(x_col), F.col(y_col), z))
 
 
+def with_hilbert_key(
+    df: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    zoom: str | int | Column = "z",
+    key_col: str = "hilbert_key",
+) -> DataFrame:
+    """Append the Hilbert-curve key column for (x_col, y_col) at
+    ``zoom`` — Morton's locality-optimal sibling (consecutive keys are
+    always grid-adjacent, so sorted files get tighter bounding boxes;
+    see functions/interop.py::hilbert_key_col for the trade-off: no
+    ``parent = child >> 2`` identity, so pyramid range math stays with
+    Morton)."""
+    z = F.col(zoom) if isinstance(zoom, str) else zoom
+    return df.withColumn(key_col, hilbert_key_col(F.col(x_col), F.col(y_col), z))
+
+
 def cluster_by_space(
     df: DataFrame,
     x_col: str = "x",
     y_col: str = "y",
     zoom: str | int | Column = "z",
     num_partitions: int | None = None,
-    key_col: str = "morton_key",
+    key_col: str | None = None,
     keep_key: bool = True,
+    curve: str = "morton",
 ) -> DataFrame:
-    """Range-partition + sort the frame along the Z-order curve.
+    """Range-partition + sort the frame along a space-filling curve.
 
     One shuffle (the range exchange); the within-partition sort rides
     the same exchange's sort, so a following ``.write.parquet`` emits
     files whose key min/max spans are tight and disjoint.  Partition
     count defaults to the session's shuffle parallelism.
+
+    ``curve``: ``"morton"`` (default — keys also serve bbox range
+    pruning via :func:`morton_ranges_for_bbox`) or ``"hilbert"``
+    (strictly better locality — every key step is grid-adjacent, so
+    partition bounding boxes are tighter on seam-heavy estates; use
+    when the key is layout-only).  ``key_col`` defaults to
+    ``"<curve>_key"``.
     """
-    keyed = with_morton_key(df, x_col, y_col, zoom, key_col)
+    if curve == "morton":
+        keyed = with_morton_key(df, x_col, y_col, zoom, key_col or "morton_key")
+        key_col = key_col or "morton_key"
+    elif curve == "hilbert":
+        keyed = with_hilbert_key(df, x_col, y_col, zoom, key_col or "hilbert_key")
+        key_col = key_col or "hilbert_key"
+    else:
+        raise ValueError(f"curve must be 'morton' or 'hilbert', got {curve!r}")
     if num_partitions is None:
         parts = keyed.repartitionByRange(key_col)
     else:

@@ -139,6 +139,28 @@ RETURN CASE WHEN z <= 0 THEN 0L
 """,
     ),
     (
+        "tg_hilbert_key",
+        """
+CREATE OR REPLACE TEMPORARY FUNCTION tg_hilbert_key(z INT, x BIGINT, y BIGINT)
+RETURNS BIGINT
+RETURN CASE WHEN z <= 0 THEN 0L
+  ELSE aggregate(sequence(z - 1, 0, -1),
+         named_struct('x', x, 'y', y, 'd', 0L),
+         (acc, i) -> named_struct(
+           'x', CASE WHEN bit_get(acc.y, i) = 1 THEN acc.x
+                     WHEN bit_get(acc.x, i) = 1
+                       THEN CAST(pow(2.0d, z) AS BIGINT) - 1 - acc.y
+                     ELSE acc.y END,
+           'y', CASE WHEN bit_get(acc.y, i) = 1 THEN acc.y
+                     WHEN bit_get(acc.x, i) = 1
+                       THEN CAST(pow(2.0d, z) AS BIGINT) - 1 - acc.x
+                     ELSE acc.x END,
+           'd', acc.d * 4 + (bit_get(acc.x, i) * 3 ^ bit_get(acc.y, i))),
+         acc -> acc.d)
+  END
+""",
+    ),
+    (
         "tg_tile_geojson",
         """
 CREATE OR REPLACE TEMPORARY FUNCTION tg_tile_geojson(x BIGINT, y BIGINT, z INT)
