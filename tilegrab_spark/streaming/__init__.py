@@ -14,9 +14,15 @@ from tilegrab_spark.streaming.ingest import stream_image_ingest
 from tilegrab_spark.streaming.mosaic_stream import compact_mosaics, stream_mosaic
 from tilegrab_spark.streaming.stateful import stream_cell_stats
 from tilegrab_spark.streaming.upsert_stream import UpsertSink, stream_upsert
+from tilegrab_spark.streaming.weighted_reservoir import (
+    ReservoirStore,
+    stream_weighted_reservoir,
+)
 from tilegrab_spark.streaming.windowed import stream_windowed_counts
 
 __all__ = [
+    "ReservoirStore",
+    "stream_weighted_reservoir",
     "UpsertSink",
     "stream_upsert",
     "incremental_lsh_pairs",
