@@ -1830,11 +1830,20 @@ def _stratified_sampling(spark, sf):
       default_fraction=1.0 keeps it all.
     - ``topn``: exact per-stratum quota by deterministic hash order
       (operators/sampling.py::stratified_topn).
+    - ``weighted``: global weighted sample without replacement
+      (operators/sampling.py::weighted_sample — Efraimidis–Spirtas
+      A-ES bottom-k on the race key ``-ln((hash+1)/2^60)/w`` with
+      w = length(text)).
 
     FULLY oracled: DuckDB recomputes the same hash, the same integer
-    thresholds (precomputed so float->int truncation can't diverge) and
-    the row_number cut independently."""
-    from tilegrab_spark.operators.sampling import stratified_sample, stratified_topn
+    thresholds (precomputed so float->int truncation can't diverge),
+    the row_number cut, and the full exponential race (hash -> u ->
+    -ln(u)/w -> bottom-k) independently."""
+    from tilegrab_spark.operators.sampling import (
+        stratified_sample,
+        stratified_topn,
+        weighted_sample,
+    )
 
     d = _t(spark, sf, "documents").select("doc_id", "lang")
     rate = stratified_sample(
@@ -1858,7 +1867,16 @@ def _stratified_sampling(spark, sf):
         F.col("sample_rank").cast("long").alias("sample_rank"),
         F.lit("topn").alias("variant"),
     )
-    return rate.unionByName(topn)
+    dw = _t(spark, sf, "documents").select(
+        "doc_id", "lang", F.length("text").cast("double").alias("w")
+    )
+    weighted = weighted_sample(dw, id_col="doc_id", weight_col="w", k=40).select(
+        "doc_id",
+        "lang",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+        F.lit("weighted").alias("variant"),
+    )
+    return rate.unionByName(topn).unionByName(weighted)
 
 
 def _stratified_sampling_sql() -> str:
@@ -1881,6 +1899,16 @@ SELECT doc_id, lang, sample_rank, 'topn' AS variant FROM (
                     doc_id) AS BIGINT) AS sample_rank
   FROM documents)
 WHERE sample_rank <= 25
+UNION ALL
+SELECT doc_id, lang, sample_rank, 'weighted' AS variant FROM (
+  SELECT doc_id, lang, CAST(row_number() OVER (ORDER BY ekey, doc_id) AS BIGINT)
+         AS sample_rank
+  FROM (
+    SELECT doc_id, lang,
+           -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                / {float(space)}) / length(text) AS ekey
+    FROM documents WHERE length(text) > 0)
+) WHERE sample_rank <= 40
 """
 
 
