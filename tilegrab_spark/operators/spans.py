@@ -38,7 +38,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["duplicate_spans", "scrub_spans", "rolling_gram_hashes"]
+__all__ = [
+    "duplicate_spans",
+    "scrub_spans",
+    "rolling_gram_hashes",
+    "merge_hit_islands",
+]
 
 
 def rolling_gram_hashes(
@@ -177,8 +182,16 @@ def duplicate_spans(
         .select("h")
     )
     marked = hits.join(F.broadcast(dup), "h").select("_id", "pos")
-    # gaps-and-islands: hit positions p cover tokens [p, p+k); adjacent
-    # hits chain into one island while pos <= prev_pos + k
+    return merge_hit_islands(marked, k, id_col=id_col)
+
+
+def merge_hit_islands(marked: DataFrame, k: int, *, id_col: str = "doc_id") -> DataFrame:
+    """Maximal-interval merge of duplicated-gram hit positions:
+    ``[_id, pos]`` rows (each covering tokens ``[pos, pos + k)``) →
+    ``[id_col, start_tok, end_tok, n_grams]``. Gaps-and-islands per
+    document: adjacent hits chain into one island while
+    ``pos <= prev_pos + k``. Shared by the batch operator and the
+    incremental span store (same merge ⇒ identical span sets)."""
     w = Window.partitionBy("_id").orderBy("pos")
     islands = (
         marked.withColumn("_prev", F.lag("pos").over(w))

@@ -14,6 +14,7 @@ from tilegrab_spark.streaming.ingest import stream_image_ingest
 from tilegrab_spark.streaming.mosaic_stream import compact_mosaics, stream_mosaic
 from tilegrab_spark.streaming.stateful import stream_cell_stats
 from tilegrab_spark.streaming.upsert_stream import UpsertSink, stream_upsert
+from tilegrab_spark.streaming.span_stream import SpanStore, stream_span_dedup
 from tilegrab_spark.streaming.weighted_reservoir import (
     ReservoirStore,
     stream_weighted_reservoir,
@@ -22,6 +23,8 @@ from tilegrab_spark.streaming.windowed import stream_windowed_counts
 
 __all__ = [
     "ReservoirStore",
+    "SpanStore",
+    "stream_span_dedup",
     "stream_weighted_reservoir",
     "UpsertSink",
     "stream_upsert",
