@@ -1,0 +1,171 @@
+"""S2-format cell ids: python-reference parity, id-algebra properties
+(level/parent/range), face coverage, edge points, NULLs, and the
+containment-range join the addressing exists for."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilegrab_spark.functions.s2cells import (
+    S2_MAX_LEVEL,
+    s2_cell_col,
+    s2_level_col,
+    s2_parent_col,
+    s2_range_cols,
+)
+
+# -- sequential reference (public S2 recipe, same deviations as the
+# module: Lmax=28, face at bits 57-59, fixed Hilbert orientation) -----
+
+
+def _xy2d(z, x, y):
+    n = 1 << z
+    d = 0
+    s = n >> 1
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def _ref_cell(lon, lat, level):
+    p, t = math.radians(lat), math.radians(lon)
+    x, y, z = math.cos(p) * math.cos(t), math.cos(p) * math.sin(t), math.sin(p)
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax >= ay and ax >= az:
+        face = 0 if x > 0 else 3
+        u, v = (y / x, z / x) if face == 0 else (z / x, y / x)
+    elif ay >= ax and ay >= az:
+        face = 1 if y > 0 else 4
+        u, v = (-x / y, z / y) if face == 1 else (z / y, -x / y)
+    else:
+        face = 2 if z > 0 else 5
+        u, v = (-x / z, -y / z) if face == 2 else (-y / z, -x / z)
+
+    def st(w):
+        return 0.5 * math.sqrt(1 + 3 * w) if w >= 0 else 1 - 0.5 * math.sqrt(1 - 3 * w)
+
+    n = 1 << level
+    i = min(n - 1, max(0, int(st(u) * n)))
+    j = min(n - 1, max(0, int(st(v) * n)))
+    shift = 2 * (S2_MAX_LEVEL - level)
+    return (
+        (face << (2 * S2_MAX_LEVEL + 1))
+        | (_xy2d(level, i, j) << (shift + 1))
+        | (1 << shift)
+    )
+
+
+def _ref_parent(cid, levels=1):
+    lsb = (cid & -cid) << (2 * levels)
+    return (cid & ~(lsb - 1)) | lsb
+
+
+def test_matches_reference_random_and_edges(spark):
+    random.seed(11)
+    pts = [
+        (random.uniform(-180, 180), random.uniform(-90, 90), random.randint(1, 28))
+        for _ in range(2500)
+    ]
+    pts += [
+        (0.0, 0.0, 10), (90.0, 0.0, 10), (0.0, 90.0, 10), (180.0, 0.0, 10),
+        (-180.0, 0.0, 10), (-90.0, 0.0, 10), (0.0, -90.0, 10),
+        (179.999999, 0.000001, 24), (-0.000001, -89.999999, 24),
+    ]
+    by_level = {}
+    for lon, lat, lvl in pts:
+        by_level.setdefault(lvl, []).append((lon, lat))
+    for lvl, pp in by_level.items():
+        df = spark.createDataFrame(pp, "lon double, lat double")
+        got = df.select(
+            "lon", "lat", s2_cell_col(F.col("lon"), F.col("lat"), lvl).alias("c")
+        ).collect()
+        for r in got:
+            assert r.c == _ref_cell(r.lon, r.lat, lvl), (r.lon, r.lat, lvl)
+            assert r.c > 0
+
+
+def test_face_coverage_and_null(spark):
+    axis = [(0.0, 0.0), (90.0, 0.0), (0.0, 90.0), (180.0, 0.0), (-90.0, 0.0), (0.0, -90.0)]
+    df = spark.createDataFrame(axis, "lon double, lat double")
+    faces = {
+        r.c >> (2 * S2_MAX_LEVEL + 1)
+        for r in df.select(s2_cell_col(F.col("lon"), F.col("lat"), 5).alias("c")).collect()
+    }
+    assert faces == {0, 1, 2, 3, 4, 5}
+    nulls = spark.createDataFrame(
+        [(None, 1.0), (2.0, None)], "lon double, lat double"
+    ).select(s2_cell_col(F.col("lon"), F.col("lat"), 8).alias("c")).collect()
+    assert [r.c for r in nulls] == [None, None]
+
+
+def test_level_parent_range_algebra(spark):
+    random.seed(13)
+    pts = [(random.uniform(-180, 180), random.uniform(-90, 90)) for _ in range(400)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    lo, hi = s2_range_cols(s2_parent_col(F.col("c16"), 3))
+    got = (
+        df.select(
+            "lon", "lat",
+            s2_cell_col(F.col("lon"), F.col("lat"), 16).alias("c16"),
+            s2_cell_col(F.col("lon"), F.col("lat"), 13).alias("c13"),
+        )
+        .select(
+            "*",
+            s2_level_col(F.col("c16")).alias("lvl"),
+            s2_parent_col(F.col("c16"), 3).alias("par"),
+            lo.alias("lo"),
+            hi.alias("hi"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert r.lvl == 16
+        # hierarchy: parent-by-bit-math == re-encode at the parent level
+        assert r.par == r.c13 == _ref_parent(r.c16, 3)
+        # containment: the child id falls in the parent's range
+        assert r.lo <= r.c16 <= r.hi
+        assert r.lo <= r.par <= r.hi
+    # too-shallow parent nulls out
+    shallow = spark.createDataFrame([(10.0, 10.0)], "lon double, lat double").select(
+        s2_parent_col(s2_cell_col(F.col("lon"), F.col("lat"), 2), 2).alias("p2"),
+        s2_parent_col(s2_cell_col(F.col("lon"), F.col("lat"), 2), 1).alias("p1"),
+    ).collect()[0]
+    assert shallow.p2 is None and shallow.p1 is not None
+
+
+def test_containment_range_join(spark):
+    """The point of the addressing: points-in-region as one BETWEEN
+    predicate over cell ids, exact vs a python recompute."""
+    random.seed(17)
+    pts = [(i, random.uniform(-30, 30), random.uniform(-30, 30)) for i in range(1500)]
+    df = spark.createDataFrame(pts, "pid long, lon double, lat double").withColumn(
+        "cell", s2_cell_col(F.col("lon"), F.col("lat"), 18)
+    )
+    # region = the level-10 ancestor of one chosen point
+    region = _ref_parent(_ref_cell(*pts[7][1:], 18), 8)
+    lsb = region & -region
+    lo, hi = region - (lsb - 1), region + (lsb - 1)
+    got = {r.pid for r in df.filter(F.col("cell").between(lo, hi)).collect()}
+    want = {
+        pid for pid, lon, lat in pts
+        if lo <= _ref_cell(lon, lat, 18) <= hi
+    }
+    assert got == want and pts[7][0] in got
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError, match="level"):
+        s2_cell_col(F.lit(0.0), F.lit(0.0), 0)
+    with pytest.raises(ValueError, match="level"):
+        s2_cell_col(F.lit(0.0), F.lit(0.0), 29)
+    with pytest.raises(ValueError, match="levels"):
+        s2_parent_col(F.lit(1), 0)

@@ -4,6 +4,13 @@ from tilegrab_spark.functions.cells import (
     tile_mercator_bounds_cols,
     cell_id_col,
 )
+from tilegrab_spark.functions.s2cells import (
+    S2_MAX_LEVEL,
+    s2_cell_col,
+    s2_level_col,
+    s2_parent_col,
+    s2_range_cols,
+)
 from tilegrab_spark.functions.interop import (
     geohash_col,
     geohash_decode_cols,
@@ -28,4 +35,9 @@ __all__ = [
     "quadkey_col",
     "quadkey_decode_cols",
     "tms_y_col",
+    "S2_MAX_LEVEL",
+    "s2_cell_col",
+    "s2_level_col",
+    "s2_parent_col",
+    "s2_range_cols",
 ]
