@@ -169,3 +169,86 @@ def test_validation(spark):
         s2_cell_col(F.lit(0.0), F.lit(0.0), 29)
     with pytest.raises(ValueError, match="levels"):
         s2_parent_col(F.lit(1), 0)
+
+
+# ---------------------------------------------------------------------------
+# Region coverer
+# ---------------------------------------------------------------------------
+
+from tilegrab_spark.functions.s2cells import s2_bbox_predicate, s2_ranges_for_bbox
+
+
+def _in_ranges(cid, ranges):
+    return any(lo <= cid <= hi for lo, hi in ranges)
+
+
+def test_cover_never_loses_inside_points():
+    """The never-loss property: every point inside the bbox encodes to
+    a cell id inside some cover range — random bboxes incl. the
+    antimeridian crossing and a polar cap."""
+    random.seed(23)
+    boxes = [(-10.0, 40.0, 20.0, 55.0), (170.0, -20.0, -170.0, 10.0),
+             (-180.0, 80.0, 180.0, 90.0), (-1.0, -1.0, 1.0, 1.0)]
+    for _ in range(8):
+        lo0, lo1 = sorted(random.uniform(-180, 180) for _ in range(2))
+        la0, la1 = sorted(random.uniform(-90, 90) for _ in range(2))
+        boxes.append((lo0, la0, lo1, la1))
+    for lon0, lat0, lon1, lat1 in boxes:
+        ranges = s2_ranges_for_bbox(lon0, lat0, lon1, lat1, max_level=8)
+        assert ranges and all(lo <= hi for lo, hi in ranges)
+        assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+        for _ in range(400):
+            if lon0 <= lon1:
+                lon = random.uniform(lon0, lon1)
+            else:  # antimeridian wrap
+                span = (180 - lon0) + (lon1 + 180)
+                t = random.uniform(0, span)
+                lon = lon0 + t if t <= 180 - lon0 else -180 + (t - (180 - lon0))
+            lat = random.uniform(lat0, lat1)
+            cid = _ref_cell(lon, lat, 18)
+            assert _in_ranges(cid, ranges), (lon, lat, lon0, lat0, lon1, lat1)
+
+
+def test_cover_excludes_far_outside_and_caps_ranges():
+    ranges = s2_ranges_for_bbox(-10.0, 40.0, 20.0, 55.0, max_level=10, max_ranges=24)
+    assert len(ranges) <= 24
+    random.seed(29)
+    out = 0
+    for _ in range(500):
+        # antipodal region — must be fully excluded
+        lon, lat = random.uniform(150, 179), random.uniform(-60, -40)
+        if _in_ranges(_ref_cell(lon, lat, 18), ranges):
+            out += 1
+    assert out == 0
+
+
+def test_cover_predicate_matches_python_membership(spark):
+    random.seed(31)
+    pts = [(i, random.uniform(-40, 40), random.uniform(20, 70)) for i in range(2000)]
+    df = spark.createDataFrame(pts, "pid long, lon double, lat double").withColumn(
+        "cell", s2_cell_col(F.col("lon"), F.col("lat"), 18)
+    )
+    box = (-10.0, 40.0, 20.0, 55.0)
+    ranges = s2_ranges_for_bbox(*box, max_level=10)
+    got = {
+        r.pid
+        for r in df.filter(
+            s2_bbox_predicate(F.col("cell"), *box, max_level=10)
+        ).collect()
+    }
+    want = {pid for pid, lon, lat in pts if _in_ranges(_ref_cell(lon, lat, 18), ranges)}
+    assert got == want
+    # every truly-inside point is selected (cover may add a fringe)
+    inside = {pid for pid, lon, lat in pts
+              if box[0] <= lon <= box[2] and box[1] <= lat <= box[3]}
+    assert inside <= got
+    # empty-bbox degenerate: predicate still valid
+    nothing = s2_ranges_for_bbox(10.0, 10.0, 10.0, 10.0, max_level=6)
+    assert nothing  # a point bbox still covers its containing cells
+
+
+def test_cover_validation():
+    with pytest.raises(ValueError, match="lat0"):
+        s2_ranges_for_bbox(0.0, 50.0, 10.0, 40.0)
+    with pytest.raises(ValueError, match="max_level"):
+        s2_ranges_for_bbox(0.0, 0.0, 1.0, 1.0, max_level=99)

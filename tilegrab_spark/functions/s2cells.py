@@ -48,6 +48,8 @@ __all__ = [
     "s2_parent_col",
     "s2_level_col",
     "s2_range_cols",
+    "s2_ranges_for_bbox",
+    "s2_bbox_predicate",
 ]
 
 S2_MAX_LEVEL = 28
@@ -165,3 +167,237 @@ def s2_range_cols(cell: Column) -> tuple[Column, Column]:
     c = cell.cast("long")
     spread = _lsb(cell) - 1
     return c - spread, c + spread
+
+
+# ---------------------------------------------------------------------------
+# Region covering (the read side — the S2 RegionCoverer shape)
+# ---------------------------------------------------------------------------
+#
+# Driver-side by design, like operators/layout.py::morton_ranges_for_bbox:
+# the bbox is query metadata (four floats), the output feeds a pushed-down
+# ``cell BETWEEN lo AND hi`` disjunction; no data moves through Python.
+
+
+def _st2uv(s: float) -> float:
+    return (4 * s * s - 1) / 3 if s >= 0.5 else (1 - 4 * (1 - s) * (1 - s)) / 3
+
+
+_FACE_XYZ = {
+    0: lambda u, v: (1.0, u, v),
+    1: lambda u, v: (-u, 1.0, v),
+    2: lambda u, v: (-u, -v, 1.0),
+    3: lambda u, v: (-1.0, -v, -u),
+    4: lambda u, v: (v, -1.0, -u),
+    5: lambda u, v: (v, u, -1.0),
+}
+
+
+def _cell_lonlat_bounds(face: int, u0: float, u1: float, v0: float, v1: float):
+    """EXACT (lat_min, lat_max, lon_intervals) of the spherical patch
+    that is the central projection of face-plane rect [u0,u1]x[v0,v1]
+    (central projection preserves direction, so extremes over the
+    sphere equal extremes over the PLANAR rect — closed-form per face
+    class). ``lon_intervals``: list of (lo, hi) in [-180, 180], or
+    ``None`` when the patch contains a pole (all longitudes).
+
+    Latitude: equatorial faces have z linear in one rect coordinate and
+    r_xy = sqrt(1 + w^2) in the other — extremes at corners plus the
+    w = 0 crossing; polar faces have lat = ±atan(1/hypot(u, v)) —
+    extremes at the origin-clamped nearest point and the farthest
+    corner. Longitude: a convex planar rect avoiding the polar axis
+    subtends a minimal arc <= 180° attained at corners (support lines
+    of a polygon touch vertices); the largest-gap-of-sorted-angles
+    construction recovers it, split at the ±180 seam.
+    """
+    import math
+
+    if face in (0, 1):  # z = v, r = hypot(1, u)
+        us = [u0, u1] + ([0.0] if u0 <= 0.0 <= u1 else [])
+        lats = [
+            math.degrees(math.atan2(v, math.hypot(1.0, u)))
+            for v in (v0, v1)
+            for u in us
+        ]
+    elif face in (3, 4):  # z = -u, r = hypot(1, v)
+        vs = [v0, v1] + ([0.0] if v0 <= 0.0 <= v1 else [])
+        lats = [
+            math.degrees(math.atan2(-u, math.hypot(1.0, v)))
+            for u in (u0, u1)
+            for v in vs
+        ]
+    else:  # polar: z = ±1, r = hypot(u, v)
+        du = 0.0 if u0 <= 0.0 <= u1 else min(abs(u0), abs(u1))
+        dv = 0.0 if v0 <= 0.0 <= v1 else min(abs(v0), abs(v1))
+        rmin = math.hypot(du, dv)
+        rmax = max(math.hypot(u, v) for u in (u0, u1) for v in (v0, v1))
+        near = 90.0 if rmin == 0.0 else math.degrees(math.atan2(1.0, rmin))
+        far = math.degrees(math.atan2(1.0, rmax))
+        lats = [near, far] if face == 2 else [-near, -far]
+    lat_min, lat_max = min(lats), max(lats)
+
+    if face in (2, 5) and u0 <= 0.0 <= u1 and v0 <= 0.0 <= v1:
+        return lat_min, lat_max, None  # pole inside: all longitudes
+    corners = []
+    for u in (u0, u1):
+        for v in (v0, v1):
+            x, y, _ = _FACE_XYZ[face](u, v)
+            corners.append(math.degrees(math.atan2(y, x)))
+    ang = sorted(corners)
+    gaps = [(ang[(i + 1) % 4] - ang[i]) % 360.0 for i in range(4)]
+    gi = max(range(4), key=lambda i: gaps[i])
+    lo, hi = ang[(gi + 1) % 4], ang[gi]
+    if lo <= hi:
+        return lat_min, lat_max, [(lo, hi)]
+    return lat_min, lat_max, [(lo, 180.0), (-180.0, hi)]
+
+
+_EPS = 1e-12
+
+
+def _ivals_disjoint(a, b) -> bool:
+    """True only when the interval lists certainly do not intersect
+    (None = full circle). Unsure → False (conservative: recurse)."""
+    if a is None or b is None:
+        return False
+    return all(
+        ah < bl - _EPS or bh < al - _EPS for al, ah in a for bl, bh in b
+    )
+
+
+def _ivals_contained(inner, outer) -> bool:
+    """True only when ``inner`` certainly sits inside ``outer``."""
+    if outer is None:
+        return True
+    if inner is None:
+        return False
+    return all(
+        any(ol - _EPS <= il and ih <= oh + _EPS for ol, oh in outer)
+        for il, ih in inner
+    )
+
+
+def s2_ranges_for_bbox(
+    lon0: float,
+    lat0: float,
+    lon1: float,
+    lat1: float,
+    *,
+    max_level: int = 12,
+    max_ranges: int = 64,
+) -> list[tuple[int, int]]:
+    """Cover a lat/lon bbox with contiguous S2-format id ranges — the
+    RegionCoverer recursion: per face, a cell certainly inside the bbox
+    emits its descendant range, certainly disjoint is dropped,
+    straddling recurses to ``max_level`` (then emits — over-scan, never
+    loss). ``lon0 > lon1`` means the bbox crosses the antimeridian.
+
+    Output ranges select every point cell encoded at ANY level >= the
+    emitted cover cells' levels (the practical case: point columns are
+    fine-level). Adjacent ranges merge; if the count would exceed
+    ``max_ranges`` the smallest gaps coalesce — extra ids only cost
+    over-scan, callers still apply the exact lon/lat predicate.
+    """
+    import math
+
+    if not (-90.0 <= lat0 <= lat1 <= 90.0):
+        raise ValueError(f"need -90 <= lat0 <= lat1 <= 90, got {lat0}, {lat1}")
+    if not isinstance(max_level, int) or not 0 <= max_level <= S2_MAX_LEVEL:
+        raise ValueError(f"max_level must be in [0, {S2_MAX_LEVEL}], got {max_level!r}")
+    if lon0 <= lon1:
+        qlon = [(lon0, lon1)]
+    else:  # antimeridian crossing
+        qlon = [(lon0, 180.0), (-180.0, lon1)]
+
+    # python mirror of the Catalyst hilbert fold (same public xy2d walk)
+    def xy2d(z: int, x: int, y: int) -> int:
+        n = 1 << z
+        d = 0
+        s = n >> 1
+        while s > 0:
+            rx = 1 if (x & s) else 0
+            ry = 1 if (y & s) else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s >>= 1
+        return d
+
+    out: list[tuple[int, int]] = []
+
+    def emit(face: int, i: int, j: int, level: int) -> None:
+        shift = 2 * (S2_MAX_LEVEL - level)
+        cid = (
+            (face << (2 * S2_MAX_LEVEL + 1))
+            | (xy2d(level, i, j) << (shift + 1))
+            | (1 << shift)
+        )
+        lsb = 1 << shift
+        out.append((cid - (lsb - 1), cid + (lsb - 1)))
+
+    def visit(face: int, i: int, j: int, level: int) -> None:
+        n = 1 << level
+        u0, u1 = _st2uv(i / n), _st2uv((i + 1) / n)
+        v0, v1 = _st2uv(j / n), _st2uv((j + 1) / n)
+        clat0, clat1, clon = _cell_lonlat_bounds(face, u0, u1, v0, v1)
+        if clat1 < lat0 - _EPS or clat0 > lat1 + _EPS:
+            return
+        if _ivals_disjoint(clon, qlon):
+            return
+        inside = (
+            lat0 - _EPS <= clat0
+            and clat1 <= lat1 + _EPS
+            and _ivals_contained(clon, qlon)
+        )
+        if inside or level == max_level:
+            emit(face, i, j, level)
+            return
+        for di in (0, 1):
+            for dj in (0, 1):
+                visit(face, 2 * i + di, 2 * j + dj, level + 1)
+
+    for face in range(6):
+        visit(face, 0, 0, 0)
+    out.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        # adjacent sibling ranges sit exactly 2 apart (the skipped id is
+        # a coarser straddling cell — merging keeps fine-level exactness)
+        if merged and lo <= merged[-1][1] + 2:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    while len(merged) > max_ranges:
+        gaps = [
+            (merged[i + 1][0] - merged[i][1], i) for i in range(len(merged) - 1)
+        ]
+        _, i = min(gaps)
+        merged[i] = (merged[i][0], merged[i + 1][1])
+        del merged[i + 1]
+    return merged
+
+
+def s2_bbox_predicate(
+    cell: Column,
+    lon0: float,
+    lat0: float,
+    lon1: float,
+    lat1: float,
+    *,
+    max_level: int = 12,
+    max_ranges: int = 64,
+) -> Column:
+    """Catalyst predicate selecting the bbox's S2 cover ranges —
+    ``cell BETWEEN lo AND hi OR ...`` — which parquet min/max stats on
+    an s2-clustered layout prune server-side. Callers AND the exact
+    lon/lat test on top (the cover over-scans at straddling cells)."""
+    ranges = s2_ranges_for_bbox(
+        lon0, lat0, lon1, lat1, max_level=max_level, max_ranges=max_ranges
+    )
+    if not ranges:
+        return F.lit(False)
+    pred = cell.between(ranges[0][0], ranges[0][1])
+    for lo, hi in ranges[1:]:
+        pred = pred | cell.between(lo, hi)
+    return pred
