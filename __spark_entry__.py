@@ -536,6 +536,9 @@ def _tile_interop(spark, sf):
         tms_y_col,
     )
 
+    from tilegrab_spark.functions.interop import hilbert_key_col
+    from tilegrab_spark.functions.s2cells import s2_cell_col, s2_parent_col
+
     li = _t(spark, sf, "lineitem")
     d = li.select(
         "l_orderkey",
@@ -545,11 +548,19 @@ def _tile_interop(spark, sf):
     ).select(
         "l_orderkey",
         "l_linenumber",
+        "x",
+        "y",
         quadkey_col(F.col("x"), F.col("y"), 12).alias("quadkey"),
         morton_key_col(F.col("x"), F.col("y"), 12).alias("morton_key"),
         tms_y_col(F.col("y"), 12).alias("tms_y"),
+        # bin-center lon/lat keeps every point well away from cell
+        # boundaries (level 6 cells span ~0.35 in st), so the two
+        # engines' trig can never disagree on the grid coordinate
+        (F.lit(-180.0) + (F.col("x") + 0.5) * (360.0 / 4096.0)).alias("lon"),
+        (F.lit(-90.0) + (F.col("y") + 0.5) * (180.0 / 4096.0)).alias("lat"),
     )
     _, xb, yb = quadkey_decode_cols(F.col("quadkey"))
+    s2 = s2_cell_col(F.col("lon"), F.col("lat"), 6)
     return d.select(
         "l_orderkey",
         "l_linenumber",
@@ -559,30 +570,102 @@ def _tile_interop(spark, sf):
         xb.alias("x_back"),
         yb.alias("y_back"),
         morton_parent_col(F.col("morton_key")).alias("parent_key"),
+        hilbert_key_col(F.col("x"), F.col("y"), 12).alias("hilbert_key"),
+        s2.alias("s2_cell"),
+        s2_parent_col(s2, 2).alias("s2_parent"),
     )
+
+
+def _hilbert_sql_stages(prefix: str, src: str, xc: str, yc: str, zbits: int, n1: int) -> str:
+    """Generate the Hilbert fold as ``zbits`` unrolled CTE stages (the
+    same public xy2d walk functions/interop.py folds in Catalyst) —
+    each stage consumes one bit and rotates the frame; DuckDB lateral
+    alias resolution is sidestepped by giving every stage its own
+    column names."""
+    ctes = [f"{prefix}{zbits} AS (SELECT *, {xc} AS {prefix}x{zbits}, "
+            f"{yc} AS {prefix}y{zbits}, CAST(0 AS BIGINT) AS {prefix}d{zbits} FROM {src})"]
+    for i in range(zbits - 1, -1, -1):
+        p = i + 1
+        rx = f"(({prefix}x{p} >> {i}) & 1)"
+        ry = f"(({prefix}y{p} >> {i}) & 1)"
+        ctes.append(f"""{prefix}{i} AS (
+  SELECT *,
+    CASE WHEN {ry} = 1 THEN {prefix}x{p}
+         WHEN {rx} = 1 THEN {n1} - {prefix}y{p}
+         ELSE {prefix}y{p} END AS {prefix}x{i},
+    CASE WHEN {ry} = 1 THEN {prefix}y{p}
+         WHEN {rx} = 1 THEN {n1} - {prefix}x{p}
+         ELSE {prefix}x{p} END AS {prefix}y{i},
+    {prefix}d{p} * 4 + xor({rx} * 3, {ry}) AS {prefix}d{i}
+  FROM {prefix}{p})""")
+    return ",\n".join(ctes)
 
 
 def _interop_sql() -> str:
     # Per-row unrolled bit math — (l_orderkey, l_linenumber) is NOT a
     # unique key in the synthetic lineitem, so a GROUP-BY formulation
-    # would merge bits across duplicate keys. Fixed z=12.
+    # would merge bits across duplicate keys. Fixed z=12; the Hilbert
+    # and S2 folds re-derive as generated unrolled CTE stages, the S2
+    # trig pipeline (sphere -> face -> quadratic ST -> grid) inline.
     digit = "(((x >> {i}) & 1) + 2 * ((y >> {i}) & 1))"
     quadkey = " || ".join(
         f"CAST({digit.format(i=i)} AS VARCHAR)" for i in range(11, -1, -1)
     )
     morton = " + ".join(f"{digit.format(i=i)} * {4**i}" for i in range(12))
+    hilbert = _hilbert_sql_stages("h", "t", "x", "y", 12, 4095)
+    s2fold = _hilbert_sql_stages("s", "s2ij", "si", "sj", 6, 63)
+    # id packing at level 6: shift = 2*(28-6) = 44
+    shift = 2 * (28 - 6)
+    lsb, plsb = 1 << shift, 1 << (shift + 4)  # parent 2 levels up
     return f"""
 WITH t AS (
   SELECT l_orderkey, l_linenumber,
          CAST(l_orderkey % 4096 AS BIGINT) AS x,
-         CAST(l_partkey % 4096 AS BIGINT) AS y
-  FROM lineitem)
+         CAST(l_partkey % 4096 AS BIGINT) AS y,
+         -180.0 + (CAST(l_orderkey % 4096 AS BIGINT) + 0.5) * (360.0 / 4096.0) AS lon,
+         -90.0 + (CAST(l_partkey % 4096 AS BIGINT) + 0.5) * (180.0 / 4096.0) AS lat
+  FROM lineitem),
+{hilbert},
+s2xyz AS (
+  SELECT *, cos(radians(lat)) * cos(radians(lon)) AS px,
+            cos(radians(lat)) * sin(radians(lon)) AS py,
+            sin(radians(lat)) AS pz
+  FROM h0),
+s2face AS (
+  SELECT *,
+    CASE WHEN abs(px) >= abs(py) AND abs(px) >= abs(pz)
+           THEN CASE WHEN px > 0 THEN 0 ELSE 3 END
+         WHEN abs(py) >= abs(px) AND abs(py) >= abs(pz)
+           THEN CASE WHEN py > 0 THEN 1 ELSE 4 END
+         ELSE CASE WHEN pz > 0 THEN 2 ELSE 5 END END AS face
+  FROM s2xyz),
+s2uv AS (
+  SELECT *,
+    CASE face WHEN 0 THEN py/px WHEN 1 THEN -px/py WHEN 2 THEN -px/pz
+              WHEN 3 THEN pz/px WHEN 4 THEN pz/py ELSE -py/pz END AS su,
+    CASE face WHEN 0 THEN pz/px WHEN 1 THEN pz/py WHEN 2 THEN -py/pz
+              WHEN 3 THEN py/px WHEN 4 THEN -px/py ELSE -px/pz END AS sv
+  FROM s2face),
+s2ij AS (
+  SELECT *,
+    least(63, greatest(0, CAST(floor(
+      (CASE WHEN su >= 0 THEN 0.5*sqrt(1+3*su) ELSE 1-0.5*sqrt(1-3*su) END) * 64
+    ) AS BIGINT))) AS si,
+    least(63, greatest(0, CAST(floor(
+      (CASE WHEN sv >= 0 THEN 0.5*sqrt(1+3*sv) ELSE 1-0.5*sqrt(1-3*sv) END) * 64
+    ) AS BIGINT))) AS sj
+  FROM s2uv),
+{s2fold}
 SELECT l_orderkey, l_linenumber,
        {quadkey} AS quadkey,
        CAST({morton} AS BIGINT) AS morton_key,
        4095 - y AS tms_y, x AS x_back, y AS y_back,
-       CAST({morton} AS BIGINT) >> 2 AS parent_key
-FROM t
+       CAST({morton} AS BIGINT) >> 2 AS parent_key,
+       hd0 AS hilbert_key,
+       (CAST(face AS BIGINT) << 57) + (sd0 << {shift + 1}) + {lsb} AS s2_cell,
+       (((CAST(face AS BIGINT) << 57) + (sd0 << {shift + 1}) + {lsb})
+         & ~CAST({plsb - 1} AS BIGINT)) | CAST({plsb} AS BIGINT) AS s2_parent
+FROM s0
 """
 
 
