@@ -114,7 +114,7 @@ def main():
     img_path = f"/tmp/tilegrab_bench/images_e{edge}_z{zoom}" + (
         f"_s{nsrcs}" if nsrcs != 2 else ""
     )
-    if stages not in ("llm", "cc", "r4geo"):
+    if stages not in ("llm", "cc", "r4geo", "s2"):
         ensure_images(spark, img_path, edge, zoom, nsrcs)
 
     # warmup: spin up JVM codegen + Python workers so the first timed
@@ -169,7 +169,7 @@ def main():
 
     images = (
         read_image_table(spark, img_path)
-        if stages not in ("llm", "cc", "r4geo")
+        if stages not in ("llm", "cc", "r4geo", "s2")
         else None
     )
     if stages in ("llm", "cc"):
@@ -179,6 +179,43 @@ def main():
         return
     if stages == "r4geo":
         _r4geo_stages(spark, sf_dir, timed, (mnl0, mnt0, mxl0, mxt0))
+        _emit(timings, counts, None, sf, cpus)
+        spark.stop()
+        return
+
+    # BENCH_STAGES=s2: pure-Catalyst spherical-addressing throughput
+    # (gated). No input files — BENCH_S2_N hash-spread global points;
+    # s2_encode runs the full trig+face+quadratic-ST+Hilbert-fold
+    # pipeline at level 18, hilbert_encode the bare 18-level fold. The
+    # modular-sum aggregate consumes the key so the projection can't
+    # prune away; W scales linearly with N (the N-vs-4N comparison
+    # measures codegen throughput, not task-launch fixed cost).
+    if stages == "s2":
+        from tilegrab_spark.functions.interop import hilbert_key_col
+        from tilegrab_spark.functions.s2cells import s2_cell_col
+
+        n_pts = int(os.environ.get("BENCH_S2_N", "20000000"))
+        pts = spark.range(n_pts).select(
+            (F.pmod(F.xxhash64("id"), F.lit(360000)) / 1000.0 - 180.0).alias("lon"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(180000)) / 1000.0 - 90.0).alias("lat"),
+            F.pmod(F.col("id"), F.lit(1 << 18)).alias("tx"),
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1 << 18)).alias("ty"),
+        )
+
+        def s2_encode():
+            pts.select(
+                s2_cell_col(F.col("lon"), F.col("lat"), 18).alias("c")
+            ).agg(F.sum(F.pmod(F.col("c"), F.lit(997)))).collect()
+            return n_pts
+
+        def hilbert_encode():
+            pts.select(
+                hilbert_key_col(F.col("tx"), F.col("ty"), 18).alias("k")
+            ).agg(F.sum(F.pmod(F.col("k"), F.lit(997)))).collect()
+            return n_pts
+
+        timed("s2_encode", s2_encode, cold=True, repeats=2)
+        timed("hilbert_encode", hilbert_encode, cold=True, repeats=2)
         _emit(timings, counts, None, sf, cpus)
         spark.stop()
         return

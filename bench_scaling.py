@@ -272,10 +272,60 @@ def main_r4geo():
     print(json.dumps(section))
 
 
+def main_s2():
+    """Spherical-addressing encode throughput at three parallelism
+    levels (north-rule proxy): s2_encode = the full trig + cube-face +
+    quadratic-ST + 18-level Hilbert-fold pipeline, hilbert_encode = the
+    bare fold — both pure whole-stage-codegen Catalyst, W linear in
+    BENCH_S2_N, no input files and no Python workers anywhere."""
+    os.environ.setdefault("BENCH_S2_N", "8000000")
+    n = int(os.environ["BENCH_S2_N"])
+    stages = ("s2_encode", "hilbert_encode")
+    results = {}
+    for cpus in (32, 8, 2):
+        print(f"=== s2 bench at local[{cpus}] ===", file=sys.stderr, flush=True)
+        a = run_bench(cpus, 0, suite="s2")
+        b = run_bench(cpus, 0, suite="s2")
+        results[cpus] = {
+            st: min(a["queries"][st], b["queries"][st]) for st in stages
+        }
+        for st in stages:
+            results[cpus][f"{st}_rows_per_sec"] = round(n / results[cpus][st], 0)
+
+    def eff(lo, hi, key):
+        return round((results[lo][key] / results[hi][key]) / (hi / lo), 3)
+
+    section = {
+        "protocol": (
+            "BENCH_STAGES=s2: pure-Catalyst S2 / Hilbert key encode over "
+            f"{n} hash-spread global points; modular-sum aggregate "
+            "consumes the key (no projection pruning); best-of-2 per "
+            "level, fresh JVM per run"
+        ),
+        "n_points": n,
+        "levels": {str(c): d for c, d in results.items()},
+        "efficiency": {
+            "2_to_8": {st: eff(2, 8, st) for st in stages},
+            "8_to_32": {st: eff(8, 32, st) for st in stages},
+        },
+    }
+    path = os.path.join(os.path.dirname(__file__), "BENCH_SCALING.json")
+    report = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            report = json.load(f)
+    report["s2_scale"] = section
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(section))
+
+
 if __name__ == "__main__":
     if os.environ.get("BENCH_SUITE") == "cc":
         main_cc()
     elif os.environ.get("BENCH_SUITE") == "r4geo":
         main_r4geo()
+    elif os.environ.get("BENCH_SUITE") == "s2":
+        main_s2()
     else:
         main()
