@@ -61,6 +61,20 @@ def run_bench(cpus: int, edge: int, suite: str = "headline") -> dict:
     return d
 
 
+def _merge_section(key: str, section: dict) -> None:
+    """Read-merge-write one section of BENCH_SCALING.json (shared by
+    every suite)."""
+    path = os.path.join(os.path.dirname(__file__), "BENCH_SCALING.json")
+    report = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            report = json.load(f)
+    report[key] = section
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(section))
+
+
 def _cal_work(n: int) -> int:
     from tilegrab_spark.kernels import png
 
@@ -178,15 +192,7 @@ def main_llm():
                         **{s: eff(8, 32, s) for s in stages}},
         },
     }
-    path = os.path.join(os.path.dirname(__file__), "BENCH_SCALING.json")
-    report = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            report = json.load(f)
-    report["llm"] = section
-    with open(path, "w") as f:
-        json.dump(report, f, indent=2)
-    print(json.dumps(section))
+    _merge_section("llm", section)
 
 
 def main_cc():
@@ -218,15 +224,7 @@ def main_cc():
         "levels": {str(c): d for c, d in results.items()},
         "efficiency": {"2_to_8": eff(2, 8), "8_to_32": eff(8, 32)},
     }
-    path = os.path.join(os.path.dirname(__file__), "BENCH_SCALING.json")
-    report = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            report = json.load(f)
-    report["cc_scale"] = section
-    with open(path, "w") as f:
-        json.dump(report, f, indent=2)
-    print(json.dumps(section))
+    _merge_section("cc_scale", section)
 
 
 def main_r4geo():
@@ -261,15 +259,7 @@ def main_r4geo():
             "8_to_32": {s: eff(8, 32, s) for s in stages + ("total",)},
         },
     }
-    path = os.path.join(os.path.dirname(__file__), "BENCH_SCALING.json")
-    report = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            report = json.load(f)
-    report["r4geo_scale"] = section
-    with open(path, "w") as f:
-        json.dump(report, f, indent=2)
-    print(json.dumps(section))
+    _merge_section("r4geo_scale", section)
 
 
 def main_s2():
@@ -309,15 +299,7 @@ def main_s2():
             "8_to_32": {st: eff(8, 32, st) for st in stages},
         },
     }
-    path = os.path.join(os.path.dirname(__file__), "BENCH_SCALING.json")
-    report = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            report = json.load(f)
-    report["s2_scale"] = section
-    with open(path, "w") as f:
-        json.dump(report, f, indent=2)
-    print(json.dumps(section))
+    _merge_section("s2_scale", section)
 
 
 if __name__ == "__main__":

@@ -252,3 +252,15 @@ def test_cover_validation():
         s2_ranges_for_bbox(0.0, 50.0, 10.0, 40.0)
     with pytest.raises(ValueError, match="max_level"):
         s2_ranges_for_bbox(0.0, 0.0, 1.0, 1.0, max_level=99)
+
+
+def test_nan_coordinates_null_out(spark):
+    """NaN lon/lat must behave like NULL — not silently key to the
+    face-5 corner cell (every NaN comparison is false in the
+    face/grid when-chains)."""
+    df = spark.createDataFrame(
+        [(float("nan"), 10.0), (10.0, float("nan")), (10.0, 10.0)],
+        "lon double, lat double",
+    ).select(s2_cell_col(F.col("lon"), F.col("lat"), 8).alias("c"))
+    vals = [r.c for r in df.collect()]
+    assert vals[0] is None and vals[1] is None and vals[2] is not None

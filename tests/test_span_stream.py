@@ -123,3 +123,20 @@ def test_streaming_availablenow_drive(spark, tmp_path):
     q.awaitTermination(120)
     whole = batches[0].unionByName(batches[1]).unionByName(batches[2])
     assert _sets(store.spans()) == _sets(duplicate_spans(whole, k=4))
+
+
+def test_string_ids_and_empty_schema(spark, tmp_path):
+    """String doc ids work end to end, and the pre-ingest empty
+    spans() frame carries the configured id type so it stays
+    union-compatible with post-ingest reads."""
+    store = SpanStore(spark, str(tmp_path / "sid"), k=4, id_type="string")
+    empty = store.spans()
+    assert dict(empty.dtypes)["doc_id"] == "string"
+    docs = spark.createDataFrame(
+        [("a", f"alpha beta {BOILER} gamma"), ("b", f"start {BOILER} end")],
+        "doc_id string, text string",
+    )
+    store.ingest_batch(docs, 0)
+    got = store.spans()
+    assert empty.unionByName(got).count() == got.count() >= 2
+    assert {r.doc_id for r in got.collect()} == {"a", "b"}

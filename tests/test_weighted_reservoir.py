@@ -150,3 +150,38 @@ def test_streaming_availablenow_drive(spark, tmp_path):
     q = stream_weighted_reservoir(stream, store, checkpoint=str(tmp_path / "ckpt"))
     q.awaitTermination(120)
     assert _ids(store.sample()) == _expected(batches, 60)
+
+
+def test_duplicate_id_resolves_to_smallest_key_deterministically(spark, tmp_path):
+    """Outside-the-contract degraded mode: one id committed in two
+    deltas with DIFFERENT weights must resolve deterministically to
+    the smallest race key (not an arbitrary shuffle-order row)."""
+    from tilegrab_spark.operators.sampling import weighted_sample_key
+
+    store = ReservoirStore(
+        spark, str(tmp_path / "dup"), id_col="doc_id", weight_col="w", k=50
+    )
+    b0 = spark.createDataFrame(
+        [(i, 1.0, "first") for i in range(40)], "doc_id long, w double, tag string"
+    )
+    b1 = spark.createDataFrame(
+        [(7, 1000.0, "second"), (999, 2.0, "second")],
+        "doc_id long, w double, tag string",
+    )
+    store.ingest_batch(b0, 0)
+    store.ingest_batch(b1, 1)
+    rows = {r.doc_id: r for r in store.sample().collect()}
+    # id 7: w=1000 gives the (much) smaller key -> the second row wins
+    key_small = b1.select(
+        weighted_sample_key("doc_id", "w").alias("k")
+    ).filter(F.col("doc_id") == 7).first().k
+    key_big = b0.select(
+        weighted_sample_key("doc_id", "w").alias("k")
+    ).filter(F.col("doc_id") == 7).first().k
+    assert key_small < key_big
+    assert rows[7].tag == "second" and rows[7].w == 1000.0
+    # stable across compaction too
+    store.compact()
+    rows2 = {r.doc_id: r for r in store.sample().collect()}
+    assert rows2[7].tag == "second"
+    assert sorted(rows) == sorted(rows2)

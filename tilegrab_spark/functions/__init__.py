@@ -6,10 +6,12 @@ from tilegrab_spark.functions.cells import (
 )
 from tilegrab_spark.functions.s2cells import (
     S2_MAX_LEVEL,
+    s2_bbox_predicate,
     s2_cell_col,
     s2_level_col,
     s2_parent_col,
     s2_range_cols,
+    s2_ranges_for_bbox,
 )
 from tilegrab_spark.functions.interop import (
     geohash_col,
@@ -36,8 +38,10 @@ __all__ = [
     "quadkey_decode_cols",
     "tms_y_col",
     "S2_MAX_LEVEL",
+    "s2_bbox_predicate",
     "s2_cell_col",
     "s2_level_col",
     "s2_parent_col",
     "s2_range_cols",
+    "s2_ranges_for_bbox",
 ]

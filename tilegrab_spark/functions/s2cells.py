@@ -124,9 +124,12 @@ def s2_cell_col(lon: Column, lat: Column, level: int) -> Column:
         + F.shiftleft(pos, shift + 1)
         + F.lit(1 << shift).cast("long")
     )
-    return F.when(lon.isNull() | lat.isNull(), F.lit(None).cast("long")).otherwise(
-        cell
-    )
+    # NaN coordinates would sail through the when-chains (every NaN
+    # comparison is false → face 5, floor(NaN) → 0) and pile corrupt
+    # rows into one concrete south-pole corner cell — null them like
+    # NULLs instead
+    bad = lon.isNull() | lat.isNull() | F.isnan(lon) | F.isnan(lat)
+    return F.when(bad, F.lit(None).cast("long")).otherwise(cell)
 
 
 def _lsb(cell: Column) -> Column:

@@ -62,7 +62,10 @@ class SpanStore:
     """Persisted incremental ExactSubstr span detector (see module
     docstring). ``k``/``min_count``/``min_docs`` are the
     ``duplicate_spans`` parameters, pinned on disk as the table
-    contract."""
+    contract. ``id_type`` (Spark type name, default ``"long"``) only
+    shapes the EMPTY ``spans()`` frame before the first ingest — once
+    data exists every schema derives from the ingested batches, any
+    orderable id type works."""
 
     def __init__(
         self,
@@ -74,6 +77,7 @@ class SpanStore:
         k: int = 50,
         min_count: int = 2,
         min_docs: int = 1,
+        id_type: str = "long",
     ):
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
@@ -86,6 +90,7 @@ class SpanStore:
         self.k = int(k)
         self.min_count = int(min_count)
         self.min_docs = int(min_docs)
+        self.id_type = id_type
         self.hits = SnapshotTable(spark, os.path.join(root, "hits"))
         self.spans_table = SnapshotTable(spark, os.path.join(root, "spans"))
         self._seen: set[int] | None = None
@@ -272,7 +277,9 @@ class SpanStore:
             raw = self.spans_table.read()
         except SnapshotNotFound:
             return self.spark.createDataFrame(
-                [], f"{self.id_col} long, start_tok int, end_tok int, n_grams long"
+                [],
+                f"{self.id_col} {self.id_type}, start_tok int, "
+                "end_tok int, n_grams long",
             )
         w = Window.partitionBy("_id")
         return (

@@ -53,9 +53,9 @@ class ReservoirStore:
     unique across ALL batches (the weighted_sample contract — the race
     key is drawn from it) and ``weight_col`` must be stable per id
     (the same id arriving twice with different weights would race
-    under two different keys; the first committed delta wins because
-    reads drop later duplicates by smallest key, but the honest
-    contract is immutable weights).
+    under two different keys; reads resolve such duplicates
+    deterministically to the SMALLEST race key — ingest-order
+    independent — but the honest contract is immutable weights).
     """
 
     def __init__(
@@ -205,13 +205,27 @@ class ReservoirStore:
         from pyspark.sql import Window
 
         deltas = self.table.read(as_of=as_of)
-        dedup = deltas.dropDuplicates([self.id_col])
+        dedup = self._dedup_smallest_key(deltas)
         out = (
             dedup.orderBy(F.col("_wkey").asc(), F.col(self.id_col).asc())
             .limit(self.k)
         )
         w = Window.orderBy(F.col("_wkey").asc(), F.col(self.id_col).asc())
         return out.withColumn("sample_rank", F.row_number().over(w)).drop("_wkey")
+
+    def _dedup_smallest_key(self, deltas: DataFrame) -> DataFrame:
+        """One row per id, the SMALLEST race key winning — deterministic
+        even in the degraded outside-the-contract case of one id
+        committed with different weights across deltas (dropDuplicates
+        would keep a shuffle-order-dependent arbitrary row)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(self.id_col).orderBy(F.col("_wkey").asc())
+        return (
+            deltas.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     def compact(self) -> int | None:
         """Replace the committed deltas with the current k-row fold and
@@ -224,8 +238,7 @@ class ReservoirStore:
             return None
         seen = sorted(self.ingested_batches(max_seq=head))
         folded = (
-            self.table.read(as_of=head)
-            .dropDuplicates([self.id_col])
+            self._dedup_smallest_key(self.table.read(as_of=head))
             .orderBy(F.col("_wkey").asc(), F.col(self.id_col).asc())
             .limit(self.k)
         )
@@ -235,7 +248,9 @@ class ReservoirStore:
             expected_parent=head,
         )
         self.table.expire_snapshots(keep_last=1)
-        self._seen = set(seen) if self._seen is None else self._seen
+        # unconditional: a stale cache kept here would stamp the new
+        # head onto a seen-set missing any foreign writer's batches
+        self._seen = set(seen)
         self._seen_seq = seq
         return seq
 
