@@ -264,3 +264,89 @@ def test_nan_coordinates_null_out(spark):
     ).select(s2_cell_col(F.col("lon"), F.col("lat"), 8).alias("c"))
     vals = [r.c for r in df.collect()]
     assert vals[0] is None and vals[1] is None and vals[2] is not None
+
+
+# ---------------------------------------------------------------------------
+# Cap coverer
+# ---------------------------------------------------------------------------
+
+from tilegrab_spark.functions.s2cells import s2_cap_predicate, s2_ranges_for_cap
+
+_R = 6371008.8
+
+
+def _haversine_m(lon1, lat1, lon2, lat2):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dl = math.radians(lon2 - lon1)
+    a = math.sin((p2 - p1) / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * _R * math.asin(math.sqrt(a))
+
+
+def test_cap_cos_extremes_brute_parity():
+    from tilegrab_spark.functions.s2cells import _cap_cos_extremes, _FACE_XYZ
+
+    random.seed(37)
+    for _ in range(300):
+        face = random.randrange(6)
+        u0, u1 = sorted(random.uniform(-1, 1) for _ in range(2))
+        v0, v1 = sorted(random.uniform(-1, 1) for _ in range(2))
+        if u1 - u0 < 1e-6 or v1 - v0 < 1e-6:
+            continue
+        lam, phi = random.uniform(-math.pi, math.pi), random.uniform(-math.pi / 2, math.pi / 2)
+        c = (math.cos(phi) * math.cos(lam), math.cos(phi) * math.sin(lam), math.sin(phi))
+        gmin, gmax = _cap_cos_extremes(face, c, u0, u1, v0, v1)
+        n = 40
+        for iu in range(n + 1):
+            for iv in range(n + 1):
+                u = u0 + (u1 - u0) * iu / n
+                v = v0 + (v1 - v0) * iv / n
+                P = _FACE_XYZ[face](u, v)
+                g = sum(a * b for a, b in zip(c, P)) / math.sqrt(sum(x * x for x in P))
+                assert gmin - 1e-9 <= g <= gmax + 1e-9
+
+
+def test_cap_never_loses_inside_points():
+    """Never-loss at the equator, mid-latitude, a polar cap, and an
+    antimeridian-straddling center — the situations planar blocking
+    needs special cases for."""
+    random.seed(41)
+    caps = [(0.0, 0.0, 500_000.0), (5.0, 47.0, 300_000.0),
+            (30.0, 89.0, 400_000.0), (179.5, -10.0, 250_000.0)]
+    for clon, clat, rad in caps:
+        ranges = s2_ranges_for_cap(clon, clat, rad, max_level=10)
+        assert ranges
+        hit = 0
+        for _ in range(1200):
+            lon = random.uniform(-180, 180)
+            lat = random.uniform(-90, 90)
+            if _haversine_m(clon, clat, lon, lat) <= rad:
+                hit += 1
+                cid = _ref_cell(lon, lat, 18)
+                assert _in_ranges(cid, ranges), (clon, clat, rad, lon, lat)
+        # antipodal exclusion: far points mostly outside the cover
+        alon = (clon + 360.0) % 360.0 - 180.0  # clon + 180, normalized
+        assert not _in_ranges(_ref_cell(alon, -clat, 18), ranges)
+
+
+def test_cap_predicate_and_validation(spark):
+    random.seed(43)
+    pts = [(i, random.uniform(-20, 30), random.uniform(30, 65)) for i in range(1500)]
+    df = spark.createDataFrame(pts, "pid long, lon double, lat double").withColumn(
+        "cell", s2_cell_col(F.col("lon"), F.col("lat"), 18)
+    )
+    clon, clat, rad = 5.0, 47.0, 400_000.0
+    got = {
+        r.pid
+        for r in df.filter(
+            s2_cap_predicate(F.col("cell"), clon, clat, rad, max_level=10)
+        ).collect()
+    }
+    inside = {
+        pid for pid, lon, lat in pts if _haversine_m(clon, clat, lon, lat) <= rad
+    }
+    assert inside <= got  # cover may add a fringe, never loses
+    # whole-sphere cap covers everything
+    whole = s2_ranges_for_cap(0.0, 0.0, 2.2e7)
+    assert all(_in_ranges(_ref_cell(lon, lat, 18), whole) for _, lon, lat in pts[:50])
+    with pytest.raises(ValueError, match="radius_m"):
+        s2_ranges_for_cap(0.0, 0.0, -1.0)

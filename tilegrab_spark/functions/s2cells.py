@@ -50,6 +50,8 @@ __all__ = [
     "s2_range_cols",
     "s2_ranges_for_bbox",
     "s2_bbox_predicate",
+    "s2_ranges_for_cap",
+    "s2_cap_predicate",
 ]
 
 S2_MAX_LEVEL = 28
@@ -311,29 +313,54 @@ def s2_ranges_for_bbox(
     else:  # antimeridian crossing
         qlon = [(lon0, 180.0), (-180.0, lon1)]
 
-    # python mirror of the Catalyst hilbert fold (same public xy2d walk)
-    def xy2d(z: int, x: int, y: int) -> int:
-        n = 1 << z
-        d = 0
-        s = n >> 1
-        while s > 0:
-            rx = 1 if (x & s) else 0
-            ry = 1 if (y & s) else 0
-            d += s * s * ((3 * rx) ^ ry)
-            if ry == 0:
-                if rx == 1:
-                    x, y = n - 1 - x, n - 1 - y
-                x, y = y, x
-            s >>= 1
-        return d
+    def classify(face, u0, u1, v0, v1):
+        clat0, clat1, clon = _cell_lonlat_bounds(face, u0, u1, v0, v1)
+        if clat1 < lat0 - _EPS or clat0 > lat1 + _EPS:
+            return "out"
+        if _ivals_disjoint(clon, qlon):
+            return "out"
+        if (
+            lat0 - _EPS <= clat0
+            and clat1 <= lat1 + _EPS
+            and _ivals_contained(clon, qlon)
+        ):
+            return "in"
+        return "split"
 
+    return _cover_region(classify, max_level, max_ranges)
+
+
+def _xy2d_py(z: int, x: int, y: int) -> int:
+    """Python mirror of the Catalyst hilbert fold (same public xy2d
+    walk) — driver-side id construction for the coverers."""
+    n = 1 << z
+    d = 0
+    s = n >> 1
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def _cover_region(classify, max_level: int, max_ranges: int) -> list[tuple[int, int]]:
+    """Shared RegionCoverer recursion: ``classify(face, u0, u1, v0,
+    v1)`` returns ``"in"`` (emit the cell's descendant range), ``"out"``
+    (drop) or ``"split"`` (recurse; emits at ``max_level`` — over-scan,
+    never loss). Adjacent ranges merge; smallest gaps coalesce down to
+    ``max_ranges``."""
     out: list[tuple[int, int]] = []
 
     def emit(face: int, i: int, j: int, level: int) -> None:
         shift = 2 * (S2_MAX_LEVEL - level)
         cid = (
             (face << (2 * S2_MAX_LEVEL + 1))
-            | (xy2d(level, i, j) << (shift + 1))
+            | (_xy2d_py(level, i, j) << (shift + 1))
             | (1 << shift)
         )
         lsb = 1 << shift
@@ -343,17 +370,10 @@ def s2_ranges_for_bbox(
         n = 1 << level
         u0, u1 = _st2uv(i / n), _st2uv((i + 1) / n)
         v0, v1 = _st2uv(j / n), _st2uv((j + 1) / n)
-        clat0, clat1, clon = _cell_lonlat_bounds(face, u0, u1, v0, v1)
-        if clat1 < lat0 - _EPS or clat0 > lat1 + _EPS:
+        cls = classify(face, u0, u1, v0, v1)
+        if cls == "out":
             return
-        if _ivals_disjoint(clon, qlon):
-            return
-        inside = (
-            lat0 - _EPS <= clat0
-            and clat1 <= lat1 + _EPS
-            and _ivals_contained(clon, qlon)
-        )
-        if inside or level == max_level:
+        if cls == "in" or level == max_level:
             emit(face, i, j, level)
             return
         for di in (0, 1):
@@ -379,6 +399,132 @@ def s2_ranges_for_bbox(
         merged[i] = (merged[i][0], merged[i + 1][1])
         del merged[i + 1]
     return merged
+
+
+# P(u, v) = A + B*u + C*v per face — the linear face-plane frames the
+# cap coverer's closed-form angle extremes run on (same maps as
+# _FACE_XYZ, split into the affine components)
+_FACE_ABC = {
+    0: ((1, 0, 0), (0, 1, 0), (0, 0, 1)),
+    1: ((0, 1, 0), (-1, 0, 0), (0, 0, 1)),
+    2: ((0, 0, 1), (-1, 0, 0), (0, -1, 0)),
+    3: ((-1, 0, 0), (0, 0, -1), (0, -1, 0)),
+    4: ((0, -1, 0), (0, 0, -1), (1, 0, 0)),
+    5: ((0, 0, -1), (0, 1, 0), (1, 0, 0)),
+}
+
+# mean earth radius, meters (IUGG) — the same sphere the engine's
+# haversine paths use (operators/trajectory.py::_EARTH_R)
+_EARTH_R = 6371008.8
+
+
+def _cap_cos_extremes(face: int, cvec, u0: float, u1: float, v0: float, v1: float):
+    """EXACT (min, max) of ``cos(angle(center, P))`` over the spherical
+    patch = central projection of the face-plane rect. With
+    ``P = A + B u + C v`` and ``|P|^2 = 1 + u^2 + v^2``,
+    ``g(u, v) = (a + b u + c v) / sqrt(1 + u^2 + v^2)`` has its
+    extremes at rect corners, edge critical points
+    (``u* = b (1+v^2) / (a + c v)`` and the v-analogue) or the interior
+    critical point ``(b/a, c/a)`` — the cap center's projection onto
+    the face plane. All candidates evaluate in closed form
+    (brute-validated in tests)."""
+    import math
+
+    A, B, C = _FACE_ABC[face]
+    a = sum(x * y for x, y in zip(cvec, A))
+    b = sum(x * y for x, y in zip(cvec, B))
+    c = sum(x * y for x, y in zip(cvec, C))
+    cands = [(u, v) for u in (u0, u1) for v in (v0, v1)]
+    for v in (v0, v1):
+        al = a + c * v
+        if abs(al) > 1e-30:
+            us = b * (1 + v * v) / al
+            if u0 <= us <= u1:
+                cands.append((us, v))
+    for u in (u0, u1):
+        al = a + b * u
+        if abs(al) > 1e-30:
+            vs = c * (1 + u * u) / al
+            if v0 <= vs <= v1:
+                cands.append((u, vs))
+    if abs(a) > 1e-30:
+        ui, vi = b / a, c / a
+        if u0 <= ui <= u1 and v0 <= vi <= v1:
+            cands.append((ui, vi))
+    vals = [
+        (a + b * u + c * v) / math.sqrt(1.0 + u * u + v * v) for u, v in cands
+    ]
+    return min(vals), max(vals)
+
+
+def s2_ranges_for_cap(
+    lon: float,
+    lat: float,
+    radius_m: float,
+    *,
+    max_level: int = 12,
+    max_ranges: int = 64,
+) -> list[tuple[int, int]]:
+    """Cover a spherical cap (all points within ``radius_m`` great-
+    circle meters of lon/lat) with contiguous S2-format id ranges —
+    the within-distance prefilter that works identically at the
+    equator, at the poles and across the antimeridian (where the
+    planar grid's latitude-adaptive blocking needs special cases).
+    Same recursion and guarantees as :func:`s2_ranges_for_bbox`:
+    certainly-inside cells emit, certainly-outside drop, straddlers
+    recurse then over-scan — never loss. Callers AND the exact
+    haversine test on top."""
+    import math
+
+    if radius_m < 0:
+        raise ValueError(f"radius_m must be >= 0, got {radius_m}")
+    if not isinstance(max_level, int) or not 0 <= max_level <= S2_MAX_LEVEL:
+        raise ValueError(f"max_level must be in [0, {S2_MAX_LEVEL}], got {max_level!r}")
+    ang = radius_m / _EARTH_R
+    if ang >= math.pi:
+        # whole sphere: every face's full range
+        return _cover_region(lambda *a: "in", 0, max_ranges)
+    cos_r = math.cos(ang)
+    phi, theta = math.radians(lat), math.radians(lon)
+    cvec = (
+        math.cos(phi) * math.cos(theta),
+        math.cos(phi) * math.sin(theta),
+        math.sin(phi),
+    )
+
+    def classify(face, u0, u1, v0, v1):
+        gmin, gmax = _cap_cos_extremes(face, cvec, u0, u1, v0, v1)
+        # cos is decreasing in angle: gmax < cos_r means even the
+        # closest point is outside the cap
+        if gmax < cos_r - _EPS:
+            return "out"
+        if gmin >= cos_r - _EPS:
+            return "in"
+        return "split"
+
+    return _cover_region(classify, max_level, max_ranges)
+
+
+def s2_cap_predicate(
+    cell: Column,
+    lon: float,
+    lat: float,
+    radius_m: float,
+    *,
+    max_level: int = 12,
+    max_ranges: int = 64,
+) -> Column:
+    """Catalyst predicate selecting the cap's S2 cover ranges (see
+    :func:`s2_bbox_predicate` — same pushdown and over-scan notes)."""
+    ranges = s2_ranges_for_cap(
+        lon, lat, radius_m, max_level=max_level, max_ranges=max_ranges
+    )
+    if not ranges:
+        return F.lit(False)
+    pred = cell.between(ranges[0][0], ranges[0][1])
+    for lo, hi in ranges[1:]:
+        pred = pred | cell.between(lo, hi)
+    return pred
 
 
 def s2_bbox_predicate(
