@@ -156,3 +156,45 @@ def test_kmeans_refine_improves_assignment_objective(spark, emb, emb_np):
     before = (X @ init.T).max(axis=1).mean()
     after = (X @ refined.T).max(axis=1).mean()
     assert after >= before - 1e-12
+
+
+def test_append_to_ivf_index_rebuild_equality(spark, emb, tmp_path):
+    """Incremental append == from-scratch assignment over the union
+    with the same frozen centroids; re-delivery is a no-op; search
+    sees the appended vectors; list stats cover base + deltas."""
+    from tilegrab_spark.operators import similarity as S
+
+    path = str(tmp_path / "ivf_inc")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    extra1 = emb.filter(F.col("vec_id") % 3 == 0).filter(F.col("vec_id") % 2 == 0)
+    extra2 = emb.filter(F.col("vec_id") % 3 == 0).filter(F.col("vec_id") % 2 == 1)
+    cents = S.build_ivf_index(base, path, n_centroids=8, iters=3)
+    n1 = S.append_to_ivf_index(extra1, path, 1)
+    n2 = S.append_to_ivf_index(extra2, path, 2)
+    assert n1 == extra1.count() and n2 == extra2.count()
+    # the on-disk union equals a from-scratch assignment (same centroids)
+    got = {
+        (r.vec_id, r.list_id)
+        for r in S._read_index_lists(spark, path).select("vec_id", "list_id").collect()
+    }
+    want = {
+        (r.vec_id, r.list_id)
+        for r in S.assign_lists(emb, cents).select("vec_id", "list_id").collect()
+    }
+    assert got == want
+    # re-delivery of batch 1 overwrites its own partitions: no dupes
+    S.append_to_ivf_index(extra1, path, 1)
+    assert S._read_index_lists(spark, path).count() == len(want)
+    # search finds appended vectors exactly as the full-probe brute force
+    queries = extra1.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    got_s = S.search_ivf_index(spark, path, queries, k=5, n_probe=8)
+    exact = S.cosine_topk(queries, emb, k=5)
+    assert {(r.query_id, r.vec_id) for r in got_s.collect()} == {
+        (r.query_id, r.vec_id) for r in exact.collect()
+    }
+    # pruning still real with deltas in the union
+    one = S.search_ivf_index(spark, path, queries.limit(1), k=5, n_probe=1)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    stats = {r.list_id: r.n_vectors for r in S.ivf_list_stats(spark, path).collect()}
+    assert sum(stats.values()) == len(want)

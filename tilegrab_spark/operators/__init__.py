@@ -243,6 +243,8 @@ from tilegrab_spark.operators.heavyhitters import (
     skew_profile,
 )
 from tilegrab_spark.operators.similarity import (
+    append_to_ivf_index,
+    ivf_list_stats,
     ann_topk_ivf,
     build_ivf_index,
     cosine_topk,
@@ -339,6 +341,8 @@ __all__ = [
     "cosine_topk",
     "ann_topk_ivf",
     "kmeans_refine",
+    "append_to_ivf_index",
+    "ivf_list_stats",
     "build_ivf_index",
     "search_ivf_index",
     "train_pq",

@@ -260,6 +260,69 @@ def load_ivf_centroids(spark, path: str) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in pdf["centroid"]])
 
 
+def append_to_ivf_index(
+    batch: DataFrame,
+    path: str,
+    batch_id: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index maintenance — fold a new embedding batch into
+    the on-disk IVF index WITHOUT rebuilding (the 10^12-row table grows
+    daily; re-clustering the corpus per day is the naive cost this
+    avoids). Centroids stay FROZEN from the initial build, so
+    assignment is a pure function of the vector and the appended index
+    is bit-identical to a from-scratch ``assign_lists`` over the union
+    with the same centroids (the rebuild-equality oracle in tests).
+
+    Deltas land in ``lists_delta`` partitioned by
+    ``(ingest_batch, list_id)`` with DYNAMIC partition overwrite —
+    re-running a batch id overwrites exactly its own partitions, so
+    foreachBatch re-delivery is idempotent with no side store.
+    ``search_ivf_index`` unions base + deltas; the ``list_id``
+    partition level keeps probe pruning intact in both. Returns the
+    number of rows appended.
+
+    Frozen centroids drift as the distribution shifts — watch
+    ``ivf_list_stats`` for imbalance and rebuild (or
+    ``kmeans_refine``) when a list runs hot.
+    """
+    cents = load_ivf_centroids(batch.sparkSession, path)
+    assigned = assign_lists(batch, cents, id_col=id_col, vec_col=vec_col)
+    n = assigned.count()
+    (
+        assigned.withColumn("ingest_batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch", "list_id")
+        .parquet(f"{path}/lists_delta")
+    )
+    return n
+
+
+def _read_index_lists(spark, path: str) -> DataFrame:
+    """Base lists + any appended deltas (columns equalized; ``list_id``
+    is a partition column in both reads, so probe filters prune)."""
+    base = spark.read.parquet(f"{path}/lists")
+    import os
+
+    delta_dir = f"{path}/lists_delta"
+    if os.path.isdir(delta_dir):
+        delta = spark.read.parquet(delta_dir).drop("ingest_batch")
+        base = base.unionByName(delta.select(*base.columns))
+    return base
+
+
+def ivf_list_stats(spark, path: str) -> DataFrame:
+    """Per-list row counts over base + deltas — the balance report that
+    tells you when frozen centroids have drifted (a hot list = slow
+    probes) and a re-cluster is due. One map-side-combinable agg."""
+    return _read_index_lists(spark, path).groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
 def search_ivf_index(
     spark,
     path: str,
@@ -292,7 +355,7 @@ def search_ivf_index(
         .collect()
     )
     probed = sorted(int(v) for v in (probed_rows[0]["_lists"] if probed_rows else []))
-    lists = spark.read.parquet(f"{path}/lists").filter(
+    lists = _read_index_lists(spark, path).filter(
         F.col("list_id").isin(probed)  # -> parquet PartitionFilters
     )
     return ann_topk_ivf(
