@@ -120,3 +120,85 @@ def test_nonconvergence_and_validation(spark):
         shortest_paths(E, S, max_iter=0)
     with pytest.raises(ValueError):
         shortest_paths(E, S, on_nonconverged="nope")
+
+
+# ---------------------------------------------------------------- pagerank
+
+def _pagerank_ref(edges, n, damping=0.85, n_iter=20):
+    """Dense numpy power iteration with dangling redistribution —
+    independent of the operator's relational formulation. ``edges`` are
+    (src, dst, w) over nodes 0..n-1."""
+    import numpy as np
+
+    M = np.zeros((n, n))
+    for s, d, w in edges:
+        M[d, s] += w
+    out = M.sum(axis=0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dangling = r[out == 0.0].sum()
+        contrib = np.zeros(n)
+        nz = out > 0
+        contrib = M[:, nz] @ (r[nz] / out[nz])
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return r
+
+
+_PR_EDGES = [
+    (0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0), (2, 0, 1.0),
+    (3, 2, 1.0), (4, 3, 1.0), (4, 0, 1.0),  # 5 is dangling via (2->5)
+    (2, 5, 1.0),
+]
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    from tilegrab_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(s, d) for s, d, _ in _PR_EDGES], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=20).collect()}
+    want = _pagerank_ref(_PR_EDGES, 6)
+    assert len(got) == 6
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for i in range(6):
+        assert got[i] == pytest.approx(want[i], abs=1e-12)
+
+
+def test_pagerank_weighted_and_parallel_edges(spark):
+    from tilegrab_spark.operators.graph import pagerank
+
+    # weight 2 on (0->1) == the same edge listed twice
+    wdf = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, 1.0), (1, 0, 1.0), (2, 1, 1.0)],
+        "src long, dst long, w double",
+    )
+    pdf = spark.createDataFrame(
+        [(0, 1), (0, 1), (0, 2), (1, 0), (2, 1)], "src long, dst long"
+    )
+    a = {r["node"]: r["rank"] for r in pagerank(wdf, weight_col="w", n_iter=15).collect()}
+    b = {r["node"]: r["rank"] for r in pagerank(pdf, n_iter=15).collect()}
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+    want = _pagerank_ref([(0, 1, 2.0), (0, 2, 1.0), (1, 0, 1.0), (2, 1, 1.0)], 3, n_iter=15)
+    for i in range(3):
+        assert a[i] == pytest.approx(want[i], abs=1e-12)
+
+
+def test_pagerank_tol_early_stop_and_validation(spark):
+    from tilegrab_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(s, d) for s, d, _ in _PR_EDGES], "src long, dst long")
+    full = {r["node"]: r["rank"] for r in pagerank(df, n_iter=60).collect()}
+    early = {r["node"]: r["rank"] for r in pagerank(df, n_iter=60, tol=1e-10).collect()}
+    for k in full:
+        assert early[k] == pytest.approx(full[k], abs=1e-8)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(df, n_iter=0)
+    with pytest.raises(ValueError, match="tol"):
+        pagerank(df, tol=0.0)
+    neg = spark.createDataFrame([(0, 1, -1.0)], "src long, dst long, w double")
+    with pytest.raises(ValueError, match="positive"):
+        pagerank(neg, weight_col="w")

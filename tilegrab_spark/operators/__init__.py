@@ -18,7 +18,7 @@ from tilegrab_spark.operators.footprint import coverage_footprints
 from tilegrab_spark.operators.augment import AUGMENT_OPS, augment_images
 from tilegrab_spark.operators.cover import adaptive_cover, compact_cover, uncompact_cover
 from tilegrab_spark.operators.funnel import funnel_counts, funnel_progress
-from tilegrab_spark.operators.graph import hop_distance, shortest_paths
+from tilegrab_spark.operators.graph import hop_distance, pagerank, shortest_paths
 from tilegrab_spark.operators.metadata import (
     IMAGE_METADATA_SCHEMA,
     extract_image_metadata,
@@ -180,6 +180,11 @@ from tilegrab_spark.operators.trajectory import (
     track_stats,
     with_legs,
 )
+from tilegrab_spark.operators.tracksim import (
+    track_candidate_pairs,
+    track_point_arrays,
+    track_similarity_join,
+)
 from tilegrab_spark.operators.render import (
     bin_points,
     interpolate_idw_tiles,
@@ -299,6 +304,7 @@ __all__ = [
     "AUGMENT_OPS",
     "shortest_paths",
     "hop_distance",
+    "pagerank",
     "funnel_progress",
     "funnel_counts",
     "od_matrix",
@@ -410,6 +416,9 @@ __all__ = [
     "with_legs",
     "track_stats",
     "stay_points",
+    "track_similarity_join",
+    "track_candidate_pairs",
+    "track_point_arrays",
     "bin_points",
     "render_binned",
     "render_density_tiles",

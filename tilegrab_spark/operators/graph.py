@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["shortest_paths", "hop_distance"]
+__all__ = ["shortest_paths", "hop_distance", "pagerank"]
 
 
 def _relax_round(frontier: DataFrame, e: DataFrame, dist: DataFrame) -> DataFrame:
@@ -121,6 +121,121 @@ def shortest_paths(
             "raise max_iter or pass on_nonconverged='return'"
         )
     return dist
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    n_iter: int = 20,
+    tol: float | None = None,
+) -> DataFrame:
+    """Power-iteration PageRank over an edge table → ``(node, rank)``,
+    ranks summing to 1. The centrality pass a link/citation/road graph
+    needs once connected_components has split it — which junctions,
+    documents, or image hubs carry the mass.
+
+    Semantics: standard damped PageRank with dangling-mass
+    redistribution — each round
+    ``r' = (1-d)/N + d·(Σ_in r/outshare + dangling/N)`` where
+    ``outshare`` is the out-degree (or the out-weight share when
+    ``weight_col`` is given; non-positive weights are rejected).
+    Parallel edges accumulate, matching the textbook matrix. ``tol``
+    (L∞ on the rank vector) stops early; otherwise exactly ``n_iter``
+    rounds run.
+
+    Plan shape at 100 TB (same iteration discipline as
+    ``shortest_paths``/``connected_components``):
+
+    - the ``links`` table (edge, 1/outshare) is derived ONCE — one
+      map-side-combinable groupBy for out-degrees joined back edge-keyed
+      — and persisted across rounds; per round the only edge-sized work
+      is one hash join ranks⋈links on ``src`` plus a map-side partial
+      ``sum`` per destination. Every other frame is node-sized.
+    - dangling mass is one bounded scalar aggregate per round (the
+      components.py convergence-scalar pattern) — never a row explosion.
+    - each round ``localCheckpoint``s the node-sized rank table so
+      lineage stays flat (the iterative-algorithm trap, components.py).
+
+    Determinism: topology and arithmetic are deterministic; float
+    summation order inside the shuffle can differ between runs, so ranks
+    are reproducible to ULP-accumulation (~1e-15 relative), not
+    byte-identical — fine for ranking, documented for hashers.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if tol is not None and tol <= 0:
+        raise ValueError(f"tol must be positive, got {tol}")
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"), w.alias("_w"))
+    if weight_col is not None:
+        wmin = e.agg(F.min("_w")).first()[0]
+        if wmin is not None and wmin <= 0:
+            raise ValueError(f"edge weights must be positive, got {wmin}")
+
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    out = e.groupBy("_s").agg(F.sum("_w").alias("_out"))
+    links = (
+        e.join(out, "_s")
+        .select("_s", "_d", (F.col("_w") / F.col("_out")).alias("_share"))
+        .persist()
+    )
+    links.count()  # materialize once; reused every round
+
+    d = float(damping)
+    base = (1.0 - d) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    has_out = out.select(F.col("_s").alias("node"))
+    for _ in range(n_iter):
+        # bounded scalar: total rank sitting on dangling nodes
+        dangling = (
+            ranks.join(has_out, "node", "left_anti").agg(F.sum("rank")).first()[0]
+            or 0.0
+        )
+        contrib = (
+            ranks.join(links, ranks.node == links._s)
+            .select(F.col("_d").alias("node"), (F.col("rank") * F.col("_share")).alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_c"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(d)
+                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        if tol is not None:
+            delta = (
+                new_ranks.join(ranks.select("node", F.col("rank").alias("_old")), "node")
+                .agg(F.max(F.abs(F.col("rank") - F.col("_old"))))
+                .first()[0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    links.unpersist()
+    return ranks
 
 
 def hop_distance(

@@ -1,0 +1,278 @@
+"""Trajectory similarity join — which tracks travel (almost) the same
+path?
+
+The fleet/mobility question a tile pipeline's fix lake raises at scale:
+given billions of (track, ts, lon, lat) fixes, find pairs of tracks
+whose paths stay within ``max_dist_m`` of each other — near-duplicate
+routes, convoying vehicles, repeated patrols. The reference (a tile
+downloader) has no analogue; this extends the engine the same way the
+within-distance join (operators/distancejoin.py) and kNN do.
+
+Two metrics over the discrete point sequences:
+
+- ``hausdorff`` (default): symmetric discrete Hausdorff distance —
+  max over either track's points of the great-circle distance to the
+  nearest point of the other. Order-insensitive; the classic "same
+  geometry" measure. Computed as a PURE CATALYST nested higher-order
+  lambda over the per-track point arrays (array_max ∘ transform ∘
+  array_min ∘ transform ∘ haversine) — no Python in the refine, whole
+  expression inside codegen.
+- ``frechet``: discrete Fréchet distance — the "dog-leash" measure that
+  respects traversal ORDER (two buses on the same loop in opposite
+  directions are Hausdorff-close but Fréchet-far). The O(n·m) dynamic
+  program (vectorized great-circle matrix + the sequential
+  Eiter–Mannila fold) runs inside ONE ``mapInPandas`` over the
+  candidate-pair rows (each row independent — no grouping, no shuffle
+  beyond the candidate join). Fréchet ≥ Hausdorff always, so the
+  Hausdorff candidate gate below remains never-loss.
+
+Scale shape (never all-pairs):
+
+1. **Candidate blocking** — each track reduces to its DISTINCT XYZ
+   cells at a zoom where the tile side ≈ ``max_dist_m`` (the
+   distancejoin recipe), one row per (track, cell) carrying the max
+   |lat| of the track's fixes in that cell. Side A explodes each cell
+   over the latitude-adaptive neighbor disk that provably covers a
+   ``max_dist_m`` ground ball (sec(φ*)-scaled, antimeridian-wrapped —
+   same bound as ``within_distance_join``, see its module doc), side B
+   keeps its single cell per row; an equi-join on the cell key +
+   ``distinct`` yields candidate track pairs. Never-loss: if
+   sym-Hausdorff(A, B) ≤ d then EVERY a-point has a b-point within d,
+   so some (a-cell, b-cell) pair is within the disk bound. The one
+   exchange carries (track, cell) scalars — O(Σ distinct cells), never
+   fixes², never tracks².
+2. **Array build** — one groupBy(track) collects each track's fixes
+   into a ts-ordered array of (lon, lat) structs (map-side partial
+   collect; tracks are bounded — a day of 1 Hz fixes is ~86 kB).
+3. **Refine** — candidates join the array table twice (broadcast when
+   the track table is small; hash join on track id otherwise) and the
+   metric evaluates per pair as above; pairs with distance ≤ d survive.
+
+Cost: candidate count is driven by spatial co-location at the blocking
+zoom, the refine is O(n·m) per CANDIDATE pair — the same economics as
+the LSH verify stage in operators/dedup.py. Each unordered pair is
+emitted exactly once (``track_a < track_b``).
+
+Tested against an independent brute-force python oracle over ALL pairs
+(no blocking) and a DuckDB list-lambda SQL oracle — see
+tests/test_tracksim.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from tilegrab_spark.functions.cells import cell_encode_cols
+from tilegrab_spark.kernels.geo import (
+    MERCATOR_LAT_LIMIT,
+    WEB_MERCATOR_EXTENT,
+    WGS84_RADIUS,
+)
+from tilegrab_spark.operators.distancejoin import auto_block_zoom
+from tilegrab_spark.operators.trajectory import _EARTH_R, haversine_m
+
+__all__ = ["track_point_arrays", "track_candidate_pairs", "track_similarity_join"]
+
+
+def track_point_arrays(
+    df: DataFrame,
+    *,
+    track_col: str = "track_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """One row per track: ``[track, pts]`` with ``pts`` a ts-ordered
+    ``array<struct<lon,lat>>`` (ties broken by (ts, lon, lat) — the
+    module's determinism convention). One map-side-combinable
+    aggregation; array order only matters for the Fréchet metric, but a
+    stable order keeps every downstream byte reproducible."""
+    packed = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(lon_col).cast("double").alias("lon"),
+                F.col(lat_col).cast("double").alias("lat"),
+            )
+        )
+    )
+    return df.groupBy(F.col(track_col).alias("track")).agg(
+        F.transform(
+            packed, lambda s: F.struct(s["lon"].alias("lon"), s["lat"].alias("lat"))
+        ).alias("pts")
+    )
+
+
+def track_candidate_pairs(
+    df: DataFrame,
+    max_dist_m: float,
+    *,
+    zoom: int | None = None,
+    track_col: str = "track_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Candidate unordered track pairs ``[track_a, track_b]``
+    (track_a < track_b) — the never-loss blocking stage (module doc §1).
+    Exposed separately so callers can compose their own refine."""
+    if max_dist_m <= 0:
+        raise ValueError(f"max_dist_m must be positive, got {max_dist_m}")
+    z = auto_block_zoom(max_dist_m) if zoom is None else int(zoom)
+    if not 0 <= z <= 30:
+        raise ValueError(f"zoom must be in [0, 30], got {z}")
+    ts = 2.0 * WEB_MERCATOR_EXTENT / (1 << z)
+    n_cells = 1 << z
+
+    cx, cy = cell_encode_cols(F.col(lon_col), F.col(lat_col), z)
+    cells = (
+        df.select(
+            F.col(track_col).alias("_t"),
+            cx.cast("long").alias("_cx"),
+            cy.cast("long").alias("_cy"),
+            F.abs(F.col(lat_col)).alias("_alat"),
+        )
+        .groupBy("_t", "_cx", "_cy")
+        .agg(F.max("_alat").alias("_alat"))
+    )
+
+    # latitude-adaptive disk radius — the within_distance_join bound:
+    # a point within ground d of any fix in this cell sits within
+    # d·sec(φ*) Mercator meters, φ* = min(|φ|max + d/R, lat limit)
+    phi_star = F.least(
+        F.col("_alat") + F.lit(math.degrees(max_dist_m / _EARTH_R)),
+        F.lit(MERCATOR_LAT_LIMIT),
+    )
+    d_merc = max_dist_m * (WGS84_RADIUS / _EARTH_R)
+    r = F.ceil(F.lit(d_merc / ts) / F.cos(F.radians(phi_star))).cast("int") + F.lit(1)
+    disk = (
+        cells.withColumn("_r", r)
+        .withColumn("_dx", F.explode(F.sequence(-F.col("_r"), F.col("_r"))))
+        .withColumn("_dy", F.explode(F.sequence(-F.col("_r"), F.col("_r"))))
+        .select(
+            F.col("_t").alias("_ta"),
+            F.pmod(F.col("_cx") + F.col("_dx"), F.lit(n_cells)).alias("_jx"),
+            (F.col("_cy") + F.col("_dy")).alias("_jy"),
+        )
+        .filter((F.col("_jy") >= 0) & (F.col("_jy") < n_cells))
+    )
+    probe = cells.select(
+        F.col("_t").alias("_tb"), F.col("_cx").alias("_jx"), F.col("_cy").alias("_jy")
+    )
+    return (
+        disk.join(probe, ["_jx", "_jy"])
+        .filter(F.col("_ta") < F.col("_tb"))
+        .select(F.col("_ta").alias("track_a"), F.col("_tb").alias("track_b"))
+        .distinct()
+    )
+
+
+def _hausdorff_expr(a: Column, b: Column) -> Column:
+    """Symmetric discrete Hausdorff over two point-struct arrays — pure
+    Catalyst nested higher-order lambdas, great-circle meters."""
+
+    def directed(xs: Column, ys: Column) -> Column:
+        return F.array_max(
+            F.transform(
+                xs,
+                lambda p: F.array_min(
+                    F.transform(
+                        ys, lambda q: haversine_m(p["lon"], p["lat"], q["lon"], q["lat"])
+                    )
+                ),
+            )
+        )
+
+    return F.greatest(directed(a, b), directed(b, a))
+
+
+def track_similarity_join(
+    df: DataFrame,
+    max_dist_m: float,
+    *,
+    metric: str = "hausdorff",
+    zoom: int | None = None,
+    track_col: str = "track_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """All unordered track pairs whose ``metric`` distance is
+    ≤ ``max_dist_m``. Output: ``[track_a, track_b, dist_m]``
+    (track_a < track_b, exact great-circle meters).
+
+    ``metric``: ``"hausdorff"`` (order-insensitive, pure Catalyst) or
+    ``"frechet"`` (traversal-order-aware, numpy DP in one mapInPandas
+    over candidate rows). Fréchet ≥ Hausdorff, so both run behind the
+    same never-loss candidate blocking."""
+    if metric not in ("hausdorff", "frechet"):
+        raise ValueError(f"metric must be 'hausdorff' or 'frechet', got {metric!r}")
+    cand = track_candidate_pairs(
+        df, max_dist_m, zoom=zoom, track_col=track_col, lon_col=lon_col, lat_col=lat_col
+    )
+    arrays = track_point_arrays(
+        df, track_col=track_col, ts_col=ts_col, lon_col=lon_col, lat_col=lat_col
+    )
+    a = arrays.select(F.col("track").alias("track_a"), F.col("pts").alias("_pa"))
+    b = arrays.select(F.col("track").alias("track_b"), F.col("pts").alias("_pb"))
+    paired = cand.join(a, "track_a").join(b, "track_b")
+
+    if metric == "hausdorff":
+        out = paired.withColumn("dist_m", _hausdorff_expr(F.col("_pa"), F.col("_pb")))
+    else:
+        out = _frechet_refine(paired)
+    return out.filter(F.col("dist_m") <= F.lit(float(max_dist_m))).select(
+        "track_a", "track_b", "dist_m"
+    )
+
+
+def _frechet_refine(paired: DataFrame) -> DataFrame:
+    """Discrete Fréchet per candidate row: the Eiter–Mannila DP over the
+    numpy pairwise great-circle matrix (distance matrix vectorized; the
+    DP recurrence itself carries a sequential dependency). Rows are
+    independent — mapInPandas, no grouping."""
+    import numpy as np
+    import pandas as pd
+
+    keep = [c for c in paired.columns if c not in ("_pa", "_pb")]
+    schema = ", ".join(
+        [f"{c} {paired.schema[c].dataType.simpleString()}" for c in keep]
+        + ["dist_m double"]
+    )
+
+    def pairwise_m(pa: np.ndarray, pb: np.ndarray) -> np.ndarray:
+        lon1 = np.radians(pa[:, 0])[:, None]
+        lat1 = np.radians(pa[:, 1])[:, None]
+        lon2 = np.radians(pb[:, 0])[None, :]
+        lat2 = np.radians(pb[:, 1])[None, :]
+        s = (
+            np.sin((lat2 - lat1) / 2) ** 2
+            + np.cos(lat1) * np.cos(lat2) * np.sin((lon2 - lon1) / 2) ** 2
+        )
+        return 2.0 * _EARTH_R * np.arcsin(np.sqrt(np.minimum(1.0, s)))
+
+    def frechet(d: np.ndarray) -> float:
+        n, m = d.shape
+        prev = np.maximum.accumulate(d[0])  # DP row 0: ca(0, j)
+        for i in range(1, n):
+            cur = np.empty(m)
+            cur[0] = max(prev[0], d[i, 0])
+            for j in range(1, m):
+                cur[j] = max(min(prev[j - 1], prev[j], cur[j - 1]), d[i, j])
+            prev = cur
+        return float(prev[-1])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dists = []
+            for pa, pb in zip(pdf["_pa"], pdf["_pb"]):
+                A = np.array([[p["lon"], p["lat"]] for p in pa], dtype=np.float64)
+                B = np.array([[p["lon"], p["lat"]] for p in pb], dtype=np.float64)
+                dists.append(frechet(pairwise_m(A, B)))
+            out = pdf[keep].copy()
+            out["dist_m"] = pd.Series(dists, index=pdf.index, dtype="float64")
+            yield out
+
+    return paired.mapInPandas(run, schema)
