@@ -114,7 +114,7 @@ def main():
     img_path = f"/tmp/tilegrab_bench/images_e{edge}_z{zoom}" + (
         f"_s{nsrcs}" if nsrcs != 2 else ""
     )
-    if stages not in ("llm", "cc", "r4geo", "s2"):
+    if stages not in ("llm", "cc", "r4geo", "s2", "graphsim"):
         ensure_images(spark, img_path, edge, zoom, nsrcs)
 
     # warmup: spin up JVM codegen + Python workers so the first timed
@@ -169,7 +169,7 @@ def main():
 
     images = (
         read_image_table(spark, img_path)
-        if stages not in ("llm", "cc", "r4geo", "s2")
+        if stages not in ("llm", "cc", "r4geo", "s2", "graphsim")
         else None
     )
     if stages in ("llm", "cc"):
@@ -216,6 +216,65 @@ def main():
 
         timed("s2_encode", s2_encode, cold=True, repeats=2)
         timed("hilbert_encode", hilbert_encode, cold=True, repeats=2)
+        _emit(timings, counts, None, sf, cpus)
+        spark.stop()
+        return
+
+    # BENCH_STAGES=graphsim: the two round-4 graph/trajectory additions
+    # (gated). No input files — both tables are hash-derived.
+    # track_hausdorff: BENCH_SIM_GROUPS convoys of 8 jittered copies of
+    # a 64-fix route, centers spread globally so only within-convoy
+    # pairs are candidates; refine work ∝ groups × 28 pairs × 64² pure-
+    # Catalyst haversine lambdas (W ∝ BENCH_SIM_GROUPS). pagerank:
+    # BENCH_PR_EDGES hash edges over BENCH_PR_NODES nodes, 5 rounds —
+    # per-round W ∝ edges (join + partial sum), so total W ∝ edges×5.
+    if stages == "graphsim":
+        from tilegrab_spark.operators.graph import pagerank
+        from tilegrab_spark.operators.tracksim import track_similarity_join
+
+        groups = int(os.environ.get("BENCH_SIM_GROUPS", "600"))
+        fixes = (
+            spark.range(groups * 8 * 64)
+            .select(
+                (F.col("id") / 512).cast("long").alias("_g"),
+                (F.col("id") / 64).cast("long").alias("_t"),
+                F.pmod(F.col("id"), F.lit(64)).alias("_i"),
+            )
+            .select(
+                F.col("_t").cast("string").alias("track_id"),
+                (F.col("_i") * 30.0).alias("ts"),
+                (
+                    F.pmod(F.xxhash64("_g"), F.lit(330000)) / 1000.0
+                    - 165.0
+                    + 0.001 * F.col("_i")
+                    + 1e-4 * F.pmod(F.col("_t"), F.lit(8))
+                ).alias("lon"),
+                (
+                    F.pmod(F.xxhash64("_g", F.lit(1)), F.lit(110000)) / 1000.0
+                    - 55.0
+                    + 0.0006 * F.col("_i")
+                ).alias("lat"),
+            )
+        )
+        fixes.persist().count()
+
+        def track_hausdorff():
+            return track_similarity_join(fixes, 120.0).count()
+
+        n_nodes = int(os.environ.get("BENCH_PR_NODES", "200000"))
+        n_edges = int(os.environ.get("BENCH_PR_EDGES", "2000000"))
+        edges = spark.range(n_edges).select(
+            F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("src"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_nodes)).alias("dst"),
+        )
+        edges.persist().count()
+
+        def pagerank_5():
+            pagerank(edges, n_iter=5).agg(F.sum("rank")).collect()
+            return n_edges * 5
+
+        timed("track_hausdorff", track_hausdorff, cold=True, repeats=2)
+        timed("pagerank_5", pagerank_5, cold=True, repeats=2)
         _emit(timings, counts, None, sf, cpus)
         spark.stop()
         return

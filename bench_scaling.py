@@ -302,6 +302,56 @@ def main_s2():
     _merge_section("s2_scale", section)
 
 
+def main_graphsim():
+    """Graph/trajectory additions at three parallelism levels:
+    track_hausdorff = candidate blocking + the pure-Catalyst nested-
+    lambda Hausdorff refine (W ∝ BENCH_SIM_GROUPS convoys × 28 pairs ×
+    64² haversines), pagerank_5 = five power-iteration rounds over
+    BENCH_PR_EDGES hash edges (per-round W ∝ edges). Both synthesize
+    their tables in-session — no input files."""
+    os.environ.setdefault("BENCH_SIM_GROUPS", "600")
+    os.environ.setdefault("BENCH_PR_EDGES", "2000000")
+    stages = ("track_hausdorff", "pagerank_5")
+    work = {
+        "track_hausdorff": int(os.environ["BENCH_SIM_GROUPS"]) * 28 * 64 * 64,
+        "pagerank_5": int(os.environ["BENCH_PR_EDGES"]) * 5,
+    }
+    results = {}
+    for cpus in (32, 8, 2):
+        print(f"=== graphsim bench at local[{cpus}] ===", file=sys.stderr, flush=True)
+        a = run_bench(cpus, 0, suite="graphsim")
+        b = run_bench(cpus, 0, suite="graphsim")
+        results[cpus] = {
+            st: min(a["queries"][st], b["queries"][st]) for st in stages
+        }
+        for st in stages:
+            results[cpus][f"{st}_work_per_sec"] = round(
+                work[st] / results[cpus][st], 0
+            )
+
+    def eff(lo, hi, key):
+        return round((results[lo][key] / results[hi][key]) / (hi / lo), 3)
+
+    section = {
+        "protocol": (
+            "BENCH_STAGES=graphsim: track_similarity_join (hausdorff) over "
+            f"{os.environ['BENCH_SIM_GROUPS']} 8-track convoys (64 fixes each, "
+            "within-convoy pair distances < 120 m, convoy centers hash-spread "
+            "globally) + 5-round pagerank over "
+            f"{os.environ['BENCH_PR_EDGES']} hash edges on "
+            f"{os.environ.get('BENCH_PR_NODES', '200000')} nodes; best-of-2 "
+            "per level, fresh JVM per run; work units = pair-haversines and "
+            "edge-relaxations respectively"
+        ),
+        "levels": {str(c): d for c, d in results.items()},
+        "efficiency": {
+            "2_to_8": {st: eff(2, 8, st) for st in stages},
+            "8_to_32": {st: eff(8, 32, st) for st in stages},
+        },
+    }
+    _merge_section("graphsim_scale", section)
+
+
 if __name__ == "__main__":
     if os.environ.get("BENCH_SUITE") == "cc":
         main_cc()
@@ -309,5 +359,7 @@ if __name__ == "__main__":
         main_r4geo()
     elif os.environ.get("BENCH_SUITE") == "s2":
         main_s2()
+    elif os.environ.get("BENCH_SUITE") == "graphsim":
+        main_graphsim()
     else:
         main()

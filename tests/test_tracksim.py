@@ -163,6 +163,25 @@ def test_frechet_ge_hausdorff_and_candidates_never_loss(spark):
                 assert (a, b) in cands  # blocking may over-generate, never lose
 
 
+def test_catalyst_refine_matches_arrow(spark):
+    df = tracks_df(spark)
+    arrow = {
+        (r["track_a"], r["track_b"]): r["dist_m"]
+        for r in track_similarity_join(df, D).collect()
+    }
+    catalyst = {
+        (r["track_a"], r["track_b"]): r["dist_m"]
+        for r in track_similarity_join(df, D, refine="catalyst").collect()
+    }
+    assert set(arrow) == set(catalyst)
+    for k in arrow:
+        assert arrow[k] == pytest.approx(catalyst[k], abs=1e-9)
+    with pytest.raises(ValueError, match="refine"):
+        track_similarity_join(df, D, refine="python")
+    with pytest.raises(ValueError, match="catalyst"):
+        track_similarity_join(df, D, metric="frechet", refine="catalyst")
+
+
 def test_antimeridian_pair_found(spark):
     got = {
         (r["track_a"], r["track_b"])

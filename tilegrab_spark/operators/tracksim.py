@@ -13,10 +13,17 @@ Two metrics over the discrete point sequences:
 - ``hausdorff`` (default): symmetric discrete Hausdorff distance —
   max over either track's points of the great-circle distance to the
   nearest point of the other. Order-insensitive; the classic "same
-  geometry" measure. Computed as a PURE CATALYST nested higher-order
-  lambda over the per-track point arrays (array_max ∘ transform ∘
-  array_min ∘ transform ∘ haversine) — no Python in the refine, whole
-  expression inside codegen.
+  geometry" measure. Two refine backends, byte-compatible:
+  ``refine="arrow"`` (default) evaluates the full pairwise
+  great-circle matrix per candidate pair vectorized in numpy inside
+  one ``mapInPandas`` — measured ~10× the Catalyst form (Spark
+  evaluates higher-order lambdas INTERPRETED per element, not in
+  codegen: 100 convoys × 28 pairs × 64² points = 23M lambda evals ran
+  30 s interpreted vs ~3 s in Arrow at 8 cores); ``refine="catalyst"``
+  is the pure-expression nested lambda (array_max ∘ transform ∘
+  array_min ∘ transform ∘ haversine) — zero Python anywhere in the
+  plan, the form the SQL oracle mirrors, the right choice when the
+  pair×point volume is small or a no-Python-workers constraint rules.
 - ``frechet``: discrete Fréchet distance — the "dog-leash" measure that
   respects traversal ORDER (two buses on the same loop in opposite
   directions are Hausdorff-close but Fréchet-far). The O(n·m) dynamic
@@ -44,6 +51,10 @@ Scale shape (never all-pairs):
 2. **Array build** — one groupBy(track) collects each track's fixes
    into a ts-ordered array of (lon, lat) structs (map-side partial
    collect; tracks are bounded — a day of 1 Hz fixes is ~86 kB).
+   The aggregation runs only over tracks that appear in a candidate
+   pair (left-semi against the persisted candidate frame — tracked,
+   ``release_signature_caches()`` drops it): a fix lake holds billions
+   of tracks, candidates are output-sized.
 3. **Refine** — candidates join the array table twice (broadcast when
    the track table is small; hash join on track id otherwise) and the
    metric evaluates per pair as above; pairs with distance ≤ d survive.
@@ -193,6 +204,7 @@ def track_similarity_join(
     max_dist_m: float,
     *,
     metric: str = "hausdorff",
+    refine: str = "arrow",
     zoom: int | None = None,
     track_col: str = "track_id",
     ts_col: str = "ts",
@@ -203,36 +215,63 @@ def track_similarity_join(
     ≤ ``max_dist_m``. Output: ``[track_a, track_b, dist_m]``
     (track_a < track_b, exact great-circle meters).
 
-    ``metric``: ``"hausdorff"`` (order-insensitive, pure Catalyst) or
-    ``"frechet"`` (traversal-order-aware, numpy DP in one mapInPandas
-    over candidate rows). Fréchet ≥ Hausdorff, so both run behind the
-    same never-loss candidate blocking."""
+    ``metric``: ``"hausdorff"`` (order-insensitive) or ``"frechet"``
+    (traversal-order-aware). Fréchet ≥ Hausdorff, so both run behind
+    the same never-loss candidate blocking. ``refine``: ``"arrow"``
+    (default — vectorized numpy per candidate pair, the fast path; see
+    module doc for the measured gap) or ``"catalyst"`` (hausdorff only:
+    the pure-expression nested lambda, zero Python in the plan)."""
     if metric not in ("hausdorff", "frechet"):
         raise ValueError(f"metric must be 'hausdorff' or 'frechet', got {metric!r}")
-    cand = track_candidate_pairs(
-        df, max_dist_m, zoom=zoom, track_col=track_col, lon_col=lon_col, lat_col=lat_col
+    if refine not in ("arrow", "catalyst"):
+        raise ValueError(f"refine must be 'arrow' or 'catalyst', got {refine!r}")
+    if refine == "catalyst" and metric != "hausdorff":
+        raise ValueError("refine='catalyst' supports metric='hausdorff' only")
+    from tilegrab_spark.operators.dedup import _persist_signatures
+
+    # candidates feed BOTH the track semi-join and the final pair join;
+    # persist (tracked — release_signature_caches() drops it) so the
+    # blocking stage runs once, not per branch
+    cand = _persist_signatures(
+        track_candidate_pairs(
+            df, max_dist_m, zoom=zoom, track_col=track_col,
+            lon_col=lon_col, lat_col=lat_col,
+        )
+    )
+    # arrays only for tracks that actually appear in a candidate pair —
+    # a fix lake holds billions of tracks, candidates are output-sized,
+    # so the collect_list aggregation must not run over the full lake
+    cand_tracks = (
+        cand.select(F.col("track_a").alias(track_col))
+        .unionByName(cand.select(F.col("track_b").alias(track_col)))
+        .distinct()
     )
     arrays = track_point_arrays(
-        df, track_col=track_col, ts_col=ts_col, lon_col=lon_col, lat_col=lat_col
+        df.join(cand_tracks, track_col, "left_semi"),
+        track_col=track_col,
+        ts_col=ts_col,
+        lon_col=lon_col,
+        lat_col=lat_col,
     )
     a = arrays.select(F.col("track").alias("track_a"), F.col("pts").alias("_pa"))
     b = arrays.select(F.col("track").alias("track_b"), F.col("pts").alias("_pb"))
     paired = cand.join(a, "track_a").join(b, "track_b")
 
-    if metric == "hausdorff":
+    if refine == "catalyst":
         out = paired.withColumn("dist_m", _hausdorff_expr(F.col("_pa"), F.col("_pb")))
     else:
-        out = _frechet_refine(paired)
+        out = _arrow_refine(paired, metric)
     return out.filter(F.col("dist_m") <= F.lit(float(max_dist_m))).select(
         "track_a", "track_b", "dist_m"
     )
 
 
-def _frechet_refine(paired: DataFrame) -> DataFrame:
-    """Discrete Fréchet per candidate row: the Eiter–Mannila DP over the
-    numpy pairwise great-circle matrix (distance matrix vectorized; the
-    DP recurrence itself carries a sequential dependency). Rows are
-    independent — mapInPandas, no grouping."""
+def _arrow_refine(paired: DataFrame, metric: str) -> DataFrame:
+    """Per-candidate-pair distance via the vectorized numpy pairwise
+    great-circle matrix: hausdorff = max(row-mins ∪ col-mins) (fully
+    vectorized); frechet = the Eiter–Mannila DP over the same matrix
+    (the recurrence carries a sequential dependency). Rows are
+    independent — mapInPandas, no grouping, no extra shuffle."""
     import numpy as np
     import pandas as pd
 
@@ -253,6 +292,9 @@ def _frechet_refine(paired: DataFrame) -> DataFrame:
         )
         return 2.0 * _EARTH_R * np.arcsin(np.sqrt(np.minimum(1.0, s)))
 
+    def hausdorff(d: np.ndarray) -> float:
+        return float(max(d.min(axis=1).max(), d.min(axis=0).max()))
+
     def frechet(d: np.ndarray) -> float:
         n, m = d.shape
         prev = np.maximum.accumulate(d[0])  # DP row 0: ca(0, j)
@@ -264,13 +306,15 @@ def _frechet_refine(paired: DataFrame) -> DataFrame:
             prev = cur
         return float(prev[-1])
 
+    score = hausdorff if metric == "hausdorff" else frechet
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             dists = []
             for pa, pb in zip(pdf["_pa"], pdf["_pb"]):
                 A = np.array([[p["lon"], p["lat"]] for p in pa], dtype=np.float64)
                 B = np.array([[p["lon"], p["lat"]] for p in pb], dtype=np.float64)
-                dists.append(frechet(pairwise_m(A, B)))
+                dists.append(score(pairwise_m(A, B)))
             out = pdf[keep].copy()
             out["dist_m"] = pd.Series(dists, index=pdf.index, dtype="float64")
             yield out
