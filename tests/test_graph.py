@@ -202,3 +202,99 @@ def test_pagerank_tol_early_stop_and_validation(spark):
     neg = spark.createDataFrame([(0, 1, -1.0)], "src long, dst long, w double")
     with pytest.raises(ValueError, match="positive"):
         pagerank(neg, weight_col="w")
+
+
+# ------------------------------------------------------- triangles / k-core
+
+def _tri_ref(edges):
+    """Per-node triangle counts by brute force over adjacency sets."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {n: 0 for n in adj}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in [x for x in nodes[i + 1:] if x in adj[a]]:
+            for c in [x for x in nodes if x > b and x in adj[a] and x in adj[b]]:
+                out[a] += 1
+                out[b] += 1
+                out[c] += 1
+    return out
+
+
+def _kcore_ref(edges, k):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(s) for n, s in adj.items()}
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from tilegrab_spark.operators.dedup import release_signature_caches
+    from tilegrab_spark.operators.graph import triangle_count
+
+    raw = _lcg_graph(99, 40, 220)
+    pairs = [(a, b) for a, b, _ in raw]
+    # directed duplicates + self-loops must normalize away
+    noisy = pairs + [(b, a) for a, b in pairs[:50]] + [(7, 7), (3, 3)]
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    release_signature_caches()
+    want = _tri_ref(pairs)
+    assert got == want
+    assert sum(got.values()) % 3 == 0
+
+
+def test_triangle_count_known_graph(spark):
+    from tilegrab_spark.operators.dedup import release_signature_caches
+    from tilegrab_spark.operators.graph import triangle_count
+
+    # K4 plus a pendant: every K4 node is in C(3,2)=3 triangles
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(spark.createDataFrame(k4, "src long, dst long")).collect()
+    }
+    release_signature_caches()
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0}
+
+
+def test_k_core_matches_peeling_reference(spark):
+    from tilegrab_spark.operators.graph import k_core
+
+    raw = _lcg_graph(7, 36, 150)
+    pairs = [(a, b) for a, b, _ in raw]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    for k in (2, 3, 4):
+        got = {r["node"]: r["core_degree"] for r in k_core(df, k).collect()}
+        assert got == _kcore_ref(pairs, k), f"k={k}"
+
+
+def test_k_core_path_peels_away_and_validation(spark):
+    from tilegrab_spark.operators.graph import k_core
+
+    path = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    assert k_core(df, 2).count() == 0  # a path has no 2-core
+    cyc = path + [(10, 0)]
+    got = {r["node"]: r["core_degree"] for r in k_core(spark.createDataFrame(cyc, "src long, dst long"), 2).collect()}
+    assert got == {i: 2 for i in range(11)}  # the cycle IS the 2-core
+    with pytest.raises(ValueError, match="k must"):
+        k_core(df, 0)
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(df, 2, max_iter=1)

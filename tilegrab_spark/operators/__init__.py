@@ -18,7 +18,13 @@ from tilegrab_spark.operators.footprint import coverage_footprints
 from tilegrab_spark.operators.augment import AUGMENT_OPS, augment_images
 from tilegrab_spark.operators.cover import adaptive_cover, compact_cover, uncompact_cover
 from tilegrab_spark.operators.funnel import funnel_counts, funnel_progress
-from tilegrab_spark.operators.graph import hop_distance, pagerank, shortest_paths
+from tilegrab_spark.operators.graph import (
+    hop_distance,
+    k_core,
+    pagerank,
+    shortest_paths,
+    triangle_count,
+)
 from tilegrab_spark.operators.metadata import (
     IMAGE_METADATA_SCHEMA,
     extract_image_metadata,
@@ -305,6 +311,8 @@ __all__ = [
     "shortest_paths",
     "hop_distance",
     "pagerank",
+    "triangle_count",
+    "k_core",
     "funnel_progress",
     "funnel_counts",
     "od_matrix",

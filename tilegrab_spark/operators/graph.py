@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["shortest_paths", "hop_distance", "pagerank"]
+__all__ = ["shortest_paths", "hop_distance", "pagerank", "triangle_count", "k_core"]
 
 
 def _relax_round(frontier: DataFrame, e: DataFrame, dist: DataFrame) -> DataFrame:
@@ -236,6 +236,159 @@ def pagerank(
             ranks = new_ranks
     links.unpersist()
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED simple graph →
+    ``(node, triangles)`` (nodes with zero triangles included). Input
+    direction and duplicate/parallel edges are normalized away;
+    self-loops are dropped.
+
+    The classic degree-ordered formulation that keeps the join volume
+    at O(Σ d_v²) bounded by the HIGH-degree side being the probe:
+
+    1. canonicalize each edge to (lo, hi) by (degree, id) order — every
+       triangle {a, b, c} then has exactly ONE wedge whose center is
+       its lowest-ordered vertex, so no triangle is counted twice and
+       hub-centered wedges (the d² explosion) collapse onto low-degree
+       centers (each wedge center contributes C(d⁺, 2) with d⁺ its
+       HIGHER-ordered neighbors only — ≤ O(√|E|) for any graph);
+    2. wedges = the oriented edge list self-joined on its lo endpoint;
+    3. a wedge (b, c) closes iff (b, c) is itself an oriented edge —
+       one equi-join against the edge list;
+    4. closed wedges credit all three corners: one union + groupBy.
+
+    Every join is a hash equi-join on node keys; no cartesian, no
+    Python. The oriented edge list is persisted across its three uses
+    (tracked — ``release_signature_caches()`` drops it)."""
+    e = edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
+    und = (
+        e.filter(F.col("_a") != F.col("_b"))
+        .select(
+            F.least("_a", "_b").alias("_u"), F.greatest("_a", "_b").alias("_v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("_u").alias("node"))
+        .unionByName(und.select(F.col("_v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    # orient each undirected edge from the (degree, id)-smaller vertex
+    # to the larger — the total order that bounds wedge fan-out
+    du = deg.select(F.col("node").alias("_u"), F.col("_deg").alias("_du"))
+    dv = deg.select(F.col("node").alias("_v"), F.col("_deg").alias("_dv"))
+    from tilegrab_spark.operators.dedup import _persist_signatures
+
+    oriented = _persist_signatures(
+        und.join(du, "_u")
+        .join(dv, "_v")
+        .select(
+            F.when(
+                (F.col("_du") < F.col("_dv"))
+                | ((F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))),
+                F.struct(F.col("_u").alias("lo"), F.col("_v").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("_v").alias("lo"), F.col("_u").alias("hi")))
+            .alias("_e")
+        )
+        .select(F.col("_e.lo").alias("lo"), F.col("_e.hi").alias("hi"))
+    )
+    w1 = oriented.select(F.col("lo").alias("_c"), F.col("hi").alias("_x"))
+    w2 = oriented.select(F.col("lo").alias("_c"), F.col("hi").alias("_y"))
+    wedges = w1.join(w2, "_c").filter(F.col("_x") < F.col("_y"))
+    # a wedge closes iff its outer pair is an oriented edge in EITHER
+    # orientation of (x, y) — orientation is by degree order, so probe
+    # both
+    probe = oriented.select(F.col("lo").alias("_x"), F.col("hi").alias("_y")).unionByName(
+        oriented.select(F.col("hi").alias("_x"), F.col("lo").alias("_y"))
+    )
+    tri = wedges.join(probe, ["_x", "_y"], "left_semi")
+    corners = (
+        tri.select(F.col("_c").alias("node"))
+        .unionByName(tri.select(F.col("_x").alias("node")))
+        .unionByName(tri.select(F.col("_y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(corners, "node", "left")
+        .select("node", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"))
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Nodes of the k-core — the maximal subgraph where every node has
+    degree ≥ k (undirected, simple; self-loops dropped) → ``(node,
+    core_degree)`` with the node's degree WITHIN the core. The standard
+    peeling fixpoint, distributed:
+
+    each round drops nodes whose current degree < k and recomputes
+    degrees on the induced subgraph (two left-semi joins + one
+    map-side-combinable count — edge-sized, shrinking every round);
+    ``localCheckpoint`` per round keeps lineage flat. Rounds needed =
+    peeling depth (worst case O(n) on path-like graphs — the loop
+    RAISES if ``max_iter`` rounds don't reach the fixpoint rather than
+    silently returning a superset); the result is the unique k-core
+    regardless of peel order, so no tie-breaking is needed."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    e = edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
+    und = (
+        e.filter(F.col("_a") != F.col("_b"))
+        .select(F.least("_a", "_b").alias("_u"), F.greatest("_a", "_b").alias("_v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = und.count()
+    converged = False
+    for _ in range(max_iter):
+        deg = (
+            und.select(F.col("_u").alias("node"))
+            .unionByName(und.select(F.col("_v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+        )
+        keep = deg.filter(F.col("_deg") >= k).select("node").localCheckpoint()
+        nxt = (
+            und.join(keep.select(F.col("node").alias("_u")), "_u", "left_semi")
+            .join(keep.select(F.col("node").alias("_v")), "_v", "left_semi")
+            .localCheckpoint()
+        )
+        n_next = nxt.count()
+        und = nxt
+        if n_next == n_edges:
+            converged = True
+            break
+        n_edges = n_next
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not reach the peeling fixpoint in {max_iter} rounds; "
+            "raise max_iter"
+        )
+    final_deg = (
+        und.select(F.col("_u").alias("node"))
+        .unionByName(und.select(F.col("_v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return final_deg.filter(F.col("core_degree") >= k)
 
 
 def hop_distance(

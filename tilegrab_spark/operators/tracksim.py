@@ -85,7 +85,14 @@ from tilegrab_spark.kernels.geo import (
 from tilegrab_spark.operators.distancejoin import auto_block_zoom
 from tilegrab_spark.operators.trajectory import _EARTH_R, haversine_m
 
-__all__ = ["track_point_arrays", "track_candidate_pairs", "track_similarity_join"]
+__all__ = [
+    "track_point_arrays",
+    "track_cells",
+    "candidate_pairs_from_cells",
+    "resolve_block_zoom",
+    "track_candidate_pairs",
+    "track_similarity_join",
+]
 
 
 def track_point_arrays(
@@ -117,6 +124,96 @@ def track_point_arrays(
     )
 
 
+def resolve_block_zoom(max_dist_m: float, zoom: int | None) -> int:
+    """The blocking zoom for ``max_dist_m`` (distancejoin auto pick
+    unless overridden), validated."""
+    if max_dist_m <= 0:
+        raise ValueError(f"max_dist_m must be positive, got {max_dist_m}")
+    z = auto_block_zoom(max_dist_m) if zoom is None else int(zoom)
+    if not 0 <= z <= 30:
+        raise ValueError(f"zoom must be in [0, 30], got {z}")
+    return z
+
+
+def track_cells(
+    df: DataFrame,
+    zoom: int,
+    *,
+    track_col: str = "track_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Per-track DISTINCT covering cells at the blocking zoom:
+    ``[_t, _cx, _cy, _alat]`` with ``_alat`` = max |lat| of the track's
+    fixes in that cell (feeds the sec(φ*) disk bound). One map-side-
+    combinable aggregation — the persisted state unit of the streaming
+    sibling (streaming/tracksim_stream.py)."""
+    cx, cy = cell_encode_cols(F.col(lon_col), F.col(lat_col), zoom)
+    return (
+        df.select(
+            F.col(track_col).alias("_t"),
+            cx.cast("long").alias("_cx"),
+            cy.cast("long").alias("_cy"),
+            F.abs(F.col(lat_col)).alias("_alat"),
+        )
+        .groupBy("_t", "_cx", "_cy")
+        .agg(F.max("_alat").alias("_alat"))
+    )
+
+
+def _disk_explode(cells: DataFrame, max_dist_m: float, zoom: int) -> DataFrame:
+    """Latitude-adaptive neighbor-disk explode of a ``track_cells``
+    frame → ``[_ta, _jx, _jy]`` — the within_distance_join bound: a
+    point within ground d of any fix in this cell sits within
+    d·sec(φ*) Mercator meters, φ* = min(|φ|max + d/R, lat limit);
+    x wraps at the antimeridian, y clamps."""
+    ts = 2.0 * WEB_MERCATOR_EXTENT / (1 << zoom)
+    n_cells = 1 << zoom
+    phi_star = F.least(
+        F.col("_alat") + F.lit(math.degrees(max_dist_m / _EARTH_R)),
+        F.lit(MERCATOR_LAT_LIMIT),
+    )
+    d_merc = max_dist_m * (WGS84_RADIUS / _EARTH_R)
+    r = F.ceil(F.lit(d_merc / ts) / F.cos(F.radians(phi_star))).cast("int") + F.lit(1)
+    return (
+        cells.withColumn("_r", r)
+        .withColumn("_dx", F.explode(F.sequence(-F.col("_r"), F.col("_r"))))
+        .withColumn("_dy", F.explode(F.sequence(-F.col("_r"), F.col("_r"))))
+        .select(
+            F.col("_t").alias("_ta"),
+            F.pmod(F.col("_cx") + F.col("_dx"), F.lit(n_cells)).alias("_jx"),
+            (F.col("_cy") + F.col("_dy")).alias("_jy"),
+        )
+        .filter((F.col("_jy") >= 0) & (F.col("_jy") < n_cells))
+    )
+
+
+def candidate_pairs_from_cells(
+    left_cells: DataFrame,
+    probe_cells: DataFrame,
+    max_dist_m: float,
+    zoom: int,
+) -> DataFrame:
+    """Candidate unordered pairs between two ``track_cells`` frames:
+    disk-explode the LEFT side, equi-join the probe side's single cell
+    per row, dedup to ``[track_a, track_b]`` (a < b). With
+    left == probe this is the batch blocking; with left = new tracks
+    and probe = all tracks it is the incremental new-vs-all step."""
+    disk = _disk_explode(left_cells, max_dist_m, zoom)
+    probe = probe_cells.select(
+        F.col("_t").alias("_tb"), F.col("_cx").alias("_jx"), F.col("_cy").alias("_jy")
+    )
+    return (
+        disk.join(probe, ["_jx", "_jy"])
+        .filter(F.col("_ta") != F.col("_tb"))
+        .select(
+            F.least(F.col("_ta"), F.col("_tb")).alias("track_a"),
+            F.greatest(F.col("_ta"), F.col("_tb")).alias("track_b"),
+        )
+        .distinct()
+    )
+
+
 def track_candidate_pairs(
     df: DataFrame,
     max_dist_m: float,
@@ -129,55 +226,11 @@ def track_candidate_pairs(
     """Candidate unordered track pairs ``[track_a, track_b]``
     (track_a < track_b) — the never-loss blocking stage (module doc §1).
     Exposed separately so callers can compose their own refine."""
-    if max_dist_m <= 0:
-        raise ValueError(f"max_dist_m must be positive, got {max_dist_m}")
-    z = auto_block_zoom(max_dist_m) if zoom is None else int(zoom)
-    if not 0 <= z <= 30:
-        raise ValueError(f"zoom must be in [0, 30], got {z}")
-    ts = 2.0 * WEB_MERCATOR_EXTENT / (1 << z)
-    n_cells = 1 << z
-
-    cx, cy = cell_encode_cols(F.col(lon_col), F.col(lat_col), z)
-    cells = (
-        df.select(
-            F.col(track_col).alias("_t"),
-            cx.cast("long").alias("_cx"),
-            cy.cast("long").alias("_cy"),
-            F.abs(F.col(lat_col)).alias("_alat"),
-        )
-        .groupBy("_t", "_cx", "_cy")
-        .agg(F.max("_alat").alias("_alat"))
+    z = resolve_block_zoom(max_dist_m, zoom)
+    cells = track_cells(
+        df, z, track_col=track_col, lon_col=lon_col, lat_col=lat_col
     )
-
-    # latitude-adaptive disk radius — the within_distance_join bound:
-    # a point within ground d of any fix in this cell sits within
-    # d·sec(φ*) Mercator meters, φ* = min(|φ|max + d/R, lat limit)
-    phi_star = F.least(
-        F.col("_alat") + F.lit(math.degrees(max_dist_m / _EARTH_R)),
-        F.lit(MERCATOR_LAT_LIMIT),
-    )
-    d_merc = max_dist_m * (WGS84_RADIUS / _EARTH_R)
-    r = F.ceil(F.lit(d_merc / ts) / F.cos(F.radians(phi_star))).cast("int") + F.lit(1)
-    disk = (
-        cells.withColumn("_r", r)
-        .withColumn("_dx", F.explode(F.sequence(-F.col("_r"), F.col("_r"))))
-        .withColumn("_dy", F.explode(F.sequence(-F.col("_r"), F.col("_r"))))
-        .select(
-            F.col("_t").alias("_ta"),
-            F.pmod(F.col("_cx") + F.col("_dx"), F.lit(n_cells)).alias("_jx"),
-            (F.col("_cy") + F.col("_dy")).alias("_jy"),
-        )
-        .filter((F.col("_jy") >= 0) & (F.col("_jy") < n_cells))
-    )
-    probe = cells.select(
-        F.col("_t").alias("_tb"), F.col("_cx").alias("_jx"), F.col("_cy").alias("_jy")
-    )
-    return (
-        disk.join(probe, ["_jx", "_jy"])
-        .filter(F.col("_ta") < F.col("_tb"))
-        .select(F.col("_ta").alias("track_a"), F.col("_tb").alias("track_b"))
-        .distinct()
-    )
+    return candidate_pairs_from_cells(cells, cells, max_dist_m, z)
 
 
 def _hausdorff_expr(a: Column, b: Column) -> Column:
