@@ -168,3 +168,108 @@ def test_validation(spark):
         grid_dbscan(df, eps_m=0.0, min_pts=1)
     with pytest.raises(ValueError):
         grid_dbscan(df, eps_m=1.0, min_pts=0)
+
+
+# ---------------------------------------------------------------- ST-DBSCAN
+
+def _oracle_st(points, eps, min_pts, eps_t):
+    """Brute force with the spatiotemporal predicate: spatial dist <=
+    eps AND |dt| <= eps_t. points: id -> (lon, lat, t)."""
+    ids = sorted(points)
+    xy = np.array([_merc(points[i][0], points[i][1]) for i in ids])
+    t = np.array([points[i][2] for i in ids])
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    nbr = (d2 <= eps * eps) & (np.abs(t[:, None] - t[None, :]) <= eps_t)
+    cnt = nbr.sum(1)
+    core = cnt >= min_pts
+    parent = list(range(len(ids)))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if core[i] and core[j] and nbr[i, j]:
+                parent[find(i)] = find(j)
+    comp_label = {}
+    for i in range(len(ids)):
+        if core[i]:
+            r = find(i)
+            comp_label[r] = min(comp_label.get(r, ids[i]), ids[i])
+    out = {}
+    for i in range(len(ids)):
+        if core[i]:
+            out[ids[i]] = (True, comp_label[find(i)])
+        else:
+            labs = [comp_label[find(j)] for j in range(len(ids)) if core[j] and nbr[i, j]]
+            out[ids[i]] = (False, min(labs) if labs else None)
+    return out
+
+
+def _weekly_market():
+    """One square, three weekly episodes + drifting noise: spatially a
+    single clump, temporally three."""
+    rng = np.random.default_rng(5)
+    pts = {}
+    pid = 0
+    for week, t0 in enumerate([0.0, 7 * 86400.0, 14 * 86400.0]):
+        for _ in range(15):
+            pts[pid] = (
+                10.0 + rng.normal(0, 0.01),
+                45.0 + rng.normal(0, 0.01),
+                t0 + float(rng.uniform(0, 14400)),
+            )
+            pid += 1
+    for k in range(10):
+        pts[pid] = (
+            float(rng.uniform(9.5, 10.5)),
+            float(rng.uniform(44.5, 45.5)),
+            float(rng.uniform(0, 15 * 86400)),
+        )
+        pid += 1
+    return pts
+
+
+def _run_st(spark, pts, eps, min_pts, eps_t):
+    df = spark.createDataFrame(
+        [(i, lon, lat, t) for i, (lon, lat, t) in pts.items()],
+        "point_id long, lon double, lat double, ts double",
+    )
+    try:
+        got = grid_dbscan(
+            df, eps_m=eps, min_pts=min_pts, ts_col="ts", eps_t=eps_t
+        ).collect()
+    finally:
+        release_signature_caches()
+    return {r.point_id: (r.is_core, r.cluster) for r in got}
+
+
+@pytest.mark.parametrize("min_pts", [1, 4, 8])
+def test_st_dbscan_vs_oracle(spark, min_pts):
+    pts = _weekly_market()
+    got = _run_st(spark, pts, 6000.0, min_pts, 86400.0)
+    assert got == _oracle_st(pts, 6000.0, min_pts, 86400.0)
+
+
+def test_weekly_market_splits_into_episodes(spark):
+    pts = _weekly_market()
+    st = _run_st(spark, pts, 6000.0, 5, 86400.0)
+    episodes = {c for _, c in st.values() if c is not None}
+    assert len(episodes) == 3  # one cluster per week
+    # purely spatial on the same rows: one smeared cluster
+    flat = {i: (lon, lat) for i, (lon, lat, _) in pts.items()}
+    sp = _run(spark, flat, 6000.0, 5)
+    assert len({c for _, c in sp.values() if c is not None}) == 1
+
+
+def test_st_validation(spark):
+    df = spark.createDataFrame([(0, 10.0, 45.0, 0.0)], "point_id long, lon double, lat double, ts double")
+    with pytest.raises(ValueError, match="together"):
+        grid_dbscan(df, eps_m=10.0, min_pts=2, ts_col="ts")
+    with pytest.raises(ValueError, match="together"):
+        grid_dbscan(df, eps_m=10.0, min_pts=2, eps_t=60.0)
+    with pytest.raises(ValueError, match="eps_t"):
+        grid_dbscan(df, eps_m=10.0, min_pts=2, ts_col="ts", eps_t=0.0)

@@ -76,11 +76,21 @@ def grid_dbscan(
     id_col: str = "point_id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    ts_col: str | None = None,
+    eps_t: float | None = None,
     max_iter: int = 20,
 ) -> DataFrame:
     """DBSCAN over (lon, lat) points with radius ``eps_m`` Web-Mercator
     meters and density threshold ``min_pts`` (neighborhood INCLUDES the
     point itself, as in sklearn).
+
+    ``ts_col`` + ``eps_t`` (both or neither) switch on **ST-DBSCAN**
+    (Birant & Kut): the neighborhood predicate becomes spatial distance
+    ≤ eps_m AND |Δt| ≤ ``eps_t`` (``ts_col`` numeric, same unit as
+    ``eps_t``) — reappearing hotspots (a market held weekly in one
+    square) separate into per-episode clusters instead of smearing into
+    one. Blocking gains a third grid axis: time buckets of width eps_t,
+    probe explode 3×3×3 — same equi-join shape, never all-pairs.
 
     ``id_col`` must be a unique orderable key — cluster labels are the
     MIN member core id, and border tie-breaks take the MIN cluster, so
@@ -94,6 +104,11 @@ def grid_dbscan(
         raise ValueError(f"eps_m must be positive, got {eps_m}")
     if min_pts < 1:
         raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    if (ts_col is None) != (eps_t is None):
+        raise ValueError("ts_col and eps_t must be passed together")
+    if eps_t is not None and eps_t <= 0:
+        raise ValueError(f"eps_t must be positive, got {eps_t}")
+    temporal = ts_col is not None
 
     pts = _mercator_cols(points, lon_col, lat_col).withColumns(
         {
@@ -101,34 +116,55 @@ def grid_dbscan(
             "_cy": F.floor(F.col("_my") / F.lit(float(eps_m))),
         }
     )
+    if temporal:
+        pts = pts.withColumn("_ct", F.floor(F.col(ts_col).cast("double") / F.lit(float(eps_t))))
     # both frames feed multiple branches; cached through the tracked
     # registry (dedup.py) — release_signature_caches() drops them.
     pts = _persist_signatures(pts)
 
-    # candidate pairs: 9-cell probe explode joined against the
-    # cell-keyed points — each ordered pair appears exactly once
-    # (the target's own cell is unique), so no dedup pass is needed.
+    # candidate pairs: 9-cell (27 with time) probe explode joined
+    # against the cell-keyed points — each ordered pair appears exactly
+    # once (the target's own cell is unique), so no dedup pass is
+    # needed.
+    deltas = [
+        (dx, dy, dt)
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dt in ((-1, 0, 1) if temporal else (0,))
+    ]
+    def cell_fields(dx, dy, dt):
+        return [(F.col("_cx") + dx).alias("_cx"), (F.col("_cy") + dy).alias("_cy")] + (
+            [(F.col("_ct") + dt).alias("_ct")] if temporal else []
+        )
+    keys = ["_cx", "_cy"] + (["_ct"] if temporal else [])
     probe = pts.select(
         F.col(id_col).alias("_ida"),
         F.col("_mx").alias("_ax"),
         F.col("_my").alias("_ay"),
+        *([F.col(ts_col).cast("double").alias("_at")] if temporal else []),
         F.explode(
-            F.array(*[F.struct((F.col("_cx") + dx).alias("_cx"),
-                                (F.col("_cy") + dy).alias("_cy"))
-                      for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+            F.array(*[F.struct(*cell_fields(dx, dy, dt)) for dx, dy, dt in deltas])
         ).alias("_nb"),
-    ).select("_ida", "_ax", "_ay", F.col("_nb._cx").alias("_cx"), F.col("_nb._cy").alias("_cy"))
+    ).select(
+        "_ida", "_ax", "_ay",
+        *(["_at"] if temporal else []),
+        *[F.col(f"_nb.{k}").alias(k) for k in keys],
+    )
     target = pts.select(
-        "_cx", "_cy",
+        *keys,
         F.col(id_col).alias("_idb"),
         F.col("_mx").alias("_bx"),
         F.col("_my").alias("_by"),
+        *([F.col(ts_col).cast("double").alias("_bt")] if temporal else []),
     )
     dx = F.col("_ax") - F.col("_bx")
     dy = F.col("_ay") - F.col("_by")
+    within = dx * dx + dy * dy <= F.lit(float(eps_m) * float(eps_m))
+    if temporal:
+        within = within & (F.abs(F.col("_at") - F.col("_bt")) <= F.lit(float(eps_t)))
     pairs = (
-        probe.join(target, ["_cx", "_cy"])
-        .filter(dx * dx + dy * dy <= F.lit(float(eps_m) * float(eps_m)))
+        probe.join(target, keys)
+        .filter(within)
         .select("_ida", "_idb")
     )
     pairs = _persist_signatures(pairs)
@@ -160,7 +196,7 @@ def grid_dbscan(
         .agg(F.min("_cluster").alias("cluster"))
     )
     out = (
-        pts.drop("_mx", "_my", "_cx", "_cy")
+        pts.drop("_mx", "_my", "_cx", "_cy", "_ct")
         .join(
             cores.select(F.col("_core").alias(id_col), F.lit(True).alias("is_core")),
             id_col,

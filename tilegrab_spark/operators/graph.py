@@ -155,8 +155,10 @@ def pagerank(
       — and persisted across rounds; per round the only edge-sized work
       is one hash join ranks⋈links on ``src`` plus a map-side partial
       ``sum`` per destination. Every other frame is node-sized.
-    - dangling mass is one bounded scalar aggregate per round (the
-      components.py convergence-scalar pattern) — never a row explosion.
+    - dangling mass stays INSIDE the round's plan: a one-row aggregate
+      over the dangling ranks broadcast-cross-joined into the rank
+      update, so a round is ONE job (join + partial-sum + update), not
+      a driver-synced scalar collect plus a job.
     - each round ``localCheckpoint``s the node-sized rank table so
       lineage stays flat (the iterative-algorithm trap, components.py).
 
@@ -200,10 +202,10 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     has_out = out.select(F.col("_s").alias("node"))
     for _ in range(n_iter):
-        # bounded scalar: total rank sitting on dangling nodes
-        dangling = (
-            ranks.join(has_out, "node", "left_anti").agg(F.sum("rank")).first()[0]
-            or 0.0
+        # one-row frame: total rank sitting on dangling nodes — stays
+        # in-plan (broadcast cross join), no driver-synced collect
+        dangling = ranks.join(has_out, "node", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
         )
         contrib = (
             ranks.join(links, ranks.node == links._s)
@@ -213,12 +215,13 @@ def pagerank(
         )
         new_ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(d)
-                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dang") / n)
                 ).alias("rank"),
             )
             .localCheckpoint()
