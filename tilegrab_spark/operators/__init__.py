@@ -102,6 +102,7 @@ from tilegrab_spark.operators.dedup import (
     with_shingles,
     with_simhash,
 )
+from tilegrab_spark.operators.audiosim import audio_fingerprints, audio_match_pairs
 from tilegrab_spark.operators.crossmodal import (
     cross_modal_image_pairs,
     cross_modal_pairs,
@@ -551,6 +552,8 @@ __all__ = [
     "bloom_probe",
     "cross_modal_image_pairs",
     "cross_modal_pairs",
+    "audio_fingerprints",
+    "audio_match_pairs",
     "band_math",
     "compile_band_expr",
 
