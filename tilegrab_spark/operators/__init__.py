@@ -103,6 +103,7 @@ from tilegrab_spark.operators.dedup import (
     with_simhash,
 )
 from tilegrab_spark.operators.audiosim import audio_fingerprints, audio_match_pairs
+from tilegrab_spark.operators.videosim import video_fingerprints, video_match_pairs
 from tilegrab_spark.operators.crossmodal import (
     cross_modal_image_pairs,
     cross_modal_pairs,
@@ -554,6 +555,8 @@ __all__ = [
     "cross_modal_pairs",
     "audio_fingerprints",
     "audio_match_pairs",
+    "video_fingerprints",
+    "video_match_pairs",
     "band_math",
     "compile_band_expr",
 
