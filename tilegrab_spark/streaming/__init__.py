@@ -15,6 +15,10 @@ from tilegrab_spark.streaming.mosaic_stream import compact_mosaics, stream_mosai
 from tilegrab_spark.streaming.stateful import stream_cell_stats
 from tilegrab_spark.streaming.upsert_stream import UpsertSink, stream_upsert
 from tilegrab_spark.streaming.span_stream import SpanStore, stream_span_dedup
+from tilegrab_spark.streaming.fingerprint_stream import (
+    incremental_audio_pairs,
+    incremental_video_pairs,
+)
 from tilegrab_spark.streaming.tracksim_stream import (
     incremental_track_pairs,
     stream_track_similarity,
@@ -34,6 +38,8 @@ __all__ = [
     "stream_upsert",
     "incremental_lsh_pairs",
     "incremental_track_pairs",
+    "incremental_audio_pairs",
+    "incremental_video_pairs",
     "stream_track_similarity",
     "TextIndexStore",
     "stream_document_dedup",
