@@ -231,5 +231,10 @@ def test_property_reversal_flips_area_keeps_perimeter(spark, ring):
     z, xs, ys = ring
     df = _ring_df(spark, z, [(1, 0, xs, ys), (2, 0, xs[::-1], ys[::-1])])
     rows = {r.region_id: r for r in geodesic_measures(df).collect()}
-    assert rows[1].area_m2 == pytest.approx(-rows[2].area_m2, rel=1e-12, abs=1e-6)
+    # abs floor 1e-3 m² matches the scalar-CD parity test above: a
+    # degenerate sliver (repeated vertex, zero-width spike) has true
+    # area 0 and both orientations return accumulation noise ~1e-6 m²
+    # that need not anti-commute (hypothesis-found: z=8 ring
+    # [13107,13107,13108,13107]x[13107,13107,14410,13107])
+    assert rows[1].area_m2 == pytest.approx(-rows[2].area_m2, rel=1e-12, abs=1e-3)
     assert rows[1].perimeter_m == pytest.approx(rows[2].perimeter_m, rel=1e-12)
