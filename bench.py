@@ -114,7 +114,7 @@ def main():
     img_path = f"/tmp/tilegrab_bench/images_e{edge}_z{zoom}" + (
         f"_s{nsrcs}" if nsrcs != 2 else ""
     )
-    if stages not in ("llm", "cc", "r4geo", "s2", "graphsim"):
+    if stages not in ("llm", "cc", "r4geo", "s2", "graphsim", "mediasim"):
         ensure_images(spark, img_path, edge, zoom, nsrcs)
 
     # warmup: spin up JVM codegen + Python workers so the first timed
@@ -169,7 +169,7 @@ def main():
 
     images = (
         read_image_table(spark, img_path)
-        if stages not in ("llm", "cc", "r4geo", "s2", "graphsim")
+        if stages not in ("llm", "cc", "r4geo", "s2", "graphsim", "mediasim")
         else None
     )
     if stages in ("llm", "cc"):
@@ -275,6 +275,85 @@ def main():
 
         timed("track_hausdorff", track_hausdorff, cold=True, repeats=2)
         timed("pagerank_5", pagerank_5, cold=True, repeats=2)
+        _emit(timings, counts, None, sf, cpus)
+        spark.stop()
+        return
+
+    # BENCH_STAGES=mediasim: audio/video fingerprint + match throughput
+    # (gated). Payloads synthesized in-session (engine WAV/AVI
+    # encoders); work scales with BENCH_MEDIA_N items per modality.
+    # Each item is a clip embedded in a longer recording, so the match
+    # stage has real pairs to vote on, not an empty join.
+    if stages == "mediasim":
+        import numpy as np
+
+        from tilegrab_spark.kernels.avi import encode_avi_mjpeg
+        from tilegrab_spark.kernels.jpeg import encode_jpeg
+        from tilegrab_spark.kernels.wav import encode_wav
+        from tilegrab_spark.operators.audiosim import (
+            audio_fingerprints, audio_match_pairs,
+        )
+        from tilegrab_spark.operators.videosim import (
+            video_fingerprints, video_match_pairs,
+        )
+
+        n_items = int(os.environ.get("BENCH_MEDIA_N", "64"))
+        SRm = 8000
+
+        def aclip(seed):
+            rng = np.random.default_rng(seed)
+            tt = np.arange(3 * SRm) / SRm
+            x = sum(
+                float(rng.uniform(0.4, 1.0))
+                * np.sin(2 * np.pi * float(rng.uniform(200, 3200)) * tt)
+                for _ in range(6)
+            )
+            return x / np.max(np.abs(x)) * 12000.0
+
+        arows = []
+        for i in range(n_items):
+            c = aclip(i)
+            arows.append((f"c{i}", bytearray(encode_wav(c, SRm))))
+            lng = np.random.default_rng(10_000 + i).normal(0, 300, 8 * SRm)
+            lng[2 * SRm : 2 * SRm + len(c)] += c
+            arows.append((f"l{i}", bytearray(encode_wav(lng, SRm))))
+        adf = spark.createDataFrame(arows, "audio_id string, payload binary")
+        adf = adf.repartition(cpus).persist()
+        adf.count()
+
+        def vframe(seed):
+            rng = np.random.default_rng(seed)
+            b = rng.integers(30, 225, (8, 8), dtype=np.uint8)
+            g = np.kron(b, np.ones((12, 12), dtype=np.uint8))
+            return np.stack([g, g, g], axis=2)
+
+        vrows = []
+        for i in range(n_items):
+            seeds = list(range(i * 100, i * 100 + 8))
+            clip = [encode_jpeg(vframe(s), 90) for s in seeds]
+            lng = (
+                [encode_jpeg(vframe(s), 60) for s in range(i * 100 + 50, i * 100 + 54)]
+                + [encode_jpeg(vframe(s), 60) for s in seeds]
+                + [encode_jpeg(vframe(s), 60) for s in range(i * 100 + 60, i * 100 + 64)]
+            )
+            vrows.append((f"vc{i}", bytearray(encode_avi_mjpeg(clip, 10.0, 96, 96))))
+            vrows.append((f"vl{i}", bytearray(encode_avi_mjpeg(lng, 10.0, 96, 96))))
+        vdf = spark.createDataFrame(vrows, "video_id string, payload binary")
+        vdf = vdf.repartition(cpus).persist()
+        vdf.count()
+
+        def audio_pipeline():
+            return audio_match_pairs(
+                audio_fingerprints(adf), min_votes=5
+            ).count()
+
+        def video_pipeline():
+            return video_match_pairs(
+                video_fingerprints(vdf), min_votes=4
+            ).count()
+
+        timed("audio_fp_match", audio_pipeline, cold=True, repeats=2)
+        timed("video_fp_match", video_pipeline, cold=True, repeats=2)
         _emit(timings, counts, None, sf, cpus)
         spark.stop()
         return

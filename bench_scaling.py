@@ -352,6 +352,47 @@ def main_graphsim():
     _merge_section("graphsim_scale", section)
 
 
+def main_mediasim():
+    """Media fingerprint pipelines at three parallelism levels:
+    audio_fp_match (WAV decode + Hann-rFFT landmarks + hash join +
+    offset vote) and video_fp_match (AVI parse + JPEG decode + phash +
+    band join + vote) over BENCH_MEDIA_N embedded-clip items per
+    modality — decode/FFT-bound mapInPandas work, the embarrassingly
+    parallel regime."""
+    os.environ.setdefault("BENCH_MEDIA_N", "96")
+    n = int(os.environ["BENCH_MEDIA_N"])
+    stages = ("audio_fp_match", "video_fp_match")
+    results = {}
+    for cpus in (32, 8, 2):
+        print(f"=== mediasim bench at local[{cpus}] ===", file=sys.stderr, flush=True)
+        a = run_bench(cpus, 0, suite="mediasim")
+        b = run_bench(cpus, 0, suite="mediasim")
+        results[cpus] = {st: min(a["queries"][st], b["queries"][st]) for st in stages}
+        for st in stages:
+            results[cpus][f"{st}_items_per_sec"] = round(
+                2 * n / results[cpus][st], 1
+            )
+
+    def eff(lo, hi, key):
+        return round((results[lo][key] / results[hi][key]) / (hi / lo), 3)
+
+    section = {
+        "protocol": (
+            f"BENCH_STAGES=mediasim: {n} embedded-clip items per modality "
+            "(each = one clip + one longer recording containing it; audio "
+            "WAV 8 kHz, video 16-frame MJPEG-AVI re-encoded at q60); full "
+            "fingerprint+match pipeline timed; best-of-2 per level, fresh "
+            "JVM per run; items = 2N payloads per modality"
+        ),
+        "levels": {str(c): d for c, d in results.items()},
+        "efficiency": {
+            "2_to_8": {st: eff(2, 8, st) for st in stages},
+            "8_to_32": {st: eff(8, 32, st) for st in stages},
+        },
+    }
+    _merge_section("mediasim_scale", section)
+
+
 if __name__ == "__main__":
     if os.environ.get("BENCH_SUITE") == "cc":
         main_cc()
@@ -361,5 +402,7 @@ if __name__ == "__main__":
         main_s2()
     elif os.environ.get("BENCH_SUITE") == "graphsim":
         main_graphsim()
+    elif os.environ.get("BENCH_SUITE") == "mediasim":
+        main_mediasim()
     else:
         main()
