@@ -224,8 +224,9 @@ def main():
     # (gated). No input files — both tables are hash-derived.
     # track_hausdorff: BENCH_SIM_GROUPS convoys of 8 jittered copies of
     # a 64-fix route, centers spread globally so only within-convoy
-    # pairs are candidates; refine work ∝ groups × 28 pairs × 64² pure-
-    # Catalyst haversine lambdas (W ∝ BENCH_SIM_GROUPS). pagerank:
+    # pairs are candidates; refine work ∝ groups × 28 pairs × 64²
+    # great-circle evals in the default Arrow (numpy-matrix) refine
+    # (W ∝ BENCH_SIM_GROUPS). pagerank:
     # BENCH_PR_EDGES hash edges over BENCH_PR_NODES nodes, 5 rounds —
     # per-round W ∝ edges (join + partial sum), so total W ∝ edges×5.
     if stages == "graphsim":

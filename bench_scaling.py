@@ -304,9 +304,9 @@ def main_s2():
 
 def main_graphsim():
     """Graph/trajectory additions at three parallelism levels:
-    track_hausdorff = candidate blocking + the pure-Catalyst nested-
-    lambda Hausdorff refine (W ∝ BENCH_SIM_GROUPS convoys × 28 pairs ×
-    64² haversines), pagerank_5 = five power-iteration rounds over
+    track_hausdorff = candidate blocking + the default Arrow
+    (numpy pairwise-matrix) Hausdorff refine (W ∝ BENCH_SIM_GROUPS
+    convoys × 28 pairs × 64² great-circle evals), pagerank_5 = five power-iteration rounds over
     BENCH_PR_EDGES hash edges (per-round W ∝ edges). Both synthesize
     their tables in-session — no input files."""
     os.environ.setdefault("BENCH_SIM_GROUPS", "600")

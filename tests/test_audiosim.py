@@ -111,3 +111,20 @@ def test_fingerprints_deterministic_and_validation(spark):
         audio_fingerprints(_table(spark, rows), hop=0)
     with pytest.raises(ValueError, match="min_votes"):
         audio_match_pairs(audio_fingerprints(_table(spark, rows)), min_votes=0)
+
+
+def test_chunked_peak_finding_is_output_invariant(spark, monkeypatch):
+    """The bounded-memory chunked framing must produce byte-identical
+    fingerprints: shrink the chunk so a 4 s clip crosses many chunk
+    boundaries and compare against the default single-chunk path."""
+    import tilegrab_spark.operators.audiosim as A
+
+    rows = [("a", bytearray(_wav(_clip(13))))]
+    base = sorted(
+        (r.hash, r.t) for r in audio_fingerprints(_table(spark, rows)).collect()
+    )
+    monkeypatch.setattr(A, "_PEAK_CHUNK_FRAMES", 5)
+    tiny = sorted(
+        (r.hash, r.t) for r in audio_fingerprints(_table(spark, rows)).collect()
+    )
+    assert tiny == base and len(base) > 50

@@ -114,3 +114,27 @@ def test_params_pinned(spark, tmp_path):
             batch_id=1,
         )
     release_signature_caches()
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """Re-running a committed batch (same batch_id) must not duplicate
+    fingerprint state — later batches would double every pair's votes."""
+    rows = _audio_rows()
+    b0 = spark.createDataFrame(
+        [r for r in rows if r[0] == "clip1"], "audio_id string, payload binary"
+    )
+    for _ in range(2):  # original + replay
+        incremental_audio_pairs(b0, str(tmp_path / "st"), batch_id=0, min_votes=5)
+        release_signature_caches()
+    b1 = spark.createDataFrame(
+        [r for r in rows if r[0] == "long1"], "audio_id string, payload binary"
+    )
+    got = _collect_pairs(
+        incremental_audio_pairs(b1, str(tmp_path / "st"), batch_id=1, min_votes=5)
+    )
+    release_signature_caches()
+    df = spark.createDataFrame(
+        [r for r in rows if r[0] in ("clip1", "long1")], "audio_id string, payload binary"
+    )
+    want = _collect_pairs(audio_match_pairs(audio_fingerprints(df), min_votes=5))
+    assert got == want  # votes exactly one-shot — no doubling from replay

@@ -298,3 +298,13 @@ def test_k_core_path_peels_away_and_validation(spark):
         k_core(df, 0)
     with pytest.raises(RuntimeError, match="fixpoint"):
         k_core(df, 2, max_iter=1)
+
+
+def test_pagerank_null_weight_raises(spark):
+    from tilegrab_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, None)], "src long, dst long, w double"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        pagerank(df, weight_col="w")

@@ -148,3 +148,42 @@ def test_stream_composition_availablenow(spark, tmp_path):
     }
     release_signature_caches()
     assert gotk == want
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """At-least-once replay: re-running a committed batch with the SAME
+    batch_id must rewrite identical state (per-batch partition
+    overwrite), so later batches emit each pair exactly once."""
+    rows = make_tracks()
+    b0 = spark.createDataFrame(
+        _by_tracks(rows, ["a0", "a1"]),
+        "track_id string, ts double, lon double, lat double",
+    )
+    for _ in range(2):  # original + replay
+        incremental_track_pairs(b0, str(tmp_path / "st"), batch_id=0, max_dist_m=D)
+        release_signature_caches()
+    b1 = spark.createDataFrame(
+        _by_tracks(rows, ["a2", "rev"]),
+        "track_id string, ts double, lon double, lat double",
+    )
+    pairs = incremental_track_pairs(
+        b1, str(tmp_path / "st"), batch_id=1, max_dist_m=D
+    ).collect()
+    release_signature_caches()
+    keys = [(r["track_a"], r["track_b"]) for r in pairs]
+    assert len(keys) == len(set(keys)), f"replay duplicated state: {sorted(keys)}"
+    assert ("a0", "a2") in set(keys) and ("a1", "a2") in set(keys)
+
+
+def test_dry_run_does_not_pin_params(spark, tmp_path):
+    batch = spark.createDataFrame(
+        _by_tracks(make_tracks(), ["a0"]),
+        "track_id string, ts double, lon double, lat double",
+    )
+    incremental_track_pairs(
+        batch, str(tmp_path / "dry"), batch_id=0, max_dist_m=50.0, commit=False
+    ).collect()
+    release_signature_caches()
+    # a later REAL run with different params must start clean
+    incremental_track_pairs(batch, str(tmp_path / "dry"), batch_id=0, max_dist_m=D)
+    release_signature_caches()

@@ -50,6 +50,13 @@ __all__ = ["audio_fingerprints", "audio_match_pairs"]
 _ZONE_MIN_DT = 1     # target zone starts the frame after the anchor
 _ZONE_MAX_DT = 64    # ...and spans ~64 frames (~3 s at default hop/sr)
 
+# frames per numpy block in the peak finder: bounds memory at
+# ~_PEAK_CHUNK_FRAMES x frame_len x 32 B (framed copy + complex
+# spectrum) regardless of recording length — an hour of 44.1 kHz audio
+# frames to ~150k rows, which materialized at once is a multi-GB
+# matrix. Chunking is output-invariant (tests shrink this to prove it).
+_PEAK_CHUNK_FRAMES = 4096
+
 
 def audio_fingerprints(
     df: DataFrame,
@@ -70,8 +77,13 @@ def audio_fingerprints(
     import numpy as np
     import pandas as pd
 
-    if frame_len < 64 or frame_len & (frame_len - 1):
-        raise ValueError(f"frame_len must be a power of two >= 64, got {frame_len}")
+    if frame_len < 64 or frame_len > 16384 or frame_len & (frame_len - 1):
+        # upper bound 16384: rfft bins must fit the hash's 14-bit
+        # band fields (16384/2+1 = 8193 < 2^14); larger frames would
+        # silently alias distinct landmarks
+        raise ValueError(
+            f"frame_len must be a power of two in [64, 16384], got {frame_len}"
+        )
     if not 0 < hop <= frame_len:
         raise ValueError(f"hop must be in (0, frame_len], got {hop}")
     if n_peaks < 1 or fanout < 1:
@@ -80,10 +92,15 @@ def audio_fingerprints(
     from tilegrab_spark.kernels.wav import decode_wav
 
     window = None  # built per worker, sized frame_len
+    # captured BY VALUE at plan-build time so tests can shrink it on the
+    # driver and have workers honor it (a module-global lookup would
+    # re-resolve to the default inside each worker process)
+    chunk_frames = int(_PEAK_CHUNK_FRAMES)
 
     def peaks_of(x: "np.ndarray") -> "np.ndarray":
         """(frame, bin) peak list: per frame, the n_peaks highest
-        log-magnitude bins above the DC region, ties to lower bin."""
+        log-magnitude bins above the DC region, ties to lower bin.
+        Processed in bounded chunks of frames (identical output)."""
         nonlocal window
         import numpy as np
 
@@ -92,15 +109,19 @@ def audio_fingerprints(
         n = (len(x) - frame_len) // hop + 1
         if n < 1:
             return np.empty((0, 2), dtype=np.int64)
-        idx = np.arange(n)[:, None] * hop + np.arange(frame_len)[None, :]
-        spec = np.abs(np.fft.rfft(x[idx] * window, axis=1))
-        spec[:, :4] = 0.0  # DC / sub-audio bins never anchor
-        # argsort is stable on the negated magnitudes → ties to lower bin
-        top = np.argsort(-spec, axis=1, kind="stable")[:, :n_peaks]
-        frames = np.repeat(np.arange(n), n_peaks)
-        bins = top.ravel()
-        keep = spec[frames, bins] > 0.0
-        return np.stack([frames[keep], bins[keep]], axis=1)
+        parts = []
+        for f0 in range(0, n, chunk_frames):
+            nf = min(chunk_frames, n - f0)
+            idx = (f0 + np.arange(nf))[:, None] * hop + np.arange(frame_len)[None, :]
+            spec = np.abs(np.fft.rfft(x[idx] * window, axis=1))
+            spec[:, :4] = 0.0  # DC / sub-audio bins never anchor
+            # stable argsort on negated magnitudes → ties to lower bin
+            top = np.argsort(-spec, axis=1, kind="stable")[:, :n_peaks]
+            frames = np.repeat(f0 + np.arange(nf), n_peaks)
+            bins = top.ravel()
+            keep = spec[frames - f0, bins] > 0.0
+            parts.append(np.stack([frames[keep], bins[keep]], axis=1))
+        return np.concatenate(parts, axis=0)
 
     def hashes_of(pk: "np.ndarray") -> "np.ndarray":
         """(hash, t) int64 pairs: anchor × up to `fanout` targets in

@@ -34,7 +34,34 @@ from tilegrab_spark.functions.cells import cell_encode_cols
 from tilegrab_spark.kernels.geo import MERCATOR_LAT_LIMIT, WEB_MERCATOR_EXTENT, WGS84_RADIUS
 from tilegrab_spark.operators.trajectory import haversine_m
 
-__all__ = ["auto_block_zoom", "within_distance_join", "within_distance_pairs"]
+__all__ = [
+    "auto_block_zoom",
+    "adaptive_disk_radius",
+    "within_distance_join",
+    "within_distance_pairs",
+]
+
+
+def adaptive_disk_radius(abs_lat, d_meters: float, tile_side: float):
+    """Per-row latitude-adaptive neighbor-disk radius in CELLS (module
+    doc): ``ceil(d·sec(φ*)/ts) + 1`` with ``φ* = min(|φ| + d/R, lat
+    limit)`` — the never-loss bound shared by ``within_distance_join``
+    and the trajectory blocking (operators/tracksim.py); both MUST use
+    this one definition or a tightening here would silently break the
+    other's candidate completeness. ``abs_lat`` is the row's |latitude|
+    column (for aggregated cells, the max |lat| of the cell's rows —
+    the conservative choice)."""
+    from tilegrab_spark.operators.trajectory import _EARTH_R
+
+    phi_star = F.least(
+        abs_lat + F.lit(math.degrees(d_meters / _EARTH_R)),
+        F.lit(MERCATOR_LAT_LIMIT),
+    )
+    d_merc = d_meters * (WGS84_RADIUS / _EARTH_R)
+    return (
+        F.ceil(F.lit(d_merc / tile_side) / F.cos(F.radians(phi_star))).cast("int")
+        + F.lit(1)
+    )
 
 
 def auto_block_zoom(d_meters: float) -> int:
@@ -81,20 +108,12 @@ def within_distance_join(
     L = _keyed(left, lon_col, lat_col, z, sl)
     R = _keyed(right, lon_col, lat_col, z, sr)
 
-    # per-row disk radius from the row's own latitude (see module doc)
+    # per-row disk radius from the row's own latitude (see module doc).
     # the refine predicate measures ground distance on the IUGG mean
     # sphere (trajectory._EARTH_R) while the Mercator grid lives on the
     # WGS84 sphere — the ratio scales the disk bound, and Δφ uses the
     # SMALLER radius (the conservative direction for both)
-    from tilegrab_spark.operators.trajectory import _EARTH_R
-
-    phi_star = F.least(
-        F.abs(F.col(lat_col + sl))
-        + F.lit(math.degrees(d_meters / _EARTH_R)),
-        F.lit(MERCATOR_LAT_LIMIT),
-    )
-    d_merc = d_meters * (WGS84_RADIUS / _EARTH_R)
-    r = F.ceil(F.lit(d_merc / ts) / F.cos(F.radians(phi_star))).cast("int") + F.lit(1)
+    r = adaptive_disk_radius(F.abs(F.col(lat_col + sl)), d_meters, ts)
     disk = (
         L.withColumn("_r", r)
         .withColumn("_dx", F.explode(F.sequence(-F.col("_r"), F.col("_r"))))

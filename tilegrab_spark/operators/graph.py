@@ -176,7 +176,16 @@ def pagerank(
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"), w.alias("_w"))
     if weight_col is not None:
-        wmin = e.agg(F.min("_w")).first()[0]
+        # nulls (incl. cast failures) would silently leak rank mass:
+        # the edge's share drops out of the sum while its source still
+        # counts as non-dangling — ranks stop summing to 1
+        wmin, n_null = e.agg(
+            F.min("_w"), F.sum(F.col("_w").isNull().cast("long"))
+        ).first()
+        if n_null:
+            raise ValueError(
+                f"{n_null} edge weight(s) are NULL or fail the double cast"
+            )
         if wmin is not None and wmin <= 0:
             raise ValueError(f"edge weights must be positive, got {wmin}")
 

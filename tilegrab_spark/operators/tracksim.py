@@ -71,18 +71,13 @@ tests/test_tracksim.py.
 
 from __future__ import annotations
 
-import math
 from typing import Iterator
 
 from pyspark.sql import Column, DataFrame, functions as F
 
 from tilegrab_spark.functions.cells import cell_encode_cols
-from tilegrab_spark.kernels.geo import (
-    MERCATOR_LAT_LIMIT,
-    WEB_MERCATOR_EXTENT,
-    WGS84_RADIUS,
-)
-from tilegrab_spark.operators.distancejoin import auto_block_zoom
+from tilegrab_spark.kernels.geo import WEB_MERCATOR_EXTENT
+from tilegrab_spark.operators.distancejoin import adaptive_disk_radius, auto_block_zoom
 from tilegrab_spark.operators.trajectory import _EARTH_R, haversine_m
 
 __all__ = [
@@ -163,18 +158,14 @@ def track_cells(
 
 def _disk_explode(cells: DataFrame, max_dist_m: float, zoom: int) -> DataFrame:
     """Latitude-adaptive neighbor-disk explode of a ``track_cells``
-    frame → ``[_ta, _jx, _jy]`` — the within_distance_join bound: a
-    point within ground d of any fix in this cell sits within
-    d·sec(φ*) Mercator meters, φ* = min(|φ|max + d/R, lat limit);
-    x wraps at the antimeridian, y clamps."""
+    frame → ``[_ta, _jx, _jy]`` — the SAME bound as
+    ``within_distance_join`` (one shared definition,
+    ``distancejoin.adaptive_disk_radius``): a point within ground d of
+    any fix in this cell sits within d·sec(φ*) Mercator meters; x
+    wraps at the antimeridian, y clamps."""
     ts = 2.0 * WEB_MERCATOR_EXTENT / (1 << zoom)
     n_cells = 1 << zoom
-    phi_star = F.least(
-        F.col("_alat") + F.lit(math.degrees(max_dist_m / _EARTH_R)),
-        F.lit(MERCATOR_LAT_LIMIT),
-    )
-    d_merc = max_dist_m * (WGS84_RADIUS / _EARTH_R)
-    r = F.ceil(F.lit(d_merc / ts) / F.cos(F.radians(phi_star))).cast("int") + F.lit(1)
+    r = adaptive_disk_radius(F.col("_alat"), max_dist_m, ts)
     return (
         cells.withColumn("_r", r)
         .withColumn("_dx", F.explode(F.sequence(-F.col("_r"), F.col("_r"))))

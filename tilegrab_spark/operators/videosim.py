@@ -38,10 +38,29 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["video_fingerprints", "video_match_pairs"]
+__all__ = ["video_fingerprints", "video_match_pairs", "phash_band_col"]
 
 _BANDS = 4  # 4 x 16-bit bands: exhaustive for hamming <= 3 per the
             # pigeonhole bound; max_hamming above 3 trades recall
+
+
+def phash_band_col(phash_col: str = "phash"):
+    """The pigeonhole band explode shared by the one-shot matcher and
+    the incremental store (streaming/fingerprint_stream.py) — both MUST
+    split the hash identically or the incremental candidate gate
+    silently desynchronizes from the matcher. One struct per 16-bit
+    band: ``[band, bval]``."""
+    return F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col(phash_col), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bval"),
+            )
+            for i in range(_BANDS)
+        ])
+    )
 
 
 def video_fingerprints(
@@ -115,18 +134,7 @@ def video_match_pairs(
         F.col(id_col).alias("_id"), "phash", "t"
     )
     banded = ok.select(
-        "_id", "phash", "t",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftrightunsigned(F.col("phash"), 16 * i)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("bval"),
-                )
-                for i in range(_BANDS)
-            ])
-        ).alias("_b"),
+        "_id", "phash", "t", phash_band_col().alias("_b")
     ).select("_id", "phash", "t", F.col("_b.band").alias("band"), F.col("_b.bval").alias("bval"))
     a = banded.select(
         F.col("_id").alias("id_a"), F.col("phash").alias("_pa"),

@@ -31,40 +31,16 @@ never collide), so it fails loudly instead.
 
 from __future__ import annotations
 
-import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from tilegrab_spark.operators.audiosim import audio_fingerprints, audio_match_pairs
 from tilegrab_spark.operators.dedup import _persist_signatures
 from tilegrab_spark.operators.videosim import video_fingerprints, video_match_pairs
+from tilegrab_spark.streaming._state import check_params, commit_batch, load_state
 
 __all__ = ["incremental_audio_pairs", "incremental_video_pairs"]
-
-
-def _check_params(state_path: str, params: dict) -> None:
-    p = os.path.join(state_path, "_params.json")
-    if os.path.exists(p):
-        with open(p) as f:
-            stored = json.load(f)
-        if stored != params:
-            raise ValueError(
-                f"fingerprint state at {state_path} was built with {stored}, "
-                f"got {params}; use a fresh state_path to change parameters"
-            )
-    else:
-        os.makedirs(state_path, exist_ok=True)
-        with open(p, "w") as f:
-            json.dump(params, f, sort_keys=True)
-
-
-def _load_state(spark: SparkSession, path: str) -> DataFrame | None:
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return None
-    return spark.read.parquet(path)
 
 
 def _incremental_pairs(
@@ -86,7 +62,7 @@ def _incremental_pairs(
     fps_path = os.path.join(state_path, "fingerprints")
     new_fps = _persist_signatures(new_fps)
 
-    old = _load_state(spark, fps_path)
+    old = load_state(spark, fps_path)
     cols = new_fps.columns
     if old is not None:
         old = (
@@ -120,9 +96,11 @@ def _incremental_pairs(
 
     if commit:
         pairs = pairs.localCheckpoint()
-        new_fps.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
-            "append"
-        ).parquet(fps_path)
+        # idempotent per-batch partition (streaming/_state.py): an
+        # at-least-once replay rewrites identical files — a plain
+        # append would duplicate fingerprint rows and double every
+        # later pair's votes
+        commit_batch(new_fps, fps_path, batch_id)
     return pairs
 
 
@@ -143,10 +121,11 @@ def incremental_audio_pairs(
     """Audio match pairs INTRODUCED by this batch (≥ 1 new item per
     pair; votes identical to the one-shot matcher over the union).
     Returns ``[id_a, id_b, offset_frames, votes]``."""
-    _check_params(
+    check_params(
         state_path,
         {"kind": "audio", "frame_len": frame_len, "hop": hop,
          "n_peaks": n_peaks, "fanout": fanout, "min_votes": int(min_votes)},
+        write=commit,
     )
     new_fps = audio_fingerprints(
         new_df, id_col=id_col, audio_col=audio_col,
@@ -175,29 +154,20 @@ def incremental_video_pairs(
     """Video match pairs INTRODUCED by this batch — candidate gate =
     shared phash band (a superset of hamming ≤ max_hamming matches, so
     never-loss); votes identical to the one-shot matcher."""
-    from tilegrab_spark.operators.videosim import _BANDS
-
-    _check_params(
+    check_params(
         state_path,
         {"kind": "video", "min_votes": int(min_votes),
          "max_hamming": int(max_hamming)},
+        write=commit,
     )
+    from tilegrab_spark.operators.videosim import phash_band_col
+
     new_fps = video_fingerprints(new_df, id_col=id_col, video_col=video_col)
-    # pre-explode the band keys so the shared core's equi-join gate works
-    banded_cols = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("phash"), 16 * i)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("bval"),
-            )
-            for i in range(_BANDS)
-        ])
-    )
 
     def with_bands(fps: DataFrame) -> DataFrame:
-        return fps.withColumn("_b", banded_cols).select(
+        # the SAME band split as video_match_pairs (phash_band_col) —
+        # a divergent split would desynchronize the candidate gate
+        return fps.withColumn("_b", phash_band_col()).select(
             "*", F.col("_b.band").alias("band"), F.col("_b.bval").alias("bval")
         ).drop("_b")
 

@@ -10,8 +10,10 @@ LSH bands → cell disks):
 
 - persisted STATE under ``state_path``: ``cells/`` (each track's
   distinct blocking cells + per-cell max |lat|, the `track_cells`
-  unit) and ``arrays/`` (each track's ts-ordered point array) — both
-  plain parquet appends stamped with ``batch_id``;
+  unit) and ``arrays/`` (each track's ts-ordered point array) — each
+  batch committed as its own ``batch_id=N`` partition with OVERWRITE,
+  so an at-least-once foreachBatch replay rewrites identical files
+  instead of double-appending state rows (streaming/_state.py);
 - per batch: cells + arrays are computed ONLY for the batch's tracks;
   candidates = new-vs-all (disk-explode the NEW side only, probe the
   union of old + new cell tables — old×old pairs were emitted by the
@@ -27,13 +29,13 @@ Batch-equivalence oracle (tests/test_tracksim_stream.py): accumulated
 incremental pairs == one-shot ``track_similarity_join`` over the
 union of all fixes, for ANY batch split — under the append-only
 contract that a track's fixes arrive COMPLETE in exactly one batch
-(re-delivered batches are detectable via the ``batch_id`` column, the
-incremental_dedup replay convention).
+(state commits are replay-idempotent; re-delivered PAIR outputs are
+detectable via their ``batch_id`` column, the incremental_dedup
+convention).
 """
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from tilegrab_spark.operators.dedup import _persist_signatures
+from tilegrab_spark.streaming._state import check_params, commit_batch, load_state
 from tilegrab_spark.operators.tracksim import (
     _arrow_refine,
     _hausdorff_expr,
@@ -51,36 +54,6 @@ from tilegrab_spark.operators.tracksim import (
 )
 
 __all__ = ["incremental_track_pairs", "stream_track_similarity"]
-
-
-def _params_path(state_path: str) -> str:
-    return os.path.join(state_path, "_params.json")
-
-
-def _check_params(state_path: str, params: dict) -> None:
-    """Pin the similarity contract on first commit; later batches must
-    match exactly (a silent zoom/threshold change would miss pairs)."""
-    p = _params_path(state_path)
-    if os.path.exists(p):
-        with open(p) as f:
-            stored = json.load(f)
-        if stored != params:
-            raise ValueError(
-                f"tracksim state at {state_path} was built with {stored}, "
-                f"got {params}; use a fresh state_path to change parameters"
-            )
-    else:
-        os.makedirs(state_path, exist_ok=True)
-        with open(p, "w") as f:
-            json.dump(params, f, sort_keys=True)
-
-
-def _load_state(spark: SparkSession, path: str) -> DataFrame | None:
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return None
-    return spark.read.parquet(path)
 
 
 def incremental_track_pairs(
@@ -114,9 +87,10 @@ def incremental_track_pairs(
     if refine == "catalyst" and metric != "hausdorff":
         raise ValueError("refine='catalyst' supports metric='hausdorff' only")
     z = resolve_block_zoom(max_dist_m, zoom)
-    _check_params(
+    check_params(
         state_path,
         {"max_dist_m": float(max_dist_m), "metric": metric, "zoom": z},
+        write=commit,
     )
     spark = new_fixes.sparkSession
     cells_path = os.path.join(state_path, "cells")
@@ -132,7 +106,7 @@ def incremental_track_pairs(
         )
     )
 
-    old_cells = _load_state(spark, cells_path)
+    old_cells = load_state(spark, cells_path)
     all_cells = (
         new_cells.unionByName(old_cells.select("_t", "_cx", "_cy", "_alat"))
         if old_cells is not None
@@ -152,7 +126,7 @@ def incremental_track_pairs(
         .distinct()
     )
     arrays = new_arrays
-    old_arrays = _load_state(spark, arrays_path)
+    old_arrays = load_state(spark, arrays_path)
     if old_arrays is not None:
         # left_anti vs the batch's own tracks makes the union idempotent
         # under file-index refresh: Spark's parquet WRITE (the commit
@@ -183,11 +157,11 @@ def incremental_track_pairs(
         # refreshByPath cache invalidation the parquet writes below
         # trigger (a persist() would be silently dropped by it)
         pairs = pairs.localCheckpoint()
-        stamp = F.lit(int(batch_id))
-        new_cells.withColumn("batch_id", stamp).write.mode("append").parquet(cells_path)
-        new_arrays.withColumn("batch_id", stamp).write.mode("append").parquet(
-            arrays_path
-        )
+        # idempotent per-batch partitions: an at-least-once replay
+        # overwrites its own batch_id=N dir instead of double-appending
+        # (duplicated state rows would duplicate every later pair)
+        commit_batch(new_cells, cells_path, batch_id)
+        commit_batch(new_arrays, arrays_path, batch_id)
     return pairs
 
 
