@@ -308,3 +308,36 @@ def test_pagerank_null_weight_raises(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         pagerank(df, weight_col="w")
+
+
+def _hits_ref(edges, n, n_iter=20):
+    import numpy as np
+
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] += 1
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(n_iter):
+        a = A.T @ h
+        na = np.linalg.norm(a)
+        a = a / na if na > 0 else a
+        h = A @ a
+        nh = np.linalg.norm(h)
+        h = h / nh if nh > 0 else h
+    return h, a
+
+
+def test_hits_matches_numpy(spark):
+    from tilegrab_spark.operators.graph import hits
+
+    edges = [(0, 2), (1, 2), (3, 2), (2, 4), (0, 4), (4, 0), (0, 2)]  # dup edge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(df, n_iter=20).collect()}
+    h, a = _hits_ref(edges, 5)
+    assert len(got) == 5
+    for i in range(5):
+        assert got[i][0] == pytest.approx(h[i], abs=1e-12)
+        assert got[i][1] == pytest.approx(a[i], abs=1e-12)
+    with pytest.raises(ValueError, match="n_iter"):
+        hits(df, n_iter=0)

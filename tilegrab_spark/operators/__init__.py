@@ -19,6 +19,7 @@ from tilegrab_spark.operators.augment import AUGMENT_OPS, augment_images
 from tilegrab_spark.operators.cover import adaptive_cover, compact_cover, uncompact_cover
 from tilegrab_spark.operators.funnel import funnel_counts, funnel_progress
 from tilegrab_spark.operators.graph import (
+    hits,
     hop_distance,
     k_core,
     pagerank,
@@ -314,6 +315,7 @@ __all__ = [
     "hop_distance",
     "pagerank",
     "triangle_count",
+    "hits",
     "k_core",
     "funnel_progress",
     "funnel_counts",

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["shortest_paths", "hop_distance", "pagerank", "triangle_count", "k_core"]
+__all__ = ["shortest_paths", "hop_distance", "pagerank", "hits", "triangle_count", "k_core"]
 
 
 def _relax_round(frontier: DataFrame, e: DataFrame, dist: DataFrame) -> DataFrame:
@@ -248,6 +248,79 @@ def pagerank(
             ranks = new_ranks
     links.unpersist()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 20,
+) -> DataFrame:
+    """Kleinberg HITS over a directed edge table → ``(node, hub,
+    authority)``, each vector L2-normalized (the standard convention).
+    The citation/link-analysis complement of :func:`pagerank`: hubs
+    point at good authorities, authorities are pointed at by good hubs.
+
+    Per round (same iteration discipline as pagerank): authority =
+    in-neighbor hub sum, hub = out-neighbor authority sum — each ONE
+    edge-sized hash join + map-side partial sum; the L2 norms stay
+    in-plan as broadcast one-row aggregates (no driver collect);
+    ``localCheckpoint`` per round. Parallel edges accumulate.
+    Deterministic up to float-sum ordering (the pagerank caveat)."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")).persist()
+    e.count()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        auth = (
+            scores.join(e, scores.node == e._s)
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        a_norm = auth.agg(F.sqrt(F.sum(F.col("_a") * F.col("_a"))).alias("_an"))
+        with_a = (
+            nodes.join(auth, "node", "left")
+            .crossJoin(F.broadcast(a_norm))
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("_a"), F.lit(0.0))
+                    / F.when(F.col("_an") > 0, F.col("_an")).otherwise(F.lit(1.0))
+                ).alias("authority"),
+            )
+        )
+        hub = (
+            with_a.join(e, with_a.node == e._d)
+            .groupBy(F.col("_s").alias("node"))
+            .agg(F.sum("authority").alias("_h"))
+        )
+        h_norm = hub.agg(F.sqrt(F.sum(F.col("_h") * F.col("_h"))).alias("_hn"))
+        scores = (
+            nodes.join(with_a, "node")
+            .join(hub, "node", "left")
+            .crossJoin(F.broadcast(h_norm))
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("_h"), F.lit(0.0))
+                    / F.when(F.col("_hn") > 0, F.col("_hn")).otherwise(F.lit(1.0))
+                ).alias("hub"),
+                "authority",
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return scores
 
 
 def triangle_count(
