@@ -991,7 +991,7 @@ summed AS (
     SUM((('0x' || substr(md5(idx::VARCHAR || 'w'), 1, 15))::BIGINT % 2001)
         - 1000) AS m
   FROM idxd GROUP BY doc_id)
-SELECT d.doc_id, COALESCE(s.m, 0) AS clf_margin
+SELECT d.doc_id, CAST(COALESCE(s.m, 0) AS BIGINT) AS clf_margin
 FROM documents d LEFT JOIN summed s ON s.doc_id = d.doc_id
 """
 
@@ -1818,10 +1818,10 @@ def _shard_pack(spark, sf):
 
 _SHARD_PACK_SQL = """
 SELECT doc_id,
-       SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND CURRENT ROW) - n_chars AS start_offset,
-       (SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW) - n_chars) // 16384 AS shard_id
+       CAST(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - n_chars AS BIGINT) AS start_offset,
+       CAST((SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - n_chars) // 16384 AS BIGINT) AS shard_id
 FROM documents
 """
 

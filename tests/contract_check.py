@@ -34,7 +34,19 @@ def compare(name, spark_df, oracle_df, float_tol=1e-9):
         return f"ROWS {len(a)} vs {len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
-        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+        # dtype pre-flight: the driver's value hash is dtype-sensitive, so an
+        # integer column on one side arriving as float on the other (the DuckDB
+        # HUGEINT SUM -> float64 artifact) is a failure even when values match.
+        int_a = np.issubdtype(av.dtype, np.integer)
+        int_b = np.issubdtype(bv.dtype, np.integer)
+        flt_a = np.issubdtype(av.dtype, np.floating)
+        flt_b = np.issubdtype(bv.dtype, np.floating)
+        if (int_a and flt_b) or (flt_a and int_b):
+            return (
+                f"DTYPE[{c}] {av.dtype} vs {bv.dtype} (int/float split — CAST "
+                f"the oracle SQL to Spark's exact output type)"
+            )
+        if flt_a or flt_b:
             ok = np.allclose(
                 av.astype(float), bv.astype(float), rtol=0, atol=float_tol, equal_nan=True
             )
