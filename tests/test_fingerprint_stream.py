@@ -138,3 +138,18 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     )
     want = _collect_pairs(audio_match_pairs(audio_fingerprints(df), min_votes=5))
     assert got == want  # votes exactly one-shot — no doubling from replay
+
+
+def test_commit_path_releases_cache_handles(spark, tmp_path):
+    """A committed batch must leave no cache handles in the global
+    registry — a long-lived foreachBatch driver would otherwise
+    accumulate MEMORY_AND_DISK blocks per batch (commit=False dry runs
+    keep the stream_track_similarity contract: caller releases)."""
+    from tilegrab_spark.operators.dedup import _SIG_CACHE_HANDLES
+
+    release_signature_caches()
+    df = spark.createDataFrame(
+        _audio_rows()[:1], "audio_id string, payload binary"
+    )
+    incremental_audio_pairs(df, str(tmp_path / "s"), batch_id=0, min_votes=5)
+    assert len(_SIG_CACHE_HANDLES) == 0

@@ -187,3 +187,26 @@ def test_dry_run_does_not_pin_params(spark, tmp_path):
     # a later REAL run with different params must start clean
     incremental_track_pairs(batch, str(tmp_path / "dry"), batch_id=0, max_dist_m=D)
     release_signature_caches()
+
+
+def test_stale_track_id_raises(spark, tmp_path):
+    """A track id re-appearing in a LATER batch violates the
+    append-only-ids contract and must raise instead of silently leaving
+    two state rows (duplicate/incorrect pairs downstream). A replay of
+    the SAME batch_id is still legal (covered above)."""
+    rows = make_tracks()
+    b0 = spark.createDataFrame(
+        _by_tracks(rows, ["a0", "a1"]),
+        "track_id string, ts double, lon double, lat double",
+    )
+    incremental_track_pairs(b0, str(tmp_path / "st"), batch_id=0, max_dist_m=D)
+    release_signature_caches()
+    b1 = spark.createDataFrame(
+        _by_tracks(rows, ["a1", "a2"]),  # a1 already committed in batch 0
+        "track_id string, ts double, lon double, lat double",
+    )
+    with pytest.raises(ValueError, match="already committed"):
+        incremental_track_pairs(
+            b1, str(tmp_path / "st"), batch_id=1, max_dist_m=D
+        )
+    release_signature_caches()

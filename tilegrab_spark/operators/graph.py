@@ -209,7 +209,12 @@ def pagerank(
     d = float(damping)
     base = (1.0 - d) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
-    has_out = out.select(F.col("_s").alias("node"))
+    # node-sized, materialized ONCE from the persisted links table —
+    # deriving it from the unpersisted `out` frame would re-aggregate
+    # the full edge table inside every round's dangling left_anti
+    has_out = (
+        links.select(F.col("_s").alias("node")).distinct().localCheckpoint()
+    )
     for _ in range(n_iter):
         # one-row frame: total rank sitting on dangling nodes — stays
         # in-plan (broadcast cross join), no driver-synced collect

@@ -19,25 +19,42 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
-def check_params(state_path: str, params: dict, *, write: bool) -> None:
+def check_params(
+    spark: SparkSession, state_path: str, params: dict, *, write: bool
+) -> None:
     """Verify ``params`` against the pinned ``_params.json`` if one
     exists (mismatch raises — silently changing blocking/threshold
     parameters mid-stream would miss pairs); with ``write=True`` (the
     commit path) pin them on first use. Dry runs (``commit=False``)
-    pass ``write=False`` so they never create state."""
-    p = os.path.join(state_path, "_params.json")
-    if os.path.exists(p):
-        with open(p) as f:
-            stored = json.load(f)
+    pass ``write=False`` so they never create state.
+
+    The pin goes through the same Hadoop FileSystem API as
+    :func:`load_state`/:func:`commit_batch` — a local ``os.path`` probe
+    would never find the pin on ``hdfs://``/``s3a://`` state paths and
+    the fail-loudly contract would silently never engage."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(state_path, "_params.json")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        stream = fs.open(p)
+        try:
+            raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        stored = json.loads(raw)
         if stored != params:
             raise ValueError(
                 f"incremental state at {state_path} was built with {stored}, "
                 f"got {params}; use a fresh state_path to change parameters"
             )
     elif write:
-        os.makedirs(state_path, exist_ok=True)
-        with open(p, "w") as f:
-            json.dump(params, f, sort_keys=True)
+        # overwrite=False: if two writers race past the exists() probe,
+        # the loser fails loudly instead of silently re-pinning
+        out = fs.create(p, False)
+        try:
+            out.write(bytearray(json.dumps(params, sort_keys=True).encode("utf-8")))
+        finally:
+            out.close()
 
 
 def load_state(spark: SparkSession, path: str) -> DataFrame | None:

@@ -36,7 +36,7 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 from tilegrab_spark.operators.audiosim import audio_fingerprints, audio_match_pairs
-from tilegrab_spark.operators.dedup import _persist_signatures
+from tilegrab_spark.operators.dedup import _SIG_CACHE_HANDLES, _persist_signatures
 from tilegrab_spark.operators.videosim import video_fingerprints, video_match_pairs
 from tilegrab_spark.streaming._state import check_params, commit_batch, load_state
 
@@ -60,6 +60,7 @@ def _incremental_pairs(
     pairs, refresh-safe commit."""
     spark = new_fps.sparkSession
     fps_path = os.path.join(state_path, "fingerprints")
+    cache_mark = len(_SIG_CACHE_HANDLES)
     new_fps = _persist_signatures(new_fps)
 
     old = load_state(spark, fps_path)
@@ -101,6 +102,15 @@ def _incremental_pairs(
         # append would duplicate fingerprint rows and double every
         # later pair's votes
         commit_batch(new_fps, fps_path, batch_id)
+        # pairs is materialized and the state is committed — release
+        # this batch's cache handles so a long-lived foreachBatch
+        # driver doesn't accumulate MEMORY_AND_DISK blocks per batch
+        for h in _SIG_CACHE_HANDLES[cache_mark:]:
+            h.unpersist()
+        del _SIG_CACHE_HANDLES[cache_mark:]
+    # commit=False (dry run): the returned frame is lazy over the
+    # persisted inputs — callers must release_signature_caches() when
+    # done with it (same contract as stream_track_similarity)
     return pairs
 
 
@@ -122,7 +132,7 @@ def incremental_audio_pairs(
     pair; votes identical to the one-shot matcher over the union).
     Returns ``[id_a, id_b, offset_frames, votes]``."""
     check_params(
-        state_path,
+        new_df.sparkSession, state_path,
         {"kind": "audio", "frame_len": frame_len, "hop": hop,
          "n_peaks": n_peaks, "fanout": fanout, "min_votes": int(min_votes)},
         write=commit,
@@ -155,7 +165,7 @@ def incremental_video_pairs(
     shared phash band (a superset of hamming ≤ max_hamming matches, so
     never-loss); votes identical to the one-shot matcher."""
     check_params(
-        state_path,
+        new_df.sparkSession, state_path,
         {"kind": "video", "min_votes": int(min_votes),
          "max_hamming": int(max_hamming)},
         write=commit,

@@ -87,12 +87,12 @@ def incremental_track_pairs(
     if refine == "catalyst" and metric != "hausdorff":
         raise ValueError("refine='catalyst' supports metric='hausdorff' only")
     z = resolve_block_zoom(max_dist_m, zoom)
+    spark = new_fixes.sparkSession
     check_params(
-        state_path,
+        spark, state_path,
         {"max_dist_m": float(max_dist_m), "metric": metric, "zoom": z},
         write=commit,
     )
-    spark = new_fixes.sparkSession
     cells_path = os.path.join(state_path, "cells")
     arrays_path = os.path.join(state_path, "arrays")
 
@@ -107,6 +107,30 @@ def incremental_track_pairs(
     )
 
     old_cells = load_state(spark, cells_path)
+    if old_cells is not None:
+        # enforce the append-only-track-ids contract: a track id
+        # re-appearing in a LATER batch would leave two state rows per
+        # track and silently fan out duplicate/incorrect pairs. Rows
+        # from this batch's own batch_id are excluded — an
+        # at-least-once replay legitimately sees its own prior write.
+        stale = (
+            new_cells.select(F.col("_t").alias("_track")).distinct()
+            .join(
+                old_cells.filter(F.col("batch_id") != int(batch_id))
+                .select(F.col("_t").alias("_track")),
+                "_track",
+                "left_semi",
+            )
+            .limit(1)
+            .collect()
+        )
+        if stale:
+            raise ValueError(
+                f"track id {stale[0]['_track']!r} in batch {batch_id} was "
+                f"already committed by an earlier batch at {state_path}; "
+                "each track's fixes must arrive complete in exactly one "
+                "batch (use a fresh state_path to re-ingest)"
+            )
     all_cells = (
         new_cells.unionByName(old_cells.select("_t", "_cx", "_cy", "_alat"))
         if old_cells is not None
