@@ -3203,17 +3203,241 @@ SELECT 3, 'purchase', CAST(n3 AS BIGINT),
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-5 rotation: four low-information TPC-H/projection rows
+# (q1_pricing_summary, q3_shipping_priority, regexp_projection_p6,
+# url_render_s4 — green since r1, now pinned in tests/test_rotated_rows.py)
+# swapped for composite rows over the round-3/4 operator suite so
+# graph / retrieval / trajectory operators earn driver-oracled rows.
+# Rotation policy: COVERAGE.md §contract-rows.
+
+
+def _pagerank_row(spark, sf):
+    """PageRank (operators/graph.py::pagerank) over a deterministic
+    edge table derived from orders (src = o_custkey % 127, dst =
+    o_orderkey % 199 — 199 nodes incl. 72 dangling sinks, ~|orders|
+    parallel edges). FULLY oracled: the DuckDB SQL UNROLLS all five
+    power-iteration rounds (links/out-degree shares, per-round dangling
+    mass redistribution, damping) as chained CTEs — an independent
+    re-derivation of the whole iteration, not just a spot check.
+    Ranks are emitted as FLOOR(rank*1e9 + 0.5) nano-units (bigint):
+    cross-engine float-sum ordering differs at ~1e-18 while the
+    nearest value sits 3e-3 nano-units from a rounding boundary
+    (measured at sf0.001/sf0.01), so the driver hash is stable."""
+    from tilegrab_spark.operators.graph import pagerank
+
+    o = _t(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 127).alias("src"),
+        (F.col("o_orderkey") % 199).alias("dst"),
+    )
+    return pagerank(edges, n_iter=5).select(
+        "node",
+        F.floor(F.col("rank") * 1e9 + F.lit(0.5)).cast("long").alias("rank_n9"),
+    )
+
+
+def _pagerank_sql() -> str:
+    parts = [
+        "WITH e AS (SELECT o_custkey % 127 AS s, o_orderkey % 199 AS d FROM orders)",
+        "nodes AS (SELECT DISTINCT node FROM (SELECT s AS node FROM e UNION ALL SELECT d FROM e))",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "outd AS (SELECT s, CAST(COUNT(*) AS DOUBLE) AS w FROM e GROUP BY s)",
+        "links AS (SELECT e.s, e.d, 1.0 / o.w AS share FROM e JOIN outd o ON o.s = e.s)",
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    prev = "r0"
+    for i in range(1, 6):
+        parts.append(
+            f"dang{i} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS m FROM {prev} r "
+            "LEFT JOIN outd o ON o.s = r.node WHERE o.s IS NULL)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT l.d AS node, SUM(r.rank * l.share) AS c "
+            f"FROM {prev} r JOIN links l ON l.s = r.node GROUP BY l.d)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node, (0.15 / nn.n) + 0.85 * "
+            f"(COALESCE(c.c, 0.0) + d.m / nn.n) AS rank "
+            f"FROM nodes n CROSS JOIN nn CROSS JOIN dang{i} d "
+            f"LEFT JOIN c{i} c ON c.node = n.node)"
+        )
+        prev = f"r{i}"
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, CAST(FLOOR(rank * 1e9 + 0.5) AS BIGINT) AS rank_n9 FROM {prev}"
+    )
+
+
+_BM25_QUERIES = [
+    (1, "spark join fast table"),
+    (2, "window agg merge"),
+    (3, "customer query line value"),
+]
+
+
+def _bm25_row(spark, sf):
+    """BM25 ranked retrieval (operators/retrieval.py::bm25_search) over
+    the documents table for three fixed queries, k=10. FULLY oracled:
+    the DuckDB SQL re-derives the whole pipeline — tokenize, tf/df/dl,
+    Robertson idf, the k1/b-saturated score, top-k with the ascending-
+    doc-id tie-break. Integer projection (query_id, doc_id, rank): the
+    min adjacent score gap is ~1e-4 (measured) vs ~1e-15 cross-engine
+    float noise, so ranks are hash-stable; exact score ties come from
+    identical (tf, dl) pairs and break identically by doc_id."""
+    from tilegrab_spark.operators.retrieval import bm25_search
+
+    d = _t(spark, sf, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, text string")
+    return bm25_search(d, q, k=10).select(
+        "query_id", "doc_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _bm25_sql() -> str:
+    qvals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    return f"""
+WITH qs(query_id, qtext) AS (VALUES {qvals}),
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (
+  SELECT query_id, unnest(list_distinct(
+    list_filter(regexp_split_to_array(lower(qtext), '[^a-z0-9]+'), x -> x <> ''))) AS term
+  FROM qs),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qt q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2)
+SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def _track_pairs_row(spark, sf):
+    """Trajectory similarity join (operators/tracksim.py::
+    track_similarity_join, symmetric Hausdorff ≤ 100 m) over 24
+    deterministic 12-fix tracks synthesized from events: six 1.6
+    km-separated groups of four near-parallel tracks whose pairwise
+    Hausdorff is ≤ ~55 m (jitter-bound), so all 36 within-group pairs
+    match with a ≥ 77 m margin to the threshold (measured) — decision-
+    stable under cross-engine float noise. FULLY oracled: DuckDB
+    re-derives the same fix construction and the full Hausdorff join
+    with list lambdas (list_max/list_min over the haversine)."""
+    from tilegrab_spark.operators.dedup import release_signature_caches
+    from tilegrab_spark.operators.tracksim import track_similarity_join
+
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 288)
+    t = F.col("event_id") % 24
+    seq = (F.col("event_id") / 24).cast("long")
+    fixes = ev.select(
+        t.alias("track_id"),
+        seq.cast("double").alias("ts"),
+        (
+            (t % 6) * F.lit(0.02)
+            + seq * F.lit(2e-4)
+            + ((t * 2654435761) % 1000) / F.lit(1000.0) * F.lit(4e-4)
+        ).alias("lon"),
+        (F.lit(45.0) + ((t * 40503) % 1000) / F.lit(1000.0) * F.lit(4e-4)).alias(
+            "lat"
+        ),
+    )
+    pairs = track_similarity_join(fixes, 100.0).select("track_a", "track_b")
+    out = pairs.localCheckpoint(eager=True)
+    release_signature_caches()
+    return out
+
+
+_TRACK_PAIRS_SQL = """
+WITH fixes AS (
+  SELECT event_id % 24 AS track_id,
+         CAST(event_id // 24 AS DOUBLE) AS ts,
+         (event_id % 24 % 6) * 0.02 + (event_id // 24) * 2e-4
+           + ((event_id % 24 * 2654435761) % 1000) / 1000.0 * 4e-4 AS lon,
+         45.0 + ((event_id % 24 * 40503) % 1000) / 1000.0 * 4e-4 AS lat
+  FROM events WHERE event_id < 288),
+tr AS (
+  SELECT track_id, list(struct_pack(lon := lon, lat := lat) ORDER BY ts, lon, lat) pts
+  FROM fixes GROUP BY track_id),
+pairs AS (
+  SELECT a.track_id track_a, b.track_id track_b,
+         greatest(
+           list_max(list_transform(a.pts, p -> list_min(list_transform(b.pts,
+             q -> 2*6371008.8*asin(sqrt(least(1.0, sin(radians(q.lat-p.lat)/2)^2
+                  + cos(radians(p.lat))*cos(radians(q.lat))*sin(radians(q.lon-p.lon)/2)^2))))))),
+           list_max(list_transform(b.pts, p -> list_min(list_transform(a.pts,
+             q -> 2*6371008.8*asin(sqrt(least(1.0, sin(radians(q.lat-p.lat)/2)^2
+                  + cos(radians(p.lat))*cos(radians(q.lat))*sin(radians(q.lon-p.lon)/2)^2)))))))
+         ) dist_m
+  FROM tr a JOIN tr b ON a.track_id < b.track_id)
+SELECT track_a, track_b FROM pairs WHERE dist_m <= 100.0
+"""
+
+
+def _triangle_row(spark, sf):
+    """Per-node triangle counts (operators/graph.py::triangle_count,
+    the degree-ordered wedge-closure formulation) over a deterministic
+    211-node graph from orders (u = o_custkey % 211, v = o_orderkey %
+    211; parallel edges + self-loops normalized away). FULLY oracled:
+    DuckDB counts each triangle once via the a<b<c three-way join and
+    credits all corners — an independent algorithm from the engine's
+    degree-ordered orientation. All-integer output."""
+    from tilegrab_spark.operators.dedup import release_signature_caches
+    from tilegrab_spark.operators.graph import triangle_count
+
+    o = _t(spark, sf, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 211).alias("src"),
+        (F.col("o_orderkey") % 211).alias("dst"),
+    )
+    out = triangle_count(edges).localCheckpoint(eager=True)
+    release_signature_caches()
+    return out
+
+
+_TRIANGLES_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT least(o_custkey % 211, o_orderkey % 211) AS u,
+                  greatest(o_custkey % 211, o_orderkey % 211) AS v
+  FROM orders WHERE o_custkey % 211 <> o_orderkey % 211),
+nodes AS (SELECT DISTINCT node FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
+  JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY node)
+SELECT n.node, COALESCE(c.triangles, 0) AS triangles
+FROM nodes n LEFT JOIN cnt c ON c.node = n.node
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "q1_pricing_summary": _q1_pricing,
-        "q3_shipping_priority": _q3_shipping,
+        "pagerank_ranks": _pagerank_row,
+        "bm25_topk": _bm25_row,
         "equi_join_j1": _equi_join,
         "semi_anti_joins": _semi_anti_joins,
         "extent_agg_a1": _extent_agg,
         "limit_set_except": _limit_set_except,
         "window_row_number": _window_topn,
-        "regexp_projection_p6": _regexp_proj,
-        "url_render_s4": _url_render,
+        "track_pairs": _track_pairs_row,
+        "triangle_counts": _triangle_row,
         "status_routing_a5": _status_routing,
         "resume_anti_f5": _resume_anti,
         "snapshot_time_travel": _snapshot_time_travel,
@@ -3260,15 +3484,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "q1_pricing_summary": _Q1_SQL,
-        "q3_shipping_priority": _Q3_SQL,
+        "pagerank_ranks": _pagerank_sql(),
+        "bm25_topk": _bm25_sql(),
         "equi_join_j1": _EQUI_SQL,
         "semi_anti_joins": _SEMI_ANTI_SQL,
         "extent_agg_a1": _EXTENT_SQL,
         "limit_set_except": _LIMIT_SET_SQL,
         "window_row_number": _WINDOW_SQL,
-        "regexp_projection_p6": _REGEXP_SQL,
-        "url_render_s4": _URL_SQL,
+        "track_pairs": _TRACK_PAIRS_SQL,
+        "triangle_counts": _TRIANGLES_SQL,
         "status_routing_a5": _STATUS_SQL,
         "resume_anti_f5": _RESUME_SQL,
         "snapshot_time_travel": _SNAPSHOT_SQL,
