@@ -753,6 +753,9 @@ def main():
         qs,
         word_jaccard_pairs=entrymod._word_jaccard,
         hll_distinct_sketch=entrymod._hll_sketch,
+        # rotated out of the 50-row contract registry in round 5 but kept
+        # under its historical bench name (comparable across BENCH_r*)
+        q1_pricing_summary=entrymod._q1_pricing,
     )
     for name in () if stages != "all" else (
         "q1_pricing_summary",
@@ -1062,12 +1065,35 @@ def _llm_stages(spark, sf_dir, timed, stages):
     return docs.count()
 
 
+# Frozen round-comparability set (VERDICT r4 #6): the round-1 headline
+# stages still measured under the same name and stage content. Suite
+# totals stopped being round-comparable when rounds added stages
+# (23→33); `headline_total` sums EXACTLY these stages every round, so
+# BENCH_rN vs BENCH_r{N-1} is one number again. Do not add to this
+# list — new stages belong in the full total only.
+R1_HEADLINE_STAGES = (
+    "tile_select",
+    "cell_join",
+    "mosaic_stitch",
+    "knn_cell_ring",
+    "q1_pricing_summary",
+    "equi_join_j1",
+    "window_row_number",
+    "tile_encode_p1",
+    "dedup_exact",
+    "word_jaccard_pairs",
+)
+
+
 def _emit(timings, counts, merged, sf, cpus, n_docs=None):
     total = round(sum(timings.values()), 3)
+    headline = [s for s in R1_HEADLINE_STAGES if s in timings]
     result = {
         "metric": "tiles merged/sec + join rows/sec (suite total secs)",
         "value": total,
         "unit": "sec",
+        "headline_total": round(sum(timings[s] for s in headline), 3),
+        "headline_stages": headline,
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
