@@ -179,3 +179,67 @@ class TestVocab:
         for d in CORPUS:
             for t in ref_encode(d, merges):
                 assert t in v or all(ch in v for ch in t)
+
+
+class TestBatchedRounds:
+    """VERDICT r4 #5: batched merge rounds must be EXACTLY the
+    sequential algorithm's output with ~batch× fewer Spark rounds."""
+
+    def test_batched_equals_sequential_all_batch_sizes(self, spark):
+        df = _docs_df(spark, CORPUS)
+        want = ref_train(CORPUS, 20, min_pair_count=1)
+        for m in (1, 2, 4, 16, 64):
+            got = train_bpe(df, n_merges=20, min_pair_count=1, batch_merges=m)
+            assert got == want, f"batch_merges={m} diverged"
+
+    def test_batched_on_wide_vocab(self, spark):
+        # many disjoint high-count pairs -> real multi-merge batches;
+        # ref_train is the independent sequential Sennrich loop
+        # word i = "xyxy" with x,y unique letters: the interior pair
+        # (x,y) has count 2*(40-i) — disjoint across words and strictly
+        # separated — while the overlapping (y,x)/(y,</w>) tail sits at
+        # half that, so real multi-merge batches form
+        docs = [f"{chr(97 + 2 * i)}{chr(98 + 2 * i)}" * 2 + " "
+                for i in range(12)]
+        docs = [d * (40 - i) for i, d in enumerate(docs)]
+        df = _docs_df(spark, docs)
+        assert train_bpe(df, n_merges=12, batch_merges=8) == ref_train(docs, 12)
+
+    def test_batch_reduces_rounds(self, spark, monkeypatch):
+        from tilegrab_spark.operators import bpe as B
+
+        counts = {"n": 0}
+        orig = B._select_batch
+
+        def counting(rows, max_batch, floor, **kw):
+            counts["n"] += 1
+            return orig(rows, max_batch, floor, **kw)
+
+        monkeypatch.setattr(B, "_select_batch", counting)
+        docs = [f"{chr(97 + 2 * i)}{chr(98 + 2 * i)}" * 2 + " "
+                for i in range(12)]
+        docs = [d * (40 - i) for i, d in enumerate(docs)]
+        B.train_bpe(_docs_df(spark, docs), n_merges=12, batch_merges=8)
+        rounds_batched = counts["n"]
+        counts["n"] = 0
+        B.train_bpe(_docs_df(spark, docs), n_merges=12, batch_merges=1)
+        assert rounds_batched < counts["n"], (rounds_batched, counts["n"])
+
+    def test_inexact_mode_bigger_batches_and_deterministic(self, spark):
+        from tilegrab_spark.operators import bpe as B
+
+        df = _docs_df(spark, CORPUS)
+        a = train_bpe(df, n_merges=12, batch_merges=8, exact=False)
+        b = train_bpe(df, n_merges=12, batch_merges=8, exact=False)
+        assert a == b  # deterministic even when heuristic
+        assert len(a) == 12
+        # skip-scan accepts disjoint pairs an exact prefix would stop at
+        rows = [
+            {"a": "a", "b": "b", "pc": 10},
+            {"a": "b", "b": "c", "pc": 9},   # overlaps -> exact stops here
+            {"a": "d", "b": "e", "pc": 8},
+            {"a": "f", "b": "g", "pc": 8},
+        ]
+        assert len(B._select_batch(rows, 4, 1, exact=True)) == 1
+        got = B._select_batch(rows, 4, 1, exact=False)
+        assert [(r["a"], r["b"]) for r in got] == [("a", "b"), ("d", "e"), ("f", "g")]

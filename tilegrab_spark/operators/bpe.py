@@ -11,12 +11,14 @@ not corpus-sized. Each round is then:
 
 1. one map-side-combinable aggregation over the word table (explode
    adjacent symbol pairs weighted by word count, groupBy pair, SUM);
-2. ONE row collected to the driver (orderBy count desc, pair asc,
-   limit 1 — deterministic tie-break, so the learned merge list is a
-   pure function of the corpus);
-3. one Arrow-batched projection applying the merge to the symbol
-   arrays (only words CONTAINING the pair change — the predicate
-   prunes the rewrite to the affected rows).
+2. a SMALL top-K collect (orderBy count desc, pair asc — deterministic
+   tie-break, so the learned merge list is a pure function of the
+   corpus) from which up to ``batch_merges`` provably-commuting merges
+   are selected per round (see train_bpe: exact sequential parity by
+   construction, ~batch× fewer driver round-trips);
+3. one Arrow-batched projection applying the whole merge batch to the
+   symbol arrays (only words CONTAINING a merged pair change — the
+   predicate prunes the rewrite to the affected rows).
 
 Per-round lineage is cut with localCheckpoint (the connected_components
 discipline) so round N doesn't replay rounds 1..N-1. Driver traffic is
@@ -60,26 +62,94 @@ def word_counts(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     )
 
 
-def _apply_merge_udf(a: str, b: str):
-    merged = a + b
+def _apply_merges_udf(batch: list):
+    """One Arrow pass applying a whole BATCH of symbol-disjoint merges
+    (left-to-right each, in batch order — disjoint merges commute, so
+    this equals applying them in separate passes)."""
+    triples = [(a, b, a + b) for a, b in batch]
 
     @F.pandas_udf("array<string>")
-    def apply_merge(syms: pd.Series) -> pd.Series:
+    def apply_merges(syms: pd.Series) -> pd.Series:
         def one(s):
-            out = []
-            i, n = 0, len(s)
-            while i < n:
-                if i + 1 < n and s[i] == a and s[i + 1] == b:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            return out
+            for a, b, merged in triples:
+                out = []
+                i, n = 0, len(s)
+                while i < n:
+                    if i + 1 < n and s[i] == a and s[i + 1] == b:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return s
 
         return syms.apply(lambda s: one(list(s)))
 
-    return apply_merge
+    return apply_merges
+
+
+def _select_batch(
+    rows, max_batch: int, min_pair_count: int, *, exact: bool = True
+) -> list:
+    """The maximal SORTED PREFIX of the pair table that is provably
+    sequential-equivalent when merged as one batch (proof sketch in
+    train_bpe's docstring):
+
+    - pairwise symbol-disjoint, broken at the FIRST overlapping row
+      (so every non-batch pair ranks strictly after the whole batch);
+    - the last accepted count must strictly exceed the first
+      out-of-batch count (created pairs are bounded by overlap-pair
+      counts, all outside the batch — strictness kills tie-break
+      ambiguity against pairs that didn't exist at selection time);
+    - a self-pair (a == a) may only close the batch (its merge can
+      create pairs bounded by its own count, e.g. 'a a a' -> (aa, a));
+    - two accepted merges may not concatenate to the SAME new token
+      (their created-pair counts would sum at later in-batch steps).
+
+    ``rows`` must be sorted (count desc, a asc, b asc) and contain at
+    least one row MORE than the batch can use, or the whole table.
+
+    ``exact=False`` relaxes the prefix rule to the standard skip-scan
+    top-m-disjoint heuristic (bigger batches, possible deviation from
+    the sequential merge list — see train_bpe).
+    """
+    sel = [rows[0]]
+    used = {rows[0]["a"], rows[0]["b"]}
+    concats = {rows[0]["a"] + rows[0]["b"]}
+    if rows[0]["a"] == rows[0]["b"]:
+        return sel
+    for row in rows[1:]:
+        if len(sel) >= max_batch or row["pc"] < min_pair_count:
+            break
+        if row["a"] in used or row["b"] in used:
+            if exact:
+                break
+            continue  # exact=False: skip over, keep scanning (see below)
+        cat = row["a"] + row["b"]
+        # no cross-talk between a merge's NEW token and another batch
+        # member's symbols, in either direction: a later pair may not
+        # consume an earlier concat as a symbol, and a later concat may
+        # not name a symbol an earlier pair uses — both would let a
+        # merge change the count of a pair the selection already
+        # committed to.
+        if cat in concats or cat in used or row["a"] in concats or row["b"] in concats:
+            if exact:
+                break
+            continue
+        sel.append(row)
+        used.update((row["a"], row["b"]))
+        concats.add(cat)
+        if row["a"] == row["b"]:
+            break
+    if not exact:
+        return sel
+    # strict dominance over the first pair OUTSIDE the batch
+    while len(sel) > 1 and len(rows) > len(sel) and (
+        sel[-1]["pc"] <= rows[len(sel)]["pc"]
+    ):
+        sel.pop()
+    return sel
 
 
 def train_bpe(
@@ -89,6 +159,8 @@ def train_bpe(
     text_col: str = "text",
     min_pair_count: int = 2,
     words: Optional[DataFrame] = None,
+    batch_merges: int = 16,
+    exact: bool = True,
 ) -> list:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the ranked
     merge list ``[(a, b), ...]`` (rank = list position).
@@ -100,6 +172,38 @@ def train_bpe(
 
     Determinism: the winning pair each round is max count, ties broken
     by (a, b) lexicographic — partition-layout independent.
+
+    **Batched rounds (VERDICT r4 #5), exact by construction.** Up to
+    ``batch_merges`` merges are committed per Spark round instead of
+    one, cutting driver round-trips ~batch× on a 32k-merge vocabulary,
+    with the OUTPUT PROVABLY IDENTICAL to the one-merge-per-round
+    sequential algorithm. The batch is the maximal sorted PREFIX of the
+    pair table satisfying :func:`_select_batch`'s rules; why that is
+    sequential-equivalent: with the whole batch a prefix, every
+    non-batch pair ranks after every batch pair, so at in-batch step i
+    (1) unchanged disjoint pairs rank behind p_i or are p_{>i};
+    (2) pairs whose counts DROP from earlier merges started ≤ the
+    boundary count and only fall, and equal-count ties stay lex-after;
+    (3) pairs CREATED by earlier merges are bounded by the count of
+    some overlapping pair — all outside the batch — and the strict
+    c_batch_last > c_first_outside rule makes that bound strict, so no
+    created pair can reach p_i's count; (4) self-pairs, duplicate
+    concats, concat↔symbol collisions inside the batch, and concats
+    colliding with any EXISTING vocabulary symbol (a one-job
+    arrays_overlap probe with limit-1 short-circuit) are excluded —
+    each could boost a count the selection cannot see. Disjoint merges
+    commute at application time, so one Arrow pass applies the batch.
+    ``batch_merges=1`` recovers the plain sequential loop.
+
+    ``exact=False`` (opt-in scale mode): selection SKIPS over
+    conflicting rows instead of stopping at them — the standard
+    parallel-BPE top-m-disjoint heuristic. Batches get much larger on
+    corpora whose top pairs share symbols (real text: 'e' is in many
+    top pairs), at the cost that the learned list may deviate from the
+    sequential reference where a skipped pair's post-merge count would
+    have overtaken an accepted one. Deterministic either way. The
+    existing-symbol probe and the one-pass batch application are
+    shared by both modes.
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
@@ -114,39 +218,62 @@ def train_bpe(
     ).localCheckpoint()
 
     merges: list = []
-    try:
-        for _ in range(int(n_merges)):
-            pairs = (
-                syms.select(
-                    F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias(
-                        "_i", "a"
-                    ),
-                    F.col("syms"),
-                    F.col("count"),
-                )
-                .select(
-                    F.col("a"),
-                    F.col("syms")[F.col("_i") + 1].alias("b"),
-                    F.col("count"),
-                )
-                .groupBy("a", "b")
-                .agg(F.sum("count").alias("pc"))
-            )
-            top = pairs.orderBy(F.desc("pc"), F.asc("a"), F.asc("b")).limit(1).collect()
-            if not top or top[0]["pc"] < min_pair_count:
-                break
-            a, b = top[0]["a"], top[0]["b"]
-            merges.append((a, b))
-            has_pair = F.array_contains("syms", a) & F.array_contains("syms", b)
-            nxt = syms.withColumn(
-                "syms",
-                F.when(has_pair, _apply_merge_udf(a, b)(F.col("syms"))).otherwise(
-                    F.col("syms")
+    batch_cap = max(1, int(batch_merges))
+    while len(merges) < int(n_merges):
+        pairs = (
+            syms.select(
+                F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias(
+                    "_i", "a"
                 ),
-            ).localCheckpoint()
-            syms = nxt
-    finally:
-        pass
+                F.col("syms"),
+                F.col("count"),
+            )
+            .select(
+                F.col("a"),
+                F.col("syms")[F.col("_i") + 1].alias("b"),
+                F.col("count"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("count").alias("pc"))
+        )
+        cap = min(batch_cap, int(n_merges) - len(merges))
+        # one extra row past the largest usable batch so _select_batch
+        # always sees the first OUT-of-batch count (or the whole table)
+        top = (
+            pairs.orderBy(F.desc("pc"), F.asc("a"), F.asc("b"))
+            .limit(2 * cap + 8)
+            .collect()
+        )
+        if not top or top[0]["pc"] < min_pair_count:
+            break
+        sel = _select_batch(top, cap, min_pair_count, exact=exact)
+        if len(sel) > 1:
+            # a batch merge's new token must not collide with a symbol
+            # already in the vocabulary (pairs involving that symbol
+            # would be boosted by amounts the selection cannot see);
+            # only concats of NON-last members matter — the last
+            # merge's creations compete after the batch. Fall back to
+            # the always-correct single merge on a hit (rare).
+            probe = [F.lit(a + b) for a, b, in ((r["a"], r["b"]) for r in sel[:-1])]
+            hit = (
+                syms.where(F.arrays_overlap(F.col("syms"), F.array(*probe)))
+                .limit(1)
+                .count()
+            )
+            if hit:
+                sel = sel[:1]
+        batch = [(r["a"], r["b"]) for r in sel]
+        merges.extend(batch)
+        gate = None
+        for a, b in batch:
+            c = F.array_contains("syms", a) & F.array_contains("syms", b)
+            gate = c if gate is None else (gate | c)
+        syms = syms.withColumn(
+            "syms",
+            F.when(gate, _apply_merges_udf(batch)(F.col("syms"))).otherwise(
+                F.col("syms")
+            ),
+        ).localCheckpoint()
     return merges
 
 
