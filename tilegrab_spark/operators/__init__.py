@@ -284,6 +284,7 @@ from tilegrab_spark.operators.text import (
 )
 from tilegrab_spark.operators.multimodal import (
     audio_features,
+    audio_metadata,
     decode_summary,
     image_features,
     image_quality_signals,
@@ -506,6 +507,7 @@ __all__ = [
     "resize_images",
     "decode_summary",
     "audio_features",
+    "audio_metadata",
     "sample_frames",
     "compact_cover",
     "uncompact_cover",

