@@ -210,3 +210,20 @@ def test_stale_track_id_raises(spark, tmp_path):
             b1, str(tmp_path / "st"), batch_id=1, max_dist_m=D
         )
     release_signature_caches()
+
+
+def test_params_pinned_on_scheme_qualified_path(spark, tmp_path):
+    """ADVICE r4 #1: the _params.json pin goes through the Hadoop FS
+    API, so it must engage on scheme-qualified state paths (file://
+    here standing in for hdfs:///s3a://) — the old os.path probe never
+    found the pin there and silently skipped the fail-loudly check."""
+    root = f"file://{tmp_path}/schemed"
+    batch = spark.createDataFrame(
+        _by_tracks(make_tracks(), ["a0"]),
+        "track_id string, ts double, lon double, lat double",
+    )
+    incremental_track_pairs(batch, root, batch_id=0, max_dist_m=D)
+    release_signature_caches()
+    with pytest.raises(ValueError, match="fresh state_path"):
+        incremental_track_pairs(batch, root, batch_id=1, max_dist_m=D * 2)
+    release_signature_caches()
