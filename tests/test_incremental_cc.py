@@ -99,3 +99,22 @@ def test_touched_labels_returned_and_cache_released(spark, tmp_path):
     out = add_edges(_df(spark, [(6, 7), (7, 9)]), root, batch_id=0)
     assert {r["node"]: r["component"] for r in out.collect()} == {6: 6, 7: 6, 9: 6}
     assert len(_SIG_CACHE_HANDLES) == n0  # no handle leak per batch
+
+
+def test_stream_composition_availablenow(spark, tmp_path):
+    from tilegrab_spark.streaming.incremental_cc import stream_components
+
+    landing = tmp_path / "edges_in"
+    landing.mkdir()
+    _df(spark, EDGES[:3]).write.mode("append").parquet(str(landing / "d0"))
+    _df(spark, EDGES[3:]).write.mode("append").parquet(str(landing / "d1"))
+    q = stream_components(
+        spark, f"{landing}/*", str(tmp_path / "st"), str(tmp_path / "ckpt"),
+        schema="id_a long, id_b long",
+    )
+    q.awaitTermination(120)
+    got = {
+        r["node"]: r["component"]
+        for r in read_components(spark, str(tmp_path / "st")).collect()
+    }
+    assert got == _oracle(spark, EDGES)

@@ -1,6 +1,7 @@
 from tilegrab_spark.streaming.incremental_cc import (
     add_edges as cc_add_edges,
     read_components as cc_read_components,
+    stream_components,
 )
 from tilegrab_spark.streaming.incremental_index import TextIndexStore
 from tilegrab_spark.streaming.incremental_dedup import (

@@ -51,7 +51,7 @@ from tilegrab_spark.operators.components import connected_components
 from tilegrab_spark.operators.dedup import _SIG_CACHE_HANDLES, _persist_signatures
 from tilegrab_spark.streaming._state import commit_batch, load_state
 
-__all__ = ["add_edges", "read_components"]
+__all__ = ["add_edges", "read_components", "stream_components"]
 
 
 def _resolve_remaps(remaps: DataFrame | None) -> DataFrame | None:
@@ -203,3 +203,47 @@ def add_edges(
         h.unpersist()
     del _SIG_CACHE_HANDLES[cache_mark:]
     return out
+
+
+def stream_components(
+    spark: SparkSession,
+    landing_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    *,
+    schema,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    driver_cutoff: int = 100_000,
+    trigger_once: bool = True,
+):
+    """Structured-Streaming composition (the stream_track_similarity
+    convention): parquet drops of edge batches → :func:`add_edges` per
+    micro-batch; the component state grows under ``state_path`` and is
+    read back any time with :func:`read_components`. foreachBatch is
+    at-least-once — add_edges' state view excludes the batch's own
+    partitions, so a replay recomputes byte-identical state."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            add_edges(
+                batch_df, state_path,
+                batch_id=batch_id, a_col=a_col, b_col=b_col,
+                driver_cutoff=driver_cutoff, commit=True,
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        spark.readStream.schema(schema)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
