@@ -148,3 +148,41 @@ class TestAudioMetadataOperator:
         assert m["sample_rate"] == 22050 and m["bitrate_kbps"] == 64
         g = rows["g"]
         assert not g["parse_ok"] and not g["pcm_available"]
+
+
+class TestVideoMetadataOperator:
+    def test_avi_gif_and_garbage(self, spark):
+        from tilegrab_spark.kernels.avi import encode_avi_mjpeg
+        from tilegrab_spark.kernels.jpeg import encode_jpeg
+        from tilegrab_spark.operators.multimodal import video_metadata
+
+        rng = np.random.default_rng(3)
+        frames = [
+            encode_jpeg(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8))
+            for _ in range(8)
+        ]
+        avi_bytes = encode_avi_mjpeg(frames, 4.0, 16, 16)
+        df = spark.createDataFrame(
+            [("a", bytearray(avi_bytes)), ("g", bytearray(b"GIF89a_truncated")),
+             ("x", bytearray(b"\x00" * 64))],
+            "video_id string, bytes binary",
+        )
+        rows = {r["video_id"]: r for r in video_metadata(df).collect()}
+        # single-frame GIF through the real gif branch
+        from tilegrab_spark.kernels.gif import encode_gif
+
+        gif_bytes = encode_gif(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8))
+        gdf = spark.createDataFrame(
+            [("gg", bytearray(gif_bytes))], "video_id string, bytes binary"
+        )
+        gg = video_metadata(gdf).collect()[0]
+        assert gg["parse_ok"] and gg["frames_available"]
+        assert gg["container"] == "gif" and gg["n_frames"] == 1
+        assert gg["width"] == 8 and gg["height"] == 8
+        a = rows["a"]
+        assert a["parse_ok"] and a["frames_available"]
+        assert a["codec"] == "mjpeg" and a["n_frames"] == 8
+        assert a["fps"] == 4.0 and a["duration_ms"] == 2000
+        assert a["width"] == 16 and a["height"] == 16
+        assert not rows["g"]["parse_ok"]  # truncated GIF surfaces, no crash
+        assert not rows["x"]["parse_ok"]

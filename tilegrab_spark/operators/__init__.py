@@ -285,6 +285,7 @@ from tilegrab_spark.operators.text import (
 from tilegrab_spark.operators.multimodal import (
     audio_features,
     audio_metadata,
+    video_metadata,
     decode_summary,
     image_features,
     image_quality_signals,
@@ -508,6 +509,7 @@ __all__ = [
     "decode_summary",
     "audio_features",
     "audio_metadata",
+    "video_metadata",
     "sample_frames",
     "compact_cover",
     "uncompact_cover",

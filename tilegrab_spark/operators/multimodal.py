@@ -242,6 +242,69 @@ AUDIO_METADATA_SCHEMA = (
     "channels int, n_samples long, duration_ms long, bitrate_kbps int, "
     "vbr boolean, pcm_available boolean, parse_ok boolean"
 )
+VIDEO_METADATA_SCHEMA = (
+    "video_id string, container string, codec string, width int, "
+    "height int, fps double, n_frames long, duration_ms long, "
+    "frames_available boolean, parse_ok boolean"
+)
+
+
+def video_metadata(df: DataFrame) -> DataFrame:
+    """Structural video metadata for curation (the :func:`audio_metadata`
+    sibling): MJPEG-AVI payloads parse for real (kernels/avi.py —
+    codec/fps/dimensions/frame count/duration; ``frames_available=true``
+    means :func:`sample_frames` can decode actual frames), animated GIF
+    payloads via kernels/gif.py. Inter-coded containers (mp4/h264/vp9)
+    and anything unparsable surface as ``parse_ok=false`` rows, never
+    executor failures."""
+    from tilegrab_spark.kernels import avi, gif
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                b = bytes(data)
+                row = {
+                    "video_id": vid, "container": None, "codec": None,
+                    "width": None, "height": None, "fps": None,
+                    "n_frames": None, "duration_ms": None,
+                    "frames_available": False, "parse_ok": False,
+                }
+                try:
+                    if avi.is_avi(b):
+                        m = avi.read_avi_mjpeg(b)
+                        n = len(m["frames"])
+                        row.update(
+                            container="riff-avi", codec="mjpeg",
+                            width=m["w"], height=m["h"], fps=float(m["fps"]),
+                            n_frames=n,
+                            duration_ms=round(n * 1000.0 / m["fps"])
+                            if m["fps"] else 0,
+                            frames_available=True, parse_ok=True,
+                        )
+                    elif b[:6] in (b"GIF87a", b"GIF89a"):
+                        frames = gif.decode_gif_frames(b)
+                        total_ms = sum(
+                            (d if d > 0 else 100) for _, d in frames
+                        )
+                        first = frames[0][0]
+                        row.update(
+                            container="gif", codec="gif",
+                            width=int(first.shape[1]), height=int(first.shape[0]),
+                            fps=round(len(frames) * 1000.0 / total_ms, 3)
+                            if total_ms else 0.0,
+                            n_frames=len(frames),
+                            duration_ms=int(total_ms),
+                            frames_available=True, parse_ok=True,
+                        )
+                except (ValueError, NotImplementedError):
+                    pass
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return df.select("video_id", "bytes").mapInPandas(
+        kernel, schema=VIDEO_METADATA_SCHEMA
+    )
 
 
 def audio_metadata(df: DataFrame) -> DataFrame:
