@@ -182,3 +182,76 @@ class TestViterbiOracle:
         with pytest.raises(ValueError, match="max_candidates"):
             match_tracks(fixes, _lines_df(spark), radius_m=50.0,
                          max_candidates=0)
+
+
+class TestNetworkRoute:
+    """route='network' (round 5): transition distances over the local
+    line graph — the paper's actual model, closing the documented
+    planar simplification."""
+
+    def test_router_unit_distances(self):
+        import json as _json
+
+        from tilegrab_spark.operators.matching import _LocalRouter
+        import pandas as pd
+
+        # L-shaped connected pair sharing the corner vertex exactly
+        D = [[0.0, 0.0], [0.001, 0.0]]
+        E = [[0.001, 0.0], [0.001, 0.001]]
+        B = [[0.0, 0.00036], [0.01, 0.00036]]  # disconnected road
+        r = _LocalRouter({
+            "D": _json.dumps(D), "E": _json.dumps(E), "B": _json.dumps(B),
+        })
+        lenD = math.hypot(*(np.subtract(_merc(*D[1]), _merc(*D[0]))))
+        lenE = math.hypot(*(np.subtract(_merc(*E[1]), _merc(*E[0]))))
+        g = lambda rows: pd.DataFrame(rows, columns=["line_id", "seg_idx", "seg_t"])
+        # snap at 30% along D -> snap at 40% along E: via the corner
+        d = r.pairwise(g([("D", 0, 0.3)]), g([("E", 0, 0.4)]), "line_id")
+        assert abs(d[0, 0] - (0.7 * lenD + 0.4 * lenE)) < 1e-6
+        # same segment: direct along-segment distance, not via endpoints
+        d = r.pairwise(g([("D", 0, 0.2)]), g([("D", 0, 0.9)]), "line_id")
+        assert abs(d[0, 0] - 0.7 * lenD) < 1e-6
+        # disconnected: no path
+        d = r.pairwise(g([("D", 0, 0.5)]), g([("B", 0, 0.5)]), "line_id")
+        assert math.isinf(d[0, 0])
+
+    def test_rejects_disconnected_shortcut_planar_does_not(self, spark):
+        """The classic wrong-shortcut: a noisy fix sits nearer the
+        PARALLEL DISCONNECTED road B; planar transition cost cannot
+        see the disconnection and hops to B, network mode stays on A."""
+        pts = [(i, 0.0009 * (i + 1), 0.0) for i in range(6)]
+        pts[3] = (3, 0.0009 * 4, 0.00030)  # ~33 m north: 7 m from B
+        fixes = spark.createDataFrame(
+            [("t", s, lon, lat) for s, lon, lat in pts],
+            "track_id string, seq long, lon double, lat double",
+        )
+        planar = {r.seq: r.line_id for r in match_tracks(
+            fixes, _lines_df(spark), radius_m=60.0).collect()}
+        network = {r.seq: r.line_id for r in match_tracks(
+            fixes, _lines_df(spark), radius_m=60.0, route="network").collect()}
+        assert planar[3] == "B"  # the distinction is real
+        assert all(network[s] == "A" for s in range(6)), network
+
+    def test_network_parity_on_single_line(self, spark):
+        """Fixes on one road: both modes must produce identical rows
+        (routes along one line ARE the planar along-line distances)."""
+        # lons stay >150 m away from crossing road C (whose unnoded
+        # crossing is a legit mode difference, not a parity case)
+        fixes = spark.createDataFrame(
+            [("t", i, 0.0005 * (i + 1), 1e-05) for i in range(5)],
+            "track_id string, seq long, lon double, lat double",
+        )
+        cols = ["seq", "line_id", "seg_idx", "seg_t", "snap_lon", "snap_lat"]
+        a = sorted(tuple(r[c] for c in cols) for r in match_tracks(
+            fixes, _lines_df(spark), radius_m=50.0).collect())
+        b = sorted(tuple(r[c] for c in cols) for r in match_tracks(
+            fixes, _lines_df(spark), radius_m=50.0, route="network").collect())
+        assert a == b
+
+    def test_validation(self, spark):
+        fixes = spark.createDataFrame(
+            [("t", 0, 0.001, 0.0)],
+            "track_id string, seq long, lon double, lat double",
+        )
+        with pytest.raises(ValueError, match="route"):
+            match_tracks(fixes, _lines_df(spark), radius_m=50.0, route="dijkstra")
