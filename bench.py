@@ -114,7 +114,7 @@ def main():
     img_path = f"/tmp/tilegrab_bench/images_e{edge}_z{zoom}" + (
         f"_s{nsrcs}" if nsrcs != 2 else ""
     )
-    if stages not in ("llm", "cc", "r4geo", "s2", "graphsim", "mediasim"):
+    if stages not in ("llm", "cc", "r4geo", "s2", "graphsim", "mediasim", "matching"):
         ensure_images(spark, img_path, edge, zoom, nsrcs)
 
     # warmup: spin up JVM codegen + Python workers so the first timed
@@ -276,6 +276,64 @@ def main():
 
         timed("track_hausdorff", track_hausdorff, cold=True, repeats=2)
         timed("pagerank_5", pagerank_5, cold=True, repeats=2)
+        _emit(timings, counts, None, sf, cpus)
+        spark.stop()
+        return
+
+    # BENCH_STAGES=matching: HMM map matching over a hash-synthesized
+    # NODED street grid (gated). BENCH_MATCH_TRACKS tracks of 32 fixes
+    # each walk a horizontal street with ±20 m lat noise; the grid has
+    # shared vertices at every intersection so route="network" gets a
+    # genuinely connected local graph. W ∝ tracks × fixes × candidates
+    # (planar) plus the per-transition local Dijkstras (network).
+    if stages == "matching":
+        from tilegrab_spark.operators.matching import match_tracks
+
+        G = int(os.environ.get("BENCH_MATCH_GRID", "24"))
+        T = int(os.environ.get("BENCH_MATCH_TRACKS", "200"))
+        s_deg = 0.002  # ~222 m street spacing
+        lines_rows = []
+        for j in range(G + 1):
+            lines_rows.append(
+                (f"h{j}", [[i * s_deg, j * s_deg] for i in range(G + 1)])
+            )
+            lines_rows.append(
+                (f"v{j}", [[j * s_deg, i * s_deg] for i in range(G + 1)])
+            )
+        lines = spark.createDataFrame(
+            lines_rows, "line_id string, coords array<array<double>>"
+        )
+        lines.persist().count()
+        fixes = (
+            spark.range(T * 32)
+            .select(
+                (F.col("id") / 32).cast("long").alias("_t"),
+                F.pmod(F.col("id"), F.lit(32)).alias("_i"),
+            )
+            .select(
+                F.col("_t").cast("string").alias("track_id"),
+                F.col("_i").cast("long").alias("seq"),
+                (
+                    (F.pmod(F.xxhash64("_t", F.lit(1)), F.lit(max(1, G - 8))))
+                    * s_deg
+                    + F.col("_i") * (s_deg / 4.0)
+                ).alias("lon"),
+                (
+                    F.pmod(F.xxhash64("_t"), F.lit(G + 1)) * s_deg
+                    + (F.pmod(F.xxhash64("_t", "_i"), F.lit(361)) - 180)
+                    * F.lit(1e-6)
+                ).alias("lat"),
+            )
+        )
+        fixes.persist().count()
+
+        def match(mode):
+            return match_tracks(
+                fixes, lines, radius_m=60.0, route=mode
+            ).filter(F.col("matched")).count()
+
+        timed("match_planar", lambda: match("planar"), cold=True, repeats=2)
+        timed("match_network", lambda: match("network"), cold=True, repeats=2)
         _emit(timings, counts, None, sf, cpus)
         spark.stop()
         return

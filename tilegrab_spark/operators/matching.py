@@ -294,6 +294,17 @@ def match_tracks(
     two_sigma2 = 2.0 * sigma * sigma
     use_network = route == "network"
 
+    # The Viterbi is CPU-bound Python, not bytes-bound (the mosaic
+    # lesson, mosaic.py:270): a track's candidate rows are a few KB, so
+    # AQE's byte-sized partition coalescing collapses the grouped map
+    # to one-few Python workers (measured: flat 2-core == 8-core wall
+    # on the matching bench). Pin the stage's parallelism with an
+    # explicit repartition on the group key — groupBy reuses the
+    # compatible hash partitioning (no extra shuffle) and AQE leaves
+    # user repartitions alone.
+    nparts = fixes.sparkSession.sparkContext.defaultParallelism * 2
+    joined = joined.repartition(nparts, track_col)
+
     def viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
         track = pdf[track_col].iloc[0]
         router = None
