@@ -243,3 +243,57 @@ class TestBatchedRounds:
         assert len(B._select_batch(rows, 4, 1, exact=True)) == 1
         got = B._select_batch(rows, 4, 1, exact=False)
         assert [(r["a"], r["b"]) for r in got] == [("a", "b"), ("d", "e"), ("f", "g")]
+
+
+class TestSelectBatchRules:
+    """Direct unit coverage of the parity-critical selection rules
+    (each rule's violation would silently break sequential parity)."""
+
+    def _rows(self, *triples):
+        return [{"a": a, "b": b, "pc": c} for a, b, c in triples]
+
+    def _sel(self, rows, m=8, floor=1, **kw):
+        from tilegrab_spark.operators.bpe import _select_batch
+
+        return [(r["a"], r["b"]) for r in _select_batch(rows, m, floor, **kw)]
+
+    def test_prefix_breaks_at_first_overlap(self):
+        rows = self._rows(("a", "b", 10), ("b", "c", 9), ("d", "e", 8))
+        assert self._sel(rows) == [("a", "b")]
+
+    def test_self_pair_opens_and_closes_batch(self):
+        rows = self._rows(("a", "a", 10), ("c", "d", 9), ("e", "f", 8))
+        assert self._sel(rows) == [("a", "a")]
+        rows = self._rows(("c", "d", 10), ("a", "a", 9), ("e", "f", 8))
+        assert self._sel(rows) == [("c", "d"), ("a", "a")]
+
+    def test_duplicate_concat_breaks(self):
+        # ("a","bc") and ("ab","c") are symbol-disjoint but both create
+        # token "abc" — created-pair counts would SUM at later steps
+        rows = self._rows(("a", "bc", 10), ("ab", "c", 9), ("d", "e", 8))
+        assert self._sel(rows) == [("a", "bc")]
+
+    def test_concat_symbol_crosstalk_breaks(self):
+        # later pair consumes an earlier concat as a symbol
+        rows = self._rows(("a", "b", 10), ("ab", "c", 9))
+        assert self._sel(rows) == [("a", "b")]
+        # later concat names a symbol an earlier pair uses
+        rows = self._rows(("ab", "c", 10), ("a", "b", 9))
+        assert self._sel(rows) == [("ab", "c")]
+
+    def test_strict_dominance_pops_boundary_ties(self):
+        # last accepted count EQUAL to first outside count: a created
+        # pair could tie it — the batch must shrink past the tie tier
+        rows = self._rows(("a", "b", 10), ("c", "d", 7), ("e", "f", 7))
+        assert self._sel(rows, m=2) == [("a", "b")]
+        # strictly greater: both stay
+        rows = self._rows(("a", "b", 10), ("c", "d", 8), ("e", "f", 7))
+        assert self._sel(rows, m=2) == [("a", "b"), ("c", "d")]
+
+    def test_floor_stops_batch(self):
+        rows = self._rows(("a", "b", 10), ("c", "d", 1))
+        assert self._sel(rows, floor=2) == [("a", "b")]
+
+    def test_whole_table_no_outside_rows(self):
+        rows = self._rows(("a", "b", 10), ("c", "d", 10))
+        assert self._sel(rows) == [("a", "b"), ("c", "d")]
