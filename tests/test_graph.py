@@ -341,3 +341,90 @@ def test_hits_matches_numpy(spark):
         assert got[i][1] == pytest.approx(a[i], abs=1e-12)
     with pytest.raises(ValueError, match="n_iter"):
         hits(df, n_iter=0)
+
+
+# ------------------------------------------- personalized pagerank / RWR
+
+def _ppr_ref(edges, n, p, damping=0.85, n_iter=20):
+    """Dense numpy RWR: teleport AND dangling mass go to the seed
+    distribution p; independent of the relational formulation."""
+    import numpy as np
+
+    M = np.zeros((n, n))
+    for s, d, w in edges:
+        M[d, s] += w
+    out = M.sum(axis=0)
+    r = p.copy()
+    for _ in range(n_iter):
+        dangling = r[out == 0.0].sum()
+        nz = out > 0
+        contrib = M[:, nz] @ (r[nz] / out[nz])
+        r = (1 - damping) * p + damping * (contrib + dangling * p)
+    return r
+
+
+def test_ppr_matches_numpy_rwr(spark):
+    import numpy as np
+
+    from tilegrab_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame(
+        [(s, d) for s, d, _ in _PR_EDGES], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, [0, 4], n_iter=20).collect()
+    }
+    p = np.zeros(6); p[0] = p[4] = 0.5
+    want = _ppr_ref(_PR_EDGES, 6, p)
+    assert len(got) == 6
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for i in range(6):
+        assert got[i] == pytest.approx(want[i], abs=1e-12)
+
+
+def test_ppr_weighted_seeds_and_seed_df(spark):
+    import numpy as np
+
+    from tilegrab_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame(
+        [(s, d) for s, d, _ in _PR_EDGES], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0, 3.0), (2, 1.0)], "node long, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            df, seeds, seed_weight_col="w", n_iter=15
+        ).collect()
+    }
+    p = np.zeros(6); p[0] = 0.75; p[2] = 0.25
+    want = _ppr_ref(_PR_EDGES, 6, p, n_iter=15)
+    for i in range(6):
+        assert got[i] == pytest.approx(want[i], abs=1e-12)
+
+
+def test_ppr_unreachable_component_gets_zero(spark):
+    from tilegrab_spark.operators.graph import personalized_pagerank
+
+    # two components; seeds only in {0,1} — the {10,11} cluster (a spam
+    # island in trust-propagation terms) must earn exactly nothing
+    df = spark.createDataFrame(
+        [(0, 1), (1, 0), (10, 11), (11, 10)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, [0], n_iter=10).collect()
+    }
+    assert got[10] == 0.0 and got[11] == 0.0
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_ppr_validation(spark):
+    from tilegrab_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="no seeds"):
+        personalized_pagerank(df, [99], n_iter=5)
+    with pytest.raises(ValueError, match="damping"):
+        personalized_pagerank(df, [0], damping=1.0)

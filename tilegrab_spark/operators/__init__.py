@@ -23,6 +23,7 @@ from tilegrab_spark.operators.graph import (
     hop_distance,
     k_core,
     pagerank,
+    personalized_pagerank,
     shortest_paths,
     triangle_count,
 )
@@ -316,6 +317,7 @@ __all__ = [
     "shortest_paths",
     "hop_distance",
     "pagerank",
+    "personalized_pagerank",
     "triangle_count",
     "hits",
     "k_core",

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["shortest_paths", "hop_distance", "pagerank", "hits", "triangle_count", "k_core"]
+__all__ = ["shortest_paths", "hop_distance", "pagerank", "personalized_pagerank", "hits", "triangle_count", "k_core"]
 
 
 def _relax_round(frontier: DataFrame, e: DataFrame, dist: DataFrame) -> DataFrame:
@@ -244,6 +244,143 @@ def pagerank(
             delta = (
                 new_ranks.join(ranks.select("node", F.col("rank").alias("_old")), "node")
                 .agg(F.max(F.abs(F.col("rank") - F.col("_old"))))
+                .first()[0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    links.unpersist()
+    return ranks
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    seed_col: str = "node",
+    seed_weight_col: str | None = None,
+    damping: float = 0.85,
+    n_iter: int = 20,
+    tol: float | None = None,
+) -> DataFrame:
+    """Personalized PageRank / random-walk-with-restart → ``(node,
+    rank)``, ranks summing to 1. The seed-trust-propagation primitive
+    of web-corpus curation (propagate quality from a trusted domain
+    seed set through the link graph) and of graph-based similarity
+    expansion (RWR proximity to a query node set).
+
+    Semantics: the teleport distribution is the (weight-normalized)
+    ``seeds`` set instead of uniform — each round ``r' = (1-d)·p +
+    d·(Σ_in r/outshare + dangling·p)``; dangling mass restarts AT THE
+    SEEDS (the standard RWR convention), so nodes unreachable from the
+    seed set converge to rank 0, exactly the trust-propagation
+    behaviour (a disconnected spam cluster earns nothing). ``seeds`` is
+    a DataFrame with ``seed_col`` (optional ``seed_weight_col``,
+    positive) or a plain python list; seeds are intersected with the
+    graph's nodes (raises if none remain).
+
+    Plan shape: identical to :func:`pagerank` (links built once +
+    persisted, one edge-sized join per round, in-plan dangling scalar,
+    node-sized teleport frame joined per round, localCheckpoint) —
+    only the teleport vector differs.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if tol is not None and tol <= 0:
+        raise ValueError(f"tol must be positive, got {tol}")
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"), w.alias("_w"))
+    if weight_col is not None:
+        wmin, n_null = e.agg(
+            F.min("_w"), F.sum(F.col("_w").isNull().cast("long"))
+        ).first()
+        if n_null:
+            raise ValueError(
+                f"{n_null} edge weight(s) are NULL or fail the double cast"
+            )
+        if wmin is not None and wmin <= 0:
+            raise ValueError(f"edge weights must be positive, got {wmin}")
+
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    if isinstance(seeds, DataFrame):
+        sw = (
+            F.col(seed_weight_col).cast("double")
+            if seed_weight_col
+            else F.lit(1.0)
+        )
+        seed_df = seeds.select(F.col(seed_col).alias("node"), sw.alias("_sw"))
+    else:
+        seed_df = spark.createDataFrame(
+            [(s,) for s in seeds], nodes.select("node").schema
+        ).withColumn("_sw", F.lit(1.0))
+    seed_df = (
+        seed_df.groupBy("node").agg(F.sum("_sw").alias("_sw"))
+        .join(nodes, "node", "left_semi")
+    )
+    tot = seed_df.agg(F.sum("_sw")).first()[0]
+    if tot is None or tot <= 0:
+        raise ValueError(
+            "no seeds intersect the graph's nodes (or weights are non-positive)"
+        )
+    # node-sized teleport vector, normalized, materialized once
+    p = seed_df.select(
+        "node", (F.col("_sw") / F.lit(float(tot))).alias("_p")
+    ).localCheckpoint()
+
+    out = e.groupBy("_s").agg(F.sum("_w").alias("_out"))
+    links = (
+        e.join(out, "_s")
+        .select("_s", "_d", (F.col("_w") / F.col("_out")).alias("_share"))
+        .persist()
+    )
+    links.count()
+    has_out = (
+        links.select(F.col("_s").alias("node")).distinct().localCheckpoint()
+    )
+
+    d = float(damping)
+    ranks = p.select("node", F.col("_p").alias("rank")).localCheckpoint()
+    for _ in range(n_iter):
+        dangling = ranks.join(has_out, "node", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
+        )
+        contrib = (
+            ranks.join(links, ranks.node == links._s)
+            .select(F.col("_d").alias("node"), (F.col("rank") * F.col("_share")).alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_c"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .join(p, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("_p"), F.lit(0.0))
+                    * (F.lit(1.0 - d) + F.lit(d) * F.col("_dang"))
+                    + F.lit(d) * F.coalesce(F.col("_c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        if tol is not None:
+            delta = (
+                new_ranks.join(ranks.select("node", F.col("rank").alias("_old")), "node", "left")
+                .agg(F.max(F.abs(F.col("rank") - F.coalesce(F.col("_old"), F.lit(0.0)))))
                 .first()[0]
             )
             ranks = new_ranks
