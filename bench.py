@@ -169,7 +169,7 @@ def main():
 
     images = (
         read_image_table(spark, img_path)
-        if stages not in ("llm", "cc", "r4geo", "s2", "graphsim", "mediasim")
+        if stages not in ("llm", "cc", "r4geo", "s2", "graphsim", "mediasim", "matching")
         else None
     )
     if stages in ("llm", "cc"):

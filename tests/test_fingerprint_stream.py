@@ -153,3 +153,27 @@ def test_commit_path_releases_cache_handles(spark, tmp_path):
     )
     incremental_audio_pairs(df, str(tmp_path / "s"), batch_id=0, min_votes=5)
     assert len(_SIG_CACHE_HANDLES) == 0
+
+
+def test_owned_release_is_interleaving_safe(spark):
+    """Two interleaved owners (two foreachBatch streams in one driver):
+    releasing A's handles must not unpersist or deregister B's."""
+    from tilegrab_spark.operators.dedup import (
+        _SIG_CACHE_HANDLES,
+        _persist_owned,
+        _release_owned,
+    )
+
+    release_signature_caches()
+    a_owned, b_owned = [], []
+    fa = _persist_owned(spark.range(10), a_owned)
+    fb = _persist_owned(spark.range(20), b_owned)
+    fa2 = _persist_owned(spark.range(30), a_owned)
+    assert len(_SIG_CACHE_HANDLES) == 3
+    assert _release_owned(a_owned) == 2
+    assert len(_SIG_CACHE_HANDLES) == 1
+    assert _SIG_CACHE_HANDLES[0] is fb
+    assert fb.storageLevel.useMemory  # B's cache survived A's release
+    assert not fa.storageLevel.useMemory
+    _release_owned(b_owned)
+    assert len(_SIG_CACHE_HANDLES) == 0

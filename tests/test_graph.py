@@ -428,3 +428,9 @@ def test_ppr_validation(spark):
         personalized_pagerank(df, [99], n_iter=5)
     with pytest.raises(ValueError, match="damping"):
         personalized_pagerank(df, [0], damping=1.0)
+    bad = spark.createDataFrame([(0, -1.0), (1, 2.0)], "node long, w double")
+    with pytest.raises(ValueError, match="seed weights must be positive"):
+        personalized_pagerank(df, bad, seed_weight_col="w")
+    nullw = spark.createDataFrame([(0, None)], "node long, w double")
+    with pytest.raises(ValueError, match="NULL"):
+        personalized_pagerank(df, nullw, seed_weight_col="w")

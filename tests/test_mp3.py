@@ -74,6 +74,32 @@ class TestSyntheticStreams:
         assert m["n_frames"] == 5 and m["frames_tile_exactly"]
         assert m["id3v2_bytes"] == 30 and m["tag_tail_bytes"] == 128
 
+    def test_apev2_tag_with_and_without_header_is_skipped(self):
+        import struct
+
+        body = _stream(4)
+
+        def ape(has_header):
+            # one dummy item; size = items + footer (32), per spec
+            item = struct.pack("<II", 1, 0) + b"k\x00v"
+            size = len(item) + 32
+            flags = (1 << 31) if has_header else 0
+            def block(is_header):
+                return (b"APETAGEX" + struct.pack("<I", 2000)
+                        + struct.pack("<I", size) + struct.pack("<I", 1)
+                        + struct.pack("<I", flags | ((1 << 29) if is_header else 0))
+                        + b"\x00" * 8)
+            tag = item + block(False)
+            if has_header:
+                tag = block(True) + tag
+            return tag
+
+        for hh in (False, True):
+            m = probe_mp3(body + ape(hh))
+            assert m["n_frames"] == 4, hh
+            assert m["frames_tile_exactly"] is True, hh
+            assert m["tag_tail_bytes"] == (len(ape(hh))), hh
+
     def test_xing_header_overrides_counts(self):
         fr, _ = _frame(mono=False)  # MPEG-1 stereo: side info 32
         first = bytearray(fr)
@@ -148,6 +174,27 @@ class TestAudioMetadataOperator:
         assert m["sample_rate"] == 22050 and m["bitrate_kbps"] == 64
         g = rows["g"]
         assert not g["parse_ok"] and not g["pcm_available"]
+
+    def test_stereo_wav_reports_real_channel_count(self, spark):
+        import struct
+
+        from tilegrab_spark.operators.multimodal import audio_metadata
+
+        sr, n = 8000, 400
+        inter = np.zeros(n * 2, "<i2")
+        inter[0::2] = 1000
+        inter[1::2] = -1000
+        payload = inter.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 2, sr, sr * 4, 4, 16)
+        riff = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+        df = spark.createDataFrame(
+            [("s", bytearray(riff))], "clip_id string, bytes binary"
+        )
+        r = audio_metadata(df).collect()[0]
+        assert r["channels"] == 2  # fmt chunk, not the mono-mixed decode
+        assert r["n_samples"] == n and r["sample_rate"] == sr
 
 
 class TestVideoMetadataOperator:

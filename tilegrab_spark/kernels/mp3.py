@@ -110,8 +110,11 @@ def _tag_spans(data: bytes) -> tuple[int, int]:
     if end - start >= 128 and data[end - 128 : end - 125] == b"TAG":
         end -= 128
     if end - start >= 32 and data[end - 32 : end - 24] == b"APETAGEX":
+        # footer layout: preamble(8) version(4) size(4) items(4)
+        # FLAGS(4 at offset 20) reserved(8); size covers items+footer,
+        # the has-header flag bit adds the 32-byte header on top
         ape = int.from_bytes(data[end - 20 : end - 16], "little")
-        flags = int.from_bytes(data[end - 8 : end - 4], "little")
+        flags = int.from_bytes(data[end - 12 : end - 8], "little")
         end -= ape + (32 if flags & (1 << 31) else 0)
     if end <= start:
         raise Mp3Error("no audio region between tags")

@@ -240,6 +240,25 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"malformed WAV stream: {e}") from e
 
 
+def wav_channels(data: bytes) -> int:
+    """Channel count straight from the RIFF fmt chunk (no decode) —
+    decode_wav mono-mixes, so metadata surfaces must read the real
+    count here."""
+    if not is_wav(data):
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if tag == b"fmt " and size >= 16 and pos + 8 + 16 <= len(data):
+            (n_ch,) = struct.unpack_from("<H", data, pos + 10)
+            if n_ch < 1:
+                raise ValueError("bad WAV channel count")
+            return n_ch
+        pos += 8 + size + (size & 1)
+    raise ValueError("WAV missing fmt chunk")
+
+
 def is_wav(data: bytes) -> bool:
     return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE"
 

@@ -63,6 +63,29 @@ def _persist_signatures(df: DataFrame) -> DataFrame:
     return out
 
 
+def _persist_owned(df: DataFrame, owned: list) -> DataFrame:
+    """persist via the tracked registry AND record the handle in the
+    caller's own list, so per-batch release can't touch frames another
+    interleaved caller persisted (positional slicing of the global
+    registry is unsafe when two foreachBatch streams share a driver)."""
+    out = _persist_signatures(df)
+    owned.append(out)
+    return out
+
+
+def _release_owned(owned: list) -> int:
+    """Unpersist exactly the caller's own handles and drop them from
+    the global registry BY IDENTITY (DataFrame __eq__ builds a Column,
+    so list.remove would misbehave)."""
+    ids = {id(h) for h in owned}
+    for h in owned:
+        h.unpersist()
+    _SIG_CACHE_HANDLES[:] = [h for h in _SIG_CACHE_HANDLES if id(h) not in ids]
+    n = len(owned)
+    owned.clear()
+    return n
+
+
 def release_signature_caches() -> int:
     """Unpersist every signature frame cached by minhash_lsh_pairs /
     simhash_pairs in this process; returns how many were released. Safe

@@ -173,6 +173,39 @@ def pagerank(
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if tol is not None and tol <= 0:
         raise ValueError(f"tol must be positive, got {tol}")
+    e, nodes = _pr_edge_and_node_frames(edges, src_col, dst_col, weight_col)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    links, has_out = _pr_links_tables(e)
+
+    d = float(damping)
+    base = (1.0 - d) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+
+    def update(contrib, dangling):
+        # uniform teleport: r' = (1-d)/N + d*(contrib + dangling/N)
+        return (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(d)
+                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dang") / n)
+                ).alias("rank"),
+            )
+        )
+
+    ranks = _pr_rounds(ranks, links, has_out, update, n_iter, tol)
+    links.unpersist()
+    return ranks
+
+
+def _pr_edge_and_node_frames(edges, src_col, dst_col, weight_col):
+    """Validated (_s, _d, _w) edge frame + checkpointed node frame —
+    shared by pagerank and personalized_pagerank."""
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"), w.alias("_w"))
     if weight_col is not None:
@@ -188,36 +221,42 @@ def pagerank(
             )
         if wmin is not None and wmin <= 0:
             raise ValueError(f"edge weights must be positive, got {wmin}")
-
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    n = nodes.count()
-    if n == 0:
-        return nodes.select("node", F.lit(0.0).alias("rank"))
+    return e, nodes
+
+
+def _pr_links_tables(e):
+    """(links persisted+materialized, has_out checkpointed) — links
+    built ONCE and reused every round; has_out derives from the
+    PERSISTED links table (node-sized, materialized once — deriving it
+    from the unpersisted out-degree frame would re-aggregate the full
+    edge table inside every round's dangling left_anti)."""
     out = e.groupBy("_s").agg(F.sum("_w").alias("_out"))
     links = (
         e.join(out, "_s")
         .select("_s", "_d", (F.col("_w") / F.col("_out")).alias("_share"))
         .persist()
     )
-    links.count()  # materialize once; reused every round
-
-    d = float(damping)
-    base = (1.0 - d) / n
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
-    # node-sized, materialized ONCE from the persisted links table —
-    # deriving it from the unpersisted `out` frame would re-aggregate
-    # the full edge table inside every round's dangling left_anti
+    links.count()
     has_out = (
         links.select(F.col("_s").alias("node")).distinct().localCheckpoint()
     )
+    return links, has_out
+
+
+def _pr_rounds(ranks, links, has_out, update, n_iter, tol):
+    """The shared power-iteration loop: per round ONE edge-sized join
+    (ranks⋈links) + map-side partial sum, the dangling scalar kept
+    in-plan (update() receives it as a broadcastable one-row frame),
+    localCheckpoint per round, optional L∞ early stop. The teleport
+    term is the ONLY thing that differs between the uniform and
+    personalized variants — it lives in update()."""
     for _ in range(n_iter):
-        # one-row frame: total rank sitting on dangling nodes — stays
-        # in-plan (broadcast cross join), no driver-synced collect
         dangling = ranks.join(has_out, "node", "left_anti").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
         )
@@ -227,23 +266,13 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_c"))
         )
-        new_ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(d)
-                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dang") / n)
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
+        new_ranks = update(contrib, dangling).localCheckpoint()
         if tol is not None:
             delta = (
-                new_ranks.join(ranks.select("node", F.col("rank").alias("_old")), "node")
-                .agg(F.max(F.abs(F.col("rank") - F.col("_old"))))
+                new_ranks.join(
+                    ranks.select("node", F.col("rank").alias("_old")), "node", "left"
+                )
+                .agg(F.max(F.abs(F.col("rank") - F.coalesce(F.col("_old"), F.lit(0.0)))))
                 .first()[0]
             )
             ranks = new_ranks
@@ -251,7 +280,6 @@ def pagerank(
                 break
         else:
             ranks = new_ranks
-    links.unpersist()
     return ranks
 
 
@@ -295,25 +323,7 @@ def personalized_pagerank(
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if tol is not None and tol <= 0:
         raise ValueError(f"tol must be positive, got {tol}")
-    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
-    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"), w.alias("_w"))
-    if weight_col is not None:
-        wmin, n_null = e.agg(
-            F.min("_w"), F.sum(F.col("_w").isNull().cast("long"))
-        ).first()
-        if n_null:
-            raise ValueError(
-                f"{n_null} edge weight(s) are NULL or fail the double cast"
-            )
-        if wmin is not None and wmin <= 0:
-            raise ValueError(f"edge weights must be positive, got {wmin}")
-
-    nodes = (
-        e.select(F.col("_s").alias("node"))
-        .unionByName(e.select(F.col("_d").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
+    e, nodes = _pr_edge_and_node_frames(edges, src_col, dst_col, weight_col)
     spark = edges.sparkSession
     if isinstance(seeds, DataFrame):
         sw = (
@@ -326,6 +336,19 @@ def personalized_pagerank(
         seed_df = spark.createDataFrame(
             [(s,) for s in seeds], nodes.select("node").schema
         ).withColumn("_sw", F.lit(1.0))
+    if seed_weight_col is not None:
+        # NULL weights would silently drop teleport mass (ranks stop
+        # summing to 1) and negative ones propagate negative ranks —
+        # same fail-loudly contract as the edge-weight check above
+        swmin, sw_null = seed_df.agg(
+            F.min("_sw"), F.sum(F.col("_sw").isNull().cast("long"))
+        ).first()
+        if sw_null:
+            raise ValueError(
+                f"{sw_null} seed weight(s) are NULL or fail the double cast"
+            )
+        if swmin is not None and swmin <= 0:
+            raise ValueError(f"seed weights must be positive, got {swmin}")
     seed_df = (
         seed_df.groupBy("node").agg(F.sum("_sw").alias("_sw"))
         .join(nodes, "node", "left_semi")
@@ -340,30 +363,14 @@ def personalized_pagerank(
         "node", (F.col("_sw") / F.lit(float(tot))).alias("_p")
     ).localCheckpoint()
 
-    out = e.groupBy("_s").agg(F.sum("_w").alias("_out"))
-    links = (
-        e.join(out, "_s")
-        .select("_s", "_d", (F.col("_w") / F.col("_out")).alias("_share"))
-        .persist()
-    )
-    links.count()
-    has_out = (
-        links.select(F.col("_s").alias("node")).distinct().localCheckpoint()
-    )
-
+    links, has_out = _pr_links_tables(e)
     d = float(damping)
     ranks = p.select("node", F.col("_p").alias("rank")).localCheckpoint()
-    for _ in range(n_iter):
-        dangling = ranks.join(has_out, "node", "left_anti").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
-        )
-        contrib = (
-            ranks.join(links, ranks.node == links._s)
-            .select(F.col("_d").alias("node"), (F.col("rank") * F.col("_share")).alias("_c"))
-            .groupBy("node")
-            .agg(F.sum("_c").alias("_c"))
-        )
-        new_ranks = (
+
+    def update(contrib, dangling):
+        # seed teleport: r' = p*((1-d) + d*dangling) + d*contrib —
+        # dangling mass restarts AT THE SEEDS (RWR), not uniformly
+        return (
             nodes.join(contrib, "node", "left")
             .join(p, "node", "left")
             .crossJoin(F.broadcast(dangling))
@@ -375,19 +382,9 @@ def personalized_pagerank(
                     + F.lit(d) * F.coalesce(F.col("_c"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
-        if tol is not None:
-            delta = (
-                new_ranks.join(ranks.select("node", F.col("rank").alias("_old")), "node", "left")
-                .agg(F.max(F.abs(F.col("rank") - F.coalesce(F.col("_old"), F.lit(0.0)))))
-                .first()[0]
-            )
-            ranks = new_ranks
-            if delta is not None and delta < tol:
-                break
-        else:
-            ranks = new_ranks
+
+    ranks = _pr_rounds(ranks, links, has_out, update, n_iter, tol)
     links.unpersist()
     return ranks
 

@@ -337,7 +337,9 @@ def audio_metadata(df: DataFrame) -> DataFrame:
                         pcm, sr = wav.decode_wav(b)
                         row.update(
                             container="riff", codec="pcm", sample_rate=int(sr),
-                            channels=1,  # decode_wav mixes to mono
+                            # real count from the fmt chunk — decode_wav
+                            # mono-mixes, so n_samples counts FRAMES
+                            channels=wav.wav_channels(b),
                             n_samples=len(pcm),
                             duration_ms=round(len(pcm) * 1000 / sr) if sr else 0,
                             bitrate_kbps=round(len(b) * 8 * sr / (len(pcm) * 1000))

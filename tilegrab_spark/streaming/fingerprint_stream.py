@@ -36,7 +36,7 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 from tilegrab_spark.operators.audiosim import audio_fingerprints, audio_match_pairs
-from tilegrab_spark.operators.dedup import _SIG_CACHE_HANDLES, _persist_signatures
+from tilegrab_spark.operators.dedup import _persist_owned, _release_owned
 from tilegrab_spark.operators.videosim import video_fingerprints, video_match_pairs
 from tilegrab_spark.streaming._state import check_params, commit_batch, load_state
 
@@ -60,8 +60,8 @@ def _incremental_pairs(
     pairs, refresh-safe commit."""
     spark = new_fps.sparkSession
     fps_path = os.path.join(state_path, "fingerprints")
-    cache_mark = len(_SIG_CACHE_HANDLES)
-    new_fps = _persist_signatures(new_fps)
+    owned: list = []
+    new_fps = _persist_owned(new_fps, owned)
 
     old = load_state(spark, fps_path)
     cols = new_fps.columns
@@ -78,14 +78,15 @@ def _incremental_pairs(
     ok_all = all_fps.filter(F.col("decode_ok") & F.col(sig_col).isNotNull())
     a = ok_new.select(F.col(id_col).alias("_na"), *cand_keys)
     b = ok_all.select(F.col(id_col).alias("_nb"), *cand_keys)
-    cand = _persist_signatures(
+    cand = _persist_owned(
         a.join(b, list(cand_keys))
         .filter(F.col("_na") != F.col("_nb"))
         .select(
             F.least("_na", "_nb").alias("id_a"),
             F.greatest("_na", "_nb").alias("id_b"),
         )
-        .distinct()
+        .distinct(),
+        owned,
     )
     ids = (
         cand.select(F.col("id_a").alias(id_col))
@@ -103,11 +104,10 @@ def _incremental_pairs(
         # later pair's votes
         commit_batch(new_fps, fps_path, batch_id)
         # pairs is materialized and the state is committed — release
-        # this batch's cache handles so a long-lived foreachBatch
-        # driver doesn't accumulate MEMORY_AND_DISK blocks per batch
-        for h in _SIG_CACHE_HANDLES[cache_mark:]:
-            h.unpersist()
-        del _SIG_CACHE_HANDLES[cache_mark:]
+        # exactly this batch's cache handles (identity-based, safe
+        # under interleaved foreachBatch streams in one driver) so a
+        # long-lived driver doesn't accumulate MEMORY_AND_DISK blocks
+        _release_owned(owned)
     # commit=False (dry run): the returned frame is lazy over the
     # persisted inputs — callers must release_signature_caches() when
     # done with it (same contract as stream_track_similarity)

@@ -48,7 +48,7 @@ import math
 import os
 
 from tilegrab_spark.operators.components import connected_components
-from tilegrab_spark.operators.dedup import _SIG_CACHE_HANDLES, _persist_signatures
+from tilegrab_spark.operators.dedup import _persist_owned, _release_owned
 from tilegrab_spark.streaming._state import commit_batch, load_state
 
 __all__ = ["add_edges", "read_components", "stream_components"]
@@ -119,10 +119,11 @@ def add_edges(
     spark = new_pairs.sparkSession
     nodes_path = os.path.join(state_path, "nodes")
     remaps_path = os.path.join(state_path, "remaps")
-    cache_mark = len(_SIG_CACHE_HANDLES)
+    owned: list = []
 
-    edges = _persist_signatures(
-        new_pairs.select(F.col(a_col).alias("id_a"), F.col(b_col).alias("id_b"))
+    edges = _persist_owned(
+        new_pairs.select(F.col(a_col).alias("id_a"), F.col(b_col).alias("id_b")),
+        owned,
     )
     touched = (
         edges.select(F.col("id_a").alias("node"))
@@ -160,8 +161,8 @@ def add_edges(
                 F.col("node").alias("id_a"), F.col("component").alias("id_b")
             )
         )
-    labels = _persist_signatures(
-        connected_components(graph, driver_cutoff=driver_cutoff)
+    labels = _persist_owned(
+        connected_components(graph, driver_cutoff=driver_cutoff), owned
     )
 
     # rows for nodes THIS batch introduces (their comp0 is fixed now)
@@ -198,10 +199,9 @@ def add_edges(
     if commit:
         commit_batch(new_nodes_m, nodes_path, batch_id)
         commit_batch(merges_m, remaps_path, batch_id)
-    # release only THIS call's cache handles (fingerprint_stream policy)
-    for h in _SIG_CACHE_HANDLES[cache_mark:]:
-        h.unpersist()
-    del _SIG_CACHE_HANDLES[cache_mark:]
+    # release exactly THIS call's handles — identity-based, safe under
+    # interleaved foreachBatch streams in one driver (review r5)
+    _release_owned(owned)
     return out
 
 
